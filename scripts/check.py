@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 scripts/check.py [sfDir] [verifyOutDir]
+
+Reads every `<verifyOutDir>/<name>/` parquet written by `graft.Verify`,
+runs the matching SQL from `oracle_sql.json` in DuckDB over the same
+testdata parquet tables, then compares: column names (sorted), row count,
+and a hash of the sorted values (floats canonicalized via repr).
+"""
+import duckdb, glob, json, os, sys, hashlib
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    def cell(v):
+        if v is None or v != v:  # NaN/None
+            return "<null>"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+    s = df.apply(lambda col: col.map(cell))
+    s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    return s
+
+def h(df: pd.DataFrame) -> str:
+    return hashlib.md5(
+        df.to_csv(index=False).encode("utf-8")).hexdigest()[:12]
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+names = sorted(d for d in os.listdir(OUT)
+               if os.path.isdir(os.path.join(OUT, d)))
+fails = 0
+for name in names:
+    files = glob.glob(f"{OUT}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no parquet output"); fails += 1; continue
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+    if name not in oracle:
+        print(f"SKIP {name}: no oracle ({len(got)} rows)"); continue
+    try:
+        exp = con.execute(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); fails += 1; continue
+    gc, ec = canon(got), canon(exp)
+    if list(gc.columns) != list(ec.columns):
+        print(f"FAIL {name}: cols {list(gc.columns)} != {list(ec.columns)}")
+        fails += 1; continue
+    if len(gc) != len(ec):
+        print(f"FAIL {name}: rows {len(gc)} != {len(ec)}"); fails += 1; continue
+    if h(gc) != h(ec):
+        diff = gc.compare(ec) if gc.shape == ec.shape else None
+        print(f"FAIL {name}: hash mismatch; sample diff:\n"
+              f"{diff.head(5) if diff is not None else '(shape ok, values differ)'}")
+        fails += 1; continue
+    print(f"PASS {name} ({len(gc)} rows)")
+print(f"\n{len(names) - fails}/{len(names)} pass")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.Scd1
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operators from SURVEY.md §2 expressed over the
+  * driver testdata (TESTDATA.md), each with a DuckDB oracle.
+  *
+  * Determinism rules for oracle hash-matching:
+  *  - double aggregation is order-dependent → cast inputs to DECIMAL
+  *    before SUM (exact, associative) and cast the result back to DOUBLE;
+  *  - time arithmetic in whole microseconds (`unix_micros` / `epoch_us`)
+  *    then a single division — identical bit patterns in both engines;
+  *  - every ORDER BY carries a unique tiebreak key.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  val queries: Map[String, Q] = Map(
+    // ---- A: aggregation (TPC-H Q1 shape; SURVEY §2.5 + engine-complete group-by)
+    "q_agg_pricing" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_price"),
+          sum(dec("l_extendedprice") * (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- P: projection + filter pushed to the parquet scan (SURVEY §2.3)
+    "q_scan_prune" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01 00:00:00").cast(TimestampType))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- J5: multi-hop left-outer chain + group (reports №1/№2 join shape)
+    "q_join_multihop" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"), "left")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_price"))
+        .orderBy(col("r_name").asc_nulls_first)
+    }),
+
+    // ---- J8: semi join (IN-subquery)
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // ---- J1/J3: anti join (new-rows / delete detection)
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-01 00:00:00").cast(TimestampType))
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // ---- W1/W2: lag window + epoch-hours arithmetic (fraud report №3 core)
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("hours_since",
+          ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .cast(DoubleType) / lit(3.6e9)))
+        .select("event_id", "user_id", "value", "prev_value", "hours_since")
+        .orderBy("event_id")
+    }),
+
+    // ---- K4+K6+K7: the SCD1 merge itself, driven through graft.etl.Scd1.
+    // dim = customer as-is; snapshot = customer with 10% of keys deleted,
+    // every 7th balance changed, every 11th segment nulled (value→null
+    // change detection), plus synthetic new keys (insert path).
+    "q_scd1_merge" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val dim = c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val snapshot = c.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast(StringType))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionAll(c.filter(col("c_custkey") % 13 === 0)
+          .select(col("c_custkey") + lit(1000000L), col("c_name"),
+            col("c_acctbal"), col("c_mktsegment")))
+      Scd1.mergeTagged(dim, snapshot, Seq("c_custkey"),
+          Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- K8/J4: idempotent fact append (anti-join dedup)
+    "q_fact_append" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val fact = o.filter(col("o_orderdate") < lit("1995-01-01 00:00:00").cast(TimestampType))
+      val inc = o.filter(col("o_orderdate") < lit("1996-01-01 00:00:00").cast(TimestampType))
+      val newRows = inc.join(fact.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      fact.unionAll(newRows)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- A1/K9: watermark scalar — coalesce(max(update), max(create))
+    "q_watermark" -> ((s, dir) => {
+      Tables(s, dir, "events").agg(
+        coalesce(max(when(lit(false), col("ts"))), max(col("ts"))).as("max_update_dt"),
+        coalesce(max(when(lit(false), col("ts"))),
+          lit("1900-01-01 00:00:00").cast(TimestampType)).as("seed_dt"))
+    }),
+
+    // ---- sort/limit: deterministic top-k
+    "q_topk" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    }),
+
+    // ---- set ops: INTERSECT / EXCEPT (deduplicating, per SQL semantics)
+    "q_setops" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.intersect(sup).withColumn("op", lit("intersect"))
+        .unionAll(c.except(sup).withColumn("op", lit("except")))
+        .select("op", "k").orderBy("op", "k")
+    }),
+
+    // ---- distinct
+    "q_distinct" -> ((s, dir) => {
+      Tables(s, dir, "orders").select("o_orderstatus", "o_orderpriority")
+        .distinct().orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // ---- scalar-function surface (SURVEY §2.8): trim / replace / concat
+    // null-propagation (PG `||`) / date-truncate
+    "q_scalar_funcs" -> ((s, dir) => {
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        trim(col("p_name")).as("name_trim"),
+        regexp_replace(col("p_type"), " ", "").as("type_nospace"),
+        upper(col("p_brand")).as("brand_up"),
+        concat(col("p_brand"), lit(" "), nullif(col("p_type"), lit("STANDARD ANODIZED TIN")))
+          .as("concat_nullprop"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- fraud report №3 analog: value change within 1 hour, via lag
+    "q_fraud_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("hrs",
+          ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .cast(DoubleType) / lit(3.6e9)))
+        .filter(col("prev_type").isNotNull && col("event_type") =!= col("prev_type")
+          && col("hrs") < 1.0)
+        .select("event_id", "user_id", "event_type", "prev_type", "hrs")
+        .orderBy("event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_multihop" ->
+      """SELECT r_name, count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |LEFT JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    // epoch_ns//1000 floor-truncates ns→µs exactly like the Spark-side
+    // read in graft.Tables (DuckDB keeps TIMESTAMP_NS from this parquet).
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+        | lag(value) OVER w AS prev_value,
+        | CAST(epoch_ns(ts)//1000 - lag(epoch_ns(ts)//1000) OVER w AS DOUBLE) / 3600000000.0 AS hours_since
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_scd1_merge" ->
+      """WITH dim AS (
+        | SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |snapshot AS (
+        | SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        | FROM customer WHERE c_custkey % 10 <> 0
+        | UNION ALL
+        | SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT s.c_custkey, s.c_name, s.c_acctbal, s.c_mktsegment,
+        | CASE WHEN d.c_custkey IS NULL THEN 'insert'
+        |      WHEN s.c_name IS DISTINCT FROM d.c_name
+        |        OR s.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |        OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment THEN 'update'
+        |      ELSE 'unchanged' END AS action
+        |FROM snapshot s LEFT JOIN dim d ON s.c_custkey = d.c_custkey
+        |ORDER BY s.c_custkey""".stripMargin,
+    "q_fact_append" ->
+      """WITH fact AS (
+        | SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+        |inc AS (
+        | SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |SELECT o_orderkey, o_custkey, o_orderdate FROM fact
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderdate FROM inc
+        |WHERE NOT EXISTS (SELECT 1 FROM fact WHERE fact.o_orderkey = inc.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_watermark" ->
+      """SELECT coalesce(max(CASE WHEN false THEN ts END), max(ts)) AS max_update_dt,
+        | coalesce(max(CASE WHEN false THEN ts END), TIMESTAMP '1900-01-01 00:00:00') AS seed_dt
+        |FROM events""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_setops" ->
+      """WITH c AS (SELECT c_nationkey AS k FROM customer),
+        |sup AS (SELECT s_nationkey AS k FROM supplier)
+        |SELECT 'intersect' AS op, k FROM (SELECT k FROM c INTERSECT SELECT k FROM sup)
+        |UNION ALL
+        |SELECT 'except' AS op, k FROM (SELECT k FROM c EXCEPT SELECT k FROM sup)
+        |ORDER BY op, k""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, trim(p_name) AS name_trim,
+        | replace(p_type, ' ', '') AS type_nospace,
+        | upper(p_brand) AS brand_up,
+        | p_brand || ' ' || nullif(p_type, 'STANDARD ANODIZED TIN') AS concat_nullprop
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fraud_window" ->
+      """WITH pre AS (
+        | SELECT event_id, user_id, event_type,
+        |  lag(event_type) OVER w AS prev_type,
+        |  CAST(epoch_ns(ts)//1000 - lag(epoch_ns(ts)//1000) OVER w AS DOUBLE) / 3600000000.0 AS hrs
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id))
+        |SELECT event_id, user_id, event_type, prev_type, hrs FROM pre
+        |WHERE prev_type IS NOT NULL AND event_type <> prev_type AND hrs < 1.0
+        |ORDER BY event_id""".stripMargin)
+}
