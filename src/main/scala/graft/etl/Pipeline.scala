@@ -1,0 +1,115 @@
+package graft.etl
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{BankSource, DropFolder, FileSources}
+
+/** The daily run (`main.py` top to bottom) as a pure function over a
+  * [[Warehouse]]: stage → SCD1-merge dims → meta watermarks → append
+  * facts → build reports → ONE atomic commit → archive input files.
+  *
+  * Ordering is the reference's (SURVEY §3 entry point 1), with one
+  * deliberate fix: files are archived AFTER the commit, where the
+  * reference renames them mid-run (main.py:70) and loses them if the
+  * transaction later rolls back.
+  */
+class Pipeline(spark: SparkSession, wh: Warehouse,
+               mode: Reports.Mode = Reports.Faithful) {
+
+  /** One nightly run. `runTs` is captured once and truncated to whole
+    * seconds — PG `now()` is statement-stable and TIMESTAMP(0) rounds to
+    * seconds (SURVEY §2.8).
+    */
+  def run(bank: BankSource, dropDir: Option[String], runTs: Timestamp): Unit = {
+    val ts = new Timestamp(runTs.getTime / 1000 * 1000)
+    val txn = wh.begin()
+
+    // ---- staging: truncate (K1) happens implicitly — each stg table is
+    // rebuilt from scratch this run.
+    val processed = lit(ts)
+    txn.overwrite("stg_clients", bank.clients(spark).withColumn("processed_dt", processed))
+    txn.overwrite("stg_accounts", bank.accounts(spark).withColumn("processed_dt", processed))
+    txn.overwrite("stg_cards", bank.cards(spark).withColumn("processed_dt", processed))
+    txn.overwrite("stg_terminals", wh.emptyDf("stg_terminals"))
+    txn.overwrite("stg_transactions", wh.emptyDf("stg_transactions"))
+    txn.overwrite("stg_blacklist", wh.emptyDf("stg_blacklist"))
+
+    // ---- file ingestion (S4-S7): route, parse, append to staging
+    val files = dropDir.map(DropFolder.discover).getOrElse(Nil)
+    files.foreach { f =>
+      val path = f.path.toString
+      f.kind match {
+        case DropFolder.Transactions =>
+          txn.append("stg_transactions", FileSources.transactionsCsv(spark, path))
+        case DropFolder.Terminals =>
+          txn.append("stg_terminals", FileSources.terminalsXlsx(spark, path,
+            Timestamp.valueOf(f.fileDate.atStartOfDay), ts))
+        case DropFolder.Blacklist =>
+          val df = FileSources.blacklistXlsx(spark, path)
+          val staged = mode match {
+            case Reports.Faithful => df // keep styled-empty (all-null) rows
+            case Reports.Corrected =>
+              df.filter(col("entry_dt").isNotNull || col("passport_num").isNotNull)
+          }
+          txn.append("stg_blacklist", staged)
+      }
+    }
+
+    // ---- SCD1 merge, one per dim (K4+K6+K7 via Scd1.mergeAudit)
+    Schemas.dimKeys.keys.toSeq.sorted.foreach { dim =>
+      val stg = "stg_" + dim.stripPrefix("dim_")
+      val merged = Scd1.mergeAudit(
+        txn.read(dim), txn.read(stg),
+        Seq(Schemas.dimKeys(dim)), Schemas.dimCompareCols(dim), ts)
+      txn.overwrite(dim, merged)
+    }
+
+    // ---- meta watermarks (K9): the reference seeds 1900-01-01 for a
+    // missing row (main.py:350-357) but the unconditional UPDATE right
+    // after (main.py:359-366) overwrites it with the staging scalar —
+    // which is NULL when staging is empty. Net effect each run: the row
+    // exists and holds coalesce(max(update_dt), max(create_dt)) or NULL.
+    val metaRows = Schemas.dimKeys.keys.toSeq.sorted.map { dim =>
+      val stg = txn.read("stg_" + dim.stripPrefix("dim_"))
+      val wm = stg.agg(coalesce(max("update_dt"), max("create_dt"))).head.get(0)
+      ("deaian", "lapp_dwh_" + dim, Option(wm).map(_.asInstanceOf[Timestamp]))
+    }
+    import spark.implicits._
+    val metaNew = metaRows.toDF("schema_name", "table_name", "max_update_dt")
+    val metaKept = txn.read("meta").alias("m")
+      .join(metaNew.select(col("schema_name").as("s"), col("table_name").as("t")),
+        col("m.schema_name") === col("s") && col("m.table_name") === col("t"), "left_anti")
+    txn.overwrite("meta", metaKept.unionByName(metaNew))
+
+    // ---- facts (K8): anti-join dedup append, blacklist first
+    // (main.py:390-391)
+    def appendFact(fact: String, stg: String, id: String): Unit = {
+      val fresh = txn.read(stg).join(
+        txn.read(fact).select(col(id)).filter(col(id).isNotNull).distinct(),
+        Seq(id), "left_anti")
+      txn.append(fact, fresh)
+    }
+    appendFact("fact_blacklist", "stg_blacklist", "passport_num")
+    appendFact("fact_transactions", "stg_transactions", "trans_id")
+
+    // ---- reports (K10): three appends, no dedup (reruns duplicate rows,
+    // as in the reference)
+    val fact = txn.read("fact_transactions")
+    val cards = txn.read("dim_cards")
+    val accounts = txn.read("dim_accounts")
+    val clients = txn.read("dim_clients")
+    val terminals = txn.read("dim_terminals")
+    val blacklist = txn.read("fact_blacklist")
+    txn.append("rep_fraud",
+      Reports.fraudExpiredPassport(fact, cards, accounts, clients, blacklist, mode))
+    txn.append("rep_fraud",
+      Reports.fraudInactiveAccount(fact, cards, accounts, clients))
+    txn.append("rep_fraud",
+      Reports.fraudCityHopping(fact, cards, terminals, accounts, clients))
+
+    // ---- K11: one atomic commit, then (and only then) archive inputs
+    txn.commit()
+    files.foreach(DropFolder.archive)
+  }
+}

@@ -1,0 +1,195 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Parquet-backed warehouse with snapshot-manifest semantics.
+  *
+  * The reference wraps its whole nightly run in ONE Postgres transaction
+  * (`main.py:18`, single commit at `main.py:472`) — every table mutates or
+  * none does. Vanilla Spark has no cross-table transaction, so the
+  * warehouse uses the standard lakehouse trick: immutable data directories
+  * plus a single atomically-swapped catalog file.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   _catalog.json                      // table -> list of data dirs (the
+  *                                      // ONLY mutable file; swapped via
+  *                                      // ATOMIC_MOVE => all-or-nothing runs)
+  *   data/<table>/<uuid>/part-*.parquet // immutable, write-once
+  * }}}
+  *
+  * Scale notes (100 TB): commits are O(1) metadata, appends never rewrite
+  * existing data (a new data dir is referenced alongside the old ones —
+  * daily fact batches land as their own directories, giving date-aligned
+  * pruning for free), and overwrites retire directories logically
+  * (`vacuum()` reclaims them). Readers always see the catalog as of their
+  * `begin()`, i.e. snapshot isolation for the duration of a run.
+  */
+class Warehouse(val spark: SparkSession, val root: String,
+                val schemas: Map[String, StructType] = Schemas.tables) {
+
+  private val catalogPath: Path = Paths.get(root, "_catalog.json")
+  Files.createDirectories(Paths.get(root, "data"))
+
+  def emptyDf(table: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(table))
+
+  /** Committed catalog: table → data dirs, in append order. */
+  def catalog(): Map[String, Seq[String]] =
+    if (!Files.exists(catalogPath)) Map.empty
+    else CatalogJson.parse(Files.readString(catalogPath))
+
+  /** Read the committed image of a table. */
+  def read(table: String): DataFrame = {
+    val dirs = catalog().getOrElse(table, Nil)
+    if (dirs.isEmpty) emptyDf(table)
+    else spark.read.schema(schemas(table)).parquet(dirs: _*)
+  }
+
+  def begin(): Txn = new Txn(this)
+
+  /** Delete data directories no longer referenced by the catalog. */
+  def vacuum(): Int = {
+    val live = catalog().values.flatten.map(Paths.get(_).toAbsolutePath.toString).toSet
+    val dataRoot = Paths.get(root, "data")
+    var removed = 0
+    if (Files.exists(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.foreach { tableDir =>
+        if (Files.isDirectory(tableDir))
+          Files.list(tableDir).iterator().asScala.foreach { d =>
+            if (Files.isDirectory(d) && !live.contains(d.toAbsolutePath.toString)) {
+              deleteRecursively(d); removed += 1
+            }
+          }
+      }
+    }
+    removed
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  private[etl] def newDataDir(table: String): String =
+    Paths.get(root, "data", table, UUID.randomUUID().toString).toString
+
+  private[etl] def commitCatalog(entries: Map[String, Seq[String]]): Unit = {
+    val tmp = Paths.get(root, s"_catalog.${UUID.randomUUID()}.tmp")
+    Files.write(tmp, CatalogJson.render(entries).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, catalogPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** One run's transaction: reads see committed state plus this txn's own
+  * writes; nothing becomes visible to other readers until `commit()`
+  * swaps the catalog (K11).
+  */
+class Txn private[etl] (wh: Warehouse) {
+  private val snapshot: Map[String, Seq[String]] = wh.catalog()
+  private val pending = mutable.LinkedHashMap[String, Seq[String]]()
+  private var committed = false
+
+  def read(table: String): DataFrame = {
+    val dirs = pending.getOrElse(table, snapshot.getOrElse(table, Nil))
+    if (dirs.isEmpty) wh.emptyDf(table)
+    else wh.spark.read.schema(wh.schemas(table)).parquet(dirs: _*)
+  }
+
+  /** Replace the table image (staging truncate-and-load K1/K2, dim merge
+    * result K4+K6+K7). Data lands in a fresh immutable dir; old dirs are
+    * retired at commit.
+    */
+  def overwrite(table: String, df: DataFrame): Unit = {
+    val dir = wh.newDataDir(table)
+    align(table, df).write.parquet(dir)
+    pending(table) = Seq(dir)
+  }
+
+  /** Append a batch (facts K8, report rows K10). No existing file is
+    * touched — the new dir is referenced alongside the old ones.
+    */
+  def append(table: String, df: DataFrame): Unit = {
+    val dir = wh.newDataDir(table)
+    align(table, df).write.parquet(dir)
+    pending(table) = pending.getOrElse(table, snapshot.getOrElse(table, Nil)) :+ dir
+  }
+
+  /** Schema-fit before write. When the incoming frame already carries the
+    * declared column names (in any order — Spark's using-column joins move
+    * keys to the front), align BY NAME. Otherwise apply the reference's
+    * staging contract (main.py:61-62): rename BY POSITION. Both paths
+    * then cast to the declared types.
+    */
+  private def align(table: String, df: DataFrame): DataFrame = {
+    val schema = wh.schemas(table)
+    require(df.columns.length == schema.length,
+      s"$table expects ${schema.length} columns, got ${df.columns.length}")
+    val renamed =
+      if (df.columns.toSet == schema.fieldNames.toSet) df
+      else df.toDF(schema.fieldNames: _*)
+    renamed.select(schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Atomic all-tables commit — the Spark counterpart of the single
+    * `conn_edu.commit()` at main.py:472.
+    */
+  def commit(): Unit = {
+    require(!committed, "transaction already committed")
+    wh.commitCatalog(snapshot ++ pending.toMap)
+    committed = true
+  }
+}
+
+/** Minimal JSON for `Map[String, Seq[String]]` — no external deps in the
+  * offline build; keys and paths are engine-generated (no exotic chars
+  * beyond what's escaped here).
+  */
+private[etl] object CatalogJson {
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def render(m: Map[String, Seq[String]]): String =
+    m.toSeq.sortBy(_._1).map { case (k, vs) =>
+      s""""${esc(k)}": [${vs.map(v => s""""${esc(v)}"""").mkString(", ")}]"""
+    }.mkString("{\n  ", ",\n  ", "\n}")
+
+  // Tolerant hand-rolled parser for exactly the shape `render` emits.
+  def parse(s: String): Map[String, Seq[String]] = {
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*\[([^\]]*)\]""".r
+    val str = """"((?:[^"\\]|\\.)*)"""".r
+    entry.findAllMatchIn(s).map { m =>
+      val key = unesc(m.group(1))
+      val vals = str.findAllMatchIn(m.group(2)).map(v => unesc(v.group(1))).toSeq
+      key -> vals
+    }.toMap
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

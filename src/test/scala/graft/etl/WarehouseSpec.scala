@@ -1,0 +1,64 @@
+package graft.etl
+
+import java.nio.file.Files
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarehouseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshWh() =
+    new Warehouse(spark, Files.createTempDirectory("wh").toString)
+
+  test("uncommitted writes are invisible; commit is all-or-nothing") {
+    val wh = freshWh()
+    val txn = wh.begin()
+    txn.overwrite("meta", Seq(("s", "t", None: Option[java.sql.Timestamp]))
+      .toDF("schema_name", "table_name", "max_update_dt"))
+    assert(wh.read("meta").count() == 0) // not visible yet
+    assert(txn.read("meta").count() == 1) // txn sees its own write
+    txn.commit()
+    assert(wh.read("meta").count() == 1)
+  }
+
+  test("append never rewrites existing data dirs") {
+    val wh = freshWh()
+    val t1 = wh.begin()
+    t1.append("rep_fraud", wh.emptyDf("rep_fraud").limit(0))
+    t1.commit()
+    val dirsBefore = wh.catalog()("rep_fraud")
+    val t2 = wh.begin()
+    t2.append("rep_fraud", wh.emptyDf("rep_fraud").limit(0))
+    t2.commit()
+    val dirsAfter = wh.catalog()("rep_fraud")
+    assert(dirsAfter.startsWith(dirsBefore)) // old dirs untouched, one added
+    assert(dirsAfter.length == dirsBefore.length + 1)
+  }
+
+  test("overwrite retires dirs; vacuum reclaims them") {
+    val wh = freshWh()
+    val t1 = wh.begin()
+    t1.overwrite("meta", Seq(("a", "b", None: Option[java.sql.Timestamp]))
+      .toDF("schema_name", "table_name", "max_update_dt"))
+    t1.commit()
+    val t2 = wh.begin()
+    t2.overwrite("meta", Seq(("c", "d", None: Option[java.sql.Timestamp]))
+      .toDF("schema_name", "table_name", "max_update_dt"))
+    t2.commit()
+    assert(wh.vacuum() == 1) // the first meta dir was orphaned
+    assert(wh.read("meta").head.getString(0) == "c") // survivor intact
+  }
+
+  test("positional schema-fit renames and casts incoming columns") {
+    val wh = freshWh()
+    val txn = wh.begin()
+    // wrong names, string timestamps — align() must fix both by position
+    txn.overwrite("meta", Seq(("x", "y", "2021-03-01 00:00:00"))
+      .toDF("c1", "c2", "c3"))
+    txn.commit()
+    val row = wh.read("meta").head
+    assert(row.getString(0) == "x")
+    assert(row.getTimestamp(2).toString == "2021-03-01 00:00:00.0")
+  }
+}
