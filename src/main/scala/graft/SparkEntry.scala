@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, MiscQueries, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (CoreQueries.queries, CoreQueries.oracles))
+      (CoreQueries.queries, CoreQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (MiscQueries.queries, MiscQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

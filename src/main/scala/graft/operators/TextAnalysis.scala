@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, n-gram/stopword language ID, and content
+  * fingerprinting. All built-ins (codegen'd), all integer-count + single
+  * division arithmetic → bit-portable against a DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokens as an array column. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  /** Whitespace token count plus a BPE-ish subword estimate: words are
+    * further split at letter/digit boundaries and every 4 chars of a run
+    * count as one subword token (a cheap, deterministic proxy for BPE
+    * vocab behavior).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val pieces = filter(split(lower(col(textCol)), "[^a-z0-9]+"), p => p =!= "")
+    docs.select(col("doc_id"),
+      size(t).as("n_tokens"),
+      aggregate(transform(pieces, p => (length(p) + lit(3)).cast("long") / lit(4)),
+        lit(0L), (acc, x) => acc + x.cast("long")).as("n_subwords"),
+      length(col(textCol)).as("n_chars"))
+  }
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopDe = Seq("der", "die", "das", "und", "nicht", "ist")
+  private val stopEs = Seq("el", "los", "las", "una", "y", "es")
+  private val stopFr = Seq("le", "les", "et", "est", "une", "dans")
+
+  private def stopCount(t: Column, stops: Seq[String]): Column =
+    size(filter(t, w => w.isin(stops.map(lit): _*)))
+
+  /** Quality scoring: length, punctuation/digit/stopword ratios, mean
+    * word length — the standard cheap heuristics used to filter web text.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t).cast("double")
+    val nChars = length(col(textCol)).cast("double")
+    val punct = length(col(textCol)) - length(regexp_replace(col(textCol), "[.,!?;:]", ""))
+    val digits = length(col(textCol)) - length(regexp_replace(col(textCol), "[0-9]", ""))
+    val stopRatio = stopCount(t, stopEn).cast("double") / nTok
+    val wordLen = aggregate(transform(t, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") / nTok
+    docs.select(col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      (punct.cast("double") / nChars).as("punct_ratio"),
+      (digits.cast("double") / nChars).as("digit_ratio"),
+      stopRatio.as("stopword_ratio"),
+      wordLen.as("mean_word_len"))
+  }
+
+  /** Stopword-profile language ID: count membership against per-language
+    * stopword lists; argmax wins (ties broken by language code order,
+    * zero evidence → 'und'). An n-gram heuristic in the
+    * fastText/langdetect tradition, reduced to portable set counting.
+    */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val scores = Seq(
+      "de" -> stopCount(t, stopDe), "en" -> stopCount(t, stopEn),
+      "es" -> stopCount(t, stopEs), "fr" -> stopCount(t, stopFr))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in code order) achieving the max — deterministic
+    val lang = scores.foldRight(lit("und")) { case ((code, s), acc) =>
+      when(s === best && best > 0, lit(code)).otherwise(acc)
+    }
+    docs.select(col("doc_id"),
+      scores.head._2.as("s_de"), scores(1)._2.as("s_en"),
+      scores(2)._2.as("s_es"), scores(3)._2.as("s_fr"),
+      lang.as("lang_pred"))
+  }
+
+  /** Content fingerprint: md5 of the sorted distinct token set — the
+    * "bag-of-words digest" used for near-exact clustering; plus the raw
+    * md5 of the normalized text.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(t)), " ").cast("binary")).as("bag_fingerprint"),
+      md5(trim(lower(col(textCol))).cast("binary")).as("text_fingerprint"))
+  }
+}

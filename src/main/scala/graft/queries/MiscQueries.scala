@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.Schemas
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming, semi-structured, OLAP-grouping and catalog operators —
+  * engine-completeness beyond the reference surface.
+  */
+object MiscQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Structured Streaming windowed aggregation, driven to completion via
+    // Trigger.AvailableNow — result equals the batch tumbling-window agg.
+    "q_stream_window" -> ((s, dir) =>
+      StreamingOps.hourlyEventStats(s, dir)
+        .orderBy("bucket", "event_type")),
+
+    // Gap-based sessionization (the stateful-streaming fold, batch form)
+    "q_sessionize" -> ((s, dir) =>
+      StreamingOps.sessionize(Tables(s, dir, "events"), gapMinutes = 30)
+        .orderBy("event_id")),
+
+    // Semi-structured: JSON field extraction from the props column
+    "q_json_extract" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+        .orderBy("event_id")),
+
+    // OLAP rollup (hierarchical subtotals + grand total)
+    "q_rollup" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Engine catalog: the schema registry as a relation (S2/S3)
+    "q_catalog" -> ((s, dir) => {
+      import s.implicits._
+      Schemas.tables.toSeq.map { case (t, sch) => (t, sch.length) }
+        .sortBy(_._1).toDF("table_name", "n_columns")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events),
+        |g AS (
+        |  SELECT event_id, user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT event_id, user_id, make_timestamp(us) AS ts,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM g ORDER BY event_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_catalog" -> {
+      val rows = Schemas.tables.toSeq.map { case (t, sch) => s"('$t', ${sch.length})" }
+        .sorted.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $rows) AS t(table_name, n_columns) ORDER BY table_name""".stripMargin
+    })
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over the `embeddings` table
+  * (array<float> × 64). All arithmetic integer-quantized (see
+  * graft.operators.Similarity) so cosines agree with DuckDB bit for bit.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** embeddings plus exact duplicates of every 29th vector — guarantees
+    * the near-dup operator has positives (built identically in the
+    * oracle).
+    */
+  private def embAug(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    e.unionAll(e.filter(col("vec_id") % 29 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  private val augSql =
+    """emb AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 29 = 0)""".stripMargin
+
+  /** Flattened quantized view + norms, the shared oracle scaffold. */
+  private def flatSql(src: String) =
+    s"""flat AS (
+       |  SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM $src),
+       |norms AS (SELECT vec_id, sum(q * q) AS nrm FROM flat GROUP BY 1)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "ann_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(Tables(s, dir, "embeddings"),
+          col("vec_id") % 50 === 0, k = 5)
+        .orderBy("query_id", "rnk")),
+
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables(s, dir, "embeddings"),
+          col("vec_id") % 50 === 0, col("vec_id") % 50 === 7, k = 5, nprobe = 2)
+        .orderBy("query_id", "rnk")),
+
+    "dedup_embed" -> ((s, dir) =>
+      Similarity.nearDupPairs(embAug(s, dir), threshold = 0.35)
+        .orderBy("vec_a", "vec_b")))
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute" ->
+      s"""WITH ${flatSql("embeddings")},
+         |qf AS (SELECT * FROM flat WHERE vec_id % 50 = 0),
+         |dots AS (
+         |  SELECT qf.vec_id AS query_id, a.vec_id AS hit_id, sum(qf.q * a.q) AS dot
+         |  FROM qf JOIN flat a USING (i)
+         |  WHERE qf.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.query_id, d.hit_id,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) AS cosine
+         |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+         |              JOIN norms na ON na.vec_id = d.hit_id),
+         |ranked AS (
+         |  SELECT query_id, hit_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, hit_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH ${flatSql("embeddings")},
+         |cents AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 50 = 7),
+         |cnorm AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 50 = 7),
+         |-- assignment: nearest centroid per vector
+         |adots AS (
+         |  SELECT f.vec_id, c.cent_id, sum(f.q * c.q) AS dot
+         |  FROM flat f JOIN cents c USING (i) GROUP BY 1, 2),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS bucket FROM (
+         |    SELECT a.vec_id, a.cent_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(a.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+         |        a.cent_id) AS r
+         |    FROM adots a JOIN norms n ON n.vec_id = a.vec_id
+         |                 JOIN cnorm cn ON cn.cent_id = a.cent_id)
+         |  WHERE r = 1),
+         |-- probes: 2 nearest centroids per query
+         |probes AS (
+         |  SELECT vec_id AS query_id, cent_id AS bucket FROM (
+         |    SELECT a.vec_id, a.cent_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(a.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+         |        a.cent_id) AS r
+         |    FROM adots a JOIN norms n ON n.vec_id = a.vec_id
+         |                 JOIN cnorm cn ON cn.cent_id = a.cent_id
+         |    WHERE a.vec_id % 50 = 0)
+         |  WHERE r <= 2),
+         |-- search only probed buckets
+         |pairs AS (
+         |  SELECT p.query_id, s.vec_id AS hit_id
+         |  FROM probes p JOIN assigned s ON s.bucket = p.bucket
+         |  WHERE s.vec_id <> p.query_id),
+         |dots AS (
+         |  SELECT pr.query_id, pr.hit_id, sum(fq.q * fa.q) AS dot
+         |  FROM pairs pr
+         |  JOIN flat fq ON fq.vec_id = pr.query_id
+         |  JOIN flat fa ON fa.vec_id = pr.hit_id AND fa.i = fq.i
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT d.query_id, d.hit_id,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) AS cosine,
+         |    row_number() OVER (PARTITION BY d.query_id ORDER BY
+         |      CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) DESC,
+         |      d.hit_id) AS rnk
+         |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+         |              JOIN norms na ON na.vec_id = d.hit_id)
+         |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "dedup_embed" ->
+      s"""WITH $augSql,
+         |${flatSql("emb")},
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.q * b.q) AS dot
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.vec_a, d.vec_b,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(va.nrm AS DOUBLE)) / sqrt(CAST(vb.nrm AS DOUBLE)) AS cosine
+         |  FROM dots d JOIN norms va ON va.vec_id = d.vec_a
+         |              JOIN norms vb ON vb.vec_id = d.vec_b)
+         |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over the `documents` table: dedup family,
+  * text analysis, multimodal metadata. Each query runs the corresponding
+  * graft.operators module and carries a DuckDB oracle.
+  *
+  * The corpus has no exact duplicates, so dedup queries run over an
+  * AUGMENTED corpus — deterministic synthetic copies (doc_id+200000) and
+  * near-copies (doc_id+100000, one appended token) built identically in
+  * both engines — guaranteeing every dedup path has real work to do.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docsAug(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(
+        d.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" neardup extra")).as("text")))
+      .unionAll(
+        d.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text").as("text")))
+  }
+
+  private val augSql =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text || ' neardup extra' FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 23 = 0)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docsAug(s, dir)).orderBy("doc_id")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(docsAug(s, dir), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_ngram" -> ((s, dir) => {
+      val sh = Dedup.charShingles(docsAug(s, dir), n = 5)
+      Dedup.jaccardVerify(
+          Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh))), sh, 0.6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(docsAug(s, dir), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    "mm_metadata" -> ((s, dir) =>
+      Multimodal.metadata(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Tables(s, dir, "documents"))
+        .orderBy("doc_id", "frame_idx")))
+
+  private val shinglesSql = // word 3-gram shingles over the augmented corpus
+    """words AS (
+      |  SELECT doc_id, w, i FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
+      |           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+      |    FROM docs) WHERE w <> ''),
+      |sh AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
+      |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+      |  FROM words),
+      |shingles AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)""".stripMargin
+
+  private def lshSql(threshold: Double) =
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+       |    min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+       |    min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+       |    min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
+       |  FROM shingles GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, md5(m0||m1||m2||m3) AS band FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, md5(m4||m5||m6||m7) AS band FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN shingles sa ON sa.doc_id = c.doc_a
+       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+       |FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+       |             JOIN sizes zb ON zb.doc_id = i.doc_b
+       |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH $augSql
+         |SELECT doc_id, md5(text) AS text_hash,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+         |FROM docs ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $augSql,
+         |$shinglesSql,
+         |${lshSql(0.5)}""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH $augSql,
+         |shingles AS (
+         |  SELECT DISTINCT doc_id, substr(lower(text), CAST(t.i AS INT), 5) AS shingle
+         |  FROM docs, unnest(generate_series(1, length(lower(text)) - 4)) AS t(i)
+         |  WHERE length(substr(lower(text), CAST(t.i AS INT), 5)) = 5),
+         |${lshSql(0.6)}""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $augSql,
+         |words AS (
+         |  SELECT DISTINCT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM docs)
+         |  WHERE w <> ''),
+         |wh AS (SELECT DISTINCT doc_id, md5(w) AS h FROM words),
+         |bits AS (
+         |  SELECT doc_id, p.p, b.b,
+         |    CASE WHEN (CAST(instr('0123456789abcdef', substr(h, CAST(p.p AS INT), 1)) - 1 AS INT)
+         |               // CAST(power(2, b.b) AS INT)) % 2 = 1
+         |         THEN 1 ELSE -1 END AS v
+         |  FROM wh, (SELECT unnest(generate_series(1, 8)) AS p) p,
+         |       (SELECT unnest(generate_series(0, 3)) AS b) b),
+         |sums AS (SELECT doc_id, p, b, sum(v) AS s FROM bits GROUP BY 1, 2, 3),
+         |sig AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p, b) AS simhash
+         |  FROM sums GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, substr(simhash, 1 + 8 * k.k, 8) AS band
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS k) k),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+         |                  b.doc_id AS doc_b, b.simhash AS sig_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |ham AS (
+         |  SELECT doc_a, doc_b,
+         |    (SELECT count(*) FROM unnest(generate_series(1, 32)) AS t(p)
+         |     WHERE substr(sig_a, CAST(t.p AS INT), 1) <> substr(sig_b, CAST(t.p AS INT), 1)) AS hamming
+         |  FROM cand)
+         |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS n_tokens,
+        |  CAST(list_sum(list_transform(
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), p -> p <> ''),
+        |    p -> (length(p) + 3) // 4)) AS BIGINT) AS n_subwords,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS digit_ratio,
+        |  CAST(len(list_filter(toks, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+        |    / len(toks) AS stopword_ratio,
+        |  CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS mean_word_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, w -> list_contains(['der','die','das','und','nicht','ist'], w))) AS s_de,
+        |    len(list_filter(toks, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS s_en,
+        |    len(list_filter(toks, w -> list_contains(['el','los','las','una','y','es'], w))) AS s_es,
+        |    len(list_filter(toks, w -> list_contains(['le','les','et','est','une','dans'], w))) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> ''))), ' ')) AS bag_fingerprint,
+        |  md5(trim(lower(text))) AS text_fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_metadata" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, n_frames, CAST(t.f AS INT) AS frame_idx
+        |FROM v, unnest(generate_series(0, n_frames - 1,
+        |  greatest(1, (n_frames + 3) // 4))) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val out = Dedup.exact(docs).collect().map(r => r.getLong(0) ->
+      (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false)) // duplicate of 1
+    assert(out(3L)._2 && out(4L)._2)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs.filter($"doc_id" =!= 5), threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "near dup pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "no false positive")
+  }
+
+  test("simhash: identical docs get identical signatures, hamming 0") {
+    val pairs = Dedup.simhashNearDups(docs.filter($"doc_id" =!= 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("brute-force ANN: an exact copy ranks first with cosine 1.0") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f)), (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(-1.0f, 0.2f, 0.1f)), (3L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, col("vec_id") === 0, k = 3).collect()
+    assert(top.head.getLong(1) == 1L) // the copy
+    assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("IVF probes return a subset of brute-force results (recall<=1)") {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") % 10 === 0, 3)
+      .select("query_id", "hit_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") % 10 === 0,
+      col("vec_id") % 7 === 1, k = 3, nprobe = 3)
+      .select("query_id", "hit_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall $recall unexpectedly low")
+  }
+
+  test("multimodal decode stub computes real byte statistics, partition-wise") {
+    val out = Multimodal.decodeFeatures(spark, docs.filter($"doc_id" === 1))
+      .head
+    val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    assert(out.getLong(4) == bytes.length)
+    assert(out.getDouble(1) == bytes.map(_ & 0xff).sum.toDouble / bytes.length)
+    assert(out.getInt(2) == bytes.map(_ & 0xff).min)
+    assert(out.getInt(3) == bytes.map(_ & 0xff).max)
+  }
+
+  test("frame sampling yields <=4 in-range indices per video") {
+    val out = Multimodal.frameSample(docs).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.length <= 4)
+      val n = rows.head.getInt(1)
+      assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < n))
+    }
+  }
+
+  test("language id picks the dominant stopword profile") {
+    val multi = Seq(
+      (1L, "the cat is of the house and a dog"),
+      (2L, "der hund ist nicht die katze und das haus"),
+      (3L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(multi).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+}
