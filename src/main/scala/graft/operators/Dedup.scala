@@ -63,27 +63,34 @@ object Dedup {
         col("n_copies"), (col(idCol) === col("canonical_id")).as("is_canonical"))
   }
 
-  /** MinHash signature: `numHashes` independent min-of-md5 sketches per
-    * document (the bottom-sketch form of MinHash; seeds are salt
-    * prefixes, so any engine with md5 reproduces it).
+  /** MinHash signature: 8 independent min-sketches per document. Hash
+    * tabulation trick: TWO md5 evaluations per shingle (plain + salted),
+    * each split into four 8-hex-char chunks → 8 independent 32-bit hash
+    * families at a quarter of the md5 cost. Any engine with md5 + substr
+    * reproduces the sketch bit for bit.
     */
-  def minhashSignature(sh: DataFrame, numHashes: Int = 8,
-                       idCol: String = "doc_id"): DataFrame = {
-    val mins = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"m$j"))
+  def minhashSignature(sh: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val h1 = md5(col("shingle").cast("binary"))
+    val h2 = md5(concat(lit("x:"), col("shingle")).cast("binary"))
+    val mins = (0 until 8).map { j =>
+      val src = if (j < 4) h1 else h2
+      min(substring(src, 1 + 8 * (j % 4), 8)).as(s"m$j")
+    }
     sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: signature rows → (doc, band-hash) pairs; docs sharing
-    * any band are candidate duplicates.
+    * any band are candidate duplicates. At scale the band value is the
+    * shuffle key — buckets are bounded, never all-pairs.
     */
   def lshBands(sig: DataFrame, bandSize: Int = 4, numHashes: Int = 8,
                idCol: String = "doc_id"): DataFrame = {
-    val bands = (0 until numHashes / bandSize).map { b =>
+    val bandCols = (0 until numHashes / bandSize).map { b =>
       val cols = (b * bandSize until (b + 1) * bandSize).map(j => col(s"m$j"))
-      sig.select(col(idCol), md5(concat(cols: _*).cast("binary")).as("band"))
+      md5(concat(cols: _*).cast("binary"))
     }
-    bands.reduce(_ unionAll _)
+    // one explode pass, not N unioned re-derivations of the signature plan
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
   }
 
   /** Candidate pairs (a < b) from shared LSH bands. */
@@ -118,52 +125,58 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
                       shingleSize: Int = 3): DataFrame = {
-    val sh = shingles(docs, shingleSize)
+    // the shingle set feeds the signature AND both sides of the verify
+    // join — cache it (tiny: distinct shingles only) so the tokenize +
+    // window pipeline runs once, not four times
+    val sh = shingles(docs, shingleSize).cache()
     jaccardVerify(candidatePairs(lshBands(minhashSignature(sh))), sh, threshold)
   }
 
-  /** 32-bit SimHash over word unigrams. The hash basis is the first 8
-    * hex chars of md5(word); bit b of hex char p contributes ±1 to
-    * accumulator (p,b); the signature is the 32-char '0'/'1' string of
-    * accumulator signs (ordered by (p,b)).
+  /** 64-bit SimHash over word unigrams (the Charikar/Google form: 64
+    * bits, near-dup at Hamming ≤ 3). The hash basis is md5(word); bit b
+    * of hex char p contributes ±1 to accumulator (p,b); the signature is
+    * the 64-char '0'/'1' string of accumulator signs, ordered by (p,b).
+    *
+    * Built as ONE wide aggregation (64 sum columns) — no row explosion,
+    * one shuffle on doc_id, fully codegen'd.
     */
   def simhashSignature(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val wh = tokenize(docs).select(col(idCol), md5(col("w").cast("binary")).as("h")).distinct()
-    val ps = explode(sequence(lit(1), lit(8))).as("p")
-    val bs = explode(sequence(lit(0), lit(3))).as("b")
-    val bit = expr("(CAST(instr('0123456789abcdef', substring(h, p, 1)) - 1 AS INT) div CAST(pow(2, b) AS INT)) % 2")
-    wh.select(col(idCol), col("h"), ps).select(col(idCol), col("h"), col("p"), bs)
-      .withColumn("v", when(bit === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(idCol, "p", "b").agg(sum("v").as("s"))
-      .groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("p"), col("b"),
-          when(col("s") >= 0, lit("1")).otherwise(lit("0")).as("c")))),
-          x => x.getField("c")), "").as("simhash"))
+    val pbs = for (p <- 1 to 16; b <- 0 to 3) yield (p, b)
+    val sums = pbs.map { case (p, b) =>
+      val bit = expr(
+        s"(CAST(instr('0123456789abcdef', substring(h, $p, 1)) - 1 AS INT) div ${1 << b}) % 2")
+      sum(when(bit === 1, lit(1)).otherwise(lit(-1))).as(s"s_${p}_$b")
+    }
+    val sig = concat(pbs.map { case (p, b) =>
+      when(col(s"s_${p}_$b") >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    wh.groupBy(idCol).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 8-bit bands, keep pairs with
-    * Hamming distance ≤ `maxHamming` over the 32-bit signatures.
+  /** SimHash near-dup pairs: block on 16-bit bands (pigeonhole: Hamming
+    * ≤ 3 over 4 bands leaves at least one band identical, so banding is
+    * EXACT for this radius), then verify Hamming over the full 64 bits.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       idCol: String = "doc_id"): DataFrame = {
-    val sig = simhashSignature(docs, idCol)
-    val bands = (0 until 4).map(k =>
-      sig.select(col(idCol), col("simhash"),
-        substring(col("simhash"), 1 + 8 * k, 8).as("band")))
-      .reduce(_ unionAll _)
+    // cache: the signature plan would otherwise re-run for every band
+    // branch on both sides of the self-join (up to 8×)
+    val sig = simhashSignature(docs, idCol).cache()
+    val bands = sig.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        substring(col("simhash"), 1 + 16 * k, 16)): _*)).as("band"))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col("a.simhash").as("sig_a"),
         col(s"b.$idCol").as("doc_b"), col("b.simhash").as("sig_b"))
       .distinct()
-    cand.withColumn("hamming",
-      aggregate(
-        transform(sequence(lit(1), lit(32)),
-          p => when(col("sig_a").substr(p, lit(1)) === col("sig_b").substr(p, lit(1)),
-            lit(0)).otherwise(lit(1))),
-        lit(0), (acc, x) => acc + x))
+    val hamming = (1 to 64).map(p =>
+      when(col("sig_a").substr(p, 1) === col("sig_b").substr(p, 1), lit(0))
+        .otherwise(lit(1)): Column).reduce(_ + _)
+    cand.withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

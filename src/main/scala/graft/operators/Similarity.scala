@@ -6,38 +6,51 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Determinism strategy: floats are quantized to BIGINT (×1e6, truncating
-  * cast) before any arithmetic, so dot products and norms are EXACT,
-  * associative integers — immune to float summation order — and the final
-  * cosine is a fixed sequence of double ops any engine reproduces bit for
-  * bit. The quantization error (~1e-6 relative) is far below any
-  * meaningful similarity resolution.
+  * Determinism strategy: floats are quantized to BIGINT
+  * (`floor(x*1e6)` — floor, not CAST: double→int casts truncate in Spark
+  * but round in DuckDB) before any arithmetic, so dot products and norms
+  * are EXACT, associative integers — immune to float summation order —
+  * and the final cosine is a fixed sequence of double ops any engine
+  * reproduces bit for bit.
   *
-  * Scale design: brute force is the O(Q·N) baseline — each query is a
-  * broadcast row against a partitioned scan of the corpus, with the fold
-  * fully codegen'd (`zip_with` + `aggregate`, no UDF). The IVF variant is
-  * the scale path: vectors are bucketed by nearest centroid once (one
-  * shuffle), queries probe only `nprobe` buckets — at 100 TB the bucket
-  * assignment is a partition key and each probe touches a bounded slice.
+  * Performance strategy: each vector is WIDENED to `dim` scalar BIGINT
+  * columns before joining. Array higher-order functions
+  * (`aggregate`/`zip_with`) drop out of whole-stage codegen, and
+  * `element_at` over a derived array re-inlines the whole derivation per
+  * access (O(d²) per pair after projection collapse); scalar columns keep
+  * every quantization O(1) and the dot product a straight-line codegen'd
+  * sum — O(d) per pair.
+  *
+  * Scale design: brute force is the O(Q·N) baseline — queries broadcast
+  * against a partitioned corpus scan. The IVF variant is the scale path:
+  * vectors are bucketed by nearest centroid once (the bucket is a join /
+  * partition key), queries probe only `nprobe` buckets.
   */
 object Similarity {
 
-  /** `array<float>` → exact `array<bigint>`, ×1e6 then `floor` — floor is
-    * identical in every engine, whereas double→int CASTs are not (Spark
-    * truncates toward zero, DuckDB rounds).
-    */
+  /** `array<float>` → exact `array<bigint>`, ×1e6 then floor. */
   def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * lit(1000000.0)).cast("bigint"))
 
-  /** Exact integer dot product of two quantized vectors — a sequential
-    * fold (`aggregate`), deterministic under any partitioning.
-    */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Embedding dimensionality, probed from the first row. */
+  def dimOf(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).head.getInt(0)
 
-  private def withQuant(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .withColumn("nrm", qdot(col("q"), col("q")))
+  /** Widen to (idAs, p1..p`dim`, pn) — scalar quantized components plus
+    * the exact squared norm.
+    */
+  private def widen(embeddings: DataFrame, dim: Int, p: String,
+                    idAs: String): DataFrame = {
+    val comps = (1 to dim).map(i =>
+      floor(element_at(col("embedding"), i).cast("double") * lit(1000000.0))
+        .cast("bigint").as(s"$p$i"))
+    val nrm = (1 to dim).map(i => col(s"$p$i") * col(s"$p$i")).reduce(_ + _)
+    embeddings.select(col("vec_id").as(idAs) +: comps: _*)
+      .withColumn(s"${p}n", nrm)
+  }
+
+  private def dot(dim: Int, a: String, b: String): Column =
+    (1 to dim).map(i => col(s"$a$i") * col(s"$b$i")).reduce(_ + _)
 
   private def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
@@ -46,54 +59,52 @@ object Similarity {
     * corpus (minus itself). Output: (query_id, hit_id, cosine, rnk).
     */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
-    val all = withQuant(embeddings)
-    val queries = all.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
-    val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("hit_id"),
-        cosine(qdot(col("qq"), col("q")), col("qn"), col("nrm")).as("cosine"))
+    val dim = dimOf(embeddings)
+    val corpus = widen(embeddings, dim, "a", "hit_id")
+    val queries = widen(embeddings.filter(queryPred), dim, "b", "query_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("hit_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    corpus.join(broadcast(queries), col("hit_id") =!= col("query_id"))
+      .select(col("query_id"), col("hit_id"),
+        cosine(dot(dim, "a", "b"), col("bn"), col("an")).as("cosine"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** IVF-style ANN: `centroidPred` vectors act as the coarse codebook;
     * every vector is assigned to its nearest centroid (one pass), and a
     * query searches only the `nprobe` nearest buckets. Recall < 1 by
-    * construction; the bucketing is the 100 TB path (assignment is a
-    * partition key; probes touch bounded slices).
+    * construction; the bucketing is the 100 TB path.
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, centroidPred: Column,
               k: Int, nprobe: Int): DataFrame = {
-    val all = withQuant(embeddings)
-    val cents = all.filter(centroidPred)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
+    val dim = dimOf(embeddings)
+    val corpus = widen(embeddings, dim, "a", "vid")
+    val cents = widen(embeddings.filter(centroidPred), dim, "c", "cent_id")
 
     // assignment: nearest centroid per vector (rank 1 by cosine)
-    val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = all.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("q"), col("nrm"), col("cent_id"),
-        cosine(qdot(col("cq"), col("q")), col("cn"), col("nrm")).as("ccos"))
+    val aw = Window.partitionBy("vid").orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = corpus.join(broadcast(cents), lit(true))
+      .withColumn("ccos", cosine(dot(dim, "a", "c"), col("cn"), col("an")))
       .withColumn("arnk", row_number().over(aw))
       .filter(col("arnk") === 1)
-      .select(col("vec_id"), col("q"), col("nrm"), col("cent_id").as("bucket"))
+      .select(col("vid") +: (1 to dim).map(i => col(s"a$i")) :+
+        col("an") :+ col("cent_id").as("bucket"): _*)
 
     // probe list: nprobe nearest centroids per query
-    val queries = all.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    val queries = widen(embeddings.filter(queryPred), dim, "b", "query_id")
     val pw = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cent_id"))
     val probes = queries.join(broadcast(cents), lit(true))
-      .select(col("query_id"), col("qq"), col("qn"), col("cent_id"),
-        cosine(qdot(col("cq"), col("qq")), col("cn"), col("qn")).as("pcos"))
+      .withColumn("pcos", cosine(dot(dim, "b", "c"), col("cn"), col("bn")))
       .withColumn("prnk", row_number().over(pw))
       .filter(col("prnk") <= nprobe)
-      .select(col("query_id"), col("qq"), col("qn"), col("cent_id").as("bucket"))
+      .select(col("query_id") +: (1 to dim).map(i => col(s"b$i")) :+
+        col("bn") :+ col("cent_id").as("bucket"): _*)
 
     // search only the probed buckets
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("hit_id"))
-    probes.join(assigned, Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("hit_id"),
-        cosine(qdot(col("qq"), col("q")), col("qn"), col("nrm")).as("cosine"))
+    broadcast(probes).join(assigned, Seq("bucket"))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("hit_id"),
+        cosine(dot(dim, "a", "b"), col("bn"), col("an")).as("cosine"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
@@ -101,12 +112,12 @@ object Similarity {
     * (all-pairs) — intended for modest corpora or LSH-pre-blocked input.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val all = withQuant(embeddings)
-    val b = all.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
-    all.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
-      .join(b, col("vec_a") < col("vec_b"))
+    val dim = dimOf(embeddings)
+    val a = widen(embeddings, dim, "a", "vec_a")
+    val b = widen(embeddings, dim, "b", "vec_b")
+    a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosine(qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+        cosine(dot(dim, "a", "b"), col("an"), col("bn")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

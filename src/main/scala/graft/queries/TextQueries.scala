@@ -90,10 +90,10 @@ object TextQueries {
   private def lshSql(threshold: Double) =
     s"""sig AS (
        |  SELECT doc_id,
-       |    min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
-       |    min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
-       |    min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
-       |    min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
+       |    min(substr(md5(shingle), 1, 8)) AS m0, min(substr(md5(shingle), 9, 8)) AS m1,
+       |    min(substr(md5(shingle), 17, 8)) AS m2, min(substr(md5(shingle), 25, 8)) AS m3,
+       |    min(substr(md5('x:' || shingle), 1, 8)) AS m4, min(substr(md5('x:' || shingle), 9, 8)) AS m5,
+       |    min(substr(md5('x:' || shingle), 17, 8)) AS m6, min(substr(md5('x:' || shingle), 25, 8)) AS m7
        |  FROM shingles GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, md5(m0||m1||m2||m3) AS band FROM sig
@@ -150,7 +150,7 @@ object TextQueries {
          |    CASE WHEN (CAST(instr('0123456789abcdef', substr(h, CAST(p.p AS INT), 1)) - 1 AS INT)
          |               // CAST(power(2, b.b) AS INT)) % 2 = 1
          |         THEN 1 ELSE -1 END AS v
-         |  FROM wh, (SELECT unnest(generate_series(1, 8)) AS p) p,
+         |  FROM wh, (SELECT unnest(generate_series(1, 16)) AS p) p,
          |       (SELECT unnest(generate_series(0, 3)) AS b) b),
          |sums AS (SELECT doc_id, p, b, sum(v) AS s FROM bits GROUP BY 1, 2, 3),
          |sig AS (
@@ -158,7 +158,7 @@ object TextQueries {
          |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p, b) AS simhash
          |  FROM sums GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, simhash, substr(simhash, 1 + 8 * k.k, 8) AS band
+         |  SELECT doc_id, simhash, substr(simhash, CAST(1 + 16 * k.k AS INT), 16) AS band
          |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS k) k),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
@@ -166,7 +166,7 @@ object TextQueries {
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
          |ham AS (
          |  SELECT doc_a, doc_b,
-         |    (SELECT count(*) FROM unnest(generate_series(1, 32)) AS t(p)
+         |    (SELECT count(*) FROM unnest(generate_series(1, 64)) AS t(p)
          |     WHERE substr(sig_a, CAST(t.p AS INT), 1) <> substr(sig_b, CAST(t.p AS INT), 1)) AS hamming
          |  FROM cand)
          |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
