@@ -101,6 +101,7 @@ object Reports {
     */
   def fraudCityHopping(fact: DataFrame, cards: DataFrame, terminals: DataFrame,
                        accounts: DataFrame, clients: DataFrame): DataFrame = {
+    val w = Window.partitionBy("dim_card").orderBy("trans_date", "trans_id")
     val pre = fact.alias("ft")
       .join(broadcast(cards.alias("dc")),
         trim(col("ft.card_num")) === trim(col("dc.card_num")), "left")
@@ -108,13 +109,12 @@ object Reports {
         col("ft.terminal") === col("dt.terminal_id"), "left")
       .select(col("ft.trans_id"), col("ft.trans_date"),
         col("dt.terminal_city"), col("dc.card_num").as("dim_card"))
-      .withColumn("prev_city", lag("terminal_city", 1)
-        .over(Window.partitionBy("dim_card").orderBy("trans_date", "trans_id")))
-      .withColumn("hours",
-        (unix_timestamp(col("trans_date")) -
-          lag(unix_timestamp(col("trans_date")), 1)
-            .over(Window.partitionBy("dim_card").orderBy("trans_date", "trans_id")))
-          .cast("double") / 3600.0)
+      // both lags in one select → a single Window exec (one shuffle+sort)
+      .select(col("trans_id"), col("terminal_city"),
+        lag("terminal_city", 1).over(w).as("prev_city"),
+        ((unix_timestamp(col("trans_date")) -
+          lag(unix_timestamp(col("trans_date")), 1).over(w))
+          .cast("double") / 3600.0).as("hours"))
     val flagged = pre
       .filter(col("terminal_city") =!= col("prev_city") && col("hours") < 1.0)
       .select("trans_id")

@@ -80,13 +80,14 @@ object CoreQueries {
 
     // ---- W1/W2: lag window + epoch-hours arithmetic (fraud report №3 core)
     "q_window_lag" -> ((s, dir) => {
+      // both lags in ONE select — interleaved withColumn projections
+      // would block CollapseWindow and leave two Window execs in the plan
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables(s, dir, "events")
-        .withColumn("prev_value", lag("value", 1).over(w))
-        .withColumn("hours_since",
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag("value", 1).over(w).as("prev_value"),
           ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-            .cast(DoubleType) / lit(3.6e9)))
-        .select("event_id", "user_id", "value", "prev_value", "hours_since")
+            .cast(DoubleType) / lit(3.6e9)).as("hours_since"))
         .orderBy("event_id")
     }),
 
@@ -170,13 +171,12 @@ object CoreQueries {
     "q_fraud_window" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables(s, dir, "events")
-        .withColumn("prev_type", lag("event_type", 1).over(w))
-        .withColumn("hrs",
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          lag("event_type", 1).over(w).as("prev_type"),
           ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-            .cast(DoubleType) / lit(3.6e9)))
+            .cast(DoubleType) / lit(3.6e9)).as("hrs"))
         .filter(col("prev_type").isNotNull && col("event_type") =!= col("prev_type")
           && col("hrs") < 1.0)
-        .select("event_id", "user_id", "event_type", "prev_type", "hrs")
         .orderBy("event_id")
     }))
 
