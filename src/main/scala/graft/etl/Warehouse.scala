@@ -3,7 +3,8 @@ package graft.etl
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, to_date}
 import org.apache.spark.sql.types.StructType
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
@@ -32,7 +33,8 @@ import scala.jdk.CollectionConverters._
   * `begin()`, i.e. snapshot isolation for the duration of a run.
   */
 class Warehouse(val spark: SparkSession, val root: String,
-                val schemas: Map[String, StructType] = Schemas.tables) {
+                val schemas: Map[String, StructType] = Schemas.tables,
+                val partitionSpec: Map[String, (String, Column)] = Warehouse.defaultPartitions) {
 
   private val catalogPath: Path = Paths.get(root, "_catalog.json")
   Files.createDirectories(Paths.get(root, "data"))
@@ -45,11 +47,35 @@ class Warehouse(val spark: SparkSession, val root: String,
     if (!Files.exists(catalogPath)) Map.empty
     else CatalogJson.parse(Files.readString(catalogPath))
 
-  /** Read the committed image of a table. */
-  def read(table: String): DataFrame = {
-    val dirs = catalog().getOrElse(table, Nil)
+  /** Read the committed image of a table (partition columns dropped —
+    * the declared schema is the contract; also robust to all-empty data
+    * dirs, where inference would fail).
+    */
+  def read(table: String): DataFrame =
+    readDirs(table, catalog().getOrElse(table, Nil))
+
+  private[etl] def readDirs(table: String, dirs: Seq[String]): DataFrame = {
+    val schema = schemas(table)
     if (dirs.isEmpty) emptyDf(table)
-    else spark.read.schema(schemas(table)).parquet(dirs: _*)
+    else if (!partitionSpec.contains(table))
+      spark.read.schema(schema).parquet(dirs: _*)
+    else
+      // partitioned roots must be discovered one by one — a multi-path
+      // scan would try to unify partition structure across roots and
+      // fail with CONFLICTING_DIRECTORY_STRUCTURES
+      dirs.map(d => spark.read.schema(schema).parquet(d)
+          .select(schema.fieldNames.map(col): _*))
+        .reduce(_ unionByName _)
+  }
+
+  /** Read keeping the physical partition column (when the table has one)
+    * so date filters prune at the directory level —
+    * `PartitionFilters: [trans_dt = ...]` in explain.
+    */
+  def readRaw(table: String, dirsIn: Seq[String] = Nil): DataFrame = {
+    val dirs = if (dirsIn.nonEmpty) dirsIn else catalog().getOrElse(table, Nil)
+    if (dirs.isEmpty) emptyDf(table)
+    else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
   def begin(): Txn = new Txn(this)
@@ -81,6 +107,22 @@ class Warehouse(val spark: SparkSession, val root: String,
   private[etl] def newDataDir(table: String): String =
     Paths.get(root, "data", table, UUID.randomUUID().toString).toString
 
+  /** Write one immutable data dir, applying the table's partition spec.
+    * Facts partition by event date: daily appends become one (or a few)
+    * `dt=`-style directories each, so date-filtered scans prune whole
+    * days and a 100 TB fact table never rewrites history.
+    */
+  private[etl] def writeDataDir(table: String, df: DataFrame): String = {
+    val dir = newDataDir(table)
+    partitionSpec.get(table) match {
+      case Some((name, derive)) =>
+        df.withColumn(name, derive).write.partitionBy(name).parquet(dir)
+      case None =>
+        df.write.parquet(dir)
+    }
+    dir
+  }
+
   private[etl] def commitCatalog(entries: Map[String, Seq[String]]): Unit = {
     val tmp = Paths.get(root, s"_catalog.${UUID.randomUUID()}.tmp")
     Files.write(tmp, CatalogJson.render(entries).getBytes(StandardCharsets.UTF_8))
@@ -98,28 +140,21 @@ class Txn private[etl] (wh: Warehouse) {
   private val pending = mutable.LinkedHashMap[String, Seq[String]]()
   private var committed = false
 
-  def read(table: String): DataFrame = {
-    val dirs = pending.getOrElse(table, snapshot.getOrElse(table, Nil))
-    if (dirs.isEmpty) wh.emptyDf(table)
-    else wh.spark.read.schema(wh.schemas(table)).parquet(dirs: _*)
-  }
+  def read(table: String): DataFrame =
+    wh.readDirs(table, pending.getOrElse(table, snapshot.getOrElse(table, Nil)))
 
   /** Replace the table image (staging truncate-and-load K1/K2, dim merge
     * result K4+K6+K7). Data lands in a fresh immutable dir; old dirs are
     * retired at commit.
     */
-  def overwrite(table: String, df: DataFrame): Unit = {
-    val dir = wh.newDataDir(table)
-    align(table, df).write.parquet(dir)
-    pending(table) = Seq(dir)
-  }
+  def overwrite(table: String, df: DataFrame): Unit =
+    pending(table) = Seq(wh.writeDataDir(table, align(table, df)))
 
   /** Append a batch (facts K8, report rows K10). No existing file is
     * touched — the new dir is referenced alongside the old ones.
     */
   def append(table: String, df: DataFrame): Unit = {
-    val dir = wh.newDataDir(table)
-    align(table, df).write.parquet(dir)
+    val dir = wh.writeDataDir(table, align(table, df))
     pending(table) = pending.getOrElse(table, snapshot.getOrElse(table, Nil)) :+ dir
   }
 
@@ -148,6 +183,15 @@ class Txn private[etl] (wh: Warehouse) {
     wh.commitCatalog(snapshot ++ pending.toMap)
     committed = true
   }
+}
+
+object Warehouse {
+  /** Default physical partitioning: fact tables by event date. Dims and
+    * staging stay unpartitioned (full-snapshot semantics).
+    */
+  val defaultPartitions: Map[String, (String, Column)] = Map(
+    "fact_transactions" -> ("trans_dt", to_date(col("trans_date"))),
+    "rep_fraud" -> ("rep_dt", to_date(col("report_dt"))))
 }
 
 /** Minimal JSON for `Map[String, Seq[String]]` — no external deps in the

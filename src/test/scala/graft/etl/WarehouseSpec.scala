@@ -2,7 +2,9 @@ package graft.etl
 
 import java.nio.file.Files
 import graft.TestSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 class WarehouseSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -48,6 +50,32 @@ class WarehouseSpec extends AnyFunSuite {
     t2.commit()
     assert(wh.vacuum() == 1) // the first meta dir was orphaned
     assert(wh.read("meta").head.getString(0) == "c") // survivor intact
+  }
+
+  test("fact appends land date-partitioned; date filters prune partitions") {
+    val wh = freshWh()
+    val txn = wh.begin()
+    val rows = Seq(
+      ("t1", java.sql.Timestamp.valueOf("2021-03-01 10:00:00"), BigDecimal(1), "c", "P", "S", "T1"),
+      ("t2", java.sql.Timestamp.valueOf("2021-03-02 11:00:00"), BigDecimal(2), "c", "P", "S", "T1"))
+      .toDF("trans_id", "trans_date", "amt", "card_num", "oper_type", "oper_result", "terminal")
+    txn.append("fact_transactions", rows)
+    txn.commit()
+    // physical layout: trans_dt=... partition dirs inside the data dir
+    val dataDir = wh.catalog()("fact_transactions").head
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dataDir))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("trans_dt=")).toSeq
+    assert(parts.sorted == Seq("trans_dt=2021-03-01", "trans_dt=2021-03-02"))
+    // declared-schema read drops the partition column
+    assert(wh.read("fact_transactions").columns.toSeq ==
+      graft.etl.Schemas.transactions.fieldNames.toSeq)
+    // raw read exposes it and a date filter becomes a PartitionFilter
+    val plan = wh.readRaw("fact_transactions")
+      .filter(col("trans_dt") === "2021-03-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("trans_dt"))
+    assert(wh.readRaw("fact_transactions")
+      .filter(col("trans_dt") === "2021-03-01").count() == 1)
   }
 
   test("positional schema-fit renames and casts incoming columns") {
