@@ -29,27 +29,35 @@ object Dedup {
     docs.select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("i", "w")))
       .filter(col("w") =!= "")
 
-  /** Distinct word n-gram shingles per document. */
+  /** Distinct word n-gram shingles per document. Indexes into the token
+    * array directly (`explode(sequence)` + `element_at`) — shuffle-free,
+    * unlike a `lead()` window which would repartition by document.
+    */
   def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(idCol).orderBy("i")
-    val parts: Seq[Column] = (0 until n).map(k =>
-      if (k == 0) col("w") else lead(col("w"), k).over(w))
-    val joined = parts.reduce((a, b) => concat(a, lit(" "), b))
-    tokenize(docs, textCol, idCol)
-      .withColumn("shingle", joined)
-      .filter(col("shingle").isNotNull)
-      .select(col(idCol), col("shingle")).distinct()
+    val toks = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    val parts = (0 until n).map(k => element_at(col("toks"), col("i") + k))
+    docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
+      .select(col(idCol),
+        parts.reduce((a, b) => concat(a, lit(" "), b)).as("shingle"))
+      .distinct()
   }
 
-  /** Distinct character n-gram shingles per document. */
+  /** Distinct character n-gram shingles per document. Built with
+    * `explode(sequence)` + `substr` — all codegen'd; a
+    * `transform(...)` lambda here runs interpreted and is ~5× slower.
+    */
   def charShingles(docs: DataFrame, n: Int = 5, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol),
-      explode(transform(sequence(lit(1), length(lower(col(textCol))) - (n - 1)),
-        i => lower(col(textCol)).substr(i, lit(n)))).as("shingle"))
-      .filter(length(col("shingle")) === n)
-      .select(col(idCol), col("shingle")).distinct()
+    docs.select(col(idCol), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= n) // sequence(1,0) would run backwards
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (n - 1))).as("i"))
+      .select(col(idCol), col("t").substr(col("i"), lit(n)).as("shingle"))
+      .distinct()
 
   /** Exact dedup: canonical = lowest id per md5(text) group. */
   def exact(docs: DataFrame, textCol: String = "text",
@@ -124,12 +132,19 @@ object Dedup {
     * candidates → exact-Jaccard verify.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
-                      shingleSize: Int = 3): DataFrame = {
-    // the shingle set feeds the signature AND both sides of the verify
-    // join — cache it (tiny: distinct shingles only) so the tokenize +
-    // window pipeline runs once, not four times
-    val sh = shingles(docs, shingleSize).cache()
-    jaccardVerify(candidatePairs(lshBands(minhashSignature(sh))), sh, threshold)
+                      shingleSize: Int = 3): DataFrame =
+    lshNearDups(shingles(docs, shingleSize), threshold)
+
+  /** Shared LSH tail: signature → bands → candidates → exact-Jaccard
+    * verify. The shingle set feeds the signature AND both sides of the
+    * verify join, and the signature feeds both sides of the band
+    * self-join — cache both (distinct shingles + one row per doc) so
+    * each plan runs once instead of 3-4×.
+    */
+  def lshNearDups(shinglesDf: DataFrame, threshold: Double): DataFrame = {
+    val sh = shinglesDf.cache()
+    val sig = minhashSignature(sh).cache()
+    jaccardVerify(candidatePairs(lshBands(sig)), sh, threshold)
   }
 
   /** 64-bit SimHash over word unigrams (the Charikar/Google form: 64
@@ -142,16 +157,20 @@ object Dedup {
     */
   def simhashSignature(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val wh = tokenize(docs).select(col(idCol), md5(col("w").cast("binary")).as("h")).distinct()
+    // hex value of each md5 position computed ONCE per word (16 substr
+    // ops), then the 64 bit-sums read from those — not 64 substr ops
+    val hexVals = (1 to 16).map(p =>
+      expr(s"CAST(instr('0123456789abcdef', substring(h, $p, 1)) - 1 AS INT)").as(s"v$p"))
+    val withVals = wh.select(col(idCol) +: hexVals: _*)
     val pbs = for (p <- 1 to 16; b <- 0 to 3) yield (p, b)
     val sums = pbs.map { case (p, b) =>
-      val bit = expr(
-        s"(CAST(instr('0123456789abcdef', substring(h, $p, 1)) - 1 AS INT) div ${1 << b}) % 2")
-      sum(when(bit === 1, lit(1)).otherwise(lit(-1))).as(s"s_${p}_$b")
+      sum(when(((col(s"v$p") / lit(1 << b)).cast("int") % 2) === 1, lit(1))
+        .otherwise(lit(-1))).as(s"s_${p}_$b")
     }
     val sig = concat(pbs.map { case (p, b) =>
       when(col(s"s_${p}_$b") >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
-    wh.groupBy(idCol).agg(sums.head, sums.tail: _*)
+    withVals.groupBy(idCol).agg(sums.head, sums.tail: _*)
       .select(col(idCol), sig.as("simhash"))
   }
 
@@ -162,22 +181,29 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       idCol: String = "doc_id"): DataFrame = {
     // cache: the signature plan would otherwise re-run for every band
-    // branch on both sides of the self-join (up to 8×)
-    val sig = simhashSignature(docs, idCol).cache()
-    val bands = sig.select(col(idCol), col("simhash"),
+    // branch on both sides of the self-join (up to 8×). The bit string
+    // is also packed into two BIGINT halves here (one conv() per doc) so
+    // the per-pair Hamming distance is two xor + bit_count ops instead
+    // of 64 substring comparisons.
+    val sig = simhashSignature(docs, idCol)
+      .withColumn("hi", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"))
+      .cache()
+    val bands = sig.select(col(idCol), col("hi"), col("lo"),
       explode(array((0 until 4).map(k =>
         substring(col("simhash"), 1 + 16 * k, 16)): _*)).as("band"))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col("a.simhash").as("sig_a"),
-        col(s"b.$idCol").as("doc_b"), col("b.simhash").as("sig_b"))
-      .distinct()
-    val hamming = (1 to 64).map(p =>
-      when(col("sig_a").substr(p, 1) === col("sig_b").substr(p, 1), lit(0))
-        .otherwise(lit(1)): Column).reduce(_ + _)
-    cand.withColumn("hamming", hamming)
+      .select(col(s"a.$idCol").as("doc_a"), col("a.hi").as("hi_a"), col("a.lo").as("lo_a"),
+        col(s"b.$idCol").as("doc_b"), col("b.hi").as("hi_b"), col("b.lo").as("lo_b"))
+    // pairs sharing several bands appear several times — recomputing the
+    // two-instruction hamming beats an early wide-row distinct shuffle
+    cand.withColumn("hamming",
+      (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 }

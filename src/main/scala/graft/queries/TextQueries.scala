@@ -44,12 +44,9 @@ object TextQueries {
       Dedup.minhashNearDups(docsAug(s, dir), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
-    "dedup_ngram" -> ((s, dir) => {
-      val sh = Dedup.charShingles(docsAug(s, dir), n = 5)
-      Dedup.jaccardVerify(
-          Dedup.candidatePairs(Dedup.lshBands(Dedup.minhashSignature(sh))), sh, 0.6)
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.lshNearDups(Dedup.charShingles(docsAug(s, dir), n = 5), 0.6)
+        .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(docsAug(s, dir), maxHamming = 3)
