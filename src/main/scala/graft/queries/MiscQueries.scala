@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.etl.Schemas
+import graft.operators.AsOfJoin
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,6 +42,22 @@ object MiscQueries {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // As-of join: each click enriched with the user's latest
+    // at-or-before purchase (composed operator; DuckDB's native ASOF
+    // JOIN is the oracle)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "tus", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "tus").agg(max("value").as("purchase_value"))
+      AsOfJoin.asof(clicks, purchases, Seq("user_id"), "tus", "tus",
+          Seq("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // Engine catalog: the schema registry as a relation (S2/S3)
     "q_catalog" -> ((s, dir) => {
       import s.implicits._
@@ -77,6 +94,21 @@ object MiscQueries {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tus, event_type, value
+        |  FROM events),
+        |clicks AS (
+        |  SELECT event_id, user_id, tus, value FROM ev WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, tus, max(value) AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.event_id, c.tus, c.value,
+        |  p.purchase_value AS asof_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.tus >= p.tus
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_catalog" -> {
       val rows = Schemas.tables.toSeq.map { case (t, sch) => s"('$t', ${sch.length})" }
