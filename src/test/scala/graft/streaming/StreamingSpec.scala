@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(user_id: Long, event_id: Long, tus: Long)
+case class SessionOut(user_id: Long, event_id: Long, session_seq: Long)
+
+object StreamingSpec {
+  /** True streaming sessionizer: state = (last event time, session
+    * counter) per user. Top-level so the closure serializes without
+    * dragging the test class (and its SparkSession) along.
+    */
+  def sessionFn(gapUs: Long)(
+      user: Long, events: Iterator[Ev],
+      state: GroupState[(Long, Long)]): Iterator[SessionOut] = {
+    var (lastT, seq) = state.getOption.getOrElse((Long.MinValue, 0L))
+    val out = events.toSeq.sortBy(e => (e.tus, e.event_id)).map { e =>
+      if (lastT == Long.MinValue || e.tus - lastT > gapUs) seq += 1
+      lastT = e.tus
+      SessionOut(user, e.event_id, seq)
+    }
+    state.update((lastT, seq))
+    out.iterator
+  }
+}
+
+/** Streaming semantics: the AvailableNow windowed agg must equal the
+  * batch computation, and a genuine stateful
+  * `flatMapGroupsWithState` sessionizer must agree with the batch
+  * window-expression form in `StreamingOps.sessionize`.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming windowed agg equals batch tumbling-window agg") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.hourlyEventStats(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionizer agrees with the batch fold") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .as[Ev]
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events.collect().toIndexedSeq)
+    val gapUs = 30L * 60 * 1000000
+    val q = mem.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        StreamingSpec.sessionFn(gapUs))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = StreamingOps.sessionize(Tables(spark, dir, "events"), 30)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getLong(3)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+}
