@@ -80,6 +80,21 @@ class Warehouse(val spark: SparkSession, val root: String,
 
   def begin(): Txn = new Txn(this)
 
+  /** Compact a table's many append dirs into one freshly-written dir
+    * (single catalog swap). At scale this is the periodic maintenance
+    * job that bounds read amplification from daily appends; readers are
+    * unaffected (snapshot isolation), and the retired dirs are
+    * reclaimed by the next `vacuum()`.
+    */
+  def compact(table: String): Unit = {
+    val dirs = catalog().getOrElse(table, Nil)
+    if (dirs.length > 1) {
+      val txn = begin()
+      txn.overwrite(table, txn.read(table))
+      txn.commit()
+    }
+  }
+
   /** Delete data directories no longer referenced by the catalog. */
   def vacuum(): Int = {
     val live = catalog().values.flatten.map(Paths.get(_).toAbsolutePath.toString).toSet

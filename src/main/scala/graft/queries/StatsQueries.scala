@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical / reshaping operators: pivot, exact moments from decimal
+  * power sums, exact interpolated percentiles. Portability rule as
+  * everywhere: aggregation happens in exact arithmetic (DECIMAL sums,
+  * sorted exact inputs), the final scalar math is a fixed op sequence.
+  */
+object StatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, Q] = Map(
+    // PIVOT: one column per event type, decimal-exact sums
+    "q_pivot" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", eventTypes)
+        .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType))
+        .orderBy("user_id")),
+
+    // moments from exact decimal power sums: mean and sample variance
+    "q_stats_moments" -> ((s, dir) => {
+      val v = col("value").cast(DecimalType(18, 6))
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(v).as("s1"), sum(v * v).as("s2"))
+        .select(col("event_type"), col("n"),
+          // round(…, 6): wide-decimal → double conversion can differ by
+          // 1 ulp between engines; 6-decimal rounding absorbs it
+          round(col("s1").cast(DoubleType) / col("n").cast(DoubleType), 6).as("mean"),
+          round((col("s2").cast(DoubleType) -
+            col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n").cast(DoubleType))
+            / (col("n") - 1).cast(DoubleType), 6).as("variance"))
+        .orderBy("event_type")
+    }),
+
+    // exact interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont: both interpolate a + f*(b-a) over the sorted set)
+    "q_percentile" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+        .orderBy("o_orderstatus")))
+
+  val oracles: Map[String, String] = Map(
+    "q_pivot" -> {
+      val cols = eventTypes.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS \"$t\"")
+        .mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "q_stats_moments" ->
+      """WITH a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS s1,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+        |  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / CAST(n - 1 AS DOUBLE), 6) AS variance
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  quantile_cont(o_totalprice, 0.95) AS p95
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+}

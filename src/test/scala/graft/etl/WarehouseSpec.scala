@@ -78,6 +78,22 @@ class WarehouseSpec extends AnyFunSuite {
       .filter(col("trans_dt") === "2021-03-01").count() == 1)
   }
 
+  test("compact merges append dirs into one; data unchanged") {
+    val wh = freshWh()
+    (1 to 3).foreach { i =>
+      val t = wh.begin()
+      t.append("meta", Seq((s"s$i", s"t$i", None: Option[java.sql.Timestamp]))
+        .toDF("schema_name", "table_name", "max_update_dt"))
+      t.commit()
+    }
+    assert(wh.catalog()("meta").length == 3)
+    val before = wh.read("meta").collect().map(_.toSeq).toSet
+    wh.compact("meta")
+    assert(wh.catalog()("meta").length == 1)
+    assert(wh.read("meta").collect().map(_.toSeq).toSet == before)
+    assert(wh.vacuum() == 3) // the three retired append dirs
+  }
+
   test("positional schema-fit renames and casts incoming columns") {
     val wh = freshWh()
     val txn = wh.begin()
