@@ -87,7 +87,8 @@ object QDotProduct {
 /** Session extension wiring: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` (or config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) makes the
-  * engine's native functions available to plain SQL.
+  * engine's native functions and planner strategies available to plain
+  * SQL sessions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -96,5 +97,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[QDotProduct].getName, "graft_qdot"),
         (exprs: Seq[Expression]) => QDotProduct(exprs(0), exprs(1))))
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

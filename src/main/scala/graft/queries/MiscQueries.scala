@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.etl.Schemas
 import graft.operators.AsOfJoin
+import graft.plans.TopK
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -58,6 +59,15 @@ object MiscQueries {
         .orderBy("event_id")
     }),
 
+    // Custom physical operator: per-key top-k via TopKPerKeyExec
+    // (map-side bounded heaps -> k rows/key/partition over the shuffle)
+    "q_topk_perkey" -> ((s, dir) =>
+      TopK.perKey(
+          Tables(s, dir, "orders").select("o_orderstatus", "o_orderkey", "o_totalprice"),
+          Seq("o_orderstatus"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))),
+
     // Engine catalog: the schema registry as a relation (S2/S3)
     "q_catalog" -> ((s, dir) => {
       import s.implicits._
@@ -109,6 +119,15 @@ object MiscQueries {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.tus >= p.tus
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_topk_perkey" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_catalog" -> {
       val rows = Schemas.tables.toSeq.map { case (t, sch) => s"('$t', ${sch.length})" }

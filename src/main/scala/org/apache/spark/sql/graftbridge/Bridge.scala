@@ -1,14 +1,20 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. Spark 4 hides the classic converters
-  * behind `private[sql]`; custom-Expression libraries conventionally
-  * expose them from a package under `org.apache.spark.sql`.
+/** Column ⇄ Expression and LogicalPlan → DataFrame bridges. Spark 4
+  * hides the classic converters behind `private[sql]`; custom-operator
+  * libraries conventionally expose them from a package under
+  * `org.apache.spark.sql`.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
