@@ -41,6 +41,14 @@ object StatsQueries {
         .orderBy("event_type")
     }),
 
+    // CUBE: all grouping-set combinations
+    "q_cube" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .cube("event_type", "user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)),
+
     // exact interpolated percentiles (Spark `percentile` == DuckDB
     // quantile_cont: both interpolate a + f*(b-a) over the sorted set)
     "q_percentile" -> ((s, dir) =>
@@ -71,6 +79,12 @@ object StatsQueries {
         |  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
         |    / CAST(n - 1 AS DOUBLE), 6) AS variance
         |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, user_id, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, user_id)
+        |ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
 
     "q_percentile" ->
       """SELECT o_orderstatus,

@@ -167,3 +167,25 @@ final class ParquetBankSource(dir: String) extends BankSource {
   def accounts(spark: SparkSession): DataFrame = spark.read.parquet(s"$dir/accounts.parquet")
   def cards(spark: SparkSession): DataFrame = spark.read.parquet(s"$dir/cards.parquet")
 }
+
+/** The production S1 path: `SELECT * FROM info.{table}` over JDBC
+  * (main.py:76-85 reads the `bank` Postgres with a separate connection).
+  * Not exercisable in the sandbox (no live PG / no driver jar), but the
+  * mapping is exactly this. `fetchsize` batches the wire protocol where
+  * the reference pulled whole tables through pandas; `partitionColumn`
+  * options can be layered on for large dims.
+  */
+final class JdbcBankSource(url: String, user: String, password: String,
+                           schema: String = "info") extends BankSource {
+  private def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"$schema.$table")
+      .option("user", user)
+      .option("password", password)
+      .option("fetchsize", "10000")
+      .load()
+  def clients(spark: SparkSession): DataFrame = read(spark, "clients")
+  def accounts(spark: SparkSession): DataFrame = read(spark, "accounts")
+  def cards(spark: SparkSession): DataFrame = read(spark, "cards")
+}
