@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Dump formatted physical plans for representative queries — the
+  * engine's evidence that filters push down, dims broadcast, windows
+  * collapse, and the custom operators plan as intended.
+  * Usage: runMain graft.PlanDump [sfDir] [queryName...]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q_scan_prune", "q_join_multihop", "q_scd1_merge",
+        "q_window_lag", "q_topk_perkey", "ann_brute")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n===== $name =====")
+      println(SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(FormattedMode))
+    }
+    spark.stop()
+  }
+}
