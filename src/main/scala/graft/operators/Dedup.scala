@@ -64,11 +64,12 @@ object Dedup {
             idCol: String = "doc_id"): DataFrame = {
     val h = md5(col(textCol).cast("binary"))
     val w = Window.partitionBy("text_hash")
+    // both window aggs in one select → a single Window exec
     docs.withColumn("text_hash", h)
-      .withColumn("canonical_id", min(col(idCol)).over(w))
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .select(col(idCol), col("text_hash"), col("canonical_id"),
-        col("n_copies"), (col(idCol) === col("canonical_id")).as("is_canonical"))
+      .select(col(idCol), col("text_hash"),
+        min(col(idCol)).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("n_copies"))
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
   }
 
   /** MinHash signature: 8 independent min-sketches per document. Hash

@@ -167,6 +167,20 @@ object CoreQueries {
         .orderBy("p_partkey")
     }),
 
+    // ---- skew handling: salted join must equal the plain join (the
+    // oracle IS the plain join), while spreading hot keys across salt
+    // partitions (graft.operators.SkewJoin)
+    "q_salted_join" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val p = Tables(s, dir, "part").select("p_partkey", "p_brand")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      graft.operators.SkewJoin.saltedJoin(l, p, Seq("l_partkey"), salt = 4,
+          saltSource = Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- fraud report №3 analog: value change within 1 hour, via lag
     "q_fraud_window" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -270,6 +284,11 @@ object CoreQueries {
         | upper(p_brand) AS brand_up,
         | p_brand || ' ' || nullif(p_type, 'STANDARD ANODIZED TIN') AS concat_nullprop
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_fraud_window" ->
       """WITH pre AS (
         | SELECT event_id, user_id, event_type,
