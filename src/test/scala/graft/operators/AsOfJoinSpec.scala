@@ -28,6 +28,35 @@ class AsOfJoinSpec extends AnyFunSuite {
       "t5" -> None))       // C has no quotes -> null
   }
 
+  test("property: agrees with a naive in-memory model on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0L, 20L)
+      v <- Gen.choose(0, 99)
+    } yield (k, t, v)
+    val prop = Prop.forAll(Gen.listOfN(15, rowGen), Gen.listOfN(10, rowGen)) {
+      (lRows, rRowsRaw) =>
+        // dedup right on (k,t) so the expected match is unique
+        val rRows = rRowsRaw.groupBy(r => (r._1, r._2))
+          .map { case ((k, t), g) => (k, t, g.map(_._3).max) }.toSeq
+        val lDf = lRows.zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "lid")
+        val rDf = rRows.toDF("k", "t", "v")
+        val got = AsOfJoin.asof(lDf, rDf, Seq("k"), "t", "t", Seq("v"))
+          .collect().map(r => r.getAs[Long]("lid") ->
+            Option(r.getAs[java.lang.Integer]("asof_v")).map(_.toInt)).toMap
+        val expected = lRows.zipWithIndex.map { case ((k, t, _), i) =>
+          val cand = rRows.filter(r => r._1 == k && r._2 <= t)
+          i.toLong -> (if (cand.isEmpty) None
+            else Some(cand.maxBy(_._2)._3))
+        }.toMap
+        got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("strict: equal timestamps do not match") {
     val out = AsOfJoin.asof(trades, quotes, Seq("sym"), "t", "t", Seq("px"),
         strict = true)
