@@ -72,7 +72,7 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
     // exists and holds coalesce(max(update_dt), max(create_dt)) or NULL.
     val metaRows = Schemas.dimKeys.keys.toSeq.sorted.map { dim =>
       val stg = txn.read("stg_" + dim.stripPrefix("dim_"))
-      val wm = stg.agg(coalesce(max("update_dt"), max("create_dt"))).head.get(0)
+      val wm = stg.agg(coalesce(max("update_dt"), max("create_dt"))).head().get(0)
       ("deaian", "lapp_dwh_" + dim, Option(wm).map(_.asInstanceOf[Timestamp]))
     }
     import spark.implicits._

@@ -64,7 +64,7 @@ class Warehouse(val spark: SparkSession, val root: String,
       // scan would try to unify partition structure across roots and
       // fail with CONFLICTING_DIRECTORY_STRUCTURES
       dirs.map(d => spark.read.schema(schema).parquet(d)
-          .select(schema.fieldNames.map(col): _*))
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*))
         .reduce(_ unionByName _)
   }
 
@@ -185,8 +185,8 @@ class Txn private[etl] (wh: Warehouse) {
       s"$table expects ${schema.length} columns, got ${df.columns.length}")
     val renamed =
       if (df.columns.toSet == schema.fieldNames.toSet) df
-      else df.toDF(schema.fieldNames: _*)
-    renamed.select(schema.fields.map(f =>
+      else df.toDF(schema.fieldNames.toIndexedSeq: _*)
+    renamed.select(schema.fields.toIndexedSeq.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
