@@ -14,6 +14,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * rows dropped) so expectations are computable by hand; Faithful-mode
   * quirks get their own test.
   */
+object PipelineReplaySpec {
+  /** Golden md5 of the sorted canonicalized day-1 faithful rep_fraud
+    * (generated once from a verified run; stable because no
+    * run-timestamp column reaches the report).
+    */
+  val goldenFaithfulDay1Hash = "4211998bfd2c94adfb758394731d8c9f"
+}
+
 class PipelineReplaySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   import spark.implicits._
@@ -194,5 +202,15 @@ class PipelineReplaySpec extends AnyFunSuite {
     val c5rows = rep.filter($"passport" === "5555 555555")
     assert(c5rows.count() > 0)
     assert(c5rows.filter($"fio".isNull).count() == c5rows.count())
+
+    // golden content hash of the whole day-1 faithful report (stable:
+    // no run-timestamp column reaches rep_fraud)
+    val canonical = rep.collect()
+      .map(_.toSeq.map(v => if (v == null) "<null>" else v.toString).mkString("|"))
+      .sorted.mkString("\n")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    info(s"rep_fraud day-1 faithful golden hash: $md")
+    assert(md == PipelineReplaySpec.goldenFaithfulDay1Hash)
   }
 }
