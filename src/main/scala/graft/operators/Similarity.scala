@@ -91,10 +91,89 @@ object Similarity {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Exact
-    * (all-pairs) — intended for modest corpora or LSH-pre-blocked input.
+  // ---- random-hyperplane LSH blocking (the 100 TB near-dup path) ----
+
+  /** Deterministic pseudo-random hyperplane component h(j, i) for plane j,
+    * dimension i (0-based): a Knuth multiplicative hash of `j*1024 + i`
+    * folded into [-32768, 32768]. Pure BIGINT arithmetic — any SQL engine
+    * reproduces it bit for bit, which is what makes the LSH bands (and
+    * therefore the candidate set) oracle-checkable. Supports dim < 1024.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  private def hcomp(j: Int, i: Column): Column =
+    (lit(2654435761L) * (lit(j * 1024L) + i)) % lit(4294967296L) % lit(65537L) - lit(32768L)
+
+  /** Per-vector LSH band values: sign bits of `planes` hyperplane dot
+    * products, packed `bandBits` at a time → (vec_id, band_id, band_val).
+    *
+    * Computed by exploding the quantized vector once and folding all
+    * `planes` dot products in ONE hash aggregation (map-side partial
+    * combine applies) — a single shuffle on vec_id, all-codegen integer
+    * arithmetic, no per-plane re-scan. The (small: one row per vector)
+    * aggregate is cached because the band frame feeds both sides of the
+    * candidate self-join.
+    */
+  def hyperplaneBands(quant: DataFrame, planes: Int, bandBits: Int): DataFrame = {
+    require(planes % bandBits == 0, "planes must be a multiple of bandBits")
+    val flat = quant.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "qi")))
+    val dots = (0 until planes).map(j => sum(col("qi") * hcomp(j, col("i"))).as(s"d$j"))
+    val perVec = flat.groupBy("vec_id").agg(dots.head, dots.tail: _*).cache()
+    val bandVals = (0 until planes / bandBits).map { k =>
+      (0 until bandBits).map { t =>
+        when(col(s"d${k * bandBits + t}") >= 0, lit(1L << t)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    perVec.select(col("vec_id"),
+      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band, with the
+    * number of shared bands. The join key is (band_id, band_val) — at
+    * scale each bucket holds corpus_size / 2^bandBits vectors in
+    * expectation, never all-pairs. Tune `bandBits` up with corpus size
+    * (8 bits for ~10^3..10^5 vectors, 16+ at 10^8).
+    */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    bands.select(col("vec_id").as("vec_a"), col("band_id"), col("band_val"))
+      .join(bands.select(col("vec_id").as("vec_b"), col("band_id"), col("band_val")),
+        Seq("band_id", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("bands_shared"))
+
+  /** All LSH candidate pairs with shared-band count and exact cosine —
+    * the blocking stage exposed as its own operator (no threshold).
+    */
+  def nearDupCandidates(embeddings: DataFrame, planes: Int = 32,
+                        bandBits: Int = 8): DataFrame = {
+    val all = withQuant(embeddings)
+    val cand = lshCandidates(hyperplaneBands(all, planes, bandBits))
+    val a = all.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
+    val b = all.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
+    cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("bands_shared"),
+        cosine(qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+  }
+
+  /** Near-duplicate pairs (a < b) with cosine ≥ threshold, blocked by
+    * random-hyperplane LSH: vectors are banded (`planes` sign bits,
+    * `bandBits` per band), only pairs sharing ≥1 band are scored with the
+    * exact quantized cosine. Recall < 1 by construction (pairs colliding
+    * in no band are never scored) but deterministic: the hyperplanes are
+    * fixed integers, so the candidate set — and hence the result — is
+    * reproducible in any engine. This is the default (100 TB) path; the
+    * all-pairs [[nearDupPairsExact]] remains for small corpora and
+    * recall measurement.
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+                   planes: Int = 32, bandBits: Int = 8): DataFrame =
+    nearDupCandidates(embeddings, planes, bandBits)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .filter(col("cosine") >= threshold)
+
+  /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Exact but
+    * all-pairs O(N²) — verification/recall baseline for modest corpora
+    * only; production near-dup goes through [[nearDupPairs]].
+    */
+  def nearDupPairsExact(embeddings: DataFrame, threshold: Double): DataFrame = {
     val all = withQuant(embeddings)
     val b = all.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
     all.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"))

@@ -49,6 +49,10 @@ object SimilarityQueries {
 
     "dedup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(embAug(s, dir), threshold = 0.35)
+        .orderBy("vec_a", "vec_b")),
+
+    "dedup_embed_lsh" -> ((s, dir) =>
+      Similarity.nearDupCandidates(embAug(s, dir))
         .orderBy("vec_a", "vec_b")))
 
   val oracles: Map[String, String] = Map(
@@ -125,15 +129,47 @@ object SimilarityQueries {
     "dedup_embed" ->
       s"""WITH $augSql,
          |${flatSql("emb")},
-         |dots AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.q * b.q) AS dot
-         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT d.vec_a, d.vec_b,
-         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(va.nrm AS DOUBLE)) / sqrt(CAST(vb.nrm AS DOUBLE)) AS cosine
-         |  FROM dots d JOIN norms va ON va.vec_id = d.vec_a
-         |              JOIN norms vb ON vb.vec_id = d.vec_b)
+         |$lshSql
          |SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_embed_lsh" ->
+      s"""WITH $augSql,
+         |${flatSql("emb")},
+         |$lshSql
+         |SELECT vec_a, vec_b, bands_shared, cosine FROM scored
          |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** Shared hyperplane-LSH oracle tail: deterministic integer hyperplanes
+    * (same Knuth-hash arithmetic as Similarity.hcomp), sign-bit bands of
+    * 8 bits × 4, candidates = pairs sharing a band, exact quantized
+    * cosine on candidates only.
+    */
+  private def lshSql: String =
+    """hp AS (SELECT unnest(generate_series(0, 31)) AS j),
+      |pdot AS (
+      |  SELECT f.vec_id, h.j,
+      |    sum(f.q * ((2654435761 * (h.j * 1024 + (f.i - 1))) % 4294967296 % 65537 - 32768)) AS d
+      |  FROM flat f CROSS JOIN hp h
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT vec_id, j // 8 AS band_id,
+      |    sum(CASE WHEN d >= 0 THEN 1 << (j % 8) ELSE 0 END) AS band_val
+      |  FROM pdot GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS bands_shared
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |cdot AS (
+      |  SELECT c.vec_a, c.vec_b, c.bands_shared, sum(fa.q * fb.q) AS dot
+      |  FROM cand c
+      |  JOIN flat fa ON fa.vec_id = c.vec_a
+      |  JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
+      |  GROUP BY 1, 2, 3),
+      |scored AS (
+      |  SELECT d.vec_a, d.vec_b, d.bands_shared,
+      |    CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE)) / sqrt(CAST(nb.nrm AS DOUBLE)) AS cosine
+      |  FROM cdot d JOIN norms na ON na.vec_id = d.vec_a
+      |              JOIN norms nb ON nb.vec_id = d.vec_b)""".stripMargin
 }

@@ -61,6 +61,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall $recall unexpectedly low")
   }
 
+  test("hyperplane-LSH near-dup: subset of exact, finds exact dups, blocked plan") {
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(16)(d => ((i * 37 + d * 11) % 17).toFloat - 8f)))
+      .toDF("vec_id", "embedding")
+    // plant exact duplicates: 100+i copies vector i for i in 0,10,20
+    val aug = emb.unionAll(emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100).as("vec_id"), $"embedding"))
+    val blocked = Similarity.nearDupPairs(aug, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.nearDupPairsExact(aug, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), "LSH result must be a subset of all-pairs")
+    // identical vectors share every band -> always candidates, cosine 1.0
+    for (i <- Seq(0L, 10L, 20L, 30L, 40L, 50L))
+      assert(blocked.contains((i, i + 100)), s"exact dup ($i,${i + 100}) missed")
+    // the scale property: no unblocked (cartesian / theta-only) self-join
+    val plan = Similarity.nearDupPairs(aug, 0.9).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "plan must not contain a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "plan must not contain a nested-loop join")
+  }
+
   test("multimodal decode stub computes real byte statistics, partition-wise") {
     val out = Multimodal.decodeFeatures(spark, docs.filter($"doc_id" === 1))
       .head
