@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, MiscQueries, SimilarityQueries, StatsQueries, TextQueries}
+import graft.queries.{CoreQueries, MiscQueries, RefQueries, SimilarityQueries, StatsQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (MiscQueries.queries, MiscQueries.oracles),
-      (StatsQueries.queries, StatsQueries.oracles))
+      (StatsQueries.queries, StatsQueries.oracles),
+      (RefQueries.queries, RefQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,10 +1,10 @@
 package graft.etl
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.sql.{Date, Timestamp}
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
 import graft.TestSpark
 import graft.sources.{BankSource, FileSources}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Golden three-day replay (SURVEY §5.1): drive days 01→03 March 2021
@@ -26,73 +26,11 @@ class PipelineReplaySpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   import spark.implicits._
 
-  private val ref = "/root/reference"
-  private val feb1 = Timestamp.valueOf("2021-02-01 00:00:00")
-
-  // five real card numbers that occur in the day-1 transactions file
-  private lazy val cardNums: Seq[String] =
-    FileSources.transactionsCsv(spark, s"$ref/transactions_01032021.txt")
-      .select("card_num").distinct().limit(6).collect().map(_.getString(0)).toSeq
-
-  /** client tuple: (id, last, first, patronymic, dob, passport, valid_to, phone, create, update) */
-  private def clientsDay1 = Seq(
-    ("C1", "Иванов", "Иван", Some("Иванович"), Date.valueOf("1980-01-01"),
-      "1111 111111", Some(Date.valueOf("2030-01-01")), "+7 111", feb1, None: Option[Timestamp]),
-    ("C2", "Петров", "Пётр", Some("Петрович"), Date.valueOf("1981-01-01"),
-      "2222 222222", Some(Date.valueOf("2030-01-01")), "+7 222", feb1, None: Option[Timestamp]),
-    ("C3", "Сидоров", "Сидор", Some("Сидорович"), Date.valueOf("1982-01-01"),
-      "3333 333333", Some(Date.valueOf("2021-01-01")), "+7 333", feb1, None: Option[Timestamp]), // expired passport
-    ("C4", "Козлов", "Козьма", Some("Козьмич"), Date.valueOf("1983-01-01"),
-      "9933 106914", Some(Date.valueOf("2030-01-01")), "+7 444", feb1, None: Option[Timestamp]), // blacklisted
-    ("C5", "Безотчества", "Ной", None: Option[String], Date.valueOf("1984-01-01"),
-      "5555 555555", Some(Date.valueOf("2030-01-01")), "+7 555", feb1, None: Option[Timestamp])) // null patronymic
-
-  private def clientsDf(rows: Seq[(String, String, String, Option[String], Date, String,
-    Option[Date], String, Timestamp, Option[Timestamp])]): DataFrame =
-    rows.toDF("client_id", "last_name", "first_name", "patronymic", "date_of_birth",
-      "passport_num", "passport_valid_to", "phone", "create_dt", "update_dt")
-
-  private def accountsDf(rows: Seq[(String, Date, String, Timestamp, Option[Timestamp])]): DataFrame =
-    rows.toDF("account_num", "valid_to", "client", "create_dt", "update_dt")
-
-  private def cardsDf(rows: Seq[(String, String, Timestamp, Option[Timestamp])]): DataFrame =
-    rows.toDF("card_num", "account_num", "create_dt", "update_dt")
-
-  private def bankFor(day: Int): BankSource = new BankSource {
-    val day2Up = Timestamp.valueOf("2021-03-02 10:00:00")
-    def clients(s: SparkSession): DataFrame = {
-      val base = clientsDay1
-      val rows = if (day == 1) base
-      else base.filterNot(_._1 == "C5") // C5 deleted day 2
-        .map(r => if (r._1 == "C2") r.copy(_8 = "+7 999", _10 = Some(day2Up)) else r) :+ // C2 phone update
-        ("C6", "Новиков", "Нов", Some("Новович"), Date.valueOf("1985-01-01"),
-          "6666 666666", Some(Date.valueOf("2030-01-01")), "+7 666", day2Up, None: Option[Timestamp]) // insert
-      clientsDf(rows)
-    }
-    def accounts(s: SparkSession): DataFrame = {
-      val base = Seq(
-        ("A1", Date.valueOf("2030-01-01"), "C1", feb1, None: Option[Timestamp]),
-        ("A2", Date.valueOf("2021-02-01"), "C2", feb1, None: Option[Timestamp]), // expired contract
-        ("A3", Date.valueOf("2030-01-01"), "C3", feb1, None: Option[Timestamp]),
-        ("A4", Date.valueOf("2030-01-01"), "C4", feb1, None: Option[Timestamp]),
-        ("A5", Date.valueOf("2030-01-01"), "C5", feb1, None: Option[Timestamp]))
-      accountsDf(if (day == 1) base else base.filterNot(_._3 == "C5") :+
-        ("A6", Date.valueOf("2030-01-01"), "C6", day2Up, None: Option[Timestamp]))
-    }
-    def cards(s: SparkSession): DataFrame = {
-      val base = (1 to 5).map(i => (cardNums(i - 1), s"A$i", feb1, None: Option[Timestamp]))
-      cardsDf(if (day == 1) base else base.filterNot(_._2 == "A5") :+
-        (cardNums(5), "A6", day2Up, None: Option[Timestamp]))
-    }
-  }
-
-  private def stageDay(drop: Path, day: Int): Unit = {
-    val d = f"${day}%02d032021"
-    Seq(s"transactions_$d.txt", s"terminals_$d.xlsx", s"passport_blacklist_$d.xlsx")
-      .foreach { n =>
-        Files.copy(Paths.get(ref, n), drop.resolve(n), StandardCopyOption.REPLACE_EXISTING)
-      }
-  }
+  // fixture content shared with RefWarehouseDump — see ReplayFixtures
+  private val feb1 = ReplayFixtures.feb1
+  private lazy val cardNums: Seq[String] = ReplayFixtures.cardNums(spark)
+  private def bankFor(day: Int): BankSource = ReplayFixtures.bankFor(spark, day)
+  private def stageDay(drop: Path, day: Int): Unit = ReplayFixtures.stageDay(drop, day)
 
   test("three-day replay reproduces reference semantics") {
     val whRoot = Files.createTempDirectory("wh-replay")
