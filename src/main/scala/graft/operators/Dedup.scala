@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - exact dedup is one hash-shuffle on the text digest (map-side
   *    partial aggregation applies);
-  *  - MinHash/LSH shuffles per stage on `doc_id`, then joins candidates
-  *    on band values — the classic shingle → signature → band → bucket
-  *    join pipeline, linear in corpus size, never all-pairs;
+  *  - MinHash/LSH hashes each shingle occurrence once to a 64-bit md5
+  *    prefix (dedup + signature + verify all run on the short hash, so
+  *    the long shingle strings never cross a shuffle) and joins
+  *    candidates on signature bands — the shingle → hash → signature →
+  *    band → bucket join pipeline, linear in corpus size, never
+  *    all-pairs;
   *  - SimHash blocks on signature bands, so the quadratic verify only
   *    runs inside buckets;
+  *  - band/sketch buckets are CAPPED: buckets past `maxBucket` divert to
+  *    anchor pairs (member ↔ bucket-min doc), so a degenerate corpus of
+  *    N identical documents costs O(N), not O(N²);
   *  - verification joins are restricted to LSH candidates.
   */
 object Dedup {
@@ -29,9 +35,12 @@ object Dedup {
     docs.select(col(idCol), posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("i", "w")))
       .filter(col("w") =!= "")
 
-  /** Distinct word n-gram shingles per document. Indexes into the token
-    * array directly (`explode(sequence)` + `element_at`) — shuffle-free,
-    * unlike a `lead()` window which would repartition by document.
+  /** Word n-gram shingles per document (NOT deduplicated — `min` in the
+    * signature ignores duplicates, and the verify stage dedups hashes
+    * for candidate docs only, so the long strings never cross a
+    * shuffle). Indexes into the token array directly
+    * (`explode(sequence)` + `element_at`) — shuffle-free, unlike a
+    * `lead()` window which would repartition by document.
     */
   def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
@@ -43,12 +52,15 @@ object Dedup {
         explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
       .select(col(idCol),
         parts.reduce((a, b) => concat(a, lit(" "), b)).as("shingle"))
-      .distinct()
   }
 
-  /** Distinct character n-gram shingles per document. Built with
-    * `explode(sequence)` + `substr` — all codegen'd; a
-    * `transform(...)` lambda here runs interpreted and is ~5× slower.
+  /** DISTINCT character n-gram shingles per document. Unlike word
+    * shingles these ARE deduplicated up front: a doc emits ~9× more char
+    * n-gram occurrences than distinct values, so one distinct shuffle of
+    * the short (n+8-byte) rows beats hashing and carrying every
+    * occurrence downstream — measured both ways. Built with
+    * `explode(sequence)` + `substr` — all codegen'd; a `transform(...)`
+    * lambda here runs interpreted and is ~2× slower.
     */
   def charShingles(docs: DataFrame, n: Int = 5, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame =
@@ -72,53 +84,91 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
   }
 
-  /** MinHash signature: 8 independent min-sketches per document. Hash
-    * tabulation trick: TWO md5 evaluations per shingle (plain + salted),
-    * each split into four 8-hex-char chunks → 8 independent 32-bit hash
-    * families at a quarter of the md5 cost. Any engine with md5 + substr
-    * reproduces the sketch bit for bit.
+  /** 64-bit shingle hashes: ONE md5 per shingle occurrence, NOT
+    * deduplicated — the signature's `min` ignores duplicates and the
+    * verify stage dedups per candidate doc, so no full-corpus shuffle
+    * ever carries these rows. The same hash serves as signature basis
+    * AND verify join key. A 64-bit collision would merge two shingles,
+    * but identically in every engine that computes the same md5 — so
+    * results stay deterministic and oracle-checkable.
     */
-  def minhashSignature(sh: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val h1 = md5(col("shingle").cast("binary"))
-    val h2 = md5(concat(lit("x:"), col("shingle")).cast("binary"))
+  def shingleHashes(shinglesDf: DataFrame, idCol: String = "doc_id"): DataFrame =
+    shinglesDf.select(col(idCol),
+      substring(md5(col("shingle").cast("binary")), 1, 16).as("h"))
+
+  /** 8-family MinHash signature over the 64-bit shingle HASHES: two md5
+    * evaluations of the (16-char) hash — not of the raw shingle — each
+    * split into four 8-hex chunks → 8 independent 32-bit families. Per-
+    * family independence is the recall property that an ordered bottom-k
+    * sketch lacks: there, one inserted shingle shifts every sorted slot
+    * and breaks band alignment; here a changed shingle only perturbs the
+    * families where it happens to be the minimum. `min` ignores
+    * duplicates, so the input needs no occurrence-level dedup.
+    */
+  def minhashSignature(hashes: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val h1 = md5(col("h").cast("binary"))
+    val h2 = md5(concat(lit("x:"), col("h")).cast("binary"))
     val mins = (0 until 8).map { j =>
       val src = if (j < 4) h1 else h2
       min(substring(src, 1 + 8 * (j % 4), 8)).as(s"m$j")
     }
-    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+    hashes.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: signature rows → (doc, band-hash) pairs; docs sharing
-    * any band are candidate duplicates. At scale the band value is the
-    * shuffle key — buckets are bounded, never all-pairs.
+  /** LSH bands over the signature: `bandSize` families concatenated per
+    * band (AND-composition: P ≈ J^bandSize per band, OR across the
+    * 8/bandSize bands). `bandSize` is the precision lever — widen it on
+    * corpora with high baseline similarity (char n-grams of same-language
+    * text), where narrow bands would flood the verify join with
+    * near-all-pairs.
     */
-  def lshBands(sig: DataFrame, bandSize: Int = 4, numHashes: Int = 8,
-               idCol: String = "doc_id"): DataFrame = {
-    val bandCols = (0 until numHashes / bandSize).map { b =>
-      val cols = (b * bandSize until (b + 1) * bandSize).map(j => col(s"m$j"))
-      md5(concat(cols: _*).cast("binary"))
+  def signatureBands(sig: DataFrame, bandSize: Int = 2,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(8 % bandSize == 0, "bandSize must divide 8")
+    val bandCols = (0 until 8 / bandSize).map { b =>
+      concat((b * bandSize until (b + 1) * bandSize).map(j => col(s"m$j")): _*)
     }
-    // one explode pass, not N unioned re-derivations of the signature plan
-    sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+    sig.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_id", "band")))
   }
 
-  /** Candidate pairs (a < b) from shared LSH bands. */
-  def candidatePairs(bands: DataFrame, idCol: String = "doc_id"): DataFrame =
-    bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
-
-  /** Exact Jaccard over shingle sets, evaluated only for candidate
-    * pairs.
+  /** Candidate pairs (a < b) sharing a bucket (the `bucketCols` key),
+    * with a per-bucket cap: buckets of ≤ `maxBucket` docs enumerate all
+    * pairs; larger buckets — a pathological corpus with thousands of
+    * near-identical documents — are diverted to ANCHOR form, pairing
+    * every member with the bucket's lowest doc id instead of exploding
+    * quadratically (members transitively reach each other through the
+    * anchor; the per-pair verify still applies). The cap bounds every
+    * bucket's output linearly in its size.
     */
-  def jaccardVerify(cand: DataFrame, sh: DataFrame, threshold: Double,
-                    idCol: String = "doc_id"): DataFrame = {
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n"))
+  def cappedPairs(rows0: DataFrame, bucketCols: Seq[String], maxBucket: Int,
+                  idCol: String = "doc_id"): DataFrame = {
+    // the bucket plan (sketch + banding) feeds the size aggregate and
+    // both sides of the pair join — cache its few rows per doc
+    val rows = rows0.cache()
+    val keys = bucketCols.map(col)
+    val bsize = rows.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bn"), min(col(idCol)).as("anchor"))
+    val capped = rows.join(bsize, bucketCols)
+    val small = capped.filter(col("bn") <= maxBucket)
+    val smallPairs = small.select(keys :+ col(idCol).as("doc_a"): _*)
+      .join(small.select(keys :+ col(idCol).as("doc_b"): _*), bucketCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val bigPairs = capped
+      .filter(col("bn") > maxBucket && col(idCol) > col("anchor"))
+      .select(col("anchor").as("doc_a"), col(idCol).as("doc_b"))
+    smallPairs.unionAll(bigPairs).distinct()
+  }
+
+  /** Exact Jaccard over hashed shingle sets, evaluated only for
+    * candidate pairs.
+    */
+  def jaccardVerifyHashed(cand: DataFrame, hashes: DataFrame, threshold: Double,
+                          idCol: String = "doc_id"): DataFrame = {
+    val sizes = hashes.groupBy(idCol).agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(hashes.select(col(idCol).as("doc_a"), col("h")), Seq("doc_a"))
+      .join(hashes.select(col(idCol).as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     val j = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
@@ -129,23 +179,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Full MinHash+LSH near-dup pipeline: shingle → signature → bands →
-    * candidates → exact-Jaccard verify.
+  /** Full MinHash+LSH near-dup pipeline: shingle → hash → signature →
+    * bands → capped candidates → exact-Jaccard verify. Word shingles
+    * have near-zero baseline Jaccard, so narrow bands (bandSize 2 →
+    * 4 bands: recall ≈ 1-(1-J²)⁴) maximize recall.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
                       shingleSize: Int = 3): DataFrame =
     lshNearDups(shingles(docs, shingleSize), threshold)
 
-  /** Shared LSH tail: signature → bands → candidates → exact-Jaccard
-    * verify. The shingle set feeds the signature AND both sides of the
-    * verify join, and the signature feeds both sides of the band
-    * self-join — cache both (distinct shingles + one row per doc) so
-    * each plan runs once instead of 3-4×.
+  /** Shared LSH tail: hash → signature → bands → capped candidates →
+    * exact-Jaccard verify over CANDIDATE DOCS ONLY.
+    *
+    * The corpus-wide stages are shuffle-light by construction: the
+    * signature is a partial-combining aggregation (8 mins/doc cross the
+    * exchange, not the hash rows), and the only full hash-set dedup
+    * happens AFTER a semi-join down to candidate docs — at scale the
+    * candidates are a vanishing fraction of the corpus, so the verify
+    * cost tracks the duplicate density, not the corpus size. The raw
+    * hash frame is cached for the two passes (signature + verify);
+    * at cluster scale prefer recompute-or-checkpoint over a 100 TB
+    * cache — both passes are map-only scans. Raise `bandSize`
+    * (AND-width) on corpora whose baseline similarity is high.
     */
-  def lshNearDups(shinglesDf: DataFrame, threshold: Double): DataFrame = {
-    val sh = shinglesDf.cache()
-    val sig = minhashSignature(sh).cache()
-    jaccardVerify(candidatePairs(lshBands(sig)), sh, threshold)
+  def lshNearDups(shinglesDf: DataFrame, threshold: Double,
+                  bandSize: Int = 2, maxBucket: Int = 256): DataFrame = {
+    val raw = shingleHashes(shinglesDf).cache()
+    val bands = signatureBands(minhashSignature(raw), bandSize)
+    val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket).cache()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val hashes = raw.join(candDocs, Seq("doc_id"), "left_semi").distinct().cache()
+    jaccardVerifyHashed(cand, hashes, threshold)
   }
 
   /** 64-bit SimHash over word unigrams (the Charikar/Google form: 64
@@ -178,9 +243,16 @@ object Dedup {
   /** SimHash near-dup pairs: block on 16-bit bands (pigeonhole: Hamming
     * ≤ 3 over 4 bands leaves at least one band identical, so banding is
     * EXACT for this radius), then verify Hamming over the full 64 bits.
+    *
+    * Band buckets larger than `maxBucket` (a degenerate corpus of
+    * thousands of near-identical docs) are diverted to anchor form —
+    * each member pairs with the bucket's lowest doc id only — bounding
+    * every bucket's output linearly. Within an over-cap bucket the
+    * pigeonhole exactness narrows to anchor-reachable pairs (documented
+    * trade: such buckets are near-dup clusters already).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-                      idCol: String = "doc_id"): DataFrame = {
+                      maxBucket: Int = 256, idCol: String = "doc_id"): DataFrame = {
     // cache: the signature plan would otherwise re-run for every band
     // branch on both sides of the self-join (up to 8×). The bit string
     // is also packed into two BIGINT halves here (one conv() per doc) so
@@ -193,14 +265,26 @@ object Dedup {
     val bands = sig.select(col(idCol), col("hi"), col("lo"),
       explode(array((0 until 4).map(k =>
         substring(col("simhash"), 1 + 16 * k, 16)): _*)).as("band"))
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
+    val bsize = bands.groupBy("band")
+      .agg(count(lit(1)).as("bn"), min(col(idCol)).as("anchor"))
+    val capped = bands.join(bsize, Seq("band")).cache()
+    val small = capped.filter(col("bn") <= maxBucket)
+    val cand = small.alias("a")
+      .join(small.alias("b"),
         col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col("a.hi").as("hi_a"), col("a.lo").as("lo_a"),
         col(s"b.$idCol").as("doc_b"), col("b.hi").as("hi_b"), col("b.lo").as("lo_b"))
+    val bigCand = capped
+      .filter(col("bn") > maxBucket && col(idCol) > col("anchor"))
+      .select(col("anchor").as("doc_a"),
+        col(idCol).as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+      .join(sig.select(col(idCol).as("doc_a"),
+        col("hi").as("hi_a"), col("lo").as("lo_a")), Seq("doc_a"))
+      .select(col("doc_a"), col("hi_a"), col("lo_a"),
+        col("doc_b"), col("hi_b"), col("lo_b"))
     // pairs sharing several bands appear several times — recomputing the
     // two-instruction hamming beats an early wide-row distinct shuffle
-    cand.withColumn("hamming",
+    cand.unionAll(bigCand).withColumn("hamming",
       (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
         bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
       .filter(col("hamming") <= maxHamming)

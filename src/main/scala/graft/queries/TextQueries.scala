@@ -45,7 +45,10 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")),
 
     "dedup_ngram" -> ((s, dir) =>
-      Dedup.lshNearDups(Dedup.charShingles(docsAug(s, dir), n = 5), 0.6)
+      // same-language text has a high baseline char-5-gram Jaccard ->
+      // wide bands for candidate precision
+      Dedup.lshNearDups(Dedup.charShingles(docsAug(s, dir), n = 5), 0.6,
+          bandSize = 4)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -84,34 +87,59 @@ object TextQueries {
       |  FROM words),
       |shingles AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)""".stripMargin
 
-  private def lshSql(threshold: Double) =
-    s"""sig AS (
+  /** LSH tail (mirrors Dedup.lshNearDups): 64-bit md5-prefix shingle
+    * hashes, 8-family MinHash signature over the hashes (two md5s of the
+    * 16-char hash, 8-hex chunks), bands of `bandSize` families,
+    * candidates share a band (buckets over 256 docs divert to anchor
+    * pairs), exact Jaccard over the hashed shingle sets. The oracle
+    * dedups hashes globally where the engine dedups per candidate doc —
+    * identical results (min ignores duplicates; only candidate docs'
+    * sets reach the verify).
+    */
+  private def lshSql(threshold: Double, bandSize: Int = 2) = {
+    val bandSelects = (0 until 8 / bandSize).map { b =>
+      val cat = (b * bandSize until (b + 1) * bandSize).map(j => s"m$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band_id, $cat AS band FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""hashes AS (SELECT DISTINCT doc_id,
+       |  substr(md5(shingle), 1, 16) AS h FROM shingles),
+       |sig AS (
        |  SELECT doc_id,
-       |    min(substr(md5(shingle), 1, 8)) AS m0, min(substr(md5(shingle), 9, 8)) AS m1,
-       |    min(substr(md5(shingle), 17, 8)) AS m2, min(substr(md5(shingle), 25, 8)) AS m3,
-       |    min(substr(md5('x:' || shingle), 1, 8)) AS m4, min(substr(md5('x:' || shingle), 9, 8)) AS m5,
-       |    min(substr(md5('x:' || shingle), 17, 8)) AS m6, min(substr(md5('x:' || shingle), 25, 8)) AS m7
-       |  FROM shingles GROUP BY doc_id),
+       |    min(substr(md5(h), 1, 8)) AS m0, min(substr(md5(h), 9, 8)) AS m1,
+       |    min(substr(md5(h), 17, 8)) AS m2, min(substr(md5(h), 25, 8)) AS m3,
+       |    min(substr(md5('x:' || h), 1, 8)) AS m4, min(substr(md5('x:' || h), 9, 8)) AS m5,
+       |    min(substr(md5('x:' || h), 17, 8)) AS m6, min(substr(md5('x:' || h), 25, 8)) AS m7
+       |  FROM hashes GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, md5(m0||m1||m2||m3) AS band FROM sig
-       |  UNION ALL
-       |  SELECT doc_id, md5(m4||m5||m6||m7) AS band FROM sig),
+       |  $bandSelects),
+       |bsize AS (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
+       |          FROM bands GROUP BY 1, 2),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM bands a
+       |    JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+       |                AND a.doc_id < b.doc_id
+       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band AND s.bn <= 256
+       |    UNION ALL
+       |    SELECT s.anchor AS doc_a, a.doc_id AS doc_b
+       |    FROM bands a
+       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
+       |    WHERE s.bn > 256 AND a.doc_id > s.anchor)),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
        |  FROM cand c
-       |  JOIN shingles sa ON sa.doc_id = c.doc_a
-       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+       |  JOIN hashes sa ON sa.doc_id = c.doc_a
+       |  JOIN hashes sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1)
        |SELECT i.doc_a, i.doc_b,
        |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
        |FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
        |             JOIN sizes zb ON zb.doc_id = i.doc_b
        |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -133,7 +161,7 @@ object TextQueries {
          |  SELECT DISTINCT doc_id, substr(lower(text), CAST(t.i AS INT), 5) AS shingle
          |  FROM docs, unnest(generate_series(1, length(lower(text)) - 4)) AS t(i)
          |  WHERE length(substr(lower(text), CAST(t.i AS INT), 5)) = 5),
-         |${lshSql(0.6)}""".stripMargin,
+         |${lshSql(0.6, bandSize = 4)}""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $augSql,
@@ -157,10 +185,22 @@ object TextQueries {
          |bands AS (
          |  SELECT doc_id, simhash, substr(simhash, CAST(1 + 16 * k.k AS INT), 16) AS band
          |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS k) k),
+         |bsize AS (SELECT band, count(*) AS bn, min(doc_id) AS anchor
+         |          FROM bands GROUP BY band),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
-         |                  b.doc_id AS doc_b, b.simhash AS sig_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |  SELECT DISTINCT doc_a, sig_a, doc_b, sig_b FROM (
+         |    SELECT a.doc_id AS doc_a, a.simhash AS sig_a,
+         |           b.doc_id AS doc_b, b.simhash AS sig_b
+         |    FROM bands a
+         |    JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |    JOIN bsize s ON s.band = a.band AND s.bn <= 256
+         |    UNION ALL
+         |    SELECT s.anchor AS doc_a, sa.simhash AS sig_a,
+         |           a.doc_id AS doc_b, a.simhash AS sig_b
+         |    FROM bands a
+         |    JOIN bsize s ON s.band = a.band
+         |    JOIN sig sa ON sa.doc_id = s.anchor
+         |    WHERE s.bn > 256 AND a.doc_id > s.anchor)),
          |ham AS (
          |  SELECT doc_a, doc_b,
          |    (SELECT count(*) FROM unnest(generate_series(1, 64)) AS t(p)

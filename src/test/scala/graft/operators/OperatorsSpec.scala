@@ -31,6 +31,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "no false positive")
   }
 
+  test("bucket cap: 1500 identical docs yield linear anchor pairs, not O(N^2)") {
+    val many = (1L to 1500L).map(i => (i, "identical corpus text repeated" +
+      " across every document to form one degenerate lsh bucket")).toDF("doc_id", "text")
+    // cap 100 << 1500: every sketch bucket is over-cap -> anchor form.
+    // All docs share all 8 sketch hashes; anchor is doc 1; expect exactly
+    // N-1 pairs (1, i) instead of N*(N-1)/2 = 1.1M.
+    val pairs = Dedup.lshNearDups(Dedup.shingles(many), threshold = 0.5,
+      maxBucket = 100).collect()
+    assert(pairs.length == 1499, s"got ${pairs.length} pairs")
+    assert(pairs.forall(r => r.getLong(0) == 1L && r.getDouble(2) == 1.0))
+    // simhash path under the same degenerate corpus
+    val sPairs = Dedup.simhashNearDups(many, maxBucket = 100).collect()
+    assert(sPairs.length == 1499, s"got ${sPairs.length} simhash pairs")
+    assert(sPairs.forall(r => r.getLong(0) == 1L && r.getInt(2) == 0))
+  }
+
   test("simhash: identical docs get identical signatures, hamming 0") {
     val pairs = Dedup.simhashNearDups(docs.filter($"doc_id" =!= 5))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
