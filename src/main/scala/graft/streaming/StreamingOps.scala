@@ -15,10 +15,17 @@ import org.apache.spark.sql.types._
   * same result a batch query would — which is exactly what the DuckDB
   * oracle checks.
   *
-  * At scale this runs unchanged as a continuous job: the file source
-  * discovers new daily drops, the tumbling window aggregates with
-  * watermark-bounded state, and the memory sink becomes a parquet/Kafka
-  * sink.
+  * Two sinks, two roles:
+  *  - [[hourlyEventStatsAppend]] is the PRODUCTION path: append mode to a
+  *    parquet sink — each window is emitted exactly once when the
+  *    watermark expires it, state stays bounded by the watermark, and
+  *    nothing accumulates on the driver. At scale this runs unchanged as
+  *    a continuous job discovering new daily drops.
+  *  - [[hourlyEventStats]] (complete mode + memory sink) is the ORACLE
+  *    harness: complete mode re-materializes the whole aggregate so the
+  *    result includes the still-unexpired trailing windows the batch
+  *    query also sees — the right shape for an equality check, the wrong
+  *    one for production (driver-resident state, watermark ignored).
   */
 object StreamingOps {
 
@@ -30,13 +37,12 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Tumbling 1-hour windowed counts and sums per event type, computed by
-    * an actual streaming query driven to completion with AvailableNow.
+  /** The shared streaming plan: file source → 1-hour tumbling windowed
+    * counts/sums per event type, 1-hour watermark.
     */
-  def hourlyEventStats(spark: SparkSession, dir: String): DataFrame = {
+  private def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
+    spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet") // the sf dir holds all tables
       .parquet(dir)
@@ -45,15 +51,46 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
-    val q = stream.writeStream
+      .select(col("window.start").as("bucket"), col("window.end").as("bucket_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Oracle harness: the windowed aggregation driven to completion with
+    * AvailableNow in COMPLETE mode to a memory sink. Test/oracle use
+    * only — see the object doc.
+    */
+  def hourlyEventStats(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = hourlyAgg(spark, dir).writeStream
       .format("memory").queryName(name)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
-      .select(col("window.start").as("bucket"), col("event_type"),
-        col("n_events"), col("sum_value"))
+      .select(col("bucket"), col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Production sink: the same aggregation in APPEND mode to a parquet
+    * directory. A window is written exactly once, when the watermark
+    * passes its end; windows still inside the watermark horizon when the
+    * AvailableNow run drains remain in (checkpointed) state for the next
+    * run — so output is append-only, state is watermark-bounded, and no
+    * aggregate ever lives on the driver. Returns the sink contents.
+    */
+  def hourlyEventStatsAppend(spark: SparkSession, dir: String,
+                             sinkDir: String, checkpointDir: String): DataFrame = {
+    val q = hourlyAgg(spark, dir)
+      .select(col("bucket"), col("event_type"), col("n_events"), col("sum_value"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sinkDir)
   }
 
   /** Sessionization via stateful streaming: gaps > `gapMinutes` split a

@@ -52,6 +52,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode parquet sink emits exactly the watermark-expired windows") {
+    val dir = "/root/testdata/sf0.001"
+    val sink = java.nio.file.Files.createTempDirectory("stream-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+    val appended = StreamingOps.hourlyEventStatsAppend(spark, dir, sink, ckpt)
+      .collect().map(_.toSeq).toSet
+
+    val batch = Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("window.end").as("wend"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .collect()
+    // final watermark after AvailableNow drains = max(ts) - 1 hour; only
+    // windows whose end is at or before it are finalized and written
+    val maxTs = Tables(spark, dir, "events").agg(max("ts")).head().getTimestamp(0)
+    val watermarkMs = maxTs.getTime - 3600 * 1000L
+    val expired = batch.filter(_.getTimestamp(1).getTime <= watermarkMs)
+      .map(r => Seq(r.get(0), r.get(2), r.get(3), r.get(4))).toSet
+    val unexpired = batch.map(_.toSeq).length - expired.size
+
+    assert(appended.nonEmpty)
+    assert(appended == expired,
+      s"append sink (${appended.size}) != expired batch windows (${expired.size})")
+    assert(unexpired > 0, "test vacuous: every window expired")
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with the batch fold") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables(spark, dir, "events")
