@@ -13,9 +13,19 @@ import graft.sources.{BankSource, DropFolder, FileSources}
   * deliberate fix: files are archived AFTER the commit, where the
   * reference renames them mid-run (main.py:70) and loses them if the
   * transaction later rolls back.
+  *
+  * `incremental = true` enables the corrected-mode improvement the
+  * reference's own meta table begs for: the recorded watermark
+  * (main.py:360-366, write-only there) is read back and the bank dims
+  * are extracted as DELTAS (`coalesce(update_dt, create_dt) > watermark`)
+  * merged without a delete path — at 100 TB a full-snapshot extract of
+  * every dim every night doesn't fly. Deletes then require a periodic
+  * full-snapshot (incremental = false) reconciliation run; file-fed
+  * terminals stay full-snapshot either way.
   */
 class Pipeline(spark: SparkSession, wh: Warehouse,
-               mode: Reports.Mode = Reports.Faithful) {
+               mode: Reports.Mode = Reports.Faithful,
+               incremental: Boolean = false) {
 
   /** One nightly run. `runTs` is captured once and truncated to whole
     * seconds — PG `now()` is statement-stable and TIMESTAMP(0) rounds to
@@ -28,9 +38,28 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
     // ---- staging: truncate (K1) happens implicitly — each stg table is
     // rebuilt from scratch this run.
     val processed = lit(ts)
-    txn.overwrite("stg_clients", bank.clients(spark).withColumn("processed_dt", processed))
-    txn.overwrite("stg_accounts", bank.accounts(spark).withColumn("processed_dt", processed))
-    txn.overwrite("stg_cards", bank.cards(spark).withColumn("processed_dt", processed))
+
+    // previous watermark per dim (driver-side scalar — same cardinality
+    // as the reference's scalar subquery)
+    def wmFor(dim: String): Option[Timestamp] =
+      if (!incremental) None
+      else txn.read("meta")
+        .filter(col("table_name") === ("lapp_dwh_" + dim))
+        .select("max_update_dt").collect().headOption
+        .flatMap(r => Option(r.getTimestamp(0)))
+
+    // incremental bank extract: only rows changed since the watermark
+    def extract(df: DataFrame, dim: String): DataFrame = wmFor(dim) match {
+      case Some(wm) => df.filter(coalesce(col("update_dt"), col("create_dt")) > lit(wm))
+      case None => df
+    }
+
+    txn.overwrite("stg_clients",
+      extract(bank.clients(spark), "dim_clients").withColumn("processed_dt", processed))
+    txn.overwrite("stg_accounts",
+      extract(bank.accounts(spark), "dim_accounts").withColumn("processed_dt", processed))
+    txn.overwrite("stg_cards",
+      extract(bank.cards(spark), "dim_cards").withColumn("processed_dt", processed))
     txn.overwrite("stg_terminals", wh.emptyDf("stg_terminals"))
     txn.overwrite("stg_transactions", wh.emptyDf("stg_transactions"))
     txn.overwrite("stg_blacklist", wh.emptyDf("stg_blacklist"))
@@ -56,12 +85,17 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
       }
     }
 
-    // ---- SCD1 merge, one per dim (K4+K6+K7 via Scd1.mergeAudit)
+    // ---- SCD1 merge, one per dim (K4+K6+K7 via Scd1.mergeAudit).
+    // Incremental mode: bank dims merge their delta with no delete path;
+    // terminals are file-fed full snapshots either way.
     Schemas.dimKeys.keys.toSeq.sorted.foreach { dim =>
       val stg = "stg_" + dim.stripPrefix("dim_")
-      val merged = Scd1.mergeAudit(
-        txn.read(dim), txn.read(stg),
-        Seq(Schemas.dimKeys(dim)), Schemas.dimCompareCols(dim), ts)
+      val merged =
+        if (incremental && dim != "dim_terminals")
+          Scd1.mergeAuditIncremental(txn.read(dim), txn.read(stg),
+            Seq(Schemas.dimKeys(dim)), Schemas.dimCompareCols(dim), ts)
+        else Scd1.mergeAudit(txn.read(dim), txn.read(stg),
+          Seq(Schemas.dimKeys(dim)), Schemas.dimCompareCols(dim), ts)
       txn.overwrite(dim, merged)
     }
 
@@ -73,7 +107,11 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
     val metaRows = Schemas.dimKeys.keys.toSeq.sorted.map { dim =>
       val stg = txn.read("stg_" + dim.stripPrefix("dim_"))
       val wm = stg.agg(coalesce(max("update_dt"), max("create_dt"))).head().get(0)
-      ("deaian", "lapp_dwh_" + dim, Option(wm).map(_.asInstanceOf[Timestamp]))
+      val stgWm = Option(wm).map(_.asInstanceOf[Timestamp])
+      // incremental: an empty delta means "no change" — keep the previous
+      // watermark instead of faithfully overwriting it with NULL
+      val kept = if (incremental) stgWm.orElse(wmFor(dim)) else stgWm
+      ("deaian", "lapp_dwh_" + dim, kept)
     }
     import spark.implicits._
     val metaNew = metaRows.toDF("schema_name", "table_name", "max_update_dt")

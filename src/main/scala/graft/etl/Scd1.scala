@@ -94,4 +94,40 @@ object Scd1 {
           .otherwise(col("d.processed_dt")).as("processed_dt"))
     s.join(d, on, "left").select(cols: _*)
   }
+
+  /** Audit-carrying merge for an INCREMENTAL delta (rows changed since
+    * the last watermark) instead of a full snapshot. Absence from the
+    * delta means "unchanged", not "deleted" — so the join is FULL outer
+    * and dim-only rows pass through verbatim; there is NO delete path
+    * (a full snapshot is the only safe delete signal). Insert/update
+    * audit semantics match [[mergeAudit]]. Same single key-shuffle at
+    * scale, but the delta side is watermark-small — this is the 100 TB
+    * path the reference's own (write-only) meta table begs for.
+    */
+  def mergeAuditIncremental(dim: DataFrame, delta: DataFrame, keys: Seq[String],
+                            compareCols: Seq[String],
+                            runTs: java.sql.Timestamp): DataFrame = {
+    val attrs = keys ++ compareCols
+    val d = dim
+      .select((attrs ++ Seq("create_dt", "update_dt", "processed_dt")).map(col): _*)
+      .withColumn("__dexists", lit(1))
+      .alias("d")
+    val s = delta.withColumn("__sexists", lit(1)).alias("s")
+    val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
+    val isInsert = col("d.__dexists").isNull
+    val isDimOnly = col("s.__sexists").isNull
+    val isUpdate = !isInsert && !isDimOnly && anyChanged(compareCols)
+    val cols: Seq[Column] =
+      attrs.map(c =>
+        when(isDimOnly, col(s"d.$c")).otherwise(col(s"s.$c")).as(c)) ++ Seq(
+        when(isInsert, coalesce(col("s.update_dt"), col("s.create_dt")))
+          .otherwise(col("d.create_dt")).as("create_dt"),
+        when(isDimOnly, col("d.update_dt"))
+          .when(isInsert, lit(null).cast("timestamp"))
+          .when(isUpdate, col("s.update_dt"))
+          .otherwise(col("d.update_dt")).as("update_dt"),
+        when(isInsert || isUpdate, lit(runTs))
+          .otherwise(col("d.processed_dt")).as("processed_dt"))
+    s.join(d, on, "full").select(cols: _*)
+  }
 }

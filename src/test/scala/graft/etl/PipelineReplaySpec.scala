@@ -120,6 +120,43 @@ class PipelineReplaySpec extends AnyFunSuite {
     // in Faithful test below.
   }
 
+  test("incremental day-2 extract via watermark matches full snapshot except deletes") {
+    val dayTs = (d: Int) => Timestamp.valueOf(f"2021-03-0$d%d 23:55:00")
+    val dropA = Files.createTempDirectory("drop-incA")
+    val dropB = Files.createTempDirectory("drop-incB")
+    val whFull = new Warehouse(spark, Files.createTempDirectory("wh-full").toString)
+    val whInc = new Warehouse(spark, Files.createTempDirectory("wh-inc").toString)
+    val pipeFull = new Pipeline(spark, whFull, Reports.Corrected)
+    val pipeInc = new Pipeline(spark, whInc, Reports.Corrected, incremental = true)
+
+    // day 1: meta is empty, so the incremental pipeline extracts in full
+    stageDay(dropA, 1); pipeFull.run(bankFor(1), Some(dropA.toString), dayTs(1))
+    stageDay(dropB, 1); pipeInc.run(bankFor(1), Some(dropB.toString), dayTs(1))
+    // day 2: the incremental pipeline reads the day-1 watermark back and
+    // stages only rows with coalesce(update_dt, create_dt) past it
+    stageDay(dropA, 2); pipeFull.run(bankFor(2), Some(dropA.toString), dayTs(2))
+    stageDay(dropB, 2); pipeInc.run(bankFor(2), Some(dropB.toString), dayTs(2))
+
+    // the delta staging held only the changed/new rows
+    assert(whInc.read("stg_clients").count() == 2, "C2 update + C6 insert")
+    assert(whInc.read("stg_accounts").count() == 1, "A6 insert")
+    assert(whInc.read("stg_cards").count() == 1, "card-6 insert")
+
+    // incremental dim equals the full-snapshot dim row-for-row, except
+    // the deletion (C5): invisible to a delta, retained with day-1 state
+    val full = whFull.read("dim_clients").collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val inc = whInc.read("dim_clients").collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(inc.keySet == full.keySet + "C5")
+    full.foreach { case (k, v) => assert(inc(k) == v, s"row $k diverged") }
+    assert(inc("C5")(8) == feb1) // create_dt untouched since day 1
+    assert(inc("C5")(10) == dayTs(1)) // processed_dt: never reprocessed
+
+    // watermark advanced to the day-2 delta maximum
+    val wm = whInc.read("meta")
+      .filter($"table_name" === "lapp_dwh_dim_clients").head().getTimestamp(2)
+    assert(wm == Timestamp.valueOf("2021-03-02 10:00:00"))
+  }
+
   test("faithful mode: report №1 tautology and null blacklist rows") {
     val whRoot = Files.createTempDirectory("wh-faithful")
     val drop = Files.createTempDirectory("drop-f")
