@@ -22,10 +22,12 @@ import scala.collection.mutable
   *  - Excel serial dates convert via the 1899-12-30 epoch
   *    (44256 → 2021-03-01).
   *
-  * Driver-side by design: source files are ≤ a few hundred rows
-  * (BASELINE.md). At scale the same parse runs distributed — map file
-  * paths over `spark.sparkContext.parallelize(paths).flatMap(parse)` —
-  * the parser itself is a pure function of the file bytes.
+  * Single files parse driver-side (≤ a few hundred rows, BASELINE.md);
+  * [[rowsRdd]] is the distributed form for the many-files scenario: file
+  * paths are partitioned across executors and each file parses where its
+  * task runs. An xlsx zip is not splittable, so the FILE is the unit of
+  * parallelism — the right granularity, since the drop-folder pattern
+  * scales by file count, not file size.
   */
 object Xlsx {
 
@@ -34,12 +36,26 @@ object Xlsx {
     */
   final case class Sheet(header: Vector[String], rows: Vector[Vector[Option[Any]]])
 
+  /** Distributed parse: one task per file, rows emitted where they are
+    * parsed — `parallelize(paths).flatMap(parse)`, nothing funnels
+    * through the driver. Each row carries its source path and header so
+    * heterogeneous drops can be routed downstream.
+    */
+  def rowsRdd(spark: org.apache.spark.sql.SparkSession, paths: Seq[String])
+      : org.apache.spark.rdd.RDD[(String, Vector[String], Vector[Option[Any]])] =
+    spark.sparkContext
+      .parallelize(paths, math.max(1, paths.size))
+      .flatMap { p =>
+        val s = readSheet(p)
+        s.rows.map(r => (p, s.header, r))
+      }
+
   def readSheet(path: String): Sheet = {
     val zip = new ZipFile(path)
     try {
       val shared = sharedStrings(zip)
-      val sheetEntry = zip.getEntry("xl/worksheets/sheet1.xml")
-      require(sheetEntry != null, s"$path: no xl/worksheets/sheet1.xml")
+      val sheetEntry = zip.getEntry(firstSheetEntry(zip))
+      require(sheetEntry != null, s"$path: no first worksheet entry")
       val doc = parseXml(zip.getInputStream(sheetEntry))
       val rowNodes = doc.getElementsByTagName("row")
       val parsed = (0 until rowNodes.getLength).map { i =>
@@ -71,6 +87,30 @@ object Xlsx {
   }
 
   // ---- internals -------------------------------------------------------
+
+  /** Resolve the FIRST sheet in workbook order via `xl/workbook.xml` +
+    * its relationships — workbooks whose first sheet is not literally
+    * `sheet1.xml` (reordered or renamed entries) resolve correctly;
+    * anything malformed falls back to the conventional name.
+    */
+  private def firstSheetEntry(zip: ZipFile): String = {
+    val default = "xl/worksheets/sheet1.xml"
+    val wb = zip.getEntry("xl/workbook.xml")
+    val rels = zip.getEntry("xl/_rels/workbook.xml.rels")
+    if (wb == null || rels == null) return default
+    try {
+      val sheets = parseXml(zip.getInputStream(wb)).getElementsByTagName("sheet")
+      if (sheets.getLength == 0) return default
+      val rid = sheets.item(0).asInstanceOf[Element].getAttribute("r:id")
+      val rs = parseXml(zip.getInputStream(rels)).getElementsByTagName("Relationship")
+      (0 until rs.getLength).map(rs.item(_).asInstanceOf[Element])
+        .find(_.getAttribute("Id") == rid)
+        .map(_.getAttribute("Target"))
+        .map(t => if (t.startsWith("/")) t.stripPrefix("/") else "xl/" + t)
+        .filter(zip.getEntry(_) != null)
+        .getOrElse(default)
+    } catch { case _: Exception => default }
+  }
 
   private def parseXml(in: InputStream) = {
     val f = DocumentBuilderFactory.newInstance()

@@ -33,6 +33,48 @@ class XlsxSpec extends AnyFunSuite {
     assert(cities.exists(_.exists(c => c >= 'А' && c <= 'я')), "expected Cyrillic city names")
   }
 
+  test("distributed parse of all 6 reference xlsx equals driver-side parse") {
+    val paths = Seq(
+      s"$ref/terminals_01032021.xlsx", s"$ref/terminals_02032021.xlsx",
+      s"$ref/terminals_03032021.xlsx", s"$ref/passport_blacklist_01032021.xlsx",
+      s"$ref/passport_blacklist_02032021.xlsx", s"$ref/passport_blacklist_03032021.xlsx")
+    val dist = Xlsx.rowsRdd(spark, paths).collect()
+      .groupBy(_._1)
+      .map { case (p, rows) =>
+        p -> Xlsx.Sheet(rows.head._2, rows.map(_._3).toVector)
+      }
+    assert(dist.keySet == paths.toSet)
+    paths.foreach { p =>
+      val local = Xlsx.readSheet(p)
+      assert(dist(p).header == local.header, s"$p header")
+      assert(dist(p).rows == local.rows, s"$p rows") // order preserved per file
+    }
+  }
+
+  test("first worksheet resolves via workbook rels, not the literal sheet1 name") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val path = java.nio.file.Files.createTempFile("oddsheet", ".xlsx").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    // first (and only) sheet lives in sheet7.xml; no sheet1.xml exists
+    put("xl/workbook.xml",
+      """<workbook><sheets><sheet name="data" sheetId="1" r:id="rId9"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId9" Target="worksheets/sheet7.xml"/></Relationships>""")
+    put("xl/worksheets/sheet7.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><t>k</t></c><c r="B1" t="inlineStr"><t>v</t></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><t>x</t></c><c r="B2"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val sheet = Xlsx.readSheet(path)
+    assert(sheet.header == Vector("k", "v"))
+    assert(sheet.rows == Vector(Vector(Some("x"), Some(42.0))))
+  }
+
   test("blacklist DataFrame conversion yields typed nullable rows") {
     val df = FileSources.blacklistXlsx(spark, s"$ref/passport_blacklist_02032021.xlsx")
     val n = df.count()
