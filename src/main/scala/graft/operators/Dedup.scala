@@ -71,6 +71,23 @@ object Dedup {
       .select(col(idCol), col("t").substr(col("i"), lit(n)).as("shingle"))
       .distinct()
 
+  /** Windowed exact dedup: canonical = lowest id per (partition keys +
+    * payload hash) — the per-day/per-shard dedup a training pipeline
+    * runs when global dedup is semantically wrong (the same payload
+    * reappearing in a later window is a NEW sample) or when bounding the
+    * dedup state to one window at a time. One Window exec, shuffling on
+    * (keys, hash).
+    */
+  def exactWithin(df: DataFrame, partCols: Seq[String], payload: Column,
+                  idCol: String = "event_id"): DataFrame = {
+    val keyed = df.withColumn("payload_hash", md5(payload.cast("binary")))
+    val w = Window.partitionBy(partCols.map(col) :+ col("payload_hash"): _*)
+    keyed.select(col(idCol) +: partCols.map(col) :+ col("payload_hash") :+
+        min(col(idCol)).over(w).as("canonical_id") :+
+        count(lit(1)).over(w).as("n_copies"): _*)
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+  }
+
   /** Exact dedup: canonical = lowest id per md5(text) group. */
   def exact(docs: DataFrame, textCol: String = "text",
             idCol: String = "doc_id"): DataFrame = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.etl.Schemas
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Dedup, RangeJoin}
 import graft.plans.TopK
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -73,6 +73,51 @@ object MiscQueries {
       import s.implicits._
       Schemas.tables.toSeq.map { case (t, sch) => (t, sch.length) }
         .sortBy(_._1).toDF("table_name", "n_columns")
+    }),
+
+    // Range join as a hash join: sampled order dates counted against
+    // lineitem shipping intervals [shipdate, shipdate + (7*linenumber)%30
+    // days] covering them — bucketized equi-join, no nested loop (see
+    // graft.operators.RangeJoin)
+    "q_range_join" -> ((s, dir) => {
+      val pts = Tables(s, dir, "orders").filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      val ivs = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("l_shipdate"),
+          date_add(col("l_shipdate").cast("date"),
+            (col("l_linenumber") * 7 % 30).cast("int")).as("l_enddate"))
+      val covered = RangeJoin.pointInInterval(pts, ivs,
+          "o_orderdate", "l_shipdate", "l_enddate")
+        .groupBy("o_orderkey", "o_orderdate").agg(count(lit(1)).as("n_cover"))
+      pts.join(covered, Seq("o_orderkey", "o_orderdate"), "left")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          coalesce(col("n_cover"), lit(0L)).as("n_cover"))
+        .orderBy("o_orderkey")
+    }),
+
+    // OLAP grouping sets (explicit set list, vs rollup/cube elsewhere)
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // Windowed (per-day) exact dedup over events, with planted
+    // duplicates — bounded-state dedup for pipelines where a payload
+    // reappearing in a later window is a new sample
+    "dedup_window" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("props"))
+      val aug = e.unionAll(e.filter(col("event_id") % 101 === 0)
+        .select((col("event_id") + 10000000).as("event_id"),
+          col("ts"), col("event_type"), col("props")))
+      Dedup.exactWithin(aug.withColumn("day", to_date(col("ts"))),
+          Seq("day"), concat(col("event_type"), lit("|"), col("props")))
+        .orderBy("event_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -134,5 +179,43 @@ object MiscQueries {
         .sorted.mkString(",\n  ")
       s"""SELECT * FROM (VALUES
          |  $rows) AS t(table_name, n_columns) ORDER BY table_name""".stripMargin
-    })
+    },
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS l_shipdate,
+        |    CAST(l_shipdate AS DATE) + CAST((l_linenumber * 7) % 30 AS INTEGER) AS l_enddate
+        |  FROM lineitem),
+        |pt AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+        |  FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT o.o_orderkey, o.o_orderdate, count(l.l_orderkey) AS n_cover
+        |FROM pt o LEFT JOIN iv l
+        |  ON o.o_orderdate BETWEEN l.l_shipdate AND l.l_enddate
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "dedup_window" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, event_type, props FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, ts, event_type, props FROM events
+        |  WHERE event_id % 101 = 0),
+        |k AS (
+        |  SELECT event_id, CAST(ts AS DATE) AS day,
+        |    md5(event_type || '|' || props) AS payload_hash
+        |  FROM ev)
+        |SELECT event_id, day, payload_hash,
+        |  min(event_id) OVER w AS canonical_id,
+        |  count(*) OVER w AS n_copies,
+        |  event_id = min(event_id) OVER w AS is_canonical
+        |FROM k
+        |WINDOW w AS (PARTITION BY day, payload_hash)
+        |ORDER BY event_id""".stripMargin)
 }
