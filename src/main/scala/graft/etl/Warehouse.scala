@@ -34,7 +34,8 @@ import scala.jdk.CollectionConverters._
   */
 class Warehouse(val spark: SparkSession, val root: String,
                 val schemas: Map[String, StructType] = Schemas.tables,
-                val partitionSpec: Map[String, (String, Column)] = Warehouse.defaultPartitions) {
+                val partitionSpec: Map[String, (String, Column)] = Warehouse.defaultPartitions,
+                val autoCompactThreshold: Int = 64) {
 
   private val catalogPath: Path = Paths.get(root, "_catalog.json")
   Files.createDirectories(Paths.get(root, "data"))
@@ -92,6 +93,25 @@ class Warehouse(val spark: SparkSession, val root: String,
       val txn = begin()
       txn.overwrite(table, txn.read(table))
       txn.commit()
+    }
+  }
+
+  /** Incremental compaction: merge the OLDEST data dirs of `table` into
+    * one, leaving the most recent `keep` dirs untouched. Bounds the
+    * read-side plan growth from daily appends (the unionByName chain in
+    * [[readDirs]] is linear in dir count) without a full-table rewrite
+    * each time — recent hot dirs never move; the cold prefix is
+    * re-merged only when the dir count crosses the threshold again
+    * (tiered-merge write amplification, the usual LSM trade).
+    * [[Txn.commit]] invokes this automatically for any written table
+    * past `autoCompactThreshold` dirs.
+    */
+  def compactOldest(table: String, keep: Int = 16): Unit = {
+    val dirs = catalog().getOrElse(table, Nil)
+    if (dirs.length > keep + 1) {
+      val (old, recent) = dirs.splitAt(dirs.length - keep)
+      val merged = writeDataDir(table, readDirs(table, old))
+      commitCatalog(catalog() + (table -> (merged +: recent)))
     }
   }
 
@@ -191,12 +211,19 @@ class Txn private[etl] (wh: Warehouse) {
   }
 
   /** Atomic all-tables commit — the Spark counterpart of the single
-    * `conn_edu.commit()` at main.py:472.
+    * `conn_edu.commit()` at main.py:472. After the O(1) catalog swap,
+    * any written table whose dir count crossed the warehouse's
+    * auto-compact threshold gets its oldest dirs merged (amortized
+    * maintenance — runs of ordinary length never pay it).
     */
   def commit(): Unit = {
     require(!committed, "transaction already committed")
     wh.commitCatalog(snapshot ++ pending.toMap)
     committed = true
+    pending.keys.foreach { t =>
+      if (wh.catalog().getOrElse(t, Nil).length > wh.autoCompactThreshold)
+        wh.compactOldest(t, keep = math.max(1, wh.autoCompactThreshold / 4))
+    }
   }
 }
 

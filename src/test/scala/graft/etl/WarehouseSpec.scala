@@ -38,6 +38,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(dirsAfter.length == dirsBefore.length + 1)
   }
 
+  test("auto-compaction bounds append-dir growth, keeps recent dirs in place") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-ac").toString,
+      autoCompactThreshold = 6) // auto keep = 6/4 = 1 recent dir
+    def appendRow(i: Int): Unit = {
+      val t = wh.begin()
+      t.append("meta", Seq((s"s$i", s"t$i", None: Option[java.sql.Timestamp]))
+        .toDF("schema_name", "table_name", "max_update_dt"))
+      t.commit()
+    }
+    (1 to 6).foreach(appendRow)
+    assert(wh.catalog()("meta").length == 6) // at threshold: untouched
+    val lastBefore = wh.catalog()("meta").last
+    appendRow(7) // crosses threshold -> oldest 6 dirs merge into one
+    val dirs = wh.catalog()("meta")
+    assert(dirs.length == 2, s"expected merged prefix + newest dir, got $dirs")
+    // content survives the merge intact
+    assert(wh.read("meta").collect().map(_.getString(0)).sorted.toSeq ==
+      (1 to 7).map(i => s"s$i"))
+    // the newest dir was referenced, not rewritten
+    assert(dirs.last != lastBefore) // dir 7 is newer than the pre-append tail
+    assert(wh.vacuum() == 6) // the six merged dirs were retired
+  }
+
   test("overwrite retires dirs; vacuum reclaims them") {
     val wh = freshWh()
     val t1 = wh.begin()
