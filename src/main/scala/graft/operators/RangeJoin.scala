@@ -44,4 +44,30 @@ object RangeJoin {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join (inclusive endpoints) between two interval
+    * sets, same bucketized-hash-join idea as [[pointInInterval]]. An
+    * overlapping pair shares every bucket in the overlap span, so to
+    * emit each pair EXACTLY ONCE (no distinct pass) the join keeps only
+    * the pair's canonical bucket: the one containing
+    * `greatest(aStart, bStart)` — the overlap's first day, which by
+    * definition of overlap lies inside both spans.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      bucketDays: Int = 7): DataFrame = {
+    require(bucketDays > 0, "bucketDays must be positive")
+    def bucket(c: Column): Column = floor(unix_date(c.cast("date")) / bucketDays)
+    val av = a.filter(col(aStart) <= col(aEnd))
+      .withColumn("__bucket",
+        explode(sequence(bucket(col(aStart)), bucket(col(aEnd)))))
+    val bv = b.filter(col(bStart) <= col(bEnd))
+      .withColumn("__bucket",
+        explode(sequence(bucket(col(bStart)), bucket(col(bEnd)))))
+    av.join(bv, Seq("__bucket"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bucket") === bucket(greatest(col(aStart), col(bStart))))
+      .drop("__bucket")
+  }
 }

@@ -95,6 +95,26 @@ object MiscQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Interval-overlap join (two interval sets) on the same bucketized
+    // hash-join scheme — each overlapping pair meets exactly once, in
+    // the bucket of its overlap start
+    "q_interval_overlap" -> ((s, dir) => {
+      val a = Tables(s, dir, "orders").filter(col("o_orderkey") % 499 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_start"),
+          date_add(col("o_orderdate").cast("date"), 14).as("o_end"))
+      val b = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("l_start"),
+          date_add(col("l_shipdate").cast("date"),
+            (col("l_linenumber") * 7 % 30).cast("int")).as("l_end"))
+      val overlaps = RangeJoin.intervalOverlap(a, b,
+          "o_start", "o_end", "l_start", "l_end")
+        .groupBy("o_orderkey", "o_start").agg(count(lit(1)).as("n_overlap"))
+      a.join(overlaps, Seq("o_orderkey", "o_start"), "left")
+        .select(col("o_orderkey"), col("o_start"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy("o_orderkey")
+    }),
+
     // OLAP grouping sets (explicit set list, vs rollup/cube elsewhere)
     "q_grouping_sets" -> ((s, dir) => {
       Tables(s, dir, "lineitem").createOrReplaceTempView("li_gs")
@@ -192,6 +212,20 @@ object MiscQueries {
         |SELECT o.o_orderkey, o.o_orderdate, count(l.l_orderkey) AS n_cover
         |FROM pt o LEFT JOIN iv l
         |  ON o.o_orderdate BETWEEN l.l_shipdate AND l.l_enddate
+        |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_start,
+        |    CAST(o_orderdate AS DATE) + 14 AS o_end
+        |  FROM orders WHERE o_orderkey % 499 = 0),
+        |b AS (
+        |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS l_start,
+        |    CAST(l_shipdate AS DATE) + CAST((l_linenumber * 7) % 30 AS INTEGER) AS l_end
+        |  FROM lineitem)
+        |SELECT a.o_orderkey, a.o_start, count(b.l_orderkey) AS n_overlap
+        |FROM a LEFT JOIN b
+        |  ON a.o_start <= b.l_end AND b.l_start <= a.o_end
         |GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin,
 
     "q_grouping_sets" ->

@@ -56,7 +56,15 @@ object StatsQueries {
         .groupBy("o_orderstatus")
         .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
           expr("percentile(o_totalprice, 0.95)").as("p95"))
-        .orderBy("o_orderstatus")))
+        .orderBy("o_orderstatus")),
+
+    // deterministic count-min sketch: per-key over-estimates from a
+    // 4x256 counter grid hashed via fixed md5 chunks (heavy hitters at
+    // sketch cost; see graft.operators.Sketches)
+    "q_cms_heavy" -> ((s, dir) =>
+      graft.operators.Sketches
+        .countMinEstimates(Tables(s, dir, "lineitem"), "l_partkey", width = 256)
+        .orderBy("k")))
 
   val oracles: Map[String, String] = Map(
     "q_pivot" -> {
@@ -90,5 +98,21 @@ object StatsQueries {
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.5) AS med,
         |  quantile_cont(o_totalprice, 0.95) AS p95
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cms_heavy" ->
+      """WITH base AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+        |dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |contrib AS (
+        |  SELECT b.k, dd.d,
+        |    ('0x' || substr(md5(b.k), 1 + 8 * dd.d, 8))::BIGINT % 256 AS bucket
+        |  FROM base b CROSS JOIN dd),
+        |counters AS (SELECT d, bucket, count(*) AS cnt FROM contrib GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT k, dd.d,
+        |    ('0x' || substr(md5(k), 1 + 8 * dd.d, 8))::BIGINT % 256 AS bucket
+        |  FROM (SELECT DISTINCT k FROM base) CROSS JOIN dd)
+        |SELECT keys.k, min(c.cnt) AS est_count
+        |FROM keys JOIN counters c ON c.d = keys.d AND c.bucket = keys.bucket
+        |GROUP BY 1 ORDER BY k""".stripMargin)
 }

@@ -41,6 +41,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "cartesian in plan")
   }
 
+  test("interval overlap equals naive theta join, each pair exactly once") {
+    val a = (0 until 25).map { i =>
+      val s = java.time.LocalDate.of(2021, 1 + i % 12, 1 + i % 25)
+      (i.toLong, Date.valueOf(s), Date.valueOf(s.plusDays(3 + i % 40)))
+    }.toDF("aid", "astart", "aend")
+    val b = (0 until 30).map { i =>
+      val s = java.time.LocalDate.of(2021, 1 + (i * 5) % 12, 1 + (i * 3) % 27)
+      (i.toLong, Date.valueOf(s), Date.valueOf(s.plusDays(i % 50)))
+    }.toDF("bid", "bstart", "bend")
+    val naive = a.join(b, $"astart" <= $"bend" && $"bstart" <= $"aend")
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (width <- Seq(1, 7, 60)) {
+      val fast = RangeJoin.intervalOverlap(a, b, "astart", "aend", "bstart", "bend",
+          bucketDays = width)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(fast.sorted.toSeq == naive.sorted.toSeq,
+        s"bucketDays=$width diverged or duplicated pairs")
+    }
+    assert(naive.nonEmpty)
+  }
+
   test("degenerate inputs: empty/inverted intervals and out-of-range points") {
     val points = Seq((1L, d("2021-01-01"))).toDF("pid", "pdate")
     val intervals = Seq(
