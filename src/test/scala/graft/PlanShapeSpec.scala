@@ -1,0 +1,56 @@
+package graft
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate: the properties PLANS.md documents, locked
+  * as assertions so a refactor that silently de-optimizes a flagship
+  * query (loses a pushdown, turns a broadcast chain into shuffles,
+  * splits a window, introduces a nested loop) fails CI instead of only
+  * showing up in the next bench.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_scan_prune: filter and projection reach the parquet scan") {
+    val p = plan("q_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      "shipdate filter not pushed to scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_shipdate:timestamp_ntz>"),
+      "scan reads more columns than the projection needs")
+  }
+
+  test("q_join_multihop: dims broadcast, fact side never sort-merges") {
+    val p = plan("q_join_multihop")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+    assert(!p.contains("SortMergeJoin"), "fact side should not shuffle for the join")
+  }
+
+  test("q_window_lag: both lags share ONE window exec") {
+    val p = plan("q_window_lag")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"expected exactly one Window node:\n$p")
+  }
+
+  test("q_topk_perkey: custom partial/final exec pair around one exchange") {
+    val p = plan("q_topk_perkey")
+    assert("TopKPerKey".r.findAllIn(p).size == 2,
+      s"expected the partial/final TopKPerKey exec pair:\n$p")
+    assert(p.contains("Exchange hashpartitioning(o_orderstatus"),
+      "expected the hash exchange between partial and final top-k")
+  }
+
+  test("no unblocked joins in the LSH/range operators") {
+    for (name <- Seq("dedup_embed", "dedup_minhash", "dedup_simhash",
+        "q_range_join", "q_interval_overlap")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
+    }
+  }
+}
