@@ -91,6 +91,24 @@ object Similarity {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Element-wise centroid (mean pooling) per group: vectors explode to
+    * (group, dim, quantized component) and ONE partial-combining
+    * aggregation produces each centroid component — exact integer sums,
+    * then two IEEE divisions, NO rounding: integer→double conversion and
+    * division are bit-deterministic, while rounding would land exactly
+    * on half-way cases (sum/n/1e6 is a small-denominator rational) where
+    * engines disagree on tie direction. The workhorse for class
+    * prototypes / IVF codebook refinement: shuffle volume is
+    * groups × dims, not the corpus.
+    */
+  def centroids(embeddings: DataFrame, groupCol: Column): DataFrame =
+    embeddings
+      .select(groupCol.as("grp"),
+        posexplode(quantize(col("embedding"))).as(Seq("i", "qi")))
+      .groupBy("grp", "i")
+      .agg((sum("qi").cast("double") / count(lit(1)).cast("double")
+        / lit(1000000.0)).as("mean_val"))
+
   // ---- random-hyperplane LSH blocking (the 100 TB near-dup path) ----
 
   /** Deterministic pseudo-random hyperplane component h(j, i) for plane j,

@@ -14,6 +14,15 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => w =!= "")
 
+  /** Canonical text normalization (the pre-dedup / pre-tokenize stage):
+    * lower-case, non-alphanumerics to spaces, whitespace collapsed,
+    * trimmed. Pure regexp — codegen'd, and identical under Java regex
+    * and RE2.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Whitespace token count plus a BPE-ish subword estimate: words are
     * further split at letter/digit boundaries and every 4 chars of a run
     * count as one subword token (a cheap, deterministic proxy for BPE

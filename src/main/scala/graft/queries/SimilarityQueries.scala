@@ -53,7 +53,11 @@ object SimilarityQueries {
 
     "dedup_embed_lsh" -> ((s, dir) =>
       Similarity.nearDupCandidates(embAug(s, dir))
-        .orderBy("vec_a", "vec_b")))
+        .orderBy("vec_a", "vec_b")),
+
+    "q_vec_centroid" -> ((s, dir) =>
+      Similarity.centroids(Tables(s, dir, "embeddings"), col("vec_id") % 10)
+        .orderBy("grp", "i")))
 
   val oracles: Map[String, String] = Map(
     "ann_brute" ->
@@ -138,7 +142,17 @@ object SimilarityQueries {
          |${flatSql("emb")},
          |$lshSql
          |SELECT vec_a, vec_b, bands_shared, cosine FROM scored
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_vec_centroid" ->
+      """WITH flat AS (
+        |  SELECT vec_id % 10 AS grp,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
+        |    generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings)
+        |SELECT grp, i,
+        |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0 AS mean_val
+        |FROM flat GROUP BY 1, 2 ORDER BY grp, i""".stripMargin)
 
   /** Shared hyperplane-LSH oracle tail: deterministic integer hyperplanes
     * (same Knuth-hash arithmetic as Similarity.hcomp), sign-bit bands of

@@ -71,6 +71,12 @@ object TextQueries {
       TextAnalysis.topTerms(Tables(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rnk")),
 
+    "text_normalize" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"),
+          md5(TextAnalysis.normalize(col("text")).cast("binary")).as("norm_hash"))
+        .orderBy("doc_id")),
+
     "mm_metadata" -> ((s, dir) =>
       Multimodal.metadata(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -257,6 +263,15 @@ object TextQueries {
         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, md5(norm_text) AS norm_hash
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "text_topterms" ->
       """WITH words AS (

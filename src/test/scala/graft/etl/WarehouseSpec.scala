@@ -38,6 +38,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(dirsAfter.length == dirsBefore.length + 1)
   }
 
+  test("abandoned transaction leaves no visible state; vacuum reclaims its dirs") {
+    val wh = freshWh()
+    val t0 = wh.begin()
+    t0.overwrite("meta", Seq(("keep", "t", None: Option[java.sql.Timestamp]))
+      .toDF("schema_name", "table_name", "max_update_dt"))
+    t0.commit()
+
+    // a run that dies mid-way: data dirs written, commit never reached
+    val crash = wh.begin()
+    crash.overwrite("meta", Seq(("lost", "t", None: Option[java.sql.Timestamp]))
+      .toDF("schema_name", "table_name", "max_update_dt"))
+    crash.append("rep_fraud", wh.emptyDf("rep_fraud"))
+    // no commit — the JVM "crashed" here
+
+    assert(wh.read("meta").collect().map(_.getString(0)).toSeq == Seq("keep"),
+      "uncommitted overwrite must stay invisible")
+    assert(wh.read("rep_fraud").count() == 0)
+    assert(wh.vacuum() == 2, "both orphaned dirs reclaimed")
+    // committed state still reads fine after the cleanup
+    assert(wh.read("meta").head().getString(0) == "keep")
+  }
+
   test("auto-compaction bounds append-dir growth, keeps recent dirs in place") {
     val wh = new Warehouse(spark, Files.createTempDirectory("wh-ac").toString,
       autoCompactThreshold = 6) // auto keep = 6/4 = 1 recent dir
