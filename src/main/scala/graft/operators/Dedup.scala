@@ -230,6 +230,43 @@ object Dedup {
     jaccardVerifyHashed(cand, hashes, threshold)
   }
 
+  /** Connected components over near-dup pairs: every node gets
+    * `cluster_id` = the smallest doc id transitively reachable through
+    * the pair graph — the "cluster, then keep one canonical doc" step
+    * that turns pairwise near-dup output into dedup decisions.
+    *
+    * Pregel-style iterative min-label propagation: each round joins the
+    * label frame to the (bidirectional) edge list, takes the min
+    * neighbor label, and stops when a round changes nothing — a driver
+    * loop over fully distributed joins (labels never collect), with
+    * rounds bounded by the component diameter (near-dup clusters are
+    * shallow — pairs and small cliques — so typically 1-3 rounds).
+    * Deterministic: min is order-insensitive.
+    */
+  def clusterLabels(pairs: DataFrame, nodes: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nlbl").as("minn"))
+      val next = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"))
+        .cache()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
   /** 64-bit SimHash over word unigrams (the Charikar/Google form: 64
     * bits, near-dup at Hamming ≤ 3). The hash basis is md5(word); bit b
     * of hex char p contributes ±1 to accumulator (p,b); the signature is

@@ -55,6 +55,16 @@ object TextQueries {
       Dedup.simhashNearDups(docsAug(s, dir), maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
+    // near-dup pairs -> connected components: cluster_id = min doc id
+    // transitively reachable (iterative min-label propagation; the
+    // DuckDB oracle walks the same graph with a recursive CTE)
+    "dedup_clusters" -> ((s, dir) => {
+      val aug = docsAug(s, dir)
+      Dedup.clusterLabels(Dedup.minhashNearDups(aug, threshold = 0.5),
+          aug.select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -106,7 +116,11 @@ object TextQueries {
     * identical results (min ignores duplicates; only candidate docs'
     * sets reach the verify).
     */
-  private def lshSql(threshold: Double, bandSize: Int = 2) = {
+  /** CTE-only form of the LSH tail, ending in
+    * `pairs AS (SELECT doc_a, doc_b, jaccard …)` for reuse by the
+    * clustering oracle.
+    */
+  private def lshPairsCte(threshold: Double, bandSize: Int = 2) = {
     val bandSelects = (0 until 8 / bandSize).map { b =>
       val cat = (b * bandSize until (b + 1) * bandSize).map(j => s"m$j").mkString(" || ")
       s"SELECT doc_id, $b AS band_id, $cat AS band FROM sig"
@@ -142,14 +156,19 @@ object TextQueries {
        |  JOIN hashes sa ON sa.doc_id = c.doc_a
        |  JOIN hashes sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1)
-       |SELECT i.doc_a, i.doc_b,
-       |  CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
-       |FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
-       |             JOIN sizes zb ON zb.doc_id = i.doc_b
-       |WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= $threshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+       |  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+       |               JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= $threshold)""".stripMargin
   }
+
+  private def lshSql(threshold: Double, bandSize: Int = 2) =
+    s"""${lshPairsCte(threshold, bandSize)}
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -172,6 +191,21 @@ object TextQueries {
          |  FROM docs, unnest(generate_series(1, length(lower(text)) - 4)) AS t(i)
          |  WHERE length(substr(lower(text), CAST(t.i AS INT), 5)) = 5),
          |${lshSql(0.6, bandSize = 4)}""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $augSql,
+         |$shinglesSql,
+         |${lshPairsCte(0.5)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id
+         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $augSql,

@@ -31,6 +31,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "no false positive")
   }
 
+  test("cluster labels: transitive chains collapse, singletons self-label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val out = Dedup.clusterLabels(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2-3 is a CHAIN (no direct 1-3 pair) -> needs propagation rounds
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("bucket cap: 1500 identical docs yield linear anchor pairs, not O(N^2)") {
     val many = (1L to 1500L).map(i => (i, "identical corpus text repeated" +
       " across every document to form one degenerate lsh bucket")).toDF("doc_id", "text")
