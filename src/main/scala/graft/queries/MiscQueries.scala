@@ -22,6 +22,12 @@ object MiscQueries {
       StreamingOps.hourlyEventStats(s, dir)
         .orderBy("bucket", "event_type")),
 
+    // Stream-stream inner join with watermarks + time-range condition
+    // (bounded state); AvailableNow completion == the batch join
+    "q_stream_join" -> ((s, dir) =>
+      StreamingOps.clickPurchaseStreamJoin(s, dir)
+        .orderBy("click_id", "purchase_id")),
+
     // Gap-based sessionization (the stateful-streaming fold, batch form)
     "q_sessionize" -> ((s, dir) =>
       StreamingOps.sessionize(Tables(s, dir, "events"), gapMinutes = 30)
@@ -146,6 +152,26 @@ object MiscQueries {
         | count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS tus, value
+        |  FROM events),
+        |clicks AS (
+        |  SELECT event_id AS click_id, user_id, tus AS click_us
+        |  FROM ev WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, tus AS purchase_us,
+        |    value AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, make_timestamp(c.click_us) AS click_ts,
+        |  p.purchase_id, make_timestamp(p.purchase_us) AS purchase_ts,
+        |  p.purchase_value
+        |FROM clicks c JOIN purch p
+        |  ON c.user_id = p.p_user
+        | AND p.purchase_us >= c.click_us - 3600000000
+        | AND p.purchase_us <= c.click_us
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -93,6 +93,46 @@ object StreamingOps {
     spark.read.parquet(sinkDir)
   }
 
+  /** Stream-STREAM inner join: every click joined to the same user's
+    * purchases in the preceding hour. Both sides are real streams with
+    * event-time watermarks and a time-range join condition — the
+    * combination that lets Spark expire join state (a side's rows free
+    * once the other side's watermark passes their reach), so state is
+    * bounded on an unbounded run. Driven to completion with
+    * AvailableNow, the inner join emits exactly the batch-join result —
+    * which is what the DuckDB oracle checks.
+    */
+  def clickPurchaseStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Sessionization via stateful streaming: gaps > `gapMinutes` split a
     * user's events into sessions. Implemented with the batch-equivalent
     * window expression here (deterministic, oracle-checkable); the

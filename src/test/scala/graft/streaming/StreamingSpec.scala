@@ -52,6 +52,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream time-bounded join equals the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.clickPurchaseStreamJoin(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+    val batch = clicks.join(purchases,
+        $"user_id" === $"p_user" &&
+          $"purchase_ts" >= $"click_ts" - expr("INTERVAL 1 HOUR") &&
+          $"purchase_ts" <= $"click_ts")
+      .select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("append-mode parquet sink emits exactly the watermark-expired windows") {
     val dir = "/root/testdata/sf0.001"
     val sink = java.nio.file.Files.createTempDirectory("stream-sink").toString
