@@ -2,10 +2,11 @@ package graft.queries
 
 import graft.Tables
 import graft.etl.Schemas
-import graft.operators.{AsOfJoin, Dedup, RangeJoin}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, Resample}
 import graft.plans.TopK
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -79,6 +80,37 @@ object MiscQueries {
       import s.implicits._
       Schemas.tables.toSeq.map { case (t, sch) => (t, sch.length) }
         .sortBy(_._1).toDF("table_name", "n_columns")
+    }),
+
+    // Daily resample + last-observation-carried-forward per user
+    "q_resample_locf" -> ((s, dir) =>
+      Resample.dailyLocf(Tables(s, dir, "events"))
+        .orderBy("user_id", "day")),
+
+    // Ranking-window family over one window spec
+    "q_window_rank" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          rank().over(Window.partitionBy("o_orderstatus")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("rnk"),
+          dense_rank().over(Window.partitionBy("o_orderstatus")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("drnk"),
+          ntile(4).over(Window.partitionBy("o_orderstatus")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("quartile"),
+          cume_dist().over(Window.partitionBy("o_orderstatus")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("cdist"))
+        .orderBy("o_orderkey")),
+
+    // FULL OUTER join with unmatched rows on both sides
+    "q_outer_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("custkey")
     }),
 
     // Range join as a hash join: sampled order dates counted against
@@ -226,6 +258,48 @@ object MiscQueries {
       s"""SELECT * FROM (VALUES
          |  $rows) AS t(table_name, n_columns) ORDER BY table_name""".stripMargin
     },
+
+    "q_resample_locf" ->
+      """WITH us AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS tus, event_id, value FROM events),
+        |bounds AS (
+        |  SELECT user_id, min(tus) // 86400000000 AS d0, max(tus) // 86400000000 AS d1
+        |  FROM us GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM bounds),
+        |obs AS (
+        |  SELECT user_id, day, value AS obs_value FROM (
+        |    SELECT user_id, tus // 86400000000 AS day, value,
+        |      row_number() OVER (PARTITION BY user_id, tus // 86400000000
+        |        ORDER BY tus DESC, event_id DESC) AS rn
+        |    FROM us) WHERE rn = 1)
+        |SELECT s.user_id, s.day, o.obs_value,
+        |  last_value(o.obs_value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM spine s LEFT JOIN obs o USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0),
+        |o AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+        |  coalesce(o.n_orders, 0) AS n_orders
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q_range_join" ->
       """WITH iv AS (
