@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced with .count() (full plan execution, no result
   * collection overhead). A tiny warm-up query absorbs session/codegen
-  * startup so per-query numbers reflect steady state.
+  * startup so per-query numbers reflect steady state. The cache is
+  * cleared between queries: Spark's CacheManager matches canonicalized
+  * plans ACROSS queries, so without isolation an earlier query warms a
+  * later one's identical sub-plan (and leaked blocks pressure the rest)
+  * — per-query numbers must each carry their own full cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,6 +34,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
