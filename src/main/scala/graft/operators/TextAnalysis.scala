@@ -87,6 +87,25 @@ object TextAnalysis {
       lang.as("lang_pred"))
   }
 
+  /** Deterministic train/val/test assignment: the id hashes into one of
+    * 100 md5 buckets, and percentage cut-points map buckets to splits.
+    * No RNG state — the split is a pure function of the id, so it is
+    * stable across runs, engines, partitionings and re-shards, which is
+    * exactly what a reproducible training pipeline needs (and what
+    * `rand(seed)`-based sampling does NOT give across repartitions).
+    */
+  def assignSplit(df: DataFrame, idCol: String = "doc_id",
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must leave room for test")
+    val bucket =
+      expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF-style weighting.
     * The IDF factor is the LINEAR rarity weight `(N+1)/(df+1)` rather
     * than its logarithm: `ln` differs by 1 ulp across libm

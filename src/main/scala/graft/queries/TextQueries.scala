@@ -81,6 +81,10 @@ object TextQueries {
       TextAnalysis.topTerms(Tables(s, dir, "documents"), k = 3)
         .orderBy("doc_id", "rnk")),
 
+    "text_split" -> ((s, dir) =>
+      TextAnalysis.assignSplit(Tables(s, dir, "documents").select("doc_id"))
+        .orderBy("doc_id")),
+
     "text_normalize" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"),
@@ -297,6 +301,15 @@ object TextQueries {
         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_split" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_normalize" ->
       """WITH n AS (
