@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: random-hyperplane LSH band values of a
+  * quantized `array<bigint>` vector, in ONE projection pass.
+  *
+  * Semantically identical to the composed form (explode the vector,
+  * aggregate `planes` hyperplane dot products, pack sign bits per
+  * band) — same Knuth-hash hyperplane components
+  * `h(j,i) = (2654435761·(j·1024+i)) mod 2^32 mod 65537 − 32768`, same
+  * packing — but as an `Expression` the whole banding becomes a scalar
+  * map: NO explode, NO aggregation exchange. At scale that removes a
+  * corpus-sized shuffle from the near-dup plan; the only remaining
+  * exchange is the band-bucket join itself. The arithmetic is plain
+  * 64-bit integer math, so the DuckDB oracle (which computes the same
+  * formula relationally) is unaffected.
+  *
+  * Nulls: null array → null; null ELEMENTS contribute 0 (as in
+  * [[QDotProduct]]).
+  */
+case class QHyperplaneBands(child: Expression, planes: Int, bandBits: Int)
+    extends UnaryExpression {
+  require(planes > 0 && bandBits > 0 && planes % bandBits == 0,
+    "planes must be a positive multiple of bandBits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bands"
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    val bands = new Array[Long](planes / bandBits)
+    var j = 0
+    while (j < planes) {
+      var dot = 0L
+      var i = 0
+      while (i < n) {
+        if (!q.isNullAt(i)) {
+          val h = (2654435761L * (j * 1024L + i)) % 4294967296L % 65537L - 32768L
+          dot += q.getLong(i) * h
+        }
+        i += 1
+      }
+      if (dot >= 0) bands(j / bandBits) |= 1L << (j % bandBits)
+      j += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, q => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val h = ctx.freshName("h")
+      val bands = ctx.freshName("bands")
+      s"""
+         |int $n = $q.numElements();
+         |long[] $bands = new long[${planes / bandBits}];
+         |for (int $j = 0; $j < $planes; $j++) {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$q.isNullAt($i)) {
+         |      long $h = (2654435761L * ($j * 1024L + $i)) % 4294967296L % 65537L - 32768L;
+         |      $dot += $q.getLong($i) * $h;
+         |    }
+         |  }
+         |  if ($dot >= 0L) $bands[$j / $bandBits] |= 1L << ($j % $bandBits);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bands);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object QHyperplaneBands {
+  /** Column-API form. */
+  def bands(q: Column, planes: Int, bandBits: Int): Column =
+    Bridge.column(QHyperplaneBands(Bridge.expression(q), planes, bandBits))
+}

@@ -111,37 +111,23 @@ object Similarity {
 
   // ---- random-hyperplane LSH blocking (the 100 TB near-dup path) ----
 
-  /** Deterministic pseudo-random hyperplane component h(j, i) for plane j,
-    * dimension i (0-based): a Knuth multiplicative hash of `j*1024 + i`
-    * folded into [-32768, 32768]. Pure BIGINT arithmetic — any SQL engine
-    * reproduces it bit for bit, which is what makes the LSH bands (and
-    * therefore the candidate set) oracle-checkable. Supports dim < 1024.
-    */
-  private def hcomp(j: Int, i: Column): Column =
-    (lit(2654435761L) * (lit(j * 1024L) + i)) % lit(4294967296L) % lit(65537L) - lit(32768L)
-
   /** Per-vector LSH band values: sign bits of `planes` hyperplane dot
     * products, packed `bandBits` at a time → (vec_id, band_id, band_val).
     *
-    * Computed by exploding the quantized vector once and folding all
-    * `planes` dot products in ONE hash aggregation (map-side partial
-    * combine applies) — a single shuffle on vec_id, all-codegen integer
-    * arithmetic, no per-plane re-scan. The (small: one row per vector)
-    * aggregate is cached because the band frame feeds both sides of the
-    * candidate self-join.
+    * The banding is the native [[graft.functions.QHyperplaneBands]]
+    * expression — a scalar map inside whole-stage codegen, so the
+    * entire stage is shuffle-free (the earlier composed form exploded
+    * the vector and aggregated 32 dot products: a corpus-sized
+    * exchange). The hyperplane components are a Knuth multiplicative
+    * hash of `j*1024 + i` folded into [-32768, 32768] — pure BIGINT
+    * arithmetic any SQL engine reproduces bit for bit, which is what
+    * makes the candidate set oracle-checkable. Supports dim < 1024.
     */
   def hyperplaneBands(quant: DataFrame, planes: Int, bandBits: Int): DataFrame = {
     require(planes % bandBits == 0, "planes must be a multiple of bandBits")
-    val flat = quant.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "qi")))
-    val dots = (0 until planes).map(j => sum(col("qi") * hcomp(j, col("i"))).as(s"d$j"))
-    val perVec = flat.groupBy("vec_id").agg(dots.head, dots.tail: _*).cache()
-    val bandVals = (0 until planes / bandBits).map { k =>
-      (0 until bandBits).map { t =>
-        when(col(s"d${k * bandBits + t}") >= 0, lit(1L << t)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    perVec.select(col("vec_id"),
-      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+    quant.select(col("vec_id"),
+      posexplode(graft.functions.QHyperplaneBands.bands(col("q"), planes, bandBits))
+        .as(Seq("band_id", "band_val")))
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band, with the
