@@ -97,6 +97,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[QDotProduct].getName, "graft_qdot"),
         (exprs: Seq[Expression]) => QDotProduct(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hyperplane_bands"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QHyperplaneBands].getName, "graft_hyperplane_bands"),
+        (exprs: Seq[Expression]) => QHyperplaneBands(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

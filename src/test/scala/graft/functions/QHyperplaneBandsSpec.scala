@@ -39,4 +39,19 @@ class QHyperplaneBandsSpec extends AnyFunSuite {
     val withNull = Seq((0L, null: Array[java.lang.Long])).toDF("id", "q")
     assert(withNull.select(QHyperplaneBands.bands(col("q"), 32, 8)).head().isNullAt(0))
   }
+
+  test("graft_hyperplane_bands is usable from SQL") {
+    // same factory GraftExtensions injects at session build time
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_bands",
+      exprs => QHyperplaneBands(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    val out = spark.sql(
+      "SELECT graft_hyperplane_bands(array(1000000L, -2000000L, 300000L), 16, 4) AS b")
+      .head().getSeq[Long](0)
+    val expected = model(Array[java.lang.Long](1000000L, -2000000L, 300000L), 16, 4)
+    assert(out == expected)
+  }
 }
