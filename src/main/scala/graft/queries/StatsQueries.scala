@@ -58,6 +58,20 @@ object StatsQueries {
           expr("percentile(o_totalprice, 0.95)").as("p95"))
         .orderBy("o_orderstatus")),
 
+    // distinct-count sketch (linear counting): occupancy of a fixed
+    // 4096-slot md5 bucket table per group — the integer-exact
+    // sufficient statistic; the -m*ln(1-V/m) estimate is a downstream
+    // scalar (ln is libm-dependent, so the gate stays on the integers)
+    "q_distinct_sketch" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 4096")
+            .as("bucket"))
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("bucket")).as("n_occupied"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // deterministic count-min sketch: per-key over-estimates from a
     // 4x256 counter grid hashed via fixed md5 chunks (heavy hitters at
     // sketch cost; see graft.operators.Sketches)
@@ -99,6 +113,14 @@ object StatsQueries {
         |  quantile_cont(o_totalprice, 0.5) AS med,
         |  quantile_cont(o_totalprice, 0.95) AS p95
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_distinct_sketch" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 4096)
+        |    AS n_occupied,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cms_heavy" ->
       """WITH base AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),

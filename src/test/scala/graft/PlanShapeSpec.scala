@@ -45,6 +45,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected the hash exchange between partial and final top-k")
   }
 
+  test("q_rep_fraud: report joins broadcast the dims") {
+    val p = plan("q_rep_fraud")
+    assert(p.contains("BroadcastHashJoin"), "dims should broadcast")
+    assert(!p.contains("SortMergeJoin"), "the fact side should never sort-merge")
+  }
+
   test("no unblocked joins in the LSH/range operators") {
     for (name <- Seq("dedup_embed", "dedup_minhash", "dedup_simhash",
         "q_range_join", "q_interval_overlap")) {
