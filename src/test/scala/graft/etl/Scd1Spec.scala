@@ -80,4 +80,37 @@ class Scd1Spec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("property: incremental merge == snapshot merge plus retained deletions") {
+    val run = Timestamp.valueOf("2021-03-05 23:55:00")
+    def auditDf(rows: Seq[(String, Option[String], Option[Int])]): DataFrame =
+      rows.map(r => (r._1, r._2, r._3,
+          Timestamp.valueOf("2021-02-01 00:00:00"), None: Option[Timestamp],
+          Timestamp.valueOf("2021-02-01 00:00:00")))
+        .toDF("k", "a", "b", "create_dt", "update_dt", "processed_dt")
+    def snapDf(rows: Seq[(String, Option[String], Option[Int])]): DataFrame =
+      rows.map(r => (r._1, r._2, r._3,
+          Timestamp.valueOf("2021-03-05 10:00:00"), None: Option[Timestamp]))
+        .toDF("k", "a", "b", "create_dt", "update_dt")
+    val rowGen = Gen.choose(0, 14).flatMap(k =>
+      Gen.zip(Gen.const(s"k$k"), Gen.option(Gen.alphaStr.map(_.take(3))),
+        Gen.option(Gen.choose(0, 3))))
+    val tableGen = Gen.listOfN(12, rowGen).map(_.distinctBy(_._1))
+    val prop = Prop.forAll(tableGen, tableGen) { (dimRows, deltaRows) =>
+      val dim = auditDf(dimRows)
+      val delta = snapDf(deltaRows)
+      val inc = Scd1.mergeAuditIncremental(dim, delta, Seq("k"), Seq("a", "b"), run)
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+      val snapMerge = Scd1.mergeAudit(dim, delta, Seq("k"), Seq("a", "b"), run)
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+      val deltaKeys = deltaRows.map(_._1).toSet
+      val retained = auditDf(dimRows.filterNot(r => deltaKeys(r._1)))
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+      // same rows as the full-snapshot merge for every delta key, plus
+      // dim rows absent from the delta carried through verbatim
+      inc == snapMerge ++ retained
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
