@@ -55,18 +55,36 @@ object StreamingOps {
         col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** Run a streaming query with `spark.sql.shuffle.partitions` pinned to
+    * `statePartitions` for its lifetime (restored after): a stateful
+    * stream instantiates one state store per shuffle partition per
+    * stateful operator, so state parallelism should track KEY
+    * cardinality (event types, users), not CPU count — 32 stores for a
+    * handful of keys is pure fixed cost. Partition count does not affect
+    * results (oracle-verified); on a large cluster raise it with the key
+    * space.
+    */
+  private def withStatePartitions[T](spark: SparkSession, statePartitions: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Oracle harness: the windowed aggregation driven to completion with
     * AvailableNow in COMPLETE mode to a memory sink. Test/oracle use
     * only — see the object doc.
     */
-  def hourlyEventStats(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyEventStats(spark: SparkSession, dir: String,
+                       statePartitions: Int = 8): DataFrame = {
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = hourlyAgg(spark, dir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val q = hourlyAgg(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(col("bucket"), col("event_type"), col("n_events"), col("sum_value"))
   }
@@ -102,7 +120,8 @@ object StreamingOps {
     * AvailableNow, the inner join emits exactly the batch-join result —
     * which is what the DuckDB oracle checks.
     */
-  def clickPurchaseStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def clickPurchaseStreamJoin(spark: SparkSession, dir: String,
+                              statePartitions: Int = 8): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src = spark.readStream
       .schema(eventsSchema)
@@ -124,12 +143,14 @@ object StreamingOps {
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, statePartitions) {
+      val q = joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
