@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSession
   * plans ACROSS queries, so without isolation an earlier query warms a
   * later one's identical sub-plan (and leaked blocks pressure the rest)
   * — per-query numbers must each carry their own full cost.
+  *
+  * Each query runs `SPARK_GRAFT_RUNS` times (default 3) and reports the
+  * MIN: single runs at this scale vary ±2.5× on GC/compilation noise
+  * (round-2 lesson: 21.3s vs 8.5s for the same query), and the min is
+  * the only run-count-stable statistic — regressions can't hide in it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,12 +38,20 @@ object Bench {
     // warm-up: session, file listing, codegen paths
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // optional args = query-name subset (local iteration; driver passes none)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -241,7 +241,19 @@ object Dedup {
     * loop over fully distributed joins (labels never collect), with
     * rounds bounded by the component diameter (near-dup clusters are
     * shallow — pairs and small cliques — so typically 1-3 rounds).
-    * Deterministic: min is order-insensitive.
+    * Deterministic: min is order-insensitive. For deep graphs (long
+    * chains from templated corpora) use [[clusterLabelsDoubling]],
+    * whose pointer-jumping converges in O(log diameter) rounds.
+    *
+    * Cost discipline (the round-2 bench tail, fixed here):
+    *  - only EDGE ENDPOINTS iterate — an isolated node is its own
+    *    cluster by construction and `nodes - endpoints` never changes,
+    *    so the per-round joins run over the near-dup subgraph (a
+    *    vanishing fraction of a real corpus), not every document;
+    *  - ONE action per round: the changed-flag is carried as a column
+    *    of the same frame that `localCheckpoint` materializes, so the
+    *    convergence check is a scan of already-checkpointed blocks —
+    *    not a second join over the labels.
     *
     * Lineage discipline: edges and every label generation are
     * `localCheckpoint`ed, not merely cached — a cache shortcuts
@@ -249,7 +261,9 @@ object Dedup {
     * logical plan per action, which grows a layer per round (measured
     * 4s → 19s/round on an 837-pair graph before truncation). On a real
     * cluster swap in reliable `checkpoint()` against the fault-tolerance
-    * of executor loss.
+    * of executor loss. Checkpoint blocks live until session close —
+    * callers embedding this in a long-lived service should run it in a
+    * dedicated session or accept the (labels-sized) residue.
     */
   def clusterLabels(pairs0: DataFrame, nodes: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
@@ -258,22 +272,93 @@ object Dedup {
     val pairs = pairs0.localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint()
+    // every endpoint occurs as src (edges are bidirectional)
+    val endpoints = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = endpoints.select(col("id"), col("id").as("lbl"))
     var changed = 1L
     while (changed > 0) {
       val neigh = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nlbl").as("minn"))
       val next = labels.join(neigh, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels = next
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"),
+          coalesce(col("minn") < col("lbl"), lit(false)).as("chg"))
+        .localCheckpoint() // the round's one real action
+      changed = next.filter(col("chg")).count() // scan of checkpointed blocks
+      labels = next.select("id", "lbl")
     }
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    attachIsolated(labels, nodes, endpoints, idCol)
+  }
+
+  /** [[clusterLabels]] with POINTER JUMPING: each round takes the min
+    * over neighbors (as the naive propagation does) and then jumps one
+    * pointer level — `lbl := lbl(lbl)` via a self-join of the label
+    * frame — so the distance a label travels per round roughly doubles.
+    * Converges in O(log diameter) rounds instead of O(diameter): the
+    * hardening for adversarial/templated corpora whose near-dup graphs
+    * chain (naive propagation needs `diameter` rounds of full joins).
+    *
+    * Correctness: labels are monotone non-increasing and always name a
+    * node of the same component (a neighbor's label, or a label's
+    * label, stays in-component), so the fixpoint — where no edge sees
+    * two labels and pointers are idempotent — is the component minimum,
+    * identical to the naive propagation's output. Verified by property
+    * test on a 1,000-node path graph (≤ ~10 rounds, equal labels).
+    */
+  def clusterLabelsDoubling(pairs0: DataFrame, nodes: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
+    val (labels, _, endpoints) = doublingRounds(pairs0, nodes, idCol)
+    attachIsolated(labels, nodes, endpoints, idCol)
+  }
+
+  /** Iteration core of [[clusterLabelsDoubling]], exposing the round
+    * count for the convergence property test.
+    */
+  private[graft] def doublingRounds(pairs0: DataFrame, nodes: DataFrame,
+                                    idCol: String): (DataFrame, Int, DataFrame) = {
+    val pairs = pairs0.localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val endpoints = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = endpoints.select(col("id"), col("id").as("lbl"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      val neigh = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nlbl").as("minn"))
+      val stepped = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("lbl0"),
+          least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl1"))
+      // pointer jump: lbl := lbl(lbl) — labels only ever name endpoint
+      // ids, so the jump lookup always matches
+      val jumpTbl = stepped.select(col("id").as("j_id"), col("lbl1").as("j_lbl"))
+      val jumped = least(col("lbl1"), coalesce(col("j_lbl"), col("lbl1")))
+      val scored = stepped
+        .join(jumpTbl, col("lbl1") === col("j_id"), "left")
+        .select(col("id"), jumped.as("lbl"),
+          coalesce(jumped < col("lbl0"), lit(false)).as("chg"))
+        .localCheckpoint() // the round's one real action
+      changed = scored.filter(col("chg")).count()
+      labels = scored.select("id", "lbl")
+      rounds += 1
+    }
+    (labels, rounds, endpoints)
+  }
+
+  /** Union the iterated endpoint labels with the isolated nodes
+    * (cluster_id = own id — they never entered the loop).
+    */
+  private def attachIsolated(labels: DataFrame, nodes: DataFrame,
+                             endpoints: DataFrame, idCol: String): DataFrame = {
+    val isolated = nodes.select(col(idCol).as("id"))
+      .join(endpoints, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    labels.unionAll(isolated)
+      .select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 
   /** 64-bit SimHash over word unigrams (the Charikar/Google form: 64

@@ -40,6 +40,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("pointer-doubling CC: 1000-node path converges in O(log n) rounds, " +
+    "labels equal naive propagation") {
+    // worst case for naive propagation: one path 0-1-2-...-999 whose
+    // diameter is 999, so min-label needs ~999 rounds; doubling must do
+    // it in ~log2(999) ≈ 10 (allow slack for the jump interleaving)
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L to 1001L).toDF("doc_id") // 1000-1001 isolated
+    val (labels, rounds, _) = Dedup.doublingRounds(pairs, nodes, "doc_id")
+    assert(rounds <= 12, s"doubling took $rounds rounds on a 1000-node path")
+    val out = Dedup.clusterLabelsDoubling(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 1002)
+    assert((0L until 1000L).forall(out(_) == 0L), "path collapses to min label 0")
+    assert(out(1000L) == 1000L && out(1001L) == 1001L, "isolated nodes self-label")
+    labels.sparkSession.catalog.clearCache()
+  }
+
   test("bucket cap: 1500 identical docs yield linear anchor pairs, not O(N^2)") {
     val many = (1L to 1500L).map(i => (i, "identical corpus text repeated" +
       " across every document to form one degenerate lsh bucket")).toDF("doc_id", "text")
