@@ -109,9 +109,14 @@ class Warehouse(val spark: SparkSession, val root: String,
   def compactOldest(table: String, keep: Int = 16): Unit = {
     val dirs = catalog().getOrElse(table, Nil)
     if (dirs.length > keep + 1) {
-      val (old, recent) = dirs.splitAt(dirs.length - keep)
+      val (old, _) = dirs.splitAt(dirs.length - keep)
       val merged = writeDataDir(table, readDirs(table, old))
-      commitCatalog(catalog() + (table -> (merged +: recent)))
+      // re-read the catalog AFTER the (long) merge write and replace only
+      // the `old` prefix — any dir another writer appended meanwhile
+      // stays referenced instead of being silently dropped
+      val cat = catalog()
+      val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
+      commitCatalog(cat + (table -> (merged +: kept)))
     }
   }
 
@@ -220,9 +225,15 @@ class Txn private[etl] (wh: Warehouse) {
     require(!committed, "transaction already committed")
     wh.commitCatalog(snapshot ++ pending.toMap)
     committed = true
+    // the commit above is durable at this point: a compaction failure is a
+    // maintenance problem (stale dir layout), never a commit failure
     pending.keys.foreach { t =>
       if (wh.catalog().getOrElse(t, Nil).length > wh.autoCompactThreshold)
-        wh.compactOldest(t, keep = math.max(1, wh.autoCompactThreshold / 4))
+        try wh.compactOldest(t, keep = math.max(1, wh.autoCompactThreshold / 4))
+        catch {
+          case e: Exception => System.err.println(
+            s"[graft] post-commit compaction of '$t' failed (commit is durable): $e")
+        }
     }
   }
 }

@@ -41,6 +41,11 @@ case class QHyperplaneBands(child: Expression, planes: Int, bandBits: Int)
   override def nullSafeEval(input: Any): Any = {
     val q = input.asInstanceOf[ArrayData]
     val n = q.numElements()
+    // dims beyond 1024 would alias into the next plane's hash slots
+    // (j*1024 + i wraps), silently correlating hyperplanes — and the
+    // oracle computes the same formula, so only a loud failure catches it
+    if (n > 1024) throw new IllegalArgumentException(
+      s"$prettyName supports vectors of dim <= 1024, got $n")
     val bands = new Array[Long](planes / bandBits)
     var j = 0
     while (j < planes) {
@@ -69,6 +74,8 @@ case class QHyperplaneBands(child: Expression, planes: Int, bandBits: Int)
       val bands = ctx.freshName("bands")
       s"""
          |int $n = $q.numElements();
+         |if ($n > 1024) throw new IllegalArgumentException(
+         |  "graft_hyperplane_bands supports vectors of dim <= 1024, got " + $n);
          |long[] $bands = new long[${planes / bandBits}];
          |for (int $j = 0; $j < $planes; $j++) {
          |  long $dot = 0L;

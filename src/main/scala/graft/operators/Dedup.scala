@@ -26,6 +26,17 @@ import org.apache.spark.sql.functions._
   *    anchor pairs (member ↔ bucket-min doc), so a degenerate corpus of
   *    N identical documents costs O(N), not O(N²);
   *  - verification joins are restricted to LSH candidates.
+  *
+  * CACHING CONTRACT: the LSH operators `cache()` small intermediate
+  * frames (signatures, bucket sizes) because the returned plan references
+  * them from several branches — self-joined derived frames otherwise
+  * re-execute per branch. The blocks live until the caller runs
+  * `spark.catalog.clearCache()` (or closes the session); long-lived
+  * services should do so after consuming each result.
+  * [[clusterLabels]]/[[clusterLabelsDoubling]] additionally
+  * `localCheckpoint()` per-round label generations — those blocks are NOT
+  * reclaimed by `clearCache()` and persist until session close; embed the
+  * clustering in a dedicated session or accept the (labels-sized) residue.
   */
 object Dedup {
 

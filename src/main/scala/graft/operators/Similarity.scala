@@ -121,7 +121,9 @@ object Similarity {
     * exchange). The hyperplane components are a Knuth multiplicative
     * hash of `j*1024 + i` folded into [-32768, 32768] — pure BIGINT
     * arithmetic any SQL engine reproduces bit for bit, which is what
-    * makes the candidate set oracle-checkable. Supports dim < 1024.
+    * makes the candidate set oracle-checkable. Supports dim ≤ 1024 —
+    * enforced at eval time (larger vectors would alias plane components
+    * and silently correlate hyperplanes, invisibly to the oracle).
     */
   def hyperplaneBands(quant: DataFrame, planes: Int, bandBits: Int): DataFrame = {
     require(planes % bandBits == 0, "planes must be a multiple of bandBits")

@@ -108,7 +108,15 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(sinkDir)
+    // explicit schema: a run whose windows all sit inside the watermark
+    // horizon writes no data files, and schema inference on the empty
+    // sink would throw instead of returning the (statically known) shape
+    val sinkSchema = StructType(Seq(
+      StructField("bucket", TimestampType),
+      StructField("event_type", StringType),
+      StructField("n_events", LongType),
+      StructField("sum_value", DoubleType)))
+    spark.read.schema(sinkSchema).parquet(sinkDir)
   }
 
   /** Stream-STREAM inner join: every click joined to the same user's

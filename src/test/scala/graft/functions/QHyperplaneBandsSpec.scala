@@ -40,6 +40,23 @@ class QHyperplaneBandsSpec extends AnyFunSuite {
     assert(withNull.select(QHyperplaneBands.bands(col("q"), 32, 8)).head().isNullAt(0))
   }
 
+  test("vectors beyond dim 1024 fail loudly (hash slots would alias)") {
+    val big = Seq((0L, Array.fill[java.lang.Long](1025)(java.lang.Long.valueOf(1L))))
+      .toDF("id", "q")
+    val e = intercept[Exception] {
+      big.select(QHyperplaneBands.bands(col("q"), 32, 8)).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("dim <= 1024")),
+      s"unexpected failure: $e")
+    // dim exactly 1024 is fine
+    val ok = Seq((0L, Array.fill[java.lang.Long](1024)(java.lang.Long.valueOf(1L))))
+      .toDF("id", "q")
+    assert(!ok.select(QHyperplaneBands.bands(col("q"), 32, 8)).head().isNullAt(0))
+  }
+
   test("graft_hyperplane_bands is usable from SQL") {
     // same factory GraftExtensions injects at session build time
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -101,6 +101,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(unexpired > 0, "test vacuous: every window expired")
   }
 
+  test("append sink with no expired windows returns an empty typed frame") {
+    // all events inside one hour -> final watermark (max ts - 1h) never
+    // passes any window end -> the parquet sink holds zero data files;
+    // the explicit-schema read must return empty, not throw on inference
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-esrc")
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val tmp = java.nio.file.Files.createTempDirectory("stream-etmp").toString
+    Seq((1L, hourNs + 1000L, 1L, "click", 1.0, "{}"),
+        (2L, hourNs + 2000L, 2L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.copy(p, srcDir.resolve("events.parquet"))
+        moved = true
+      }
+    }
+    assert(moved, "no part file written")
+    val sink = java.nio.file.Files.createTempDirectory("stream-esink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-eckpt").toString
+    val out = StreamingOps.hourlyEventStatsAppend(spark, srcDir.toString, sink, ckpt)
+    assert(out.columns.toSeq == Seq("bucket", "event_type", "n_events", "sum_value"))
+    assert(out.count() == 0L)
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with the batch fold") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables(spark, dir, "events")
