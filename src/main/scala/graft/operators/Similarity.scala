@@ -53,27 +53,30 @@ object Similarity {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** IVF-style ANN: `centroidPred` vectors act as the coarse codebook;
-    * every vector is assigned to its nearest centroid (one pass), and a
-    * query searches only the `nprobe` nearest buckets. Recall < 1 by
-    * construction; the bucketing is the 100 TB path.
+  /** Nearest-centroid assignment: every corpus vector scored against the
+    * broadcast codebook, rank-1 by cosine (ties to the lowest cent_id).
+    * The `lit(true)` join is a BroadcastNestedLoopJoin BY DESIGN — IVF
+    * assignment is every-vector × every-centroid; a 2-level codebook is
+    * the fix if the centroid count ever outgrows a broadcast, not a
+    * different join.
     */
-  def ivfTopK(embeddings: DataFrame, queryPred: Column, centroidPred: Column,
-              k: Int, nprobe: Int): DataFrame = {
-    val corpus = withQuant(embeddings)
-    val cents = withQuant(embeddings.filter(centroidPred))
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
-
-    // assignment: nearest centroid per vector (rank 1 by cosine)
+  private def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = corpus.join(broadcast(cents), lit(true))
+    corpus.join(broadcast(cents), lit(true))
       .withColumn("ccos", cosine(qdot(col("cq"), col("q")), col("cn"), col("nrm")))
       .withColumn("arnk", row_number().over(aw))
       .filter(col("arnk") === 1)
       .select(col("vec_id"), col("q"), col("nrm"), col("cent_id").as("bucket"))
+  }
 
+  /** Probe + in-bucket search against a given codebook — the shared tail
+    * of the seed and learned IVF variants.
+    */
+  private def ivfSearch(corpus: DataFrame, cents: DataFrame, queryPred: Column,
+                        k: Int, nprobe: Int): DataFrame = {
+    val assigned = assign(corpus, cents)
     // probe list: nprobe nearest centroids per query
-    val queries = withQuant(embeddings.filter(queryPred))
+    val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
     val pw = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cent_id"))
     val probes = queries.join(broadcast(cents), lit(true))
@@ -89,6 +92,57 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("hit_id"),
         cosine(qdot(col("qq"), col("q")), col("qn"), col("nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** IVF-style ANN: `centroidPred` vectors act as the coarse codebook;
+    * every vector is assigned to its nearest centroid (one pass), and a
+    * query searches only the `nprobe` nearest buckets. Recall < 1 by
+    * construction; the bucketing is the 100 TB path. Predicates select
+    * on `vec_id`. See [[ivfTopKLearned]] for the Lloyd-refined codebook.
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, centroidPred: Column,
+              k: Int, nprobe: Int): DataFrame = {
+    val corpus = withQuant(embeddings)
+    ivfSearch(corpus, seedCents(corpus, centroidPred), queryPred, k, nprobe)
+  }
+
+  private def seedCents(corpus: DataFrame, centroidPred: Column): DataFrame =
+    corpus.filter(centroidPred)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cn"))
+
+  /** One spherical-k-means (Lloyd) step: assign by cosine, then each
+    * centroid becomes the element-wise FLOOR-MEAN of its bucket's
+    * quantized vectors — floor(sum/n) keeps the codebook in the exact
+    * BIGINT domain (sums < 2^53 make the double division exact to well
+    * below the 1/n gap to the nearest integer, so the floor is
+    * bit-portable across engines). Centroids that attract no vectors
+    * drop out — deterministic, and the usual k-means shrinkage.
+    * Bucket ids keep the seed's cent_id through refinement.
+    */
+  def lloydStep(corpus: DataFrame, cents: DataFrame): DataFrame =
+    assign(corpus, cents)
+      .select(col("bucket").as("cent_id"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("cent_id", "i")
+      .agg(floor(sum("qi").cast("double") / count(lit(1))).cast("bigint").as("m"))
+      .groupBy("cent_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        s => s.getField("m")).as("cq"))
+      .withColumn("cn", qdot(col("cq"), col("cq")))
+
+  /** IVF with a LEARNED codebook: `centroidPred` picks the seeds, then
+    * `lloydIters` spherical-k-means iterations (cosine assignment,
+    * floor-mean update) refine them before the probe/search pass. The
+    * refinement is `iters` extra corpus passes at build time — at 100 TB
+    * the codebook is built once on a sample and reused; here the corpus
+    * is cached across rounds (see the caching contract note on
+    * [[graft.operators.Dedup]]).
+    */
+  def ivfTopKLearned(embeddings: DataFrame, queryPred: Column, centroidPred: Column,
+                     k: Int, nprobe: Int, lloydIters: Int = 1): DataFrame = {
+    val corpus = withQuant(embeddings).cache()
+    var cents = seedCents(corpus, centroidPred)
+    for (_ <- 1 to lloydIters) cents = lloydStep(corpus, cents)
+    ivfSearch(corpus, cents, queryPred, k, nprobe)
   }
 
   /** Element-wise centroid (mean pooling) per group: vectors explode to

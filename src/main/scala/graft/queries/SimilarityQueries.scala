@@ -47,6 +47,12 @@ object SimilarityQueries {
           col("vec_id") % 50 === 0, col("vec_id") % 50 === 7, k = 5, nprobe = 2)
         .orderBy("query_id", "rnk")),
 
+    "ann_ivf_learned" -> ((s, dir) =>
+      Similarity.ivfTopKLearned(Tables(s, dir, "embeddings"),
+          col("vec_id") % 50 === 0, col("vec_id") % 50 === 7, k = 5, nprobe = 2,
+          lloydIters = 1)
+        .orderBy("query_id", "rnk")),
+
     "dedup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(embAug(s, dir), threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
@@ -84,49 +90,35 @@ object SimilarityQueries {
       s"""WITH ${flatSql("embeddings")},
          |cents AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 50 = 7),
          |cnorm AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 50 = 7),
-         |-- assignment: nearest centroid per vector
-         |adots AS (
+         |$ivfTailSql
+         |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_ivf_learned" ->
+      s"""WITH ${flatSql("embeddings")},
+         |cents0 AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 50 = 7),
+         |cnorm0 AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 50 = 7),
+         |-- Lloyd iteration 1: cosine assignment to the seed codebook
+         |adots0 AS (
          |  SELECT f.vec_id, c.cent_id, sum(f.q * c.q) AS dot
-         |  FROM flat f JOIN cents c USING (i) GROUP BY 1, 2),
-         |assigned AS (
+         |  FROM flat f JOIN cents0 c USING (i) GROUP BY 1, 2),
+         |assigned0 AS (
          |  SELECT vec_id, cent_id AS bucket FROM (
          |    SELECT a.vec_id, a.cent_id,
          |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
          |        CAST(a.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
          |        a.cent_id) AS r
-         |    FROM adots a JOIN norms n ON n.vec_id = a.vec_id
-         |                 JOIN cnorm cn ON cn.cent_id = a.cent_id)
+         |    FROM adots0 a JOIN norms n ON n.vec_id = a.vec_id
+         |                  JOIN cnorm0 cn ON cn.cent_id = a.cent_id)
          |  WHERE r = 1),
-         |-- probes: 2 nearest centroids per query
-         |probes AS (
-         |  SELECT vec_id AS query_id, cent_id AS bucket FROM (
-         |    SELECT a.vec_id, a.cent_id,
-         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-         |        CAST(a.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
-         |        a.cent_id) AS r
-         |    FROM adots a JOIN norms n ON n.vec_id = a.vec_id
-         |                 JOIN cnorm cn ON cn.cent_id = a.cent_id
-         |    WHERE a.vec_id % 50 = 0)
-         |  WHERE r <= 2),
-         |-- search only probed buckets
-         |pairs AS (
-         |  SELECT p.query_id, s.vec_id AS hit_id
-         |  FROM probes p JOIN assigned s ON s.bucket = p.bucket
-         |  WHERE s.vec_id <> p.query_id),
-         |dots AS (
-         |  SELECT pr.query_id, pr.hit_id, sum(fq.q * fa.q) AS dot
-         |  FROM pairs pr
-         |  JOIN flat fq ON fq.vec_id = pr.query_id
-         |  JOIN flat fa ON fa.vec_id = pr.hit_id AND fa.i = fq.i
+         |-- learned codebook: element-wise floor-mean of each bucket
+         |cents AS (
+         |  SELECT a.bucket AS cent_id, f.i,
+         |    CAST(floor(CAST(sum(f.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+         |  FROM assigned0 a JOIN flat f ON f.vec_id = a.vec_id
          |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT d.query_id, d.hit_id,
-         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) AS cosine,
-         |    row_number() OVER (PARTITION BY d.query_id ORDER BY
-         |      CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) DESC,
-         |      d.hit_id) AS rnk
-         |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
-         |              JOIN norms na ON na.vec_id = d.hit_id)
+         |cnorm AS (SELECT cent_id, sum(q * q) AS nrm FROM cents GROUP BY 1),
+         |$ivfTailSql
          |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
 
@@ -153,6 +145,56 @@ object SimilarityQueries {
         |SELECT grp, i,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0 AS mean_val
         |FROM flat GROUP BY 1, 2 ORDER BY grp, i""".stripMargin)
+
+  /** Shared IVF oracle tail: assignment / nprobe=2 probing / in-bucket
+    * top-5 search against whatever `cents`(cent_id, i, q) / `cnorm`
+    * codebook the preceding CTEs define (seed vectors for ann_ivf, the
+    * floor-mean Lloyd refinement for ann_ivf_learned).
+    */
+  private def ivfTailSql: String =
+    """-- assignment: nearest centroid per vector
+      |adots AS (
+      |  SELECT f.vec_id, c.cent_id, sum(f.q * c.q) AS dot
+      |  FROM flat f JOIN cents c USING (i) GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS bucket FROM (
+      |    SELECT a.vec_id, a.cent_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        CAST(a.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+      |        a.cent_id) AS r
+      |    FROM adots a JOIN norms n ON n.vec_id = a.vec_id
+      |                 JOIN cnorm cn ON cn.cent_id = a.cent_id)
+      |  WHERE r = 1),
+      |-- probes: 2 nearest centroids per query
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id AS bucket FROM (
+      |    SELECT a.vec_id, a.cent_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        CAST(a.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+      |        a.cent_id) AS r
+      |    FROM adots a JOIN norms n ON n.vec_id = a.vec_id
+      |                 JOIN cnorm cn ON cn.cent_id = a.cent_id
+      |    WHERE a.vec_id % 50 = 0)
+      |  WHERE r <= 2),
+      |-- search only probed buckets
+      |pairs AS (
+      |  SELECT p.query_id, s.vec_id AS hit_id
+      |  FROM probes p JOIN assigned s ON s.bucket = p.bucket
+      |  WHERE s.vec_id <> p.query_id),
+      |dots AS (
+      |  SELECT pr.query_id, pr.hit_id, sum(fq.q * fa.q) AS dot
+      |  FROM pairs pr
+      |  JOIN flat fq ON fq.vec_id = pr.query_id
+      |  JOIN flat fa ON fa.vec_id = pr.hit_id AND fa.i = fq.i
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT d.query_id, d.hit_id,
+      |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) AS cosine,
+      |    row_number() OVER (PARTITION BY d.query_id ORDER BY
+      |      CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) DESC,
+      |      d.hit_id) AS rnk
+      |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+      |              JOIN norms na ON na.vec_id = d.hit_id)""".stripMargin
 
   /** Shared hyperplane-LSH oracle tail: deterministic integer hyperplanes
     * (same Knuth-hash arithmetic as Similarity.hcomp), sign-bit bands of

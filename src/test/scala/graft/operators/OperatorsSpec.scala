@@ -103,6 +103,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall $recall unexpectedly low")
   }
 
+  test("Lloyd-refined IVF codebook: recall vs brute >= seed codebook's") {
+    // real embeddings (sf0.001): arbitrary seed vectors are a poor
+    // codebook; one spherical-k-means step must not lose recall
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "hit_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topk(Similarity.bruteForceTopK(emb, col("vec_id") % 50 === 0, 5))
+    val seed = topk(Similarity.ivfTopK(emb, col("vec_id") % 50 === 0,
+      col("vec_id") % 50 === 7, k = 5, nprobe = 2))
+    val learned = topk(Similarity.ivfTopKLearned(emb, col("vec_id") % 50 === 0,
+      col("vec_id") % 50 === 7, k = 5, nprobe = 2, lloydIters = 1))
+    val rSeed = seed.intersect(brute).size.toDouble / brute.size
+    val rLearned = learned.intersect(brute).size.toDouble / brute.size
+    info(f"recall seed=$rSeed%.3f learned=$rLearned%.3f")
+    assert(rLearned >= rSeed, f"Lloyd refinement lost recall: $rLearned%.3f < $rSeed%.3f")
+    spark.catalog.clearCache()
+  }
+
   test("hyperplane-LSH near-dup: subset of exact, finds exact dups, blocked plan") {
     val emb = (0L until 60L).map(i =>
       (i, Array.tabulate(16)(d => ((i * 37 + d * 11) % 17).toFloat - 8f)))
