@@ -7,12 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: opaque `binary` payloads with typed
   * metadata, plus decode / feature-extract / frame-sample operators.
   *
-  * The container has no image/audio codecs, so the byte-level decode is a
-  * clearly-marked DETERMINISTIC STUB (byte statistics standing in for
-  * pixel/sample decoding) — but the Spark-side plumbing is real and
-  * tested: binary column representation, metadata struct schema, the
-  * `mapPartitions` batch shape a Pandas-UDF/Arrow pipeline would use, and
-  * partition-preserving execution.
+  * Decode is REAL on the codec-free formats a JVM can parse natively:
+  * 24-bit uncompressed BMP and 16-bit PCM WAV ([[decodeMediaFeatures]]
+  * parses headers and pixel/sample payloads byte for byte). The payload
+  * GENERATOR ([[attachMediaPayload]]) renders those files from
+  * parametric pixel/sample formulas, so the decode output is
+  * analytically checkable by a SQL oracle that has no codec at all — a
+  * wrong header offset, a missed row pad, or a bad endianness read all
+  * surface as a hash mismatch. Compressed formats (JPEG/MP3/H.264)
+  * would slot into the same `mapPartitions` batch shape via a codec
+  * library; the container ships none.
   *
   * Scale: payloads stay columnar (parquet binary), metadata extraction is
   * pure column arithmetic (codegen'd), and the decode stage processes
@@ -67,10 +71,9 @@ object Multimodal {
       .select(col("doc_id"), col("meta.n_frames").as("n_frames"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, col("step"))).as("frame_idx"))
 
-  /** The decode stage: partition-wise batch processing over the binary
-    * payload. REAL plumbing, STUB math — `decodeBytes` is where an image
-    * library would run; here it computes deterministic byte statistics
-    * (the ??? of this sandbox, see class doc).
+  /** Byte-level feature extraction: partition-wise batch processing over
+    * the binary payload (whole-file statistics — cheap corpus screening
+    * before the format-aware [[decodeMediaFeatures]] runs).
     */
   def decodeFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     val withPayload = attachPayload(docs).select("doc_id", "payload")
@@ -92,9 +95,7 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB: stands in for `image.decode(bytes)` — deterministic byte
-    * statistics (sum, min, max as unsigned).
-    */
+  /** Whole-file byte statistics (sum, min, max as unsigned). */
   private def decodeBytes(bytes: Array[Byte]): (Long, Int, Int) = {
     var sum = 0L; var mn = 256; var mx = -1
     var i = 0
@@ -104,5 +105,182 @@ object Multimodal {
       i += 1
     }
     (sum, if (mn == 256) 0 else mn, if (mx == -1) 0 else mx)
+  }
+
+  // ---- real media decode on codec-free formats (BMP / WAV) ----
+
+  /** Render a deterministic media file per doc: even ids a 24-bit
+    * uncompressed BMP (width `id%16+4`, height `id%9+3`, pixel byte k =
+    * `(id*31 + k) % 256` laid out row-major with standard 4-byte row
+    * padding), odd ids a 16-bit PCM mono WAV at 8 kHz (`id%50+10`
+    * samples, sample k = `(id*131 + k*17) % 65536 − 32768`). The
+    * formulas are what make [[decodeMediaFeatures]] oracle-checkable
+    * without a codec on the oracle side.
+    */
+  private[operators] def encodeMedia(docId: Long): Array[Byte] =
+    if (docId % 2 == 0) encodeBmp(docId) else encodeWav(docId)
+
+  private[operators] def encodeBmp(docId: Long): Array[Byte] = {
+    val w = (docId % 16 + 4).toInt
+    val h = (docId % 9 + 3).toInt
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24) // BITMAPINFOHEADER
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var k = 0
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < rowBytes) { buf.put(((docId * 31 + k) % 256).toByte); k += 1; i += 1 }
+      var p = 0
+      while (p < pad) { buf.put(0.toByte); p += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  private[operators] def encodeWav(docId: Long): Array[Byte] = {
+    val n = (docId % 50 + 10).toInt
+    val dataSize = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < n) {
+      buf.putShort(((docId * 131 + k * 17) % 65536 - 32768).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** (width, height, nPixelBytes, sum, min, max) from a 24-bit
+    * uncompressed BMP — header fields at their documented offsets, pixel
+    * rows read at the header's data offset with 4-byte padding skipped.
+    */
+  private[operators] def decodeBmp(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP file")
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(buf.getShort(28) == 24, s"unsupported bpp ${buf.getShort(28)}")
+    require(buf.getInt(30) == 0, "compressed BMP unsupported")
+    require(w > 0 && h > 0, s"unsupported dimensions ${w}x$h")
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    require(bytes.length >= dataOffset + (rowBytes + pad) * h, "truncated pixel data")
+    var sum = 0L; var mn = 256L; var mx = -1L
+    var y = 0
+    while (y < h) {
+      var i = 0
+      val base = dataOffset + y * (rowBytes + pad)
+      while (i < rowBytes) {
+        val u = (bytes(base + i) & 0xff).toLong
+        sum += u; if (u < mn) mn = u; if (u > mx) mx = u
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, rowBytes.toLong * h, sum, mn, mx)
+  }
+
+  /** (sampleRate, nSamples, sum, min, max) from a 16-bit PCM WAV —
+    * walks the RIFF chunk list (fmt / data can appear in any order,
+    * other chunks are skipped) rather than assuming the 44-byte layout.
+    */
+  private[operators] def decodeWav(bytes: Array[Byte]): (Int, Long, Long, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a WAV file")
+    var off = 12
+    var sampleRate = -1; var bits = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val len = buf.getInt(off + 4)
+      if (id == "fmt ") {
+        require(buf.getShort(off + 8) == 1, "non-PCM WAV unsupported")
+        channels = buf.getShort(off + 10)
+        sampleRate = buf.getInt(off + 12)
+        bits = buf.getShort(off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(bits == 16 && channels == 1, s"unsupported PCM layout ${bits}bit×$channels")
+    require(bytes.length >= dataOff + dataLen, "truncated sample data")
+    val n = dataLen / 2
+    var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+    var k = 0
+    while (k < n) {
+      val v = buf.getShort(dataOff + k * 2).toLong
+      sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      k += 1
+    }
+    (sampleRate, n.toLong, sum, mn, mx)
+  }
+
+  /** Attach the rendered media file as a binary payload column —
+    * (doc_id, fmt, payload). Partition-wise generation, no shuffle.
+    */
+  def attachMediaPayload(docs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fmt", StringType),
+      StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, if (id % 2 == 0) "bmp" else "wav", encodeMedia(id))
+      }
+    }(enc)
+  }
+
+  /** REAL format-aware decode over the binary payload column: BMP pixel
+    * statistics / WAV sample statistics, parsed from the bytes
+    * partition-by-partition (the `mapInPandas` batch shape). Columns not
+    * applicable to a format are 0, keeping the frame null-free for the
+    * hash gate. `mean_val` is the raw double `sum/n` — no rounding (see
+    * the portability rules on integer-rational doubles).
+    */
+  def decodeMediaFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fmt", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_units", LongType),
+      StructField("mean_val", DoubleType),
+      StructField("min_val", LongType),
+      StructField("max_val", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // positional getters: rows arriving from an upstream mapPartitions
+    // carry no schema, so name-based access would throw
+    media.select("doc_id", "fmt", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](2)
+        r.getString(1) match {
+          case "bmp" =>
+            val (w, h, n, sum, mn, mx) = decodeBmp(bytes)
+            Row(id, "bmp", w.toLong, h.toLong, 0L, n, sum.toDouble / n, mn, mx)
+          case "wav" =>
+            val (sr, n, sum, mn, mx) = decodeWav(bytes)
+            Row(id, "wav", 0L, 0L, sr.toLong, n, sum.toDouble / n, mn, mx)
+        }
+      }
+    }(enc)
   }
 }

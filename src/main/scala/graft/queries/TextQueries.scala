@@ -96,7 +96,12 @@ object TextQueries {
 
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables(s, dir, "documents"))
-        .orderBy("doc_id", "frame_idx")))
+        .orderBy("doc_id", "frame_idx")),
+
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeMediaFeatures(
+          Multimodal.attachMediaPayload(Tables(s, dir, "documents")))
+        .orderBy("doc_id")))
 
   private val shinglesSql = // word 3-gram shingles over the augmented corpus
     """words AS (
@@ -366,5 +371,34 @@ object TextQueries {
         |SELECT doc_id, n_frames, CAST(t.f AS INT) AS frame_idx
         |FROM v, unnest(generate_series(0, n_frames - 1,
         |  greatest(1, (n_frames + 3) // 4))) AS t(f)
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // analytic model of the BMP/WAV render+decode roundtrip: the engine
+    // parses real file bytes; the oracle recomputes the parametric
+    // pixel/sample formulas the renderer used — any header/padding/
+    // endianness defect in encode OR decode breaks the hash match
+    "mm_decode" ->
+      """WITH par AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 16 + 4 ELSE 0 END AS width,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 9 + 3 ELSE 0 END AS height,
+        |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS sample_rate,
+        |    CASE WHEN doc_id % 2 = 0 THEN (doc_id % 16 + 4) * (doc_id % 9 + 3) * 3
+        |         ELSE doc_id % 50 + 10 END AS n_units
+        |  FROM documents),
+        |vals AS (
+        |  SELECT doc_id,
+        |    CASE WHEN fmt = 'bmp' THEN (doc_id * 31 + k) % 256
+        |         ELSE (doc_id * 131 + k * 17) % 65536 - 32768 END AS v
+        |  FROM (SELECT doc_id, fmt,
+        |          unnest(generate_series(0, n_units - 1)) AS k FROM par)),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(v) AS DOUBLE) / count(*) AS mean_val,
+        |         min(v) AS min_val, max(v) AS max_val
+        |  FROM vals GROUP BY 1)
+        |SELECT p.doc_id, p.fmt, p.width, p.height, p.sample_rate, p.n_units,
+        |       a.mean_val, a.min_val, a.max_val
+        |FROM par p JOIN agg a USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin)
 }

@@ -145,7 +145,7 @@ class OperatorsSpec extends AnyFunSuite {
       "plan must not contain a nested-loop join")
   }
 
-  test("multimodal decode stub computes real byte statistics, partition-wise") {
+  test("multimodal byte-stat screening computes statistics partition-wise") {
     val out = Multimodal.decodeFeatures(spark, docs.filter($"doc_id" === 1))
       .head
     val bytes = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
@@ -153,6 +153,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.getDouble(1) == bytes.map(_ & 0xff).sum.toDouble / bytes.length)
     assert(out.getInt(2) == bytes.map(_ & 0xff).min)
     assert(out.getInt(3) == bytes.map(_ & 0xff).max)
+  }
+
+  test("BMP/WAV decode: real file bytes roundtrip through parquet, stats " +
+    "match the render formulas, malformed files fail loudly") {
+    val ids = Seq(0L, 1L, 7L, 16L, 33L, 128L).toDF("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("mm-payload").toString
+    // payloads cross a real parquet binary column before decoding
+    Multimodal.attachMediaPayload(ids).write.mode("overwrite").parquet(dir)
+    val out = Multimodal.decodeMediaFeatures(spark.read.parquet(dir))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      val r = out(id)
+      if (id % 2 == 0) {
+        val w = id % 16 + 4; val h = id % 9 + 3; val n = w * h * 3
+        val vs = (0L until n).map(k => (id * 31 + k) % 256)
+        assert(r.getString(1) == "bmp" && r.getLong(2) == w && r.getLong(3) == h)
+        assert(r.getLong(5) == n && r.getDouble(6) == vs.sum.toDouble / n)
+        assert(r.getLong(7) == vs.min && r.getLong(8) == vs.max)
+      } else {
+        val n = id % 50 + 10
+        val vs = (0L until n).map(k => (id * 131 + k * 17) % 65536 - 32768)
+        assert(r.getString(1) == "wav" && r.getLong(4) == 8000L)
+        assert(r.getLong(5) == n && r.getDouble(6) == vs.sum.toDouble / n)
+        assert(r.getLong(7) == vs.min && r.getLong(8) == vs.max)
+      }
+    }
+    // header validation: garbage bytes are rejected, not mis-parsed
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp("not a bitmap at all".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Multimodal.encodeBmp(2L)) // wrong container
+    }
   }
 
   test("frame sampling yields <=4 in-range indices per video") {
