@@ -157,6 +157,50 @@ class PipelineReplaySpec extends AnyFunSuite {
     assert(wm == Timestamp.valueOf("2021-03-02 10:00:00"))
   }
 
+  test("incremental days drift on deletes; a full-snapshot reconciliation " +
+    "run restores delete semantics in place") {
+    // the documented mitigation at Pipeline.scala:22-24, exercised: a
+    // delta cannot witness absence, so deletes accumulate as drift until
+    // a periodic full-snapshot run through the SAME warehouse reconciles
+    val dayTs = (d: Int) => Timestamp.valueOf(f"2021-03-0$d%d 23:55:00")
+    val drop = Files.createTempDirectory("drop-rec")
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-rec").toString)
+    val pipeInc = new Pipeline(spark, wh, Reports.Corrected, incremental = true)
+    val pipeRec = new Pipeline(spark, wh, Reports.Corrected) // full snapshot
+
+    // days 1-3 incremental (day 1 extracts in full: meta is empty)
+    (1 to 3).foreach { d =>
+      stageDay(drop, d); pipeInc.run(bankFor(d), Some(drop.toString), dayTs(d))
+    }
+    // drift: C5/A5/card-5 were deleted upstream on day 2, but two
+    // incremental days later they are still in the dims
+    assert(wh.read("dim_clients").collect().map(_.getString(0)).toSet
+      == Set("C1", "C2", "C3", "C4", "C5", "C6"))
+    val factBefore = wh.read("fact_transactions").count()
+
+    // day 4: reconciliation — full-snapshot extract, same warehouse
+    // (terminals are file-fed full snapshots, so re-feed the day-3 file)
+    stageDay(drop, 3)
+    pipeRec.run(bankFor(3), Some(drop.toString), dayTs(4))
+
+    // the delete finally lands, across all three bank dims
+    val clients = wh.read("dim_clients").collect().map(r => r.getString(0) -> r).toMap
+    assert(clients.keySet == Set("C1", "C2", "C3", "C4", "C6"))
+    assert(wh.read("dim_accounts").collect().map(_.getString(0)).toSet
+      == Set("A1", "A2", "A3", "A4", "A6"))
+    assert(wh.read("dim_cards").collect().map(_.getString(1)).toSet
+      == Set("A1", "A2", "A3", "A4", "A6"))
+
+    // reconciliation is surgical: unchanged rows keep their history —
+    // C2's day-2 update and processed_dt survive, C1 is never touched
+    assert(clients("C2").getAs[String]("phone") == "+7 999")
+    assert(clients("C2").getAs[Timestamp]("processed_dt") == dayTs(2))
+    assert(clients("C1").getAs[Timestamp]("processed_dt") == dayTs(1))
+
+    // the re-fed day-3 transactions dedup away: facts did not grow
+    assert(wh.read("fact_transactions").count() == factBefore)
+  }
+
   test("faithful mode: report №1 tautology and null blacklist rows") {
     val whRoot = Files.createTempDirectory("wh-faithful")
     val drop = Files.createTempDirectory("drop-f")
