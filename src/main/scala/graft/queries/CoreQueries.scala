@@ -68,6 +68,20 @@ object CoreQueries {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
+    // Bloom-pruned semi join: lineitem (big) is filtered by a
+    // deterministic md5-chunk Bloom filter built from the small orders
+    // subset BEFORE the join — no false negatives, so the oracle is the
+    // plain semi-join SQL
+    "q_bloom_semi" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val small = Tables(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+      graft.operators.BloomJoin.semi(li, small, "l_orderkey", "o_orderkey")
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
     // ---- J1/J3: anti join (new-rows / delete detection)
     "q_anti_join" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
@@ -218,6 +232,14 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    // plain semi join: the engine's Bloom pre-filter has no false
+    // negatives, so pruning is invisible in the result
+    "q_bloom_semi" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

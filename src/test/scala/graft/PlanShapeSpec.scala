@@ -51,6 +51,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "the fact side should never sort-merge")
   }
 
+  test("q_bloom_semi: the Bloom pre-filter sits below the semi join") {
+    // formatted mode: simple toString truncates the (array-literal-heavy)
+    // filter condition, hiding the expression this gate checks for
+    val p = SparkEntry.queries("q_bloom_semi")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin LeftSemi"), "expected a broadcast semi join")
+    assert(p.contains("conv(substring(md5("),
+      "Bloom membership filter missing from the plan")
+    // the big-side child printed directly under the join is a Filter —
+    // the Bloom prune runs in the scan stage, before the exchange
+    assert("BroadcastHashJoin LeftSemi[^\\n]*\\n[^\\n]*:- Filter".r
+      .findFirstIn(p).isDefined,
+      s"Bloom filter is not the join's big-side child:\n${p.take(2000)}")
+  }
+
   test("no unblocked joins in the LSH/range operators") {
     for (name <- Seq("dedup_embed", "dedup_minhash", "dedup_simhash",
         "q_range_join", "q_interval_overlap")) {
