@@ -129,7 +129,7 @@ object StreamingOps {
     * which is what the DuckDB oracle checks.
     */
   def clickPurchaseStreamJoin(spark: SparkSession, dir: String,
-                              statePartitions: Int = 8): DataFrame = {
+                              statePartitions: Int = 4): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src = spark.readStream
       .schema(eventsSchema)
