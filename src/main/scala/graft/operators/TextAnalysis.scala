@@ -114,7 +114,10 @@ object TextAnalysis {
     * under a fixed tf is identical either way (both are monotone
     * decreasing in df). Shuffles: one tf aggregation on (doc, term),
     * one df aggregation on term, a broadcastable df join, one ranking
-    * window per doc.
+    * window per doc. The corpus size N rides along as a broadcast
+    * single-row crossJoin (the SQL `CROSS JOIN (SELECT count(*))`
+    * idiom) — the operator stays LAZY and single-job, with no hidden
+    * count() action at plan-construction time.
     */
   def topTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
@@ -122,15 +125,83 @@ object TextAnalysis {
     val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = words.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
-    val score = (col("tf") * (n + 1.0) / (col("df") + lit(1).cast("double")))
+    val nn = docs.select(col(idCol)).distinct().agg(count(lit(1)).as("nn"))
+    val score = (col("tf") * (col("nn") + lit(1.0)) / (col("df") + lit(1).cast("double")))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
     tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nn))
       .withColumn("score", score)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
+
+  /** GPT-style sequence packing: documents are concatenated in `idCol`
+    * order within each shard and split at `capacity`-token boundaries —
+    * the concat-and-chunk layout LLM pretraining actually feeds (docs
+    * may straddle a boundary; `offset_in_bin` says where each starts).
+    * `bin = floor(tokens_before / capacity)` over a running-sum window.
+    *
+    * Sharding is what makes this 100 TB-viable: a single global ordering
+    * would funnel the corpus through one window partition, so packing
+    * runs per md5-shard of the id (deterministic, balanced), one window
+    * partition each — global order is neither needed nor meaningful for
+    * a shuffled training corpus.
+    */
+  def packSequences(docs: DataFrame, capacity: Long = 2048, shards: Int = 16,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard =
+      expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % $shards")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        shard.as("shard"))
+      .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        // integral `div`, not `/`+cast: fractional division would round
+        // trip through DOUBLE where Spark truncates but DuckDB rounds
+        expr(s"tokens_before div $capacity").as("bin"),
+        pmod(col("tokens_before"), lit(capacity)).as("offset_in_bin"))
+  }
+
+  /** PII detection + redaction: emails, international-format phone
+    * numbers, and IPv4 addresses, counted and replaced with typed
+    * placeholders. The patterns are deliberately in the common subset of
+    * Java regex and RE2 (no backrefs, no lookarounds) so engine and
+    * oracle agree byte for byte; redaction order is fixed
+    * (email → ip → phone).
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9]{7,15}"
+
+  def piiScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = lower(col(textCol))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      regexp_count(t, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(phoneRe)).cast("long").as("n_phones"),
+      md5(redacted.cast("binary")).as("redacted_hash"))
+  }
+
+  /** Deterministic stratified sampling: a row survives iff its id's md5
+    * bucket (0..9999) falls under the class's rate in basis points.
+    * Like [[assignSplit]] this is a pure function of the id — stable
+    * across runs, engines and repartitions — and a pure FILTER: no
+    * shuffle, no RNG state, safe to push to the scan. The ':strat' salt
+    * decorrelates it from the split assignment's buckets.
+    */
+  def stratifiedSample(df: DataFrame, rateBp: Column,
+                       idCol: String = "doc_id"): DataFrame =
+    df.withColumn("sample_bucket",
+        expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING) || ':strat'), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .filter(col("sample_bucket") < rateBp)
 
   /** Content fingerprint: md5 of the sorted distinct token set — the
     * "bag-of-words digest" used for near-exact clustering; plus the raw

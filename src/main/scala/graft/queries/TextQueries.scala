@@ -101,7 +101,34 @@ object TextQueries {
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeMediaFeatures(
           Multimodal.attachMediaPayload(Tables(s, dir, "documents")))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    "text_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables(s, dir, "documents"),
+          capacity = 256, shards = 8)
+        .orderBy("doc_id")),
+
+    // synthetic PII is appended deterministically (the corpus has none),
+    // identically in engine and oracle, so counts/redaction are non-vacuous
+    "text_pii" -> ((s, dir) => {
+      val aug = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 tel +1415555"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+      TextAnalysis.piiScan(aug).orderBy("doc_id")
+    }),
+
+    "text_sample" -> ((s, dir) => {
+      val cls = pmod(col("doc_id"), lit(3))
+      val rateBp = when(cls === 0, 10000).when(cls === 1, 5000).otherwise(1000)
+      TextAnalysis.stratifiedSample(Tables(s, dir, "documents").select("doc_id"),
+          rateBp)
+        .withColumn("strat_class", cls)
+        .orderBy("doc_id")
+    }))
 
   private val shinglesSql = // word 3-gram shingles over the augmented corpus
     """words AS (
@@ -400,5 +427,49 @@ object TextQueries {
         |SELECT p.doc_id, p.fmt, p.width, p.height, p.sample_rate, p.n_units,
         |       a.mean_val, a.min_val, a.max_val
         |FROM par p JOIN agg a USING (doc_id)
-        |ORDER BY p.doc_id""".stripMargin)
+        |ORDER BY p.doc_id""".stripMargin,
+
+    "text_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    -- DuckDB SUM(BIGINT) is HUGEINT; pin back to BIGINT
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM tok)
+        |SELECT doc_id, shard, n_tokens,
+        |  tokens_before // 256 AS bin,
+        |  tokens_before % 256 AS offset_in_bin
+        |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lower(text || ' contact user' || doc_id ||
+        |    '@example.com from 10.0.' || (doc_id % 256) || '.7 tel +1415555' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9]{7,15}', '<PHONE>', 'g')) AS redacted_hash
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "text_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8))::BIGINT % 10000 AS sample_bucket,
+        |    doc_id % 3 AS strat_class
+        |  FROM documents)
+        |SELECT doc_id, sample_bucket, strat_class FROM b
+        |WHERE sample_bucket < CASE strat_class WHEN 0 THEN 10000
+        |                                       WHEN 1 THEN 5000 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -198,6 +198,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: bins chunk the token stream at capacity boundaries") {
+    val docs = Seq((1L, "a b c d"), (2L, "e f g"), (3L, "h i j k l"),
+      (4L, "m n")).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, capacity = 5, shards = 1)
+      .orderBy("doc_id").collect()
+    // stream: 4,3,5,2 tokens -> before = 0,4,7,12 -> bins 0,0,1,2
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 0L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("offset_in_bin")).toSeq == Seq(0L, 4L, 2L, 2L))
+  }
+
+  test("PII scan counts and redacts emails, IPs, phone numbers") {
+    val docs = Seq((1L, "Mail Bob@Example.COM or admin@test.org; " +
+      "host 192.168.0.1 tel +14155551234 done")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScan(docs).head
+    assert(r.getLong(1) == 2L, "emails")
+    assert(r.getLong(2) == 1L, "ips")
+    assert(r.getLong(3) == 1L, "phones")
+    // redaction hash = md5 of the placeholder form (text lowered first,
+    // placeholders inserted after and therefore uppercase)
+    val expected = "mail <EMAIL> or <EMAIL>; host <IP> tel <PHONE> done"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(4) == md)
+  }
+
+  test("stratified sample: per-class rates hold, assignment is repartition-stable") {
+    val ids = (0L until 3000L).toDF("doc_id")
+    val cls = pmod($"doc_id", lit(3))
+    val rate = when(cls === 0, 10000).when(cls === 1, 5000).otherwise(0)
+    val kept = TextAnalysis.stratifiedSample(ids, rate).collect()
+      .map(_.getLong(0)).toSet
+    assert((0L until 3000L by 3).forall(kept), "class 0 keeps everything")
+    assert(!kept.exists(_ % 3 == 2), "class 2 keeps nothing")
+    val c1 = kept.count(_ % 3 == 1)
+    assert(c1 > 350 && c1 < 650, s"class 1 at ~50%: got $c1/1000")
+    // same ids, different partitioning -> identical survivors
+    val kept2 = TextAnalysis.stratifiedSample(ids.repartition(13), rate)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept)
+  }
+
   test("language id picks the dominant stopword profile") {
     val multi = Seq(
       (1L, "the cat is of the house and a dog"),
