@@ -57,7 +57,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = SparkEntry.queries("q_bloom_semi")(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("BroadcastHashJoin LeftSemi"), "expected a broadcast semi join")
-    assert(p.contains("conv(substring(md5("),
+    assert(p.contains("graft_bloom_might_contain"),
       "Bloom membership filter missing from the plan")
     // the big-side child printed directly under the join is a Filter —
     // the Bloom prune runs in the scan stage, before the exchange
