@@ -203,6 +203,22 @@ object TextAnalysis {
         expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING) || ':strat'), 1, 8), 16, 10) AS BIGINT) % 10000"))
       .filter(col("sample_bucket") < rateBp)
 
+  /** Deterministic per-key uniform sample: rows rank within each key by
+    * the salted md5 of their id — a fixed random permutation — and the
+    * first `n` survive. Balanced per-class subsampling (the class-cap
+    * step of dataset curation) with no RNG state: stable across runs,
+    * engines and repartitions. One window shuffle on the key.
+    */
+  def samplePerKey(df: DataFrame, keyCol: Column, n: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("smp_key").orderBy(col("smp_h"), col(idCol))
+    df.withColumn("smp_key", keyCol)
+      .withColumn("smp_h", expr(s"md5(CAST($idCol AS STRING) || ':perkey')"))
+      .withColumn("smp_rank", row_number().over(w))
+      .filter(col("smp_rank") <= n)
+  }
+
   /** Content fingerprint: md5 of the sorted distinct token set — the
     * "bag-of-words digest" used for near-exact clustering; plus the raw
     * md5 of the normalized text.

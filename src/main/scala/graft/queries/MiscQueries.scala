@@ -29,6 +29,12 @@ object MiscQueries {
       StreamingOps.clickPurchaseStreamJoin(s, dir)
         .orderBy("click_id", "purchase_id")),
 
+    // Streaming ingestion dedup: dropDuplicatesWithinWatermark over the
+    // event stream; single-batch AvailableNow completion == batch DISTINCT
+    "q_stream_dedup" -> ((s, dir) =>
+      StreamingOps.streamingDedupKeys(s, dir)
+        .orderBy("user_id", "event_type")),
+
     // Gap-based sessionization (the stateful-streaming fold, batch form)
     "q_sessionize" -> ((s, dir) =>
       StreamingOps.sessionize(Tables(s, dir, "events"), gapMinutes = 30)
@@ -204,6 +210,12 @@ object MiscQueries {
         | AND p.purchase_us >= c.click_us - 3600000000
         | AND p.purchase_us <= c.click_us
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // the streaming dedup completes in one batch (single source file), so
+    // no state expires mid-run and the emitted keys are exactly DISTINCT
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -128,7 +128,12 @@ object TextQueries {
           rateBp)
         .withColumn("strat_class", cls)
         .orderBy("doc_id")
-    }))
+    }),
+
+    "text_sample_perkey" -> ((s, dir) =>
+      TextAnalysis.samplePerKey(Tables(s, dir, "documents").select("doc_id"),
+          pmod(col("doc_id"), lit(7)), n = 10)
+        .orderBy("smp_key", "smp_rank")))
 
   private val shinglesSql = // word 3-gram shingles over the augmented corpus
     """words AS (
@@ -471,5 +476,15 @@ object TextQueries {
         |SELECT doc_id, sample_bucket, strat_class FROM b
         |WHERE sample_bucket < CASE strat_class WHEN 0 THEN 10000
         |                                       WHEN 1 THEN 5000 ELSE 1000 END
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_sample_perkey" ->
+      """WITH r AS (
+        |  SELECT doc_id, doc_id % 7 AS smp_key,
+        |    md5(CAST(doc_id AS VARCHAR) || ':perkey') AS smp_h,
+        |    row_number() OVER (PARTITION BY doc_id % 7
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':perkey'), doc_id) AS smp_rank
+        |  FROM documents)
+        |SELECT doc_id, smp_key, smp_h, smp_rank FROM r WHERE smp_rank <= 10
+        |ORDER BY smp_key, smp_rank""".stripMargin)
 }

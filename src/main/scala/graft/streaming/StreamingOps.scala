@@ -162,6 +162,44 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** STREAMING DEDUP: first occurrence per (user_id, event_type) key,
+    * with `dropDuplicatesWithinWatermark` state — the ingestion-side
+    * exact dedup a training pipeline runs before anything else touches
+    * the data. State for a key is released once the event-time watermark
+    * passes its last-seen timestamp + the watermark delay, so an
+    * unbounded run holds a bounded key horizon; the price is that a key
+    * recurring AFTER its state expired is emitted again (exactly the
+    * semantics batch windowed dedup [[graft.operators.Dedup.exactWithin]]
+    * has across windows). Only the KEY columns are returned: which
+    * duplicate arrives first is partition-order-dependent, so emitting
+    * payload columns would be nondeterministic — keys are not. Driven
+    * with AvailableNow over one file the watermark never advances
+    * mid-run, so the result equals batch DISTINCT (the oracle).
+    */
+  def streamingDedupKeys(spark: SparkSession, dir: String,
+                         statePartitions: Int = 4): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val deduped = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val q = deduped.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   /** Sessionization via stateful streaming: gaps > `gapMinutes` split a
     * user's events into sessions. Implemented with the batch-equivalent
     * window expression here (deterministic, oracle-checkable); the
