@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
   * metadata, plus decode / feature-extract / frame-sample operators.
   *
   * Decode is REAL on the codec-free formats a JVM can parse natively:
-  * 24-bit uncompressed BMP and 16-bit PCM WAV ([[decodeMediaFeatures]]
-  * parses headers and pixel/sample payloads byte for byte). The payload
+  * 24-bit uncompressed BMP, 16-bit PCM WAV, and 8-bit grayscale PNG
+  * (zlib via `java.util.zip` — [[decodeMediaFeatures]] parses headers,
+  * verifies chunk CRCs, inflates IDAT, and walks pixel/sample payloads
+  * byte for byte). The payload
   * GENERATOR ([[attachMediaPayload]]) renders those files from
   * parametric pixel/sample formulas, so the decode output is
   * analytically checkable by a SQL oracle that has no codec at all — a
@@ -109,16 +111,21 @@ object Multimodal {
 
   // ---- real media decode on codec-free formats (BMP / WAV) ----
 
-  /** Render a deterministic media file per doc: even ids a 24-bit
+  /** Render a deterministic media file per doc: `id%3==0` a 24-bit
     * uncompressed BMP (width `id%16+4`, height `id%9+3`, pixel byte k =
     * `(id*31 + k) % 256` laid out row-major with standard 4-byte row
-    * padding), odd ids a 16-bit PCM mono WAV at 8 kHz (`id%50+10`
-    * samples, sample k = `(id*131 + k*17) % 65536 − 32768`). The
-    * formulas are what make [[decodeMediaFeatures]] oracle-checkable
+    * padding), `id%3==1` a 16-bit PCM mono WAV at 8 kHz (`id%50+10`
+    * samples, sample k = `(id*131 + k*17) % 65536 − 32768`), `id%3==2`
+    * an 8-bit GRAYSCALE PNG (real zlib-deflated IDAT + CRC32 chunks;
+    * width `id%16+4`, height `id%9+3`, pixel k = `(id*53 + k) % 256`).
+    * The formulas are what make [[decodeMediaFeatures]] oracle-checkable
     * without a codec on the oracle side.
     */
-  private[operators] def encodeMedia(docId: Long): Array[Byte] =
-    if (docId % 2 == 0) encodeBmp(docId) else encodeWav(docId)
+  private[operators] def encodeMedia(docId: Long): Array[Byte] = (docId % 3) match {
+    case 0 => encodeBmp(docId)
+    case 1 => encodeWav(docId)
+    case _ => encodePng(docId)
+  }
 
   private[operators] def encodeBmp(docId: Long): Array[Byte] = {
     val w = (docId % 16 + 4).toInt
@@ -160,6 +167,105 @@ object Multimodal {
       k += 1
     }
     buf.array()
+  }
+
+  /** An 8-bit grayscale PNG, for real: signature, IHDR (big-endian
+    * dims), IDAT = zlib-deflated scanlines (filter byte 0 + `w` pixel
+    * bytes per row), IEND, each chunk with its CRC32. Viewable by any
+    * image tool; pixel k (row-major) = `(docId*53 + k) % 256`.
+    */
+  private[operators] def encodePng(docId: Long): Array[Byte] = {
+    val w = (docId % 16 + 4).toInt
+    val h = (docId % 9 + 3).toInt
+    val raw = new Array[Byte](h * (1 + w)) // filter byte + w grayscale pixels
+    var k = 0
+    var y = 0
+    while (y < h) {
+      raw(y * (1 + w)) = 0 // filter: None
+      var x = 0
+      while (x < w) {
+        raw(y * (1 + w) + 1 + x) = ((docId * 53 + k) % 256).toByte
+        k += 1; x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new Array[Byte](raw.length + 64)
+    val compLen = deflater.deflate(comp)
+    deflater.end()
+    require(deflater.finished, "IDAT payload exceeded deflate buffer")
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length) // BE by default
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // depth 8, grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte)       // deflate, adaptive, no interlace
+      .array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", comp.take(compLen)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** (width, height, nPixels, sum, min, max) from an 8-bit grayscale
+    * PNG — signature check, big-endian IHDR, chunk walk with CRC32
+    * verification, zlib inflate of the concatenated IDAT stream, and
+    * per-scanline filter handling (filter 0; others rejected — the
+    * renderer never emits them).
+    */
+  private[operators] def decodePng(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    val sigOk = bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    require(sigOk, "not a PNG file")
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 12 <= bytes.length) {
+      val len = buf.getInt(off)
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      require(off + 12 + len <= bytes.length, s"truncated $typ chunk")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == buf.getInt(off + 8 + len), s"$typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          w = buf.getInt(off + 8); h = buf.getInt(off + 12)
+          require(bytes(off + 16) == 8 && bytes(off + 17) == 0,
+            "only 8-bit grayscale PNG supported")
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    require(w > 0 && h > 0 && idat.size() > 0, "missing IHDR/IDAT")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (1 + w))
+    val got = inflater.inflate(raw)
+    require(inflater.finished && got == raw.length, "bad IDAT scanline volume")
+    inflater.end()
+    var sum = 0L; var mn = 256L; var mx = -1L
+    var y = 0
+    while (y < h) {
+      require(raw(y * (1 + w)) == 0, s"unsupported scanline filter ${raw(y * (1 + w))}")
+      var x = 0
+      while (x < w) {
+        val u = (raw(y * (1 + w) + 1 + x) & 0xff).toLong
+        sum += u; if (u < mn) mn = u; if (u > mx) mx = u
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, w.toLong * h, sum, mn, mx)
   }
 
   /** (width, height, nPixelBytes, sum, min, max) from a 24-bit
@@ -242,7 +348,7 @@ object Multimodal {
     docs.select("doc_id").mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        Row(id, if (id % 2 == 0) "bmp" else "wav", encodeMedia(id))
+        Row(id, Seq("bmp", "wav", "png")((id % 3).toInt), encodeMedia(id))
       }
     }(enc)
   }
@@ -279,6 +385,9 @@ object Multimodal {
           case "wav" =>
             val (sr, n, sum, mn, mx) = decodeWav(bytes)
             Row(id, "wav", 0L, 0L, sr.toLong, n, sum.toDouble / n, mn, mx)
+          case "png" =>
+            val (w, h, n, sum, mn, mx) = decodePng(bytes)
+            Row(id, "png", w.toLong, h.toLong, 0L, n, sum.toDouble / n, mn, mx)
         }
       }
     }(enc)

@@ -405,24 +405,28 @@ object TextQueries {
         |  greatest(1, (n_frames + 3) // 4))) AS t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
-    // analytic model of the BMP/WAV render+decode roundtrip: the engine
-    // parses real file bytes; the oracle recomputes the parametric
+    // analytic model of the BMP/WAV/PNG render+decode roundtrip: the
+    // engine parses real file bytes (incl. zlib-inflating the PNG IDAT
+    // and verifying chunk CRCs); the oracle recomputes the parametric
     // pixel/sample formulas the renderer used — any header/padding/
-    // endianness defect in encode OR decode breaks the hash match
+    // endianness/compression defect in encode OR decode breaks the hash
     "mm_decode" ->
       """WITH par AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
-        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 16 + 4 ELSE 0 END AS width,
-        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 9 + 3 ELSE 0 END AS height,
-        |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS sample_rate,
-        |    CASE WHEN doc_id % 2 = 0 THEN (doc_id % 16 + 4) * (doc_id % 9 + 3) * 3
-        |         ELSE doc_id % 50 + 10 END AS n_units
+        |    CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'png' END AS fmt,
+        |    CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 16 + 4 END AS width,
+        |    CASE WHEN doc_id % 3 = 1 THEN 0 ELSE doc_id % 9 + 3 END AS height,
+        |    CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE 0 END AS sample_rate,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN (doc_id % 16 + 4) * (doc_id % 9 + 3) * 3
+        |      WHEN 1 THEN doc_id % 50 + 10
+        |      ELSE (doc_id % 16 + 4) * (doc_id % 9 + 3) END AS n_units
         |  FROM documents),
         |vals AS (
         |  SELECT doc_id,
-        |    CASE WHEN fmt = 'bmp' THEN (doc_id * 31 + k) % 256
-        |         ELSE (doc_id * 131 + k * 17) % 65536 - 32768 END AS v
+        |    CASE fmt WHEN 'bmp' THEN (doc_id * 31 + k) % 256
+        |             WHEN 'png' THEN (doc_id * 53 + k) % 256
+        |             ELSE (doc_id * 131 + k * 17) % 65536 - 32768 END AS v
         |  FROM (SELECT doc_id, fmt,
         |          unnest(generate_series(0, n_units - 1)) AS k FROM par)),
         |agg AS (

@@ -155,9 +155,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.getInt(3) == bytes.map(_ & 0xff).max)
   }
 
-  test("BMP/WAV decode: real file bytes roundtrip through parquet, stats " +
-    "match the render formulas, malformed files fail loudly") {
-    val ids = Seq(0L, 1L, 7L, 16L, 33L, 128L).toDF("doc_id")
+  test("BMP/WAV/PNG decode: real file bytes roundtrip through parquet, " +
+    "stats match the render formulas, malformed files fail loudly") {
+    val ids = Seq(0L, 1L, 2L, 7L, 16L, 33L, 128L, 254L).toDF("doc_id")
     val dir = java.nio.file.Files.createTempDirectory("mm-payload").toString
     // payloads cross a real parquet binary column before decoding
     Multimodal.attachMediaPayload(ids).write.mode("overwrite").parquet(dir)
@@ -165,18 +165,25 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r).toMap
     ids.collect().map(_.getLong(0)).foreach { id =>
       val r = out(id)
-      if (id % 2 == 0) {
-        val w = id % 16 + 4; val h = id % 9 + 3; val n = w * h * 3
-        val vs = (0L until n).map(k => (id * 31 + k) % 256)
-        assert(r.getString(1) == "bmp" && r.getLong(2) == w && r.getLong(3) == h)
-        assert(r.getLong(5) == n && r.getDouble(6) == vs.sum.toDouble / n)
-        assert(r.getLong(7) == vs.min && r.getLong(8) == vs.max)
-      } else {
-        val n = id % 50 + 10
-        val vs = (0L until n).map(k => (id * 131 + k * 17) % 65536 - 32768)
-        assert(r.getString(1) == "wav" && r.getLong(4) == 8000L)
-        assert(r.getLong(5) == n && r.getDouble(6) == vs.sum.toDouble / n)
-        assert(r.getLong(7) == vs.min && r.getLong(8) == vs.max)
+      (id % 3) match {
+        case 0 =>
+          val w = id % 16 + 4; val h = id % 9 + 3; val n = w * h * 3
+          val vs = (0L until n).map(k => (id * 31 + k) % 256)
+          assert(r.getString(1) == "bmp" && r.getLong(2) == w && r.getLong(3) == h)
+          assert(r.getLong(5) == n && r.getDouble(6) == vs.sum.toDouble / n)
+          assert(r.getLong(7) == vs.min && r.getLong(8) == vs.max)
+        case 1 =>
+          val n = id % 50 + 10
+          val vs = (0L until n).map(k => (id * 131 + k * 17) % 65536 - 32768)
+          assert(r.getString(1) == "wav" && r.getLong(4) == 8000L)
+          assert(r.getLong(5) == n && r.getDouble(6) == vs.sum.toDouble / n)
+          assert(r.getLong(7) == vs.min && r.getLong(8) == vs.max)
+        case _ =>
+          val w = id % 16 + 4; val h = id % 9 + 3; val n = w * h
+          val vs = (0L until n).map(k => (id * 53 + k) % 256)
+          assert(r.getString(1) == "png" && r.getLong(2) == w && r.getLong(3) == h)
+          assert(r.getLong(5) == n && r.getDouble(6) == vs.sum.toDouble / n)
+          assert(r.getLong(7) == vs.min && r.getLong(8) == vs.max)
       }
     }
     // header validation: garbage bytes are rejected, not mis-parsed
@@ -184,8 +191,15 @@ class OperatorsSpec extends AnyFunSuite {
       Multimodal.decodeBmp("not a bitmap at all".getBytes("UTF-8"))
     }
     intercept[IllegalArgumentException] {
-      Multimodal.decodeWav(Multimodal.encodeBmp(2L)) // wrong container
+      Multimodal.decodeWav(Multimodal.encodeBmp(0L)) // wrong container
     }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng(Multimodal.encodeWav(1L)) // wrong container
+    }
+    // a corrupted PNG byte trips the chunk CRC, not a garbage result
+    val png = Multimodal.encodePng(2L)
+    png(40) = (png(40) ^ 0x5a).toByte // inside IDAT payload
+    intercept[IllegalArgumentException] { Multimodal.decodePng(png) }
   }
 
   test("frame sampling yields <=4 in-range indices per video") {
