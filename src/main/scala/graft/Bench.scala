@@ -39,7 +39,13 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    // optional args = query-name subset (local iteration; driver passes none)
+    // optional args = query-name subset (local iteration; driver passes
+    // none). Unknown names are an ERROR: a typo that silently ran fewer
+    // queries would make a local A/B comparison vacuous.
+    val unknown = args.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

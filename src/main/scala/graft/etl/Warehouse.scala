@@ -105,6 +105,18 @@ class Warehouse(val spark: SparkSession, val root: String,
     * (tiered-merge write amplification, the usual LSM trade).
     * [[Txn.commit]] invokes this automatically for any written table
     * past `autoCompactThreshold` dirs.
+    *
+    * Concurrency: the catalog swap is a compare-and-swap on the catalog
+    * file's content — the read-modify-write is retried when a commit
+    * lands between the post-merge re-read and the swap, and the
+    * compaction ABORTS (a safe no-op: the merged dir is simply never
+    * referenced and the next `vacuum()` reclaims it) if the catalog
+    * keeps moving. The CAS closes the lost-update window down to the
+    * compare-vs-move race inside [[commitCatalogIf]]; full mutual
+    * exclusion (e.g. two compactions of the SAME table each committing a
+    * merged copy of the same rows) still assumes one maintenance writer
+    * per warehouse, same as every file-based table format without a
+    * lock service.
     */
   def compactOldest(table: String, keep: Int = 16): Unit = {
     val dirs = catalog().getOrElse(table, Nil)
@@ -114,9 +126,17 @@ class Warehouse(val spark: SparkSession, val root: String,
       // re-read the catalog AFTER the (long) merge write and replace only
       // the `old` prefix — any dir another writer appended meanwhile
       // stays referenced instead of being silently dropped
-      val cat = catalog()
-      val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
-      commitCatalog(cat + (table -> (merged +: kept)))
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 5) {
+        val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
+        val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
+                  else CatalogJson.parse(expected)
+        val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
+        done = commitCatalogIf(expected, cat + (table -> (merged +: kept)))
+        attempts += 1
+      }
+      // on persistent contention the merge is abandoned, never half-applied
     }
   }
 
@@ -168,6 +188,20 @@ class Warehouse(val spark: SparkSession, val root: String,
     Files.write(tmp, CatalogJson.render(entries).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, catalogPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Conditional catalog swap: only commit if the file still holds
+    * `expected` (empty string = file absent). Returns false — without
+    * writing — on mismatch, so callers can re-derive their update from
+    * the fresh content and retry. The compare and the move are not one
+    * atomic step (no OS-level file CAS exists); the residual window is
+    * microseconds vs the seconds-long merge writes it guards against.
+    */
+  private[etl] def commitCatalogIf(expected: String,
+                                   entries: Map[String, Seq[String]]): Boolean = {
+    val current = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
+    if (current != expected) false
+    else { commitCatalog(entries); true }
   }
 }
 

@@ -155,4 +155,17 @@ case class QBloomMightContain(child: Expression, words: Array[Long],
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+
+  // the case-class default compares `words` by REFERENCE (Array equals);
+  // value equality lets canonicalization/semanticEquals dedupe two
+  // filters built from the same keys (plan cache hits, subexpr elim)
+  override def equals(other: Any): Boolean = other match {
+    case q: QBloomMightContain =>
+      child == q.child && mBits == q.mBits && k == q.k &&
+        java.util.Arrays.equals(words, q.words)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.lang.Long.valueOf(mBits),
+      Integer.valueOf(k), Integer.valueOf(java.util.Arrays.hashCode(words)))
 }

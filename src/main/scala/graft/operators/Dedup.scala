@@ -275,6 +275,15 @@ object Dedup {
     * of executor loss. Checkpoint blocks live until session close —
     * callers embedding this in a long-lived service should run it in a
     * dedicated session or accept the (labels-sized) residue.
+    *
+    * PRECONDITION: every id in `pairs0` must appear in `nodes` — labels
+    * are seeded from edge ENDPOINTS (so only the near-dup subgraph
+    * iterates), and an endpoint absent from `nodes` would surface as a
+    * phantom output row (and could become a cluster's min label). Holds
+    * by construction when pairs come from an LSH/SimHash pass over the
+    * same corpus (as in every [[graft.queries.TextQueries]] use); a
+    * defensive `endpoints ⋉ nodes` semi-join is deliberately omitted —
+    * it would shuffle the full corpus to guard an impossible input.
     */
   def clusterLabels(pairs0: DataFrame, nodes: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
@@ -317,6 +326,7 @@ object Dedup {
     * two labels and pointers are idempotent — is the component minimum,
     * identical to the naive propagation's output. Verified by property
     * test on a 1,000-node path graph (≤ ~10 rounds, equal labels).
+    * Same PRECONDITION as [[clusterLabels]]: pair ids ⊆ `nodes`.
     */
   def clusterLabelsDoubling(pairs0: DataFrame, nodes: DataFrame,
                             idCol: String = "doc_id"): DataFrame = {
