@@ -46,9 +46,9 @@ object TextQueries {
 
     "dedup_ngram" -> ((s, dir) =>
       // same-language text has a high baseline char-5-gram Jaccard ->
-      // wide bands for candidate precision
-      Dedup.lshNearDups(Dedup.charShingles(docsAug(s, dir), n = 5), 0.6,
-          bandSize = 4)
+      // wide bands for candidate precision; signature stage is the
+      // native one-pass QCharGrams expression (no explode/shuffle/md5)
+      Dedup.charGramNearDups(docsAug(s, dir), 0.6, n = 5, bandSize = 4)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -211,6 +211,73 @@ object TextQueries {
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle for the NATIVE char-gram path (Dedup.charGramNearDups /
+    * QCharGrams): the same polynomial gram hash computed relationally —
+    * h = fold((h·131 + ord(char)) mod 1000000007) over each 5-gram's
+    * code points, family j = ((37+101j)·h + (17+89j)) mod 1000000007.
+    * Every intermediate is < 2^41, so DuckDB BIGINT arithmetic is exact
+    * and bit-identical to the engine's. Tail (bands → capped candidates
+    * → exact Jaccard) mirrors lshPairsCte with ':'-separated numeric
+    * bands.
+    */
+  private def charGramSql(threshold: Double, n: Int = 5, bandSize: Int = 4) = {
+    val p = "1000000007"
+    // nested fold over the gram's n code points
+    // seed cast to BIGINT: ord() is INT32 and the fold would overflow
+    val gramHash = (1 until n).foldLeft(s"CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT)") {
+      (acc, k) => s"((($acc) * 131 + ord(substr(t, CAST(i + $k AS INT), 1))) % $p)"
+    }
+    val sigMins = (0 until 8).map { j =>
+      s"min(((${37 + 101 * j} * h) + ${17 + 89 * j}) % $p) AS m$j"
+    }.mkString(",\n       |    ")
+    val bandSelects = (0 until 8 / bandSize).map { b =>
+      val cat = (b * bandSize until (b + 1) * bandSize)
+        .map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band_id, $cat AS band FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""base AS (SELECT doc_id, lower(text) AS t FROM docs
+       |          WHERE length(lower(text)) >= $n),
+       |grams AS (
+       |  SELECT doc_id, $gramHash AS h
+       |  FROM base, unnest(generate_series(1, length(t) - ${n - 1})) AS g(i)),
+       |hashes AS (SELECT DISTINCT doc_id, h FROM grams),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigMins
+       |  FROM grams GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |bsize AS (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
+       |          FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM bands a
+       |    JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+       |                AND a.doc_id < b.doc_id
+       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band AND s.bn <= 256
+       |    UNION ALL
+       |    SELECT s.anchor AS doc_a, a.doc_id AS doc_b
+       |    FROM bands a
+       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
+       |    WHERE s.bn > 256 AND a.doc_id > s.anchor)),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN hashes sa ON sa.doc_id = c.doc_a
+       |  JOIN hashes sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+       |  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+       |               JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= $threshold)
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $augSql
@@ -227,11 +294,7 @@ object TextQueries {
 
     "dedup_ngram" ->
       s"""WITH $augSql,
-         |shingles AS (
-         |  SELECT DISTINCT doc_id, substr(lower(text), CAST(t.i AS INT), 5) AS shingle
-         |  FROM docs, unnest(generate_series(1, length(lower(text)) - 4)) AS t(i)
-         |  WHERE length(substr(lower(text), CAST(t.i AS INT), 5)) = 5),
-         |${lshSql(0.6, bandSize = 4)}""".stripMargin,
+         |${charGramSql(0.6, n = 5, bandSize = 4)}""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $augSql,

@@ -66,8 +66,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"Bloom filter is not the join's big-side child:\n${p.take(2000)}")
   }
 
+  test("dedup_ngram: native one-pass signature, no corpus-wide explode before it") {
+    val p = plan("dedup_ngram")
+    assert(p.contains("graft_chargram_minhash"),
+      "signature should be the native QCharGramMinHash expression")
+    assert(p.contains("graft_sorted_intersect_count"),
+      "verify should be the scalar merge-intersect, not an explode+join")
+  }
+
   test("no unblocked joins in the LSH/range operators") {
-    for (name <- Seq("dedup_embed", "dedup_minhash", "dedup_simhash",
+    for (name <- Seq("dedup_embed", "dedup_minhash", "dedup_ngram", "dedup_simhash",
         "q_range_join", "q_interval_overlap")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
