@@ -242,4 +242,35 @@ object Similarity {
         cosine(qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Symmetric int8 scalar quantization — the compression step before
+    * shipping an embedding table to an ANN index or training job:
+    * `q_i = floor(v_i · 127 / amax)` with per-vector `amax = max|v_i|`
+    * (all-zero vectors quantize to zeros). Purely map-side: one row in,
+    * one row out, no shuffle — at 100 TB this runs at scan speed.
+    *
+    * Output keeps audit columns rather than the raw int8 array payload:
+    * `amax` (the dequant scale numerator), `q_sum`/`n_sat` (saturation
+    * and bias diagnostics), and `q_checksum` (md5 of the comma-joined
+    * components — any engine reproducing the quantization reproduces
+    * it). Portability: float→double is exact, ·127 then ÷amax is a
+    * fixed IEEE op sequence, floor avoids the round-half tie Spark and
+    * DuckDB break differently.
+    */
+  def quantizeInt8(embeddings: DataFrame, vecCol: String = "embedding",
+                   idCol: String = "vec_id"): DataFrame = {
+    val qv = transform(col("v"), x =>
+      when(col("amax") === 0d, lit(0L)).otherwise(
+        floor((x.cast("double") * lit(127.0)) / col("amax")).cast("long")))
+    embeddings.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x.cast("double")))))
+      .withColumn("qv", qv)
+      .select(col(idCol),
+        size(col("v")).cast("long").as("n_dims"),
+        col("amax"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        size(filter(col("qv"), x => abs(x) >= 127)).cast("long").as("n_sat"),
+        md5(array_join(transform(col("qv"), _.cast("string")), ",").cast("binary"))
+          .as("q_checksum"))
+  }
 }

@@ -229,4 +229,72 @@ object TextAnalysis {
       md5(array_join(array_sort(array_distinct(t)), " ").cast("binary")).as("bag_fingerprint"),
       md5(trim(lower(col(textCol))).cast("binary")).as("text_fingerprint"))
   }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * `n`-gram with an evaluation set — the overlap check every serious
+    * pretraining pipeline runs before training (the GPT-3 appendix's
+    * 8/13-gram collision scan).
+    *
+    * Output per corpus doc: `n_grams` (n-gram OCCURRENCES — computed
+    * map-side from the token count, deliberately not a corpus-wide
+    * distinct), `n_overlap` (DISTINCT grams also present in the
+    * benchmark), `contaminated`.
+    *
+    * Scale shape: the benchmark's gram-hash set is small (eval sets are
+    * thousands of docs) → built once, deduped, BROADCAST. The corpus side
+    * streams its gram occurrences map-only into the broadcast hash join;
+    * only MATCHED rows — a vanishing fraction — reach the distinct +
+    * per-doc count. No corpus-sized shuffle anywhere: cost tracks the
+    * contamination density, not the corpus size.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 8,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val benchHashes = Dedup.shingleHashes(Dedup.shingles(bench, n, textCol, idCol), idCol)
+      .select("h").distinct()
+    val docHashes = Dedup.shingleHashes(Dedup.shingles(corpus, n, textCol, idCol), idCol)
+    val overlap = docHashes.join(broadcast(benchHashes), Seq("h"))
+      .select(idCol, "h").distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    corpus
+      .select(col(idCol),
+        greatest(lit(0L), (size(tokens(col(textCol))) - (n - 1)).cast("long")).as("n_grams"))
+      .join(overlap, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Gopher-style repetition metrics: the "excessive repetition" quality
+    * filters of dataset curation (Rae et al. 2021 §A1.1) — fraction of
+    * word-bigram occurrences in duplicated bigrams, top-bigram coverage,
+    * and the same at the unigram level. High values mark boilerplate,
+    * keyword stuffing and templated spam.
+    *
+    * Two (doc, gram) partial-combining aggregations — the map-side
+    * combine absorbs the repetition itself, so shuffle volume is the
+    * DISTINCT gram count. Fractions are single int/int divisions (raw
+    * doubles — exact-portable); docs with no bigrams report nulls.
+    */
+  def repetitionScore(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val gc = Dedup.shingles(docs, 2, textCol, idCol)
+      .groupBy(idCol, "shingle").agg(count(lit(1)).as("cnt"))
+    val ga = gc.groupBy(idCol).agg(
+      sum("cnt").as("n_grams2"), max("cnt").as("top2_cnt"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup2_cnt"))
+    val wc = Dedup.tokenize(docs, textCol, idCol)
+      .groupBy(idCol, "w").agg(count(lit(1)).as("cnt"))
+    val wa = wc.groupBy(idCol).agg(
+      sum("cnt").as("n_words"), max("cnt").as("topw_cnt"))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
+    docs.select(col(idCol))
+      .join(wa, Seq(idCol), "left")
+      .join(ga, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        frac(col("topw_cnt"), col("n_words")).as("top_word_frac"),
+        coalesce(col("n_grams2"), lit(0L)).as("n_grams2"),
+        frac(col("top2_cnt"), col("n_grams2")).as("top_bigram_frac"),
+        frac(col("dup2_cnt"), col("n_grams2")).as("dup_bigram_frac"))
+  }
 }

@@ -63,7 +63,11 @@ object SimilarityQueries {
 
     "q_vec_centroid" -> ((s, dir) =>
       Similarity.centroids(Tables(s, dir, "embeddings"), col("vec_id") % 10)
-        .orderBy("grp", "i")))
+        .orderBy("grp", "i")),
+
+    "q_vec_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables(s, dir, "embeddings"))
+        .orderBy("vec_id")))
 
   val oracles: Map[String, String] = Map(
     "ann_brute" ->
@@ -144,7 +148,26 @@ object SimilarityQueries {
         |  FROM embeddings)
         |SELECT grp, i,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0 AS mean_val
-        |FROM flat GROUP BY 1, 2 ORDER BY grp, i""".stripMargin)
+        |FROM flat GROUP BY 1, 2 ORDER BY grp, i""".stripMargin,
+
+    "q_vec_quantize" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims, amax,
+        |    CASE WHEN amax = 0
+        |         THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |           x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / amax) AS BIGINT))
+        |    END AS qv
+        |  FROM a)
+        |SELECT vec_id, n_dims, amax,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_sat,
+        |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')) AS q_checksum
+        |FROM q ORDER BY vec_id""".stripMargin)
 
   /** Shared IVF oracle tail: assignment / nprobe=2 probing / in-bucket
     * top-5 search against whatever `cents`(cent_id, i, q) / `cnorm`

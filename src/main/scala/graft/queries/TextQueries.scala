@@ -133,7 +133,27 @@ object TextQueries {
     "text_sample_perkey" -> ((s, dir) =>
       TextAnalysis.samplePerKey(Tables(s, dir, "documents").select("doc_id"),
           pmod(col("doc_id"), lit(7)), n = 10)
-        .orderBy("smp_key", "smp_rank")))
+        .orderBy("smp_key", "smp_rank")),
+
+    // benchmark = every 100th doc (stand-in eval set); benchmark members
+    // flag themselves by construction, which non-vacuously exercises the
+    // whole overlap path
+    "text_decontam" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      TextAnalysis.decontaminate(docs, docs.filter(col("doc_id") % 100 === 0), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // every 19th doc also appears self-concatenated (id+300000): those
+    // copies have ~every bigram duplicated, so the repetition filters
+    // have true positives to separate from natural text
+    "text_repetition" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val aug = d.unionAll(d.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))
+      TextAnalysis.repetitionScore(aug).orderBy("doc_id")
+    }))
 
   private val shinglesSql = // word 3-gram shingles over the augmented corpus
     """words AS (
@@ -544,6 +564,75 @@ object TextQueries {
         |WHERE sample_bucket < CASE strat_class WHEN 0 THEN 10000
         |                                       WHEN 1 THEN 5000 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+
+    "text_decontam" ->
+      """WITH words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
+        |           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+        |    FROM documents) WHERE w <> ''),
+        |sh AS (
+        |  SELECT doc_id,
+        |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+        |    lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+        |    lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+        |    lead(w, 7) OVER win AS shingle
+        |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+        |hashes AS (
+        |  SELECT doc_id, substr(md5(shingle), 1, 16) AS h
+        |  FROM sh WHERE shingle IS NOT NULL),
+        |bench AS (SELECT DISTINCT h FROM hashes WHERE doc_id % 100 = 0),
+        |matched AS (
+        |  SELECT DISTINCT d.doc_id, d.h FROM hashes d JOIN bench b USING (h)),
+        |overlap AS (SELECT doc_id, count(*) AS n_overlap FROM matched GROUP BY 1),
+        |totals AS (
+        |  SELECT doc_id,
+        |    greatest(0, CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w <> '')) AS BIGINT) - 7) AS n_grams
+        |  FROM documents)
+        |SELECT t.doc_id, t.n_grams,
+        |  COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  COALESCE(o.n_overlap, 0) > 0 AS contaminated
+        |FROM totals t LEFT JOIN overlap o ON o.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text || ' ' || text FROM documents
+        |  WHERE doc_id % 19 = 0),
+        |words AS (
+        |  SELECT doc_id, w, i FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
+        |           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+        |    FROM docs) WHERE w <> ''),
+        |g AS (
+        |  SELECT doc_id,
+        |    w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+        |  FROM words),
+        |gc AS (SELECT doc_id, shingle, count(*) AS cnt FROM g
+        |       WHERE shingle IS NOT NULL GROUP BY 1, 2),
+        |ga AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams2,
+        |              max(cnt) AS top2_cnt,
+        |              CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup2_cnt
+        |       FROM gc GROUP BY 1),
+        |wc AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |              max(cnt) AS topw_cnt
+        |       FROM wc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(wa.n_words, 0) AS n_words,
+        |  CASE WHEN wa.n_words > 0
+        |       THEN CAST(wa.topw_cnt AS DOUBLE) / CAST(wa.n_words AS DOUBLE) END AS top_word_frac,
+        |  COALESCE(ga.n_grams2, 0) AS n_grams2,
+        |  CASE WHEN ga.n_grams2 > 0
+        |       THEN CAST(ga.top2_cnt AS DOUBLE) / CAST(ga.n_grams2 AS DOUBLE) END AS top_bigram_frac,
+        |  CASE WHEN ga.n_grams2 > 0
+        |       THEN CAST(ga.dup2_cnt AS DOUBLE) / CAST(ga.n_grams2 AS DOUBLE) END AS dup_bigram_frac
+        |FROM docs d LEFT JOIN wa ON wa.doc_id = d.doc_id
+        |            LEFT JOIN ga ON ga.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_sample_perkey" ->
       """WITH r AS (

@@ -262,4 +262,51 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(5)).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
+
+  test("decontamination flags docs sharing an 8-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // contains bench gram
+      (2L, "one two three four five six seven eight nine ten"),         // clean
+      (3L, "too short to have grams")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, bench, n = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, 1L, true)))  // 10 tokens -> 3 grams; 1 matches
+    assert(out(2L) == ((3L, 0L, false)))
+    assert(out(3L) == ((0L, 0L, false))) // 5 tokens -> no 8-grams, clamped to 0
+  }
+
+  test("repetition score separates doubled text from natural text") {
+    val d = Seq(
+      (1L, "a b c d e f g h a b"),     // mild repetition
+      (2L, "spam spam spam spam spam") // total repetition
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScore(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 5L)            // n_words
+    assert(r2.getDouble(2) == 1.0)         // top_word_frac: all 'spam'
+    assert(r2.getDouble(4) == 1.0)         // top_bigram_frac: all 'spam spam'
+    assert(r2.getDouble(5) == 1.0)         // dup_bigram_frac
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 10L && r1.getDouble(2) == 0.2)
+    // 9 bigrams, 'a b' twice -> top 2/9, dup 2/9
+    assert(r1.getLong(3) == 9L && r1.getDouble(4) == 2.0 / 9.0 &&
+      r1.getDouble(5) == 2.0 / 9.0)
+  }
+
+  test("int8 quantization: extremes hit ±127-ish, zero vector stays zero") {
+    val e = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(e).collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4L && r1.getDouble(2) == 1.0)
+    // q = [127, -127, 63, 0] -> sum 63, sat 2
+    assert(r1.getLong(3) == 63L && r1.getLong(4) == 2L)
+    val r2 = out(2L)
+    assert(r2.getDouble(2) == 0.0 && r2.getLong(3) == 0L && r2.getLong(4) == 0L)
+  }
 }
