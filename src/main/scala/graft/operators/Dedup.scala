@@ -275,27 +275,72 @@ object Dedup {
     val bands = sig.select(col(idCol),
       posexplode(array(bandCols: _*)).as(Seq("band_id", "band")))
     val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket).cache()
-    val candDocs = cand.select(col("doc_a").as(idCol))
-      .unionAll(cand.select(col("doc_b").as(idCol))).distinct()
     // per-CANDIDATE-doc sorted gram sets, kept as arrays: the verify is
     // then one scalar merge-intersect per pair (QSortedIntersectCount) —
     // no explode, no (id, hash) shuffle join, no per-pair aggregate.
-    // Cached: referenced from both pair sides. Array rows scale with
-    // document size — for million-gram documents prefer the exploded
-    // jaccardVerifyHashed form; for web-scale docs (KBs) arrays win.
-    val docHashes = base.join(candDocs, Seq(idCol), "left_semi")
-      .select(col(idCol), QCharGrams.hashesCol(col("t"), n).as("hs"))
+    // Array rows scale with document size — for million-gram documents
+    // prefer the exploded jaccardVerifyHashed form; for web-scale docs
+    // (KBs) arrays win.
+    val docHashes = candDocSets(cand, base,
+      QCharGrams.hashesCol(col("t"), n), idCol)
+    arrayJaccardVerify(cand, docHashes, threshold)
+  }
+
+  /** Sorted-distinct hash arrays (`hs`) for exactly the docs appearing
+    * in `cand`, via `hashExpr` over `base`'s `t` column. Cached: the
+    * verify references the frame from both pair sides.
+    */
+  private def candDocSets(cand: DataFrame, base: DataFrame, hashExpr: Column,
+                          idCol: String): DataFrame = {
+    val candDocs = cand.select(col("doc_a").as(idCol))
+      .unionAll(cand.select(col("doc_b").as(idCol))).distinct()
+    base.join(candDocs, Seq(idCol), "left_semi")
+      .select(col(idCol), hashExpr.as("hs"))
       .cache()
+  }
+
+  /** Exact Jaccard over pre-sorted per-doc hash ARRAYS: one scalar
+    * merge-intersect per candidate pair.
+    */
+  private def arrayJaccardVerify(cand: DataFrame, docHashes: DataFrame,
+                                 threshold: Double): DataFrame = {
     val j = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
     cand
-      .join(docHashes.select(col(idCol).as("doc_a"), col("hs").as("ha"),
+      .join(docHashes.select(col(docHashes.columns.head).as("doc_a"), col("hs").as("ha"),
         size(col("hs")).cast("long").as("na")), Seq("doc_a"))
-      .join(docHashes.select(col(idCol).as("doc_b"), col("hs").as("hb"),
+      .join(docHashes.select(col(docHashes.columns.head).as("doc_b"), col("hs").as("hb"),
         size(col("hs")).cast("long").as("nb")), Seq("doc_b"))
       .withColumn("n_inter", graft.functions.QSortedIntersect.col(col("ha"), col("hb")))
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Word-n-gram near-dup pipeline on the NATIVE
+    * [[graft.functions.QWordGrams]] expressions — BIT-IDENTICAL results
+    * to [[minhashNearDups]] (same md5 gram hashes, same 8 families,
+    * same banding and Jaccard), so the md5-based oracles verify it
+    * unchanged. What changes is the plan: the signature is one scalar
+    * map per document (no per-gram explode, no signature aggregation
+    * exchange), and the verify is the [[QSortedIntersectCount]] merge
+    * over candidate docs' hash arrays. The corpus-sized stages carry
+    * one row per DOCUMENT end to end.
+    */
+  def wordGramNearDups(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
+                       bandSize: Int = 2, maxBucket: Int = 256,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.QWordGrams
+    val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
+      .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
+    val sig = base
+      .select(col(idCol), QWordGrams.sigCol(col("t"), n).as("ms"))
+      .select(col(idCol) +:
+        (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
+    val bands = signatureBands(sig, bandSize, idCol)
+    val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket, idCol).cache()
+    val docHashes = candDocSets(cand, base,
+      QWordGrams.hashesCol(col("t"), n), idCol)
+    arrayJaccardVerify(cand, docHashes, threshold)
   }
 
   /** Connected components over near-dup pairs: every node gets

@@ -41,7 +41,9 @@ object TextQueries {
       Dedup.exact(docsAug(s, dir)).orderBy("doc_id")),
 
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDups(docsAug(s, dir), threshold = 0.5)
+      // native one-pass signature path; bit-identical to the composed
+      // minhashNearDups, so the md5 oracle is unchanged
+      Dedup.wordGramNearDups(docsAug(s, dir), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_ngram" -> ((s, dir) =>
@@ -60,7 +62,7 @@ object TextQueries {
     // DuckDB oracle walks the same graph with a recursive CTE)
     "dedup_clusters" -> ((s, dir) => {
       val aug = docsAug(s, dir)
-      Dedup.clusterLabels(Dedup.minhashNearDups(aug, threshold = 0.5),
+      Dedup.clusterLabels(Dedup.wordGramNearDups(aug, threshold = 0.5),
           aug.select("doc_id"))
         .orderBy("doc_id")
     }),
