@@ -529,7 +529,16 @@ object Dedup {
     // is also packed into two BIGINT halves here (one conv() per doc) so
     // the per-pair Hamming distance is two xor + bit_count ops instead
     // of 64 substring comparisons.
-    val sig = simhashSignature(docs, idCol)
+    //
+    // The signature itself is the native one-pass QSimHash expression —
+    // bit-identical to [[simhashSignature]] (spec-asserted), minus its
+    // corpus-wide (doc, word-hash) distinct shuffle and 64-column
+    // aggregation exchange. The empty-token filter reproduces the
+    // composed form's implicit exclusion (no words → no group → no row).
+    val sig = docs
+      .filter(size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")) > 0)
+      .select(col(idCol),
+        graft.functions.QSimHash.sigCol(lower(col("text"))).as("simhash"))
       .withColumn("hi", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
       .withColumn("lo", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"))
       .cache()

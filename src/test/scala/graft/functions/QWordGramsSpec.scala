@@ -64,4 +64,23 @@ class QWordGramsSpec extends AnyFunSuite {
     assert(d.numElements() == 1)
     assert(f"${d.getLong(0)}%016x" == hex)
   }
+
+  test("native QSimHash equals the composed simhash signature") {
+    val composed = Dedup.simhashSignature(corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val native = corpus
+      .filter(size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")) > 0)
+      .select(col("doc_id"), QSimHash.sigCol(lower(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native == composed)
+  }
+
+  test("QSimHash excludes all-whitespace docs like the composed form") {
+    val d = Seq((1L, "real words here"), (2L, "   \t  ")).toDF("doc_id", "text")
+    val ids = Dedup.simhashNearDups(d).columns // plan builds fine
+    val sigRows = d
+      .filter(size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")) > 0)
+      .count()
+    assert(sigRows == 1L)
+  }
 }
