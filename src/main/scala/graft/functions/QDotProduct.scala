@@ -104,6 +104,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => QHyperplaneBands(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue(),
           exprs(2).eval().asInstanceOf[Number].intValue())))
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_chargram_minhash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QCharGramMinHash].getName, "graft_chargram_minhash"),
+        (exprs: Seq[Expression]) => QCharGramMinHash(exprs(0), intArg(exprs(1)))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_chargram_hashes"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QCharGramHashes].getName, "graft_chargram_hashes"),
+        (exprs: Seq[Expression]) => QCharGramHashes(exprs(0), intArg(exprs(1)))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_wordgram_minhash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QWordGramSignature].getName, "graft_wordgram_minhash"),
+        (exprs: Seq[Expression]) => QWordGramSignature(exprs(0), intArg(exprs(1)))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_wordgram_hashes"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QWordGramHashes].getName, "graft_wordgram_hashes"),
+        (exprs: Seq[Expression]) => QWordGramHashes(exprs(0), intArg(exprs(1)))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QSimHashSignature].getName, "graft_simhash"),
+        (exprs: Seq[Expression]) => QSimHashSignature(exprs(0))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sorted_intersect"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QSortedIntersectCount].getName, "graft_sorted_intersect"),
+        (exprs: Seq[Expression]) => QSortedIntersectCount(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

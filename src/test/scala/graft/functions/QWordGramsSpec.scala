@@ -83,4 +83,28 @@ class QWordGramsSpec extends AnyFunSuite {
       .count()
     assert(sigRows == 1L)
   }
+
+  test("the gram/simhash family is usable from SQL (GraftExtensions factories)") {
+    val reg = spark.sessionState.functionRegistry
+    def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval().asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction("graft_chargram_minhash",
+      exprs => QCharGramMinHash(exprs.head, intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_wordgram_minhash",
+      exprs => QWordGramSignature(exprs.head, intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => QSimHashSignature(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect",
+      exprs => QSortedIntersectCount(exprs.head, exprs(1)), "built-in")
+    val r = spark.sql(
+      """SELECT graft_chargram_minhash('abcdef', 5) AS cg,
+        |       graft_wordgram_minhash('a b c d', 3) AS wg,
+        |       graft_simhash('a b c') AS sh,
+        |       graft_sorted_intersect(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS si
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0).length == 8)
+    assert(r.getSeq[String](1).length == 8)
+    assert(r.getString(2).length == 64 && r.getString(2).forall(c => c == '0' || c == '1'))
+    assert(r.getLong(3) == 2L)
+  }
 }
