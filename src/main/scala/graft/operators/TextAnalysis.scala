@@ -263,6 +263,29 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Corpus mixture report: per-(source, language) document/token/char
+    * totals and shares — the "what is my training mix" accounting that
+    * drives domain reweighting decisions. One partial-combining
+    * aggregation over the corpus (shuffle volume = group count), then
+    * shares via an unpartitioned window over the few group rows.
+    * Shares are single int/int divisions (exact-portable).
+    */
+  def mixtureReport(docs: DataFrame, keys: Seq[String] = Seq("source", "lang"),
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    docs.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+      .select(keys.map(col) ++ Seq(
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_docs").cast("double") / sum("n_docs").over(w).cast("double"))
+          .as("doc_share"),
+        (col("n_tokens").cast("double") / sum("n_tokens").over(w).cast("double"))
+          .as("token_share")): _*)
+  }
+
   /** Gopher-style repetition metrics: the "excessive repetition" quality
     * filters of dataset curation (Rae et al. 2021 §A1.1) — fraction of
     * word-bigram occurrences in duplicated bigrams, top-bigram coverage,

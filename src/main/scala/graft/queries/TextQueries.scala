@@ -146,6 +146,10 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    "text_mixture" -> ((s, dir) =>
+      TextAnalysis.mixtureReport(Tables(s, dir, "documents"))
+        .orderBy("source", "lang")),
+
     // every 19th doc also appears self-concatenated (id+300000): those
     // copies have ~every bigram duplicated, so the repetition filters
     // have true positives to separate from natural text
@@ -597,6 +601,18 @@ object TextQueries {
         |  COALESCE(o.n_overlap, 0) > 0 AS contaminated
         |FROM totals t LEFT JOIN overlap o ON o.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "text_mixture" ->
+      """WITH per AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w <> ''))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens, n_chars,
+        |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
+        |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
+        |FROM per ORDER BY source, lang""".stripMargin,
 
     "text_repetition" ->
       """WITH docs AS (
