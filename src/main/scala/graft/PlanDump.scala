@@ -15,7 +15,8 @@ object PlanDump {
       else Seq("q_scan_prune", "q_join_multihop", "q_scd1_merge",
         "q_window_lag", "q_topk_perkey", "ann_brute",
         "dedup_embed", "q_range_join", "q_rep_fraud",
-        "q_bloom_semi", "ann_ivf_learned", "text_pack")
+        "q_bloom_semi", "ann_ivf_learned", "text_pack",
+        "dedup_ngram", "dedup_minhash", "text_decontam")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

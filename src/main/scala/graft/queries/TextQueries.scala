@@ -150,6 +150,28 @@ object TextQueries {
       TextAnalysis.mixtureReport(Tables(s, dir, "documents"))
         .orderBy("source", "lang")),
 
+    // end-to-end curation pipeline: the operators composed the way a
+    // real pretraining-data job chains them — exact dedup (keep
+    // canonical) → token-count quality gate → benchmark decontamination
+    // → deterministic split assignment. Every stage is an
+    // independently-oracled operator; this entry proves they compose.
+    "text_curate" -> ((s, dir) => {
+      val aug = docsAug(s, dir)
+      val bench = Tables(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 100 === 0)
+      val canon = Dedup.exact(aug).filter(col("is_canonical")).select("doc_id")
+      val counted = aug.join(canon, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .filter(col("n_tokens") >= 5)
+      val clean = TextAnalysis.decontaminate(
+          counted.select("doc_id", "text"), bench, n = 8)
+        .filter(!col("contaminated")).select("doc_id")
+      TextAnalysis.assignSplit(
+          counted.join(clean, Seq("doc_id"), "left_semi")
+            .select("doc_id", "n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // every 19th doc also appears self-concatenated (id+300000): those
     // copies have ~every bigram duplicated, so the repetition filters
     // have true positives to separate from natural text
@@ -601,6 +623,60 @@ object TextQueries {
         |  COALESCE(o.n_overlap, 0) > 0 AS contaminated
         |FROM totals t LEFT JOIN overlap o ON o.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "text_curate" ->
+      s"""WITH $augSql,
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS can
+         |    FROM docs) WHERE can),
+         |counted AS (
+         |  SELECT d.doc_id, d.text,
+         |    CAST(len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+         |      w -> w <> '')) AS BIGINT) AS n_tokens
+         |  FROM docs d JOIN canon USING (doc_id)),
+         |q AS (SELECT * FROM counted WHERE n_tokens >= 5),
+         |qwords AS (
+         |  SELECT doc_id, w, i FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w,
+         |           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
+         |    FROM q) WHERE w <> ''),
+         |qsh AS (
+         |  SELECT doc_id,
+         |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+         |    lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+         |    lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+         |    lead(w, 7) OVER win AS shingle
+         |  FROM qwords WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+         |qh AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS h
+         |       FROM qsh WHERE shingle IS NOT NULL),
+         |bwords AS (
+         |  SELECT doc_id, w, i FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w,
+         |           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
+         |    FROM documents WHERE doc_id % 100 = 0) WHERE w <> ''),
+         |bsh AS (
+         |  SELECT doc_id,
+         |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+         |    lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' ||
+         |    lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' ||
+         |    lead(w, 7) OVER win AS shingle
+         |  FROM bwords WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+         |bh AS (SELECT DISTINCT substr(md5(shingle), 1, 16) AS h
+         |       FROM bsh WHERE shingle IS NOT NULL),
+         |contaminated AS (SELECT DISTINCT d.doc_id FROM qh d JOIN bh USING (h)),
+         |clean AS (
+         |  SELECT q.doc_id, q.n_tokens FROM q
+         |  LEFT JOIN contaminated c ON c.doc_id = q.doc_id
+         |  WHERE c.doc_id IS NULL)
+         |SELECT doc_id, n_tokens,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+         |       THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+         |       THEN 'val' ELSE 'test' END AS split
+         |FROM clean ORDER BY doc_id""".stripMargin,
 
     "text_mixture" ->
       """WITH per AS (
