@@ -401,13 +401,20 @@ object Dedup {
     var changed = 1L
     withSubgraphParallelism(edges) {
       while (changed > 0) {
-        val neigh = edges
-          .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
-          .groupBy(col("src").as("id")).agg(min("nlbl").as("minn"))
-        val next = labels.join(neigh, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"),
-            coalesce(col("minn") < col("lbl"), lit(false)).as("chg"))
+        // fused round: propagate neighbor labels over the edges, UNION
+        // the nodes' own labels (tagged in `own`), and take both the
+        // new minimum and the previous label in ONE aggregation —
+        // two exchanges per round (the dst join + the id groupBy)
+        // instead of the join/agg/join chain's three. min() ignores
+        // the propagated rows' null `own`, so `own` is exactly the
+        // previous label and the changed flag is `lbl < own`.
+        val propagated = edges
+          .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+          .select(col("src").as("id"), col("lbl"), lit(null).cast("long").as("own"))
+        val next = labels.select(col("id"), col("lbl"), col("lbl").as("own"))
+          .unionAll(propagated)
+          .groupBy("id").agg(min("lbl").as("lbl"), min("own").as("own"))
+          .select(col("id"), col("lbl"), (col("lbl") < col("own")).as("chg"))
           .localCheckpoint() // the round's one real action
         changed = next.filter(col("chg")).count() // scan of checkpointed blocks
         labels = next.select("id", "lbl")
