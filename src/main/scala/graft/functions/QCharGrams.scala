@@ -113,11 +113,42 @@ object QCharGrams {
     new GenericArrayData(java.util.Arrays.copyOf(all, w + 1))
   }
 
+  /** Content-defined anchor positions (1-based, in CODE POINTS): every
+    * `i` where the polynomial hash of the `w` code points starting at
+    * `i` is ≡ 0 (mod `modulus`) — the content-defined-chunking trick:
+    * anchors move WITH the content, so two documents sharing a region
+    * anchor it at the same in-region offsets regardless of where the
+    * region sits in each document. Expected anchor density 1/modulus;
+    * a shared region is missed only if it contains no anchor
+    * (probability (1−1/m)^positions — the standard CDC trade).
+    * Public: generated code calls it.
+    */
+  def anchorPositions(s: UTF8String, w: Int, modulus: Int): ArrayData = {
+    val cps = codePoints(s)
+    val last = cps.length - w
+    if (last < 0) return new GenericArrayData(Array.empty[Long])
+    val buf = new java.util.ArrayList[Long]()
+    var i = 0
+    while (i <= last) {
+      var h = 0L
+      var k = 0
+      while (k < w) { h = (h * B + cps(i + k)) % P; k += 1 }
+      if (h % modulus == 0) buf.add(i + 1L)
+      i += 1
+    }
+    val out = new Array[Long](buf.size())
+    var j = 0
+    while (j < out.length) { out(j) = buf.get(j); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Column-API forms. */
   def minhashCol(text: Column, n: Int): Column =
     Bridge.column(QCharGramMinHash(Bridge.expression(text), n))
   def hashesCol(text: Column, n: Int): Column =
     Bridge.column(QCharGramHashes(Bridge.expression(text), n))
+  def anchorsCol(text: Column, w: Int, modulus: Int): Column =
+    Bridge.column(QCdcAnchors(Bridge.expression(text), w, modulus))
 }
 
 private[functions] trait CharGramExpr extends UnaryExpression {
@@ -155,6 +186,28 @@ case class QCharGramHashes(child: Expression, n: Int) extends CharGramExpr {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.QCharGrams.distinctHashes($s, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** 1-based code-point positions of content-defined anchors — see
+  * [[QCharGrams.anchorPositions]].
+  */
+case class QCdcAnchors(child: Expression, w: Int, modulus: Int)
+    extends UnaryExpression {
+  require(w > 0 && modulus > 0, "window and modulus must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cdc_anchors"
+  override def nullSafeEval(input: Any): Any =
+    QCharGrams.anchorPositions(input.asInstanceOf[UTF8String], w, modulus)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.QCharGrams.anchorPositions($s, $w, $modulus);")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

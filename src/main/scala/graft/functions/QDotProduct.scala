@@ -131,6 +131,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[QSimHashSignature].getName, "graft_simhash"),
         (exprs: Seq[Expression]) => QSimHashSignature(exprs(0))))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cdc_anchors"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QCdcAnchors].getName, "graft_cdc_anchors"),
+        (exprs: Seq[Expression]) => QCdcAnchors(exprs(0), intArg(exprs(1)),
+          intArg(exprs(2)))))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sorted_intersect"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[QSortedIntersectCount].getName, "graft_sorted_intersect"),

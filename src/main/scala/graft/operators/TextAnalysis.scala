@@ -286,6 +286,42 @@ object TextAnalysis {
           .as("token_share")): _*)
   }
 
+  /** Cross-document duplicated spans: fixed-length character windows
+    * that appear verbatim in ≥ `minDocs` distinct documents — the
+    * exact-substring duplication signal behind suffix-array
+    * training-data dedup (Lee et al. 2022), approximated by
+    * CONTENT-DEFINED sampling: spans start only at CDC anchors
+    * (positions where the [[graft.functions.QCdcAnchors]] rolling-
+    * window hash ≡ 0 mod `freq`). Anchors move with the content, so
+    * two documents sharing a region anchor it at the same in-region
+    * offsets regardless of where the region sits in each document —
+    * the property a fixed-stride sample lacks (offset-shifted copies
+    * would sample different phase and never collide). Expected sample
+    * density 1/freq; a shared region is missed only if it contains no
+    * anchor, probability (1−1/freq)^length — the standard CDC trade.
+    *
+    * Scale shape: the anchor scan is one native pass per doc; the
+    * explode emits ~len/freq rows; one span aggregation with map-side
+    * combine. Only spans anchored in ≥ minDocs docs survive. Output:
+    * (span, n_docs, n_occurrences, first_doc_id).
+    */
+  def duplicatedSpans(docs: DataFrame, spanLen: Int = 32, freq: Int = 16,
+                      anchorWindow: Int = 8, minDocs: Int = 2,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(spanLen > 0 && freq > 0 && minDocs >= 2, "bad span parameters")
+    docs.select(col(idCol), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= spanLen)
+      .select(col(idCol), col("t"),
+        explode(graft.functions.QCharGrams.anchorsCol(col("t"), anchorWindow, freq)).as("i"))
+      .filter(col("i") <= length(col("t")) - (spanLen - 1))
+      .select(col(idCol), col("t").substr(col("i").cast("int"), lit(spanLen)).as("span"))
+      .groupBy("span")
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("first_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Gopher-style repetition metrics: the "excessive repetition" quality
     * filters of dataset curation (Rae et al. 2021 §A1.1) — fraction of
     * word-bigram occurrences in duplicated bigrams, top-bigram coverage,

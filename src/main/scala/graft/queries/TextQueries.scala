@@ -150,6 +150,13 @@ object TextQueries {
       TextAnalysis.mixtureReport(Tables(s, dir, "documents"))
         .orderBy("source", "lang")),
 
+    // cross-doc verbatim spans over the augmented corpus (the exact
+    // copies guarantee true positives; natural text contributes its own
+    // shared boilerplate)
+    "text_longdup" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(docsAug(s, dir))
+        .orderBy("span")),
+
     // end-to-end curation pipeline: the operators composed the way a
     // real pretraining-data job chains them — exact dedup (keep
     // canonical) → token-count quality gate → benchmark decontamination
@@ -268,13 +275,18 @@ object TextQueries {
     * → exact Jaccard) mirrors lshPairsCte with ':'-separated numeric
     * bands.
     */
+  /** Relational mirror of the QCharGrams polynomial: fold over the n
+    * code points starting at `i` (seed cast to BIGINT — ord() is INT32
+    * and the fold would overflow).
+    */
+  private def polyFoldSql(n: Int): String =
+    (1 until n).foldLeft(s"CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT)") {
+      (acc, k) => s"((($acc) * 131 + ord(substr(t, CAST(i + $k AS INT), 1))) % 1000000007)"
+    }
+
   private def charGramSql(threshold: Double, n: Int = 5, bandSize: Int = 4) = {
     val p = "1000000007"
-    // nested fold over the gram's n code points
-    // seed cast to BIGINT: ord() is INT32 and the fold would overflow
-    val gramHash = (1 until n).foldLeft(s"CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT)") {
-      (acc, k) => s"((($acc) * 131 + ord(substr(t, CAST(i + $k AS INT), 1))) % $p)"
-    }
+    val gramHash = polyFoldSql(n)
     val sigMins = (0 until 8).map { j =>
       s"min(((${37 + 101 * j} * h) + ${17 + 89 * j}) % $p) AS m$j"
     }.mkString(",\n       |    ")
@@ -689,6 +701,21 @@ object TextQueries {
         |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
         |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
         |FROM per ORDER BY source, lang""".stripMargin,
+
+    "text_longdup" ->
+      s"""WITH $augSql,
+         |base AS (SELECT doc_id, lower(text) AS t FROM docs
+         |         WHERE length(lower(text)) >= 32),
+         |pos AS (
+         |  SELECT doc_id, t, g.i, ${polyFoldSql(8)} AS h
+         |  FROM base, unnest(generate_series(1, length(t) - 7)) AS g(i)),
+         |spans AS (
+         |  SELECT doc_id, substr(t, CAST(i AS INT), 32) AS span
+         |  FROM pos WHERE h % 16 = 0 AND i <= length(t) - 31)
+         |SELECT span, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_occurrences, min(doc_id) AS first_doc_id
+         |FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY span""".stripMargin,
 
     "text_repetition" ->
       """WITH docs AS (

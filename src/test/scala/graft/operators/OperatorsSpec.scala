@@ -297,6 +297,26 @@ class OperatorsSpec extends AnyFunSuite {
       r1.getDouble(5) == 2.0 / 9.0)
   }
 
+  test("duplicated spans: CDC anchors find a shared region at SHIFTED offsets") {
+    // the shared region sits at offset 20 in doc 1 and offset 0 in
+    // doc 2 — 20 % 16 != 0, so a fixed-stride sampler would sample the
+    // two copies at different phases and never collide; content-defined
+    // anchors are phase-free
+    val boiler = "this exact boilerplate sentence is shared verbatim " +
+      "across two documents and is long enough to carry anchors"
+    val d = Seq(
+      (1L, "unique preamble one " + boiler),
+      (2L, boiler + " unique tail two"),
+      (3L, "entirely different content with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedSpans(d, spanLen = 32, freq = 16)
+      .collect()
+    assert(out.nonEmpty, "shared region must yield at least one anchored span")
+    assert(out.forall(_.getLong(1) >= 2))
+    assert(out.forall(r => boiler.contains(r.getString(0))),
+      "every duplicated span must come from the shared region")
+  }
+
   test("int8 quantization: extremes hit ±127-ish, zero vector stays zero") {
     val e = Seq(
       (1L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
