@@ -21,8 +21,11 @@ object Sketches {
   /** Max depth: 4 independent 32-bit hash rows from one md5. */
   val MaxDepth = 4
 
-  /** depth 32-bit hash rows over the `__h` md5 column. */
-  private def buckets(width: Int, depth: Int) =
+  /** Composed (hex-string) form of the CMS bucket row — retained as the
+    * bit-identity yardstick for [[graft.functions.QCms]] (spec-compared;
+    * the hot path uses the native expression).
+    */
+  private[graft] def bucketsComposed(width: Int, depth: Int) =
     array((0 until depth).map { d =>
       expr(s"CAST(conv(substring(__h, ${1 + 8 * d}, 8), 16, 10) AS BIGINT) % $width")
     }: _*)
@@ -38,9 +41,12 @@ object Sketches {
                         depth: Int = MaxDepth): DataFrame = {
     require(depth >= 1 && depth <= MaxDepth, s"depth must be 1..$MaxDepth")
     require(width > 0, "width must be positive")
+    // native bucket row: one md5 digest per key instead of a hex-string
+    // md5 plus `depth` substring/conv parses — bit-identical positions
+    // (see QCms), so the oracle is unchanged
     def withBuckets(in: DataFrame): DataFrame = in
-      .withColumn("__h", md5(col("k").cast("binary")))
-      .select(col("k"), posexplode(buckets(width, depth)).as(Seq("d", "bucket")))
+      .select(col("k"), posexplode(
+        graft.functions.QCms.bucketsCol(col("k"), width, depth)).as(Seq("d", "bucket")))
     val contrib = withBuckets(df.select(col(keyCol).cast("string").as("k")))
     val counters = contrib.groupBy("d", "bucket").agg(count(lit(1)).as("cnt"))
     val keys = withBuckets(df.select(col(keyCol).cast("string").as("k")).distinct())

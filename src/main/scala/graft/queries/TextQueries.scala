@@ -167,9 +167,13 @@ object TextQueries {
       val bench = Tables(s, dir, "documents").select("doc_id", "text")
         .filter(col("doc_id") % 100 === 0)
       val canon = Dedup.exact(aug).filter(col("is_canonical")).select("doc_id")
+      // cached: the dedup+gate survivor frame feeds THREE plan branches
+      // (decontam gram scan, decontam totals, the final semi-join) and
+      // would re-run the exact-dedup window per branch otherwise
       val counted = aug.join(canon, Seq("doc_id"), "left_semi")
         .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
         .filter(col("n_tokens") >= 5)
+        .cache()
       val clean = TextAnalysis.decontaminate(
           counted.select("doc_id", "text"), bench, n = 8)
         .filter(!col("contaminated")).select("doc_id")

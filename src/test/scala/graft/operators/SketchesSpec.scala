@@ -28,4 +28,17 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(wide == truth)
   }
+
+  test("native CMS buckets are bit-identical to the composed hex-string form") {
+    import org.apache.spark.sql.functions._
+    val keys = (0 until 500).map(i => s"key-$i-payload").toDF("k")
+    val composed = keys
+      .withColumn("__h", md5(col("k").cast("binary")))
+      .select(col("k"), Sketches.bucketsComposed(256, 4).as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val native = keys
+      .select(col("k"), graft.functions.QCms.bucketsCol(col("k"), 256, 4).as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(native == composed)
+  }
 }
