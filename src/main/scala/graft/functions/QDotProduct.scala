@@ -131,6 +131,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[QSimHashSignature].getName, "graft_simhash"),
         (exprs: Seq[Expression]) => QSimHashSignature(exprs(0))))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cms_buckets"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QCmsBuckets].getName, "graft_cms_buckets"),
+        (exprs: Seq[Expression]) => QCmsBuckets(exprs(0), intArg(exprs(1)),
+          intArg(exprs(2)))))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cdc_anchors"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[QCdcAnchors].getName, "graft_cdc_anchors"),
