@@ -249,8 +249,8 @@ object Dedup {
     * Replaces the composed [[charShingles]]+[[lshNearDups]] form, whose
     * corpus-sized distinct shuffle of short strings plus ~1M md5
     * evaluations was the engine's largest bench tail (measured 6.6s →
-    * well under 1s at sf0.1; identical output shape). The only
-    * corpus-sized exchange left is the band-bucket join.
+    * 2.9s at sf0.1; the remainder is the band-bucket join and verify —
+    * the only corpus-sized exchange left. Identical output shape).
     *
     * Bands are `bandSize` adjacent families joined with ':' (same
     * AND/OR composition as [[signatureBands]]); char grams of same-
