@@ -200,6 +200,55 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Streaming CDC upsert into the transactional warehouse: a file
+    * stream of dimension deltas drives the SAME SCD1 merge the nightly
+    * pipeline runs, one warehouse transaction per micro-batch —
+    * streaming at the ingestion edge, the all-or-nothing catalog swap
+    * (and reader snapshot isolation) preserved underneath.
+    *
+    * Exactly-once effect from at-least-once foreachBatch: the audit
+    * stamp is a pure function of `batchId` and the merge is idempotent
+    * for identical input (re-running a replayed batch rewrites the same
+    * rows to the same values), so a crash between sink write and
+    * checkpoint advance cannot duplicate or fork state. In-batch
+    * compaction keeps only each key's LATEST delta row (by
+    * update_dt/create_dt, then a deterministic tiebreak) before the
+    * merge, so multi-file batches behave like their sequential replay.
+    *
+    * Scale shape: per batch, one key-shuffle of (dim ⋈ watermark-small
+    * delta) plus an O(1)-metadata commit — the incremental path the
+    * reference's write-only meta table begs for, continuous instead of
+    * nightly.
+    */
+  def scd1UpsertStream(spark: SparkSession, wh: graft.etl.Warehouse,
+                       sourceDir: String, srcSchema: StructType, table: String,
+                       keys: Seq[String], compareCols: Seq[String],
+                       checkpointDir: String,
+                       runTsFor: Long => java.sql.Timestamp = b =>
+                         new java.sql.Timestamp(
+                           java.sql.Timestamp.valueOf("2021-03-01 00:00:00").getTime
+                             + b * 1000L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    spark.readStream.schema(srcSchema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ord = coalesce(col("update_dt"), col("create_dt")).desc +:
+          compareCols.map(c => col(c).desc_nulls_last)
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+        val compacted = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val txn = wh.begin()
+        txn.overwrite(table, graft.etl.Scd1.mergeAuditIncremental(
+          txn.read(table), compacted, keys, compareCols, runTsFor(batchId)))
+        txn.commit()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Sessionization via stateful streaming: gaps > `gapMinutes` split a
     * user's events into sessions. Implemented with the batch-equivalent
     * window expression here (deterministic, oracle-checkable); the
