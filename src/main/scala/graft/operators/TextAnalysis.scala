@@ -263,6 +263,30 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Hashed linear model scoring — the fasttext-style learned quality
+    * filter applied at scan speed: every token hashes into one of `dim`
+    * feature buckets, the bucket's weight is accumulated, and the raw
+    * logit decides keep/drop. The weight table here is a PURE FUNCTION
+    * of the bucket (Knuth multiplicative hash → integer in [-500, 500)),
+    * which stands in for broadcast learned weights with identical
+    * plumbing and keeps the oracle exact: integer accumulation, one
+    * final division. Shape: explode + one partial-combining (doc)
+    * aggregation — weights never shuffle, scores stream map-side.
+    */
+  def hashedModelScore(docs: DataFrame, dim: Int = 1024,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val bucket =
+      expr(s"CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % $dim")
+    val weight = (col("__b") * 2654435761L % 1000L) - 500L
+    Dedup.tokenize(docs, textCol, idCol)
+      .withColumn("__b", bucket)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(weight).as("logit_milli"))
+      .withColumn("logit", col("logit_milli").cast("double") / lit(1000.0))
+      .withColumn("keep", col("logit") >= 0)
+  }
+
   /** Corpus mixture report: per-(source, language) document/token/char
     * totals and shares — the "what is my training mix" accounting that
     * drives domain reweighting decisions. One partial-combining

@@ -150,6 +150,10 @@ object TextQueries {
       TextAnalysis.mixtureReport(Tables(s, dir, "documents"))
         .orderBy("source", "lang")),
 
+    "text_modelscore" -> ((s, dir) =>
+      TextAnalysis.hashedModelScore(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // cross-doc verbatim spans over the augmented corpus (the exact
     // copies guarantee true positives; natural text contributes its own
     // shared boilerplate)
@@ -705,6 +709,23 @@ object TextQueries {
         |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
         |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
         |FROM per ORDER BY source, lang""".stripMargin,
+
+    "text_modelscore" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |b AS (SELECT doc_id,
+        |        ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bk
+        |      FROM words),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum((bk * 2654435761) % 1000 - 500) AS BIGINT) AS logit_milli
+        |  FROM b GROUP BY 1)
+        |SELECT doc_id, n_tokens, logit_milli,
+        |  CAST(logit_milli AS DOUBLE) / 1000.0 AS logit,
+        |  CAST(logit_milli AS DOUBLE) / 1000.0 >= 0 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_longdup" ->
       s"""WITH $augSql,
