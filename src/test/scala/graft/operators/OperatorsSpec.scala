@@ -297,6 +297,32 @@ class OperatorsSpec extends AnyFunSuite {
       r1.getDouble(5) == 2.0 / 9.0)
   }
 
+  test("mixture report: shares sum to 1, totals add up") {
+    val d = Seq(
+      (1L, "a b c", "s1", "en"), (2L, "d e", "s1", "de"),
+      (3L, "f g h i", "s2", "en")).toDF("doc_id", "text", "source", "lang")
+    val rows = TextAnalysis.mixtureReport(d).collect()
+    assert(rows.map(_.getLong(2)).sum == 3L)   // n_docs total
+    assert(rows.map(_.getLong(3)).sum == 9L)   // n_tokens total
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 1e-12) // doc_share
+    assert(math.abs(rows.map(_.getDouble(6)).sum - 1.0) < 1e-12) // token_share
+  }
+
+  test("hashed model score: integer logit matches a hand-folded reference") {
+    val d = Seq((1L, "Alpha beta ALPHA")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedModelScore(d, dim = 1024).head
+    def w(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+      val bk = java.lang.Long.parseLong(hex, 16) % 1024
+      (bk * 2654435761L % 1000L) - 500L
+    }
+    val want = w("alpha") + w("beta") + w("alpha") // lowercased, per-OCCURRENCE
+    assert(out.getLong(1) == 3L)
+    assert(out.getLong(2) == want)
+    assert(out.getDouble(3) == want / 1000.0)
+  }
+
   test("duplicated spans: CDC anchors find a shared region at SHIFTED offsets") {
     // the shared region sits at offset 20 in doc 1 and offset 0 in
     // doc 2 — 20 % 16 != 0, so a fixed-stride sampler would sample the
