@@ -39,14 +39,15 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
     // rebuilt from scratch this run.
     val processed = lit(ts)
 
-    // previous watermark per dim (driver-side scalar — same cardinality
-    // as the reference's scalar subquery)
+    // previous watermarks, ONE driver read of the (dims-sized) meta
+    // table per run — not one lookup per dim: at a 1,000-table warehouse
+    // per-dim lookups are 1,000 driver round trips for the same rows
+    val watermarks: Map[String, Option[Timestamp]] =
+      if (!incremental) Map.empty
+      else txn.read("meta").select("table_name", "max_update_dt").collect()
+        .map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
     def wmFor(dim: String): Option[Timestamp] =
-      if (!incremental) None
-      else txn.read("meta")
-        .filter(col("table_name") === ("lapp_dwh_" + dim))
-        .select("max_update_dt").collect().headOption
-        .flatMap(r => Option(r.getTimestamp(0)))
+      watermarks.getOrElse("lapp_dwh_" + dim, None)
 
     // incremental bank extract: only rows changed since the watermark
     def extract(df: DataFrame, dim: String): DataFrame = wmFor(dim) match {
@@ -88,15 +89,40 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
     // ---- SCD1 merge, one per dim (K4+K6+K7 via Scd1.mergeAudit).
     // Incremental mode: bank dims merge their delta with no delete path;
     // terminals are file-fed full snapshots either way.
+    //
+    // Bucketed dims in steady state (exactly one committed dir) take the
+    // PARTIAL path: detect the key-hash buckets holding any insert /
+    // update / delete (a driver array bounded by the bucket count),
+    // prune BOTH merge inputs to those buckets — the dim side reads as a
+    // bucketed scan, so neither the detection join nor the merge ever
+    // exchanges dim rows — and rewrite only those buckets' files,
+    // hard-linking the rest byte-identically. A run that changes nothing
+    // in a dim writes NOTHING for it. At a 100 TB dim with ~1% daily
+    // churn both the merge shuffle and the write shrink ~100×.
     Schemas.dimKeys.keys.toSeq.sorted.foreach { dim =>
       val stg = "stg_" + dim.stripPrefix("dim_")
-      val merged =
-        if (incremental && dim != "dim_terminals")
-          Scd1.mergeAuditIncremental(txn.read(dim), txn.read(stg),
-            Seq(Schemas.dimKeys(dim)), Schemas.dimCompareCols(dim), ts)
-        else Scd1.mergeAudit(txn.read(dim), txn.read(stg),
-          Seq(Schemas.dimKeys(dim)), Schemas.dimCompareCols(dim), ts)
-      txn.overwrite(dim, merged)
+      val keys = Seq(Schemas.dimKeys(dim))
+      val cmp = Schemas.dimCompareCols(dim)
+      val dimDf = txn.read(dim)
+      val stgDf = txn.read(stg)
+      val deltaMode = incremental && dim != "dim_terminals"
+      def fullMerge(d: DataFrame, s: DataFrame): DataFrame =
+        if (deltaMode) Scd1.mergeAuditIncremental(d, s, keys, cmp, ts)
+        else Scd1.mergeAudit(d, s, keys, cmp, ts)
+      wh.bucketSpec.get(dim) match {
+        case Some((_, n)) if txn.currentDirs(dim).length == 1 =>
+          val touched = Scd1.changedKeyBuckets(dimDf, stgDf, keys, cmp, n,
+            deletesVisible = !deltaMode)
+          if (touched.nonEmpty) {
+            val inT = Scd1.inBuckets(keys, n, touched.toIndexedSeq)
+            txn.overwriteBuckets(dim,
+              fullMerge(dimDf.filter(inT), stgDf.filter(inT)), touched.toIndexedSeq)
+          } // else: no insert/update/delete anywhere — the dim image is
+            // already exact; skip the write entirely
+        case _ =>
+          // initial load (no committed dir yet) or unbucketed table
+          txn.overwrite(dim, fullMerge(dimDf, stgDf))
+      }
     }
 
     // ---- meta watermarks (K9): the reference seeds 1900-01-01 for a

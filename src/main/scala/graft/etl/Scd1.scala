@@ -51,6 +51,47 @@ object Scd1 {
       .select((keys ++ compareCols).map(c => col(s"s.$c").as(c)) :+ action.as("action"): _*)
   }
 
+  /** The key-hash buckets containing at least one insert / update /
+    * delete — the ONLY buckets an SCD1 merge against a bucketed dim
+    * needs to rewrite (an untouched bucket's merge output is its dim
+    * content verbatim, so its files carry over byte-identical). Returned
+    * as a driver array: cardinality is bounded by `nBuckets`, never by
+    * the data — the one collect the partial-rewrite path performs.
+    *
+    * `deletesVisible = false` is the incremental-delta mode: absence
+    * from the snapshot means "unchanged", not "deleted", so dim-only
+    * rows (the whole point of a delta: almost all of them) never mark a
+    * bucket and the detection join is delta-sized on one side.
+    *
+    * The bucket function `pmod(hash(key), n)` is Spark's own bucket
+    * assignment (`HashPartitioning.partitionIdExpression` — Murmur3 mod
+    * n), so these ids line up with the bucketed writer's file naming.
+    */
+  def changedKeyBuckets(dim: DataFrame, snapshot: DataFrame, keys: Seq[String],
+                        compareCols: Seq[String], nBuckets: Int,
+                        deletesVisible: Boolean): Array[Int] = {
+    val d = dim.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__dexists", lit(1)).alias("d")
+    val s = snapshot.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__sexists", lit(1)).alias("s")
+    val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
+    val changed = col("d.__dexists").isNull ||
+      (if (deletesVisible) col("s.__sexists").isNull else lit(false)) ||
+      anyChanged(compareCols)
+    val keyExprs = keys.map(k => coalesce(col(s"s.$k"), col(s"d.$k")))
+    s.join(d, on, if (deletesVisible) "full" else "left")
+      .filter(changed)
+      .select(pmod(hash(keyExprs: _*), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+  }
+
+  /** Row predicate: the row's key falls in one of `touched` buckets —
+    * the filter that prunes BOTH merge inputs to the buckets actually
+    * being rewritten.
+    */
+  def inBuckets(keys: Seq[String], nBuckets: Int, touched: Seq[Int]): Column =
+    pmod(hash(keys.map(col): _*), lit(nBuckets)).isin(touched: _*)
+
   /** The plain merged dim image (no tag). */
   def merge(dim: DataFrame, snapshot: DataFrame,
             keys: Seq[String], compareCols: Seq[String]): DataFrame =

@@ -31,11 +31,24 @@ import scala.jdk.CollectionConverters._
   * pruning for free), and overwrites retire directories logically
   * (`vacuum()` reclaims them). Readers always see the catalog as of their
   * `begin()`, i.e. snapshot isolation for the duration of a run.
+  *
+  * Dims additionally use a BUCKETED layout (`bucketSpec`: table → SCD1
+  * key + bucket count): data dirs are written with Spark's bucketed
+  * writer (one file per key-hash bucket) and read back through an
+  * external bucketed table registration, so the nightly SCD1 merge
+  * (a) plans with NO dim-side Exchange — the scan's HashPartitioning
+  * satisfies the join's distribution from the files themselves — and
+  * (b) via [[Txn.overwriteBuckets]] rewrites ONLY the buckets containing
+  * changed keys, hard-linking the untouched buckets' files byte-
+  * identically into the new immutable dir. At a 100 TB dim with ~1%
+  * daily churn that turns the run's dominant cost (full dim shuffle +
+  * full rewrite) into a delta-sized merge + delta-sized write.
   */
 class Warehouse(val spark: SparkSession, val root: String,
                 val schemas: Map[String, StructType] = Schemas.tables,
                 val partitionSpec: Map[String, (String, Column)] = Warehouse.defaultPartitions,
-                val autoCompactThreshold: Int = 64) {
+                val autoCompactThreshold: Int = 64,
+                val bucketSpec: Map[String, (String, Int)] = Warehouse.defaultBuckets) {
 
   private val catalogPath: Path = Paths.get(root, "_catalog.json")
   Files.createDirectories(Paths.get(root, "data"))
@@ -58,6 +71,13 @@ class Warehouse(val spark: SparkSession, val root: String,
   private[etl] def readDirs(table: String, dirs: Seq[String]): DataFrame = {
     val schema = schemas(table)
     if (dirs.isEmpty) emptyDf(table)
+    else if (bucketSpec.contains(table) && dirs.length == 1)
+      // single-dir bucketed table (the dim steady state — overwrites
+      // always leave exactly one dir): read through the bucketed
+      // registration so the scan carries HashPartitioning(key, n) and
+      // key-joins/aggregations need no dim-side Exchange
+      readBucketedDir(table, dirs.head)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     else if (!partitionSpec.contains(table))
       spark.read.schema(schema).parquet(dirs: _*)
     else
@@ -151,6 +171,7 @@ class Warehouse(val spark: SparkSession, val root: String,
           Files.list(tableDir).iterator().asScala.foreach { d =>
             if (Files.isDirectory(d) && !live.contains(d.toAbsolutePath.toString)) {
               deleteRecursively(d); removed += 1
+              spark.sql(s"DROP TABLE IF EXISTS `${Warehouse.bucketedTableName(d.toString)}`")
             }
           }
       }
@@ -170,17 +191,78 @@ class Warehouse(val spark: SparkSession, val root: String,
   /** Write one immutable data dir, applying the table's partition spec.
     * Facts partition by event date: daily appends become one (or a few)
     * `dt=`-style directories each, so date-filtered scans prune whole
-    * days and a 100 TB fact table never rewrites history.
+    * days and a 100 TB fact table never rewrites history. Tables with a
+    * `bucketSpec` entry write through the bucketed path instead.
     */
   private[etl] def writeDataDir(table: String, df: DataFrame): String = {
     val dir = newDataDir(table)
-    partitionSpec.get(table) match {
-      case Some((name, derive)) =>
+    (partitionSpec.get(table), bucketSpec.get(table)) match {
+      case (Some((name, derive)), _) =>
         df.withColumn(name, derive).write.partitionBy(name).parquet(dir)
-      case None =>
+      case (None, Some(_)) =>
+        writeBucketedDir(table, df, dir)
+      case _ =>
         df.write.parquet(dir)
     }
     dir
+  }
+
+  /** Bucketed write via a throwaway external-table registration — the
+    * only API route to Spark's bucketed writer (which encodes the bucket
+    * id in each file name, the contract [[readBucketedDir]] and
+    * [[copyUntouchedBuckets]] rely on). The `repartition(n, key)` uses
+    * the SAME hash (`Murmur3` mod n) as the bucket assignment, so every
+    * task holds exactly one bucket's rows → exactly one file per
+    * non-empty bucket (which also keeps Spark trusting the SORTED BY
+    * metadata on read). Dropping the external table keeps the files.
+    */
+  private def writeBucketedDir(table: String, df: DataFrame, dir: String): Unit = {
+    val (key, n) = bucketSpec(table)
+    val tmp = "graft_tmp_" + UUID.randomUUID().toString.replace("-", "")
+    df.repartition(n, col(key))
+      .write.bucketBy(n, key).sortBy(key)
+      .option("path", dir).format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$tmp`")
+  }
+
+  /** Read one data dir as a BUCKETED table. Bucketing metadata lives in
+    * the session catalog, not the files, so each dir gets a
+    * deterministic external-table registration (name = digest of the
+    * path; dirs are immutable, so a registration never goes stale —
+    * [[vacuum]] drops it with the dir).
+    */
+  private def readBucketedDir(table: String, dir: String): DataFrame = {
+    val (key, n) = bucketSpec(table)
+    val name = Warehouse.bucketedTableName(dir)
+    if (!spark.catalog.tableExists(name))
+      spark.sql(
+        s"""CREATE TABLE `$name` (${schemas(table).toDDL})
+           |USING PARQUET
+           |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS
+           |LOCATION '$dir'""".stripMargin)
+    spark.table(name)
+  }
+
+  /** Hard-link (fall back: copy — byte-identical either way) the files
+    * of every bucket NOT in `touched` from `fromDir` into `toDir`.
+    * Bucket ids are parsed from Spark's bucketed file naming
+    * (`part-…_<bucketId>.c000….parquet`), the same convention the
+    * bucketed scan uses.
+    */
+  private[etl] def copyUntouchedBuckets(fromDir: String, toDir: String,
+                                        touched: Set[Int]): Unit = {
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    Files.createDirectories(Paths.get(toDir))
+    Files.list(Paths.get(fromDir)).iterator().asScala.foreach { f =>
+      val fname = f.getFileName.toString
+      if (Files.isRegularFile(f) && fname.endsWith(".parquet")) fname match {
+        case bucketRe(b) if !touched.contains(b.toInt) =>
+          val dst = Paths.get(toDir, fname)
+          try Files.createLink(dst, f)
+          catch { case _: Exception => Files.copy(f, dst) }
+        case _ => ()
+      }
+    }
   }
 
   private[etl] def commitCatalog(entries: Map[String, Seq[String]]): Unit = {
@@ -217,12 +299,37 @@ class Txn private[etl] (wh: Warehouse) {
   def read(table: String): DataFrame =
     wh.readDirs(table, pending.getOrElse(table, snapshot.getOrElse(table, Nil)))
 
+  /** The data dirs this txn currently sees for `table` (pending write,
+    * else committed snapshot).
+    */
+  private[etl] def currentDirs(table: String): Seq[String] =
+    pending.getOrElse(table, snapshot.getOrElse(table, Nil))
+
   /** Replace the table image (staging truncate-and-load K1/K2, dim merge
     * result K4+K6+K7). Data lands in a fresh immutable dir; old dirs are
     * retired at commit.
     */
   def overwrite(table: String, df: DataFrame): Unit =
     pending(table) = Seq(wh.writeDataDir(table, align(table, df)))
+
+  /** PARTIAL overwrite of a bucketed table: `touchedDf` must hold the
+    * new image of exactly the buckets in `touched` (every row's
+    * `pmod(hash(key), n)` ∈ touched — the caller filters); every other
+    * bucket's files are hard-linked byte-identically from the current
+    * dir into the fresh one. The commit is still a whole-dir swap
+    * (immutability and snapshot isolation unchanged) — what shrinks to
+    * delta size is the WRITE, not the catalog semantics.
+    */
+  def overwriteBuckets(table: String, touchedDf: DataFrame,
+                       touched: Seq[Int]): Unit = {
+    require(wh.bucketSpec.contains(table), s"$table has no bucket spec")
+    val current = currentDirs(table)
+    require(current.length == 1,
+      s"partial bucket overwrite needs exactly one current dir for $table, got ${current.length}")
+    val dir = wh.writeDataDir(table, align(table, touchedDf))
+    wh.copyUntouchedBuckets(current.head, dir, touched.toSet)
+    pending(table) = Seq(dir)
+  }
 
   /** Append a batch (facts K8, report rows K10). No existing file is
     * touched — the new dir is referenced alongside the old ones.
@@ -279,6 +386,21 @@ object Warehouse {
   val defaultPartitions: Map[String, (String, Column)] = Map(
     "fact_transactions" -> ("trans_dt", to_date(col("trans_date"))),
     "rep_fraud" -> ("rep_dt", to_date(col("report_dt"))))
+
+  /** Default bucketed layout: every SCD1 dim, bucketed by its merge key.
+    * The count is the FIXED parallelism of the merge shuffle being
+    * avoided — size it for the target cluster (a 100 TB dim wants
+    * thousands), not the current data; resizing is a one-off rewrite.
+    * 16 keeps test/bench file counts sane at local scale.
+    */
+  val defaultBuckets: Map[String, (String, Int)] =
+    Schemas.dimKeys.map { case (t, k) => t -> (k, 16) }
+
+  /** Deterministic registration name for a bucketed data dir. */
+  private[etl] def bucketedTableName(dir: String): String =
+    "graft_bkt_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(20)
 }
 
 /** Minimal JSON for `Map[String, Seq[String]]` — no external deps in the
