@@ -68,23 +68,38 @@ object QBloom {
         Bridge.expression(key.cast("string")), words, mBits, k))
   }
 
-  /** Build the filter from the SMALL side's keys — one distributed
-    * distinct over `nKeys · k` positions, then a driver collect of the
-    * set bit positions (bounded by mBits/…, the same order as a
-    * broadcast of the small side itself). This is an explicit build
-    * ACTION, not a lazy operator — run it once per batch, like a
-    * broadcast.
+  /** Build the filter from the SMALL side's keys, fully distributed:
+    * each partition ORs its keys' probe positions into a local packed
+    * word array, and the arrays tree-reduce to the driver — the driver
+    * receives ONE fixed-size result (mBits/8 bytes) regardless of key
+    * count, never a data-dependent row set; and because bit-OR is
+    * idempotent there is no distinct (no shuffle at all — the build is
+    * one map + reduce). This is an explicit build ACTION, not a lazy
+    * operator — run it once per batch, like a broadcast.
     */
   def build(df: DataFrame, key: Column, mBits: Long = 1L << 17, k: Int = 5): Filter = {
     require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
     require(k > 0, "k must be positive")
     val (h1, h2) = hashes(key)
     val posCols = (0 until k).map(i => position(h1, h2, i, mBits))
-    val positions = df.filter(key.isNotNull)
-      .select(explode(array(posCols: _*)).as("pos"))
-      .distinct().collect().map(_.getLong(0))
-    val words = new Array[Long]((mBits / 64).toInt)
-    positions.foreach(p => words((p >> 6).toInt) |= 1L << (p & 63).toInt)
+    val nWords = (mBits / 64).toInt
+    val words = df.filter(key.isNotNull)
+      .select(posCols: _*)
+      .rdd.treeAggregate(new Array[Long](nWords))(
+        seqOp = (w, row) => {
+          var i = 0
+          while (i < k) {
+            val p = row.getLong(i)
+            w((p >> 6).toInt) |= 1L << (p & 63).toInt
+            i += 1
+          }
+          w
+        },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) |= b(i); i += 1 }
+          a
+        })
     Filter(words, mBits, k)
   }
 

@@ -22,6 +22,28 @@ class QBloomSpec extends AnyFunSuite {
     assert(withNull.filter(bloom.mightContain(col("k"))).count() == 1L)
   }
 
+  test("distributed word-array build == relational position-collect build") {
+    // the pre-round-5 build collected bit POSITIONS as rows (worst case
+    // ~16.7M at the 2^24 cap); the treeAggregate build must produce the
+    // exact same words from a fixed-size driver result
+    val mBits = 1L << 17
+    val k = 5
+    val keys = (0L until 3000L).map(i => s"key-$i").toDF("k")
+    val h = md5(col("k").cast("string").cast("binary"))
+    val h1 = conv(substring(h, 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(h, 17, 15), 16, 10).cast("long")
+    val posCols = (0 until k).map(i =>
+      pmod(pmod(h1, lit(mBits)) + lit(i.toLong) * pmod(h2, lit(mBits)), lit(mBits)))
+    val positions = keys.select(explode(array(posCols: _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val expected = new Array[Long]((mBits / 64).toInt)
+    positions.foreach(p => expected((p >> 6).toInt) |= 1L << (p & 63).toInt)
+
+    val built = QBloom.build(keys, col("k"), mBits, k)
+    assert(java.util.Arrays.equals(built.words, expected),
+      "distributed build diverges from the positional reference build")
+  }
+
   test("pruned semi join equals the plain semi join") {
     val big = (0L until 5000L).map(i => (i, i % 7)).toDF("id", "v")
     val small = (0L until 5000L by 13).map(i => i).toDF("sid")
