@@ -171,6 +171,121 @@ object QWordGrams {
     Bridge.column(QWordGramSignature(Bridge.expression(text), n))
   def hashesCol(text: Column, n: Int): Column =
     Bridge.column(QWordGramHashes(Bridge.expression(text), n))
+  def polySigCol(text: Column, n: Int): Column =
+    Bridge.column(QWordGramPolySignature(Bridge.expression(text), n))
+  def polyHashesCol(text: Column, n: Int): Column =
+    Bridge.column(QWordGramPolyHashes(Bridge.expression(text), n))
+
+  // ---------------------------------------------------------------- poly
+  // The POLYNOMIAL word-gram family (the dedup_ngram playbook applied to
+  // word grams): gram hash = fold((h·131 + cp) mod 1e9+7) over the CODE
+  // POINTS of the single-space-joined gram string — exactly what the
+  // relational DuckDB oracle computes with list_reduce over
+  // ord(substr(...)) — and family j = ((37+101j)·h + (17+89j)) mod 1e9+7,
+  // the QCharGrams scheme. Replaces ~one md5 per gram occurrence with
+  // ~n integer mults per gram: the largest remaining CPU constant of the
+  // md5 signature path. The md5 form above stays as the bit-identity
+  // yardstick against the composed pipeline (QWordGramsSpec).
+
+  /** Code points of `s`, surrogate pairs collapsed — the unit DuckDB's
+    * `ord`/`substr` count.
+    */
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val out = new Array[Int](str.codePointCount(0, str.length))
+    var i = 0
+    var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  private def isWsCp(cp: Int): Boolean = cp == 32 || (cp >= 9 && cp <= 13)
+
+  /** Token [start, end) offsets in code points. */
+  private def tokenBoundsCp(cps: Array[Int]): Array[Int] = {
+    val bounds = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < cps.length) {
+      while (i < cps.length && isWsCp(cps(i))) i += 1
+      if (i < cps.length) {
+        val s = i
+        while (i < cps.length && !isWsCp(cps(i))) i += 1
+        bounds.add(s); bounds.add(i)
+      }
+    }
+    val out = new Array[Int](bounds.size())
+    var j = 0
+    while (j < out.length) { out(j) = bounds.get(j); j += 1 }
+    out
+  }
+
+  private val P = 1000000007L
+  private val B = 131L
+
+  /** Polynomial hash of the gram starting at token `t` (n tokens,
+    * single-space joined) — identical to hashing the joined string's
+    * code points.
+    */
+  private def gramPoly(cps: Array[Int], bounds: Array[Int], t: Int, n: Int): Long = {
+    var h = 0L
+    var k = 0
+    while (k < n) {
+      if (k > 0) h = (h * B + 32L) % P
+      var i = bounds(2 * (t + k))
+      val end = bounds(2 * (t + k) + 1)
+      while (i < end) { h = (h * B + cps(i)) % P; i += 1 }
+      k += 1
+    }
+    h
+  }
+
+  /** 8 polynomial family minima (Long.MaxValue when fewer than n tokens
+    * — callers filter those docs out). Public: generated code calls it.
+    */
+  def polySignature(s: UTF8String, n: Int): ArrayData = {
+    val cps = codePoints(s)
+    val bounds = tokenBoundsCp(cps)
+    val mins = Array.fill(8)(Long.MaxValue)
+    val lastT = bounds.length / 2 - n
+    var t = 0
+    while (t <= lastT) {
+      val h = gramPoly(cps, bounds, t, n)
+      var j = 0
+      while (j < 8) {
+        val g = ((37L + 101L * j) * h + (17L + 89L * j)) % P
+        if (g < mins(j)) mins(j) = g
+        j += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Sorted DISTINCT polynomial gram hashes — the per-doc gram SET for
+    * the merge-intersect Jaccard verify. Public: generated code calls it.
+    */
+  def polyDistinctHashes(s: UTF8String, n: Int): ArrayData = {
+    val cps = codePoints(s)
+    val bounds = tokenBoundsCp(cps)
+    val lastT = bounds.length / 2 - n
+    if (lastT < 0) return new GenericArrayData(Array.empty[Long])
+    val all = new Array[Long](lastT + 1)
+    var t = 0
+    while (t <= lastT) { all(t) = gramPoly(cps, bounds, t, n); t += 1 }
+    java.util.Arrays.sort(all)
+    var w = 0
+    var r = 1
+    while (r < all.length) {
+      if (all(r) != all(w)) { w += 1; all(w) = all(r) }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(all, w + 1))
+  }
 }
 
 /** `array<string>` of the 8 word-gram MinHash family minima — see
@@ -190,6 +305,48 @@ case class QWordGramSignature(child: Expression, n: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.QWordGrams.signature($s, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `array<bigint>` of the 8 POLYNOMIAL word-gram family minima — see
+  * the poly section of [[QWordGrams]].
+  */
+case class QWordGramPolySignature(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "gram size must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_wordgram_poly_minhash"
+  override def nullSafeEval(input: Any): Any =
+    QWordGrams.polySignature(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.QWordGrams.polySignature($s, $n);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Sorted distinct POLYNOMIAL word-gram hashes — see the poly section
+  * of [[QWordGrams]].
+  */
+case class QWordGramPolyHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "gram size must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_wordgram_poly_hashes"
+  override def nullSafeEval(input: Any): Any =
+    QWordGrams.polyDistinctHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.QWordGrams.polyDistinctHashes($s, $n);")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

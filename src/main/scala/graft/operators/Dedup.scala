@@ -343,6 +343,43 @@ object Dedup {
     arrayJaccardVerify(cand, docHashes, threshold)
   }
 
+  /** Word-n-gram near-dup pipeline on the POLYNOMIAL hash family
+    * ([[graft.functions.QWordGrams]] poly section) — the dedup_ngram
+    * playbook applied to word grams. Same shape as
+    * [[wordGramNearDups]]: one-pass native signature, banded capped
+    * candidates, merge-intersect Jaccard verify over candidate docs'
+    * sorted gram sets. What changes is the per-gram constant: ~n
+    * integer multiply-mods instead of three md5 evaluations — the
+    * largest remaining CPU cost of the md5 signature path (round-4
+    * verdict). Results are NOT bit-identical to the md5 family (different
+    * minima → banding can surface a slightly different candidate set),
+    * so the query carries its own relational DuckDB oracle; the md5 form
+    * remains as the bit-identity yardstick against the composed
+    * pipeline.
+    */
+  def wordGramNearDupsPoly(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
+                           bandSize: Int = 2, maxBucket: Int = 256,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.QWordGrams
+    require(8 % bandSize == 0, "bandSize must divide 8")
+    val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
+      .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
+    val sig = base
+      .select(col(idCol), QWordGrams.polySigCol(col("t"), n).as("ms"))
+      .select(col(idCol) +:
+        (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
+    val bandCols = (0 until 8 / bandSize).map { b =>
+      concat_ws(":", (b * bandSize until (b + 1) * bandSize)
+        .map(j => col(s"m$j").cast("string")): _*)
+    }
+    val bands = sig.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band")))
+    val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket, idCol).cache()
+    val docHashes = candDocSets(cand, base,
+      QWordGrams.polyHashesCol(col("t"), n), idCol)
+    arrayJaccardVerify(cand, docHashes, threshold)
+  }
+
   /** Connected components over near-dup pairs: every node gets
     * `cluster_id` = the smallest doc id transitively reachable through
     * the pair graph — the "cluster, then keep one canonical doc" step

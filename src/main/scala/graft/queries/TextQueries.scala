@@ -41,9 +41,11 @@ object TextQueries {
       Dedup.exact(docsAug(s, dir)).orderBy("doc_id")),
 
     "dedup_minhash" -> ((s, dir) =>
-      // native one-pass signature path; bit-identical to the composed
-      // minhashNearDups, so the md5 oracle is unchanged
-      Dedup.wordGramNearDups(docsAug(s, dir), threshold = 0.5)
+      // polynomial-family signature (round-5): ~n integer mults per gram
+      // instead of three md5s; its own relational oracle below. The md5
+      // family (wordGramNearDups) stays spec-covered as the bit-identity
+      // yardstick against the composed pipeline.
+      Dedup.wordGramNearDupsPoly(docsAug(s, dir), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_ngram" -> ((s, dir) =>
@@ -59,10 +61,15 @@ object TextQueries {
 
     // near-dup pairs -> connected components: cluster_id = min doc id
     // transitively reachable (iterative min-label propagation; the
-    // DuckDB oracle walks the same graph with a recursive CTE)
+    // DuckDB oracle walks the same graph with a recursive CTE). Pairs
+    // come from the polynomial word-gram family (round-5). Naive
+    // propagation stays the default: LSH near-dup graphs are shallow
+    // (pairs, triangles, anchor stars ⇒ 2-3 rounds) and the doubling
+    // variant's extra join per round measured SLOWER here — it pays off
+    // only past ~10-round diameters (clusterLabelsDoubling, spec-covered).
     "dedup_clusters" -> ((s, dir) => {
       val aug = docsAug(s, dir)
-      Dedup.clusterLabels(Dedup.wordGramNearDups(aug, threshold = 0.5),
+      Dedup.clusterLabels(Dedup.wordGramNearDupsPoly(aug, threshold = 0.5),
           aug.select("doc_id"))
         .orderBy("doc_id")
     }),
@@ -198,82 +205,6 @@ object TextQueries {
       TextAnalysis.repetitionScore(aug).orderBy("doc_id")
     }))
 
-  private val shinglesSql = // word 3-gram shingles over the augmented corpus
-    """words AS (
-      |  SELECT doc_id, w, i FROM (
-      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
-      |           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
-      |    FROM docs) WHERE w <> ''),
-      |sh AS (
-      |  SELECT doc_id,
-      |    w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) || ' ' ||
-      |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
-      |  FROM words),
-      |shingles AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)""".stripMargin
-
-  /** LSH tail (mirrors Dedup.lshNearDups): 64-bit md5-prefix shingle
-    * hashes, 8-family MinHash signature over the hashes (two md5s of the
-    * 16-char hash, 8-hex chunks), bands of `bandSize` families,
-    * candidates share a band (buckets over 256 docs divert to anchor
-    * pairs), exact Jaccard over the hashed shingle sets. The oracle
-    * dedups hashes globally where the engine dedups per candidate doc —
-    * identical results (min ignores duplicates; only candidate docs'
-    * sets reach the verify).
-    */
-  /** CTE-only form of the LSH tail, ending in
-    * `pairs AS (SELECT doc_a, doc_b, jaccard …)` for reuse by the
-    * clustering oracle.
-    */
-  private def lshPairsCte(threshold: Double, bandSize: Int = 2) = {
-    val bandSelects = (0 until 8 / bandSize).map { b =>
-      val cat = (b * bandSize until (b + 1) * bandSize).map(j => s"m$j").mkString(" || ")
-      s"SELECT doc_id, $b AS band_id, $cat AS band FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""hashes AS (SELECT DISTINCT doc_id,
-       |  substr(md5(shingle), 1, 16) AS h FROM shingles),
-       |sig AS (
-       |  SELECT doc_id,
-       |    min(substr(md5(h), 1, 8)) AS m0, min(substr(md5(h), 9, 8)) AS m1,
-       |    min(substr(md5(h), 17, 8)) AS m2, min(substr(md5(h), 25, 8)) AS m3,
-       |    min(substr(md5('x:' || h), 1, 8)) AS m4, min(substr(md5('x:' || h), 9, 8)) AS m5,
-       |    min(substr(md5('x:' || h), 17, 8)) AS m6, min(substr(md5('x:' || h), 25, 8)) AS m7
-       |  FROM hashes GROUP BY doc_id),
-       |bands AS (
-       |  $bandSelects),
-       |bsize AS (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
-       |          FROM bands GROUP BY 1, 2),
-       |cand AS (
-       |  SELECT DISTINCT doc_a, doc_b FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |    FROM bands a
-       |    JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
-       |                AND a.doc_id < b.doc_id
-       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band AND s.bn <= 256
-       |    UNION ALL
-       |    SELECT s.anchor AS doc_a, a.doc_id AS doc_b
-       |    FROM bands a
-       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
-       |    WHERE s.bn > 256 AND a.doc_id > s.anchor)),
-       |inter AS (
-       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-       |  FROM cand c
-       |  JOIN hashes sa ON sa.doc_id = c.doc_a
-       |  JOIN hashes sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
-       |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1),
-       |pairs AS (
-       |  SELECT i.doc_a, i.doc_b,
-       |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
-       |  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
-       |               JOIN sizes zb ON zb.doc_id = i.doc_b
-       |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= $threshold)""".stripMargin
-  }
-
-  private def lshSql(threshold: Double, bandSize: Int = 2) =
-    s"""${lshPairsCte(threshold, bandSize)}
-       |SELECT doc_a, doc_b, jaccard FROM pairs
-       |ORDER BY doc_a, doc_b""".stripMargin
-
   /** Oracle for the NATIVE char-gram path (Dedup.charGramNearDups /
     * QCharGrams): the same polynomial gram hash computed relationally —
     * h = fold((h·131 + ord(char)) mod 1000000007) over each 5-gram's
@@ -346,6 +277,82 @@ object TextQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Oracle for the POLYNOMIAL word-gram path
+    * (Dedup.wordGramNearDupsPoly / QWordGrams poly): gram = n
+    * consecutive words single-space joined, h = fold((h·131 +
+    * ord(codepoint)) mod 1000000007) over the gram string (DuckDB
+    * list_reduce — seeded by the first element, identical to a 0-seeded
+    * fold), family j = ((37+101j)·h + (17+89j)) mod 1e9+7. All
+    * intermediates < 2^41: BIGINT-exact in both engines. Tail (bands of
+    * ':'-joined family minima → capped candidates → exact Jaccard)
+    * mirrors charGramSql.
+    */
+  private def wordGramPolyPairsCte(threshold: Double, n: Int = 3,
+                                   bandSize: Int = 2) = {
+    val p = "1000000007"
+    val sigMins = (0 until 8).map { j =>
+      s"min(((${37 + 101 * j} * h) + ${17 + 89 * j}) % $p) AS m$j"
+    }.mkString(",\n       |    ")
+    val bandSelects = (0 until 8 / bandSize).map { b =>
+      val cat = (b * bandSize until (b + 1) * bandSize)
+        .map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band_id, $cat AS band FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS toks
+       |  FROM docs),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_transform(range(1, length(g) + 1),
+       |        pp -> CAST(ord(substr(g, CAST(pp AS INT), 1)) AS BIGINT)),
+       |      (h, c) -> (h * 131 + c) % $p) AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      array_to_string(toks[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g
+       |    FROM toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS gi(i)
+       |    WHERE len(toks) >= $n)),
+       |hashes AS (SELECT DISTINCT doc_id, h FROM grams),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigMins
+       |  FROM grams GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |bsize AS (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
+       |          FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM bands a
+       |    JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+       |                AND a.doc_id < b.doc_id
+       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band AND s.bn <= 256
+       |    UNION ALL
+       |    SELECT s.anchor AS doc_a, a.doc_id AS doc_b
+       |    FROM bands a
+       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
+       |    WHERE s.bn > 256 AND a.doc_id > s.anchor)),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN hashes sa ON sa.doc_id = c.doc_a
+       |  JOIN hashes sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+       |  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+       |               JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= $threshold)""".stripMargin
+  }
+
+  private def wordGramPolySql(threshold: Double, n: Int = 3, bandSize: Int = 2) =
+    s"""${wordGramPolyPairsCte(threshold, n, bandSize)}
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $augSql
@@ -357,8 +364,7 @@ object TextQueries {
 
     "dedup_minhash" ->
       s"""WITH $augSql,
-         |$shinglesSql,
-         |${lshSql(0.5)}""".stripMargin,
+         |${wordGramPolySql(0.5)}""".stripMargin,
 
     "dedup_ngram" ->
       s"""WITH $augSql,
@@ -366,8 +372,7 @@ object TextQueries {
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $augSql,
-         |$shinglesSql,
-         |${lshPairsCte(0.5)},
+         |${wordGramPolyPairsCte(0.5)},
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL
