@@ -170,19 +170,29 @@ object Dedup {
     */
   def cappedPairs(rows0: DataFrame, bucketCols: Seq[String], maxBucket: Int,
                   idCol: String = "doc_id"): DataFrame = {
-    // the bucket plan (sketch + banding) feeds the size aggregate and
-    // both sides of the pair join — cache its few rows per doc
-    val rows = rows0.cache()
+    // ONE exchange on the bucket key does all the bucket-local work:
+    // a Window computes (size, anchor) per row, the ≤cap branch then
+    // groups the SAME partitioning (no second exchange) into sorted id
+    // arrays — bounded at maxBucket ids ≈ 2 KB, never corpus-sized —
+    // and enumerates each array's (i < j) pairs with two generates,
+    // entirely map-side. The former shape (size aggregate + join back +
+    // bucket self-join) spent three more exchanges moving the same rows;
+    // at bench scale those fixed costs dominated, at cluster scale they
+    // are three shuffle barriers that don't need to exist. Cached
+    // because the ≤cap and >cap branches both read the windowed frame.
     val keys = bucketCols.map(col)
-    val bsize = rows.groupBy(keys: _*)
-      .agg(count(lit(1)).as("bn"), min(col(idCol)).as("anchor"))
-    val capped = rows.join(bsize, bucketCols)
-    val small = capped.filter(col("bn") <= maxBucket)
-    val smallPairs = small.select(keys :+ col(idCol).as("doc_a"): _*)
-      .join(small.select(keys :+ col(idCol).as("doc_b"): _*), bucketCols)
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    val bigPairs = capped
+    val w = Window.partitionBy(keys: _*)
+    val rows = rows0
+      .select(keys :+ col(idCol) :+ count(lit(1)).over(w).as("bn") :+
+        min(col(idCol)).over(w).as("anchor"): _*)
+      .cache()
+    val smallPairs = rows.filter(col("bn") <= maxBucket)
+      .groupBy(keys: _*).agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      // slice is 1-based: partners of the element at 0-based i start at i+2
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), lit(maxBucket))).as("doc_b"))
+    val bigPairs = rows
       .filter(col("bn") > maxBucket && col(idCol) > col("anchor"))
       .select(col("anchor").as("doc_a"), col(idCol).as("doc_b"))
     smallPairs.unionAll(bigPairs).distinct()
@@ -292,8 +302,11 @@ object Dedup {
     */
   private def candDocSets(cand: DataFrame, base: DataFrame, hashExpr: Column,
                           idCol: String): DataFrame = {
+    // no distinct on the endpoint list: the semi join dedups by
+    // definition, so a pre-distinct is one exchange of pure overhead
+    // (the duplicated endpoints — 2 per pair — broadcast fine)
     val candDocs = cand.select(col("doc_a").as(idCol))
-      .unionAll(cand.select(col("doc_b").as(idCol))).distinct()
+      .unionAll(cand.select(col("doc_b").as(idCol)))
     base.join(candDocs, Seq(idCol), "left_semi")
       .select(col(idCol), hashExpr.as("hs"))
       .cache()
@@ -395,15 +408,22 @@ object Dedup {
     * chains from templated corpora) use [[clusterLabelsDoubling]],
     * whose pointer-jumping converges in O(log diameter) rounds.
     *
-    * Cost discipline (the round-2 bench tail, fixed here):
+    * Cost discipline (the round-2 bench tail, fixed here; tightened in
+    * round 5 — the residual was per-round DRIVER fixed cost, i.e. jobs
+    * launched × plan analysis, not data movement):
     *  - only EDGE ENDPOINTS iterate — an isolated node is its own
     *    cluster by construction and `nodes - endpoints` never changes,
     *    so the per-round joins run over the near-dup subgraph (a
     *    vanishing fraction of a real corpus), not every document;
-    *  - ONE action per round: the changed-flag is carried as a column
-    *    of the same frame that `localCheckpoint` materializes, so the
-    *    convergence check is a scan of already-checkpointed blocks —
-    *    not a second join over the labels.
+    *  - ONE job per round: the changed-flag is a column of the round
+    *    frame, whose `localCheckpoint` mark is LAZY — the convergence
+    *    count materializes (persists) the frame as it counts, where an
+    *    eager checkpoint plus count launched two jobs;
+    *  - the seed round is FUSED into one aggregation over the edge list
+    *    (identity seed ⇒ round 1 = min(own, min neighbor)), whose group
+    *    keys are the endpoint set — no endpoints-distinct checkpoint,
+    *    no convergence count for a round that by construction changes
+    *    the larger end of every pair.
     *
     * Lineage discipline: edges and every label generation are
     * `localCheckpoint`ed, not merely cached — a cache shortcuts
@@ -429,14 +449,26 @@ object Dedup {
     // materialize the (possibly expensive) pair pipeline ONCE — the
     // bidirectional union would otherwise execute it per branch
     val pairs = pairs0.localCheckpoint()
+    // LAZY checkpoint: the parallelism-sizing count below materializes it
+    // — marking + counting is one job where eager + count was two
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    // every endpoint occurs as src (edges are bidirectional)
-    val endpoints = edges.select(col("src").as("id")).distinct().localCheckpoint()
-    var labels = endpoints.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(false)
+    var labels: DataFrame = null
     var changed = 1L
     withSubgraphParallelism(edges) {
+      // fused seed + first propagation: from the identity seed, round 1's
+      // result is min(own id, min neighbor id) — computable straight off
+      // the edge list, whose group keys ARE the endpoint set (every
+      // endpoint occurs as src of a bidirectional edge). This replaces
+      // the former endpoints-distinct checkpoint AND the first loop round
+      // with one aggregation; round 1 always changes something when edges
+      // exist (the larger end of every pair), so its convergence count is
+      // skipped, not approximated.
+      labels = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+        .localCheckpoint()
       while (changed > 0) {
         // fused round: propagate neighbor labels over the edges, UNION
         // the nodes' own labels (tagged in `own`), and take both the
@@ -444,20 +476,21 @@ object Dedup {
         // two exchanges per round (the dst join + the id groupBy)
         // instead of the join/agg/join chain's three. min() ignores
         // the propagated rows' null `own`, so `own` is exactly the
-        // previous label and the changed flag is `lbl < own`.
-        val propagated = edges
-          .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
-          .select(col("src").as("id"), col("lbl"), lit(null).cast("long").as("own"))
+        // previous label and the changed flag is `lbl < own`. The lazy
+        // checkpoint mark makes the convergence count the round's ONE
+        // job: it materializes (persists) the frame as it counts.
         val next = labels.select(col("id"), col("lbl"), col("lbl").as("own"))
-          .unionAll(propagated)
+          .unionAll(edges
+            .join(labels.select(col("id").as("dst"), col("lbl")), Seq("dst"))
+            .select(col("src").as("id"), col("lbl"), lit(null).cast("long").as("own")))
           .groupBy("id").agg(min("lbl").as("lbl"), min("own").as("own"))
           .select(col("id"), col("lbl"), (col("lbl") < col("own")).as("chg"))
-          .localCheckpoint() // the round's one real action
-        changed = next.filter(col("chg")).count() // scan of checkpointed blocks
+          .localCheckpoint(false)
+        changed = next.filter(col("chg")).count() // materializes + counts
         labels = next.select("id", "lbl")
       }
     }
-    attachIsolated(labels, nodes, endpoints, idCol)
+    attachIsolated(labels, nodes, labels.select(col("id")), idCol)
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` scoped to the
@@ -470,8 +503,9 @@ object Dedup {
     * residual round cost is per-round plan analysis + checkpoint job
     * launch, invariant to partitioning). One partition per ~64k edges,
     * floor 1, capped at the session default so a dense billion-pair
-    * subgraph still spreads. The count() feeding the sizing scans
-    * already-checkpointed blocks.
+    * subgraph still spreads. The count() feeding the sizing doubles as
+    * the edge frame's checkpoint-materializing action (edges arrive
+    * lazily marked).
     */
   private def withSubgraphParallelism[A](edges: DataFrame)(body: => A): A = {
     val spark = edges.sparkSession
