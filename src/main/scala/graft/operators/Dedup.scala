@@ -35,10 +35,35 @@ import org.apache.spark.sql.functions._
   * services should do so after consuming each result.
   * [[clusterLabels]]/[[clusterLabelsDoubling]] additionally
   * `localCheckpoint()` per-round label generations — those blocks are NOT
-  * reclaimed by `clearCache()` and persist until session close; embed the
-  * clustering in a dedicated session or accept the (labels-sized) residue.
+  * reclaimed by `clearCache()` and persist until session close. A
+  * long-lived service reclaims them with [[withPersistCleanup]]: run the
+  * clustering inside, CONSUME the result, then call the returned handle.
   */
 object Dedup {
+
+  /** Run `body` and return its result plus a cleanup handle that
+    * unpersists every RDD `body` left persisted in the session — caches
+    * AND local checkpoints, the latter being exactly the residue
+    * `spark.catalog.clearCache()` cannot reach.
+    *
+    * Call `cleanup()` only AFTER consuming the result (collected it,
+    * written it out): `localCheckpoint` truncates lineage, so an
+    * unpersisted checkpoint cannot be recomputed and later actions on
+    * the result will fail. Tracking is a persistent-RDD snapshot diff on
+    * the SparkContext, so the session must not persist anything else
+    * CONCURRENTLY with `body` (a parallel job's new blocks would be
+    * swept too) — the single-pipeline-at-a-time scope a service embeds
+    * the clustering in anyway.
+    */
+  def withPersistCleanup[A](spark: org.apache.spark.sql.SparkSession)
+                           (body: => A): (A, () => Unit) = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val result = body
+    val cleanup = () => sc.getPersistentRDDs
+      .foreach { case (id, rdd) => if (!before.contains(id)) rdd.unpersist(blocking = false) }
+    (result, cleanup)
+  }
 
   /** Lower-cased whitespace tokens with their original positions. */
   def tokenize(docs: DataFrame, textCol: String = "text",
@@ -628,11 +653,9 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       maxBucket: Int = 256, idCol: String = "doc_id"): DataFrame = {
-    // cache: the signature plan would otherwise re-run for every band
-    // branch on both sides of the self-join (up to 8×). The bit string
-    // is also packed into two BIGINT halves here (one conv() per doc) so
-    // the per-pair Hamming distance is two xor + bit_count ops instead
-    // of 64 substring comparisons.
+    // The bit string is packed into two BIGINT halves here (one conv()
+    // per doc) so the per-pair Hamming distance is two xor + bit_count
+    // ops instead of 64 substring comparisons.
     //
     // The signature itself is the native one-pass QSimHash expression —
     // bit-identical to [[simhashSignature]] (spec-asserted), minus its
@@ -645,27 +668,35 @@ object Dedup {
         graft.functions.QSimHash.sigCol(lower(col("text"))).as("simhash"))
       .withColumn("hi", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
       .withColumn("lo", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"))
-      .cache()
     val bands = sig.select(col(idCol), col("hi"), col("lo"),
       explode(array((0 until 4).map(k =>
         substring(col("simhash"), 1 + 16 * k, 16)): _*)).as("band"))
-    val bsize = bands.groupBy("band")
-      .agg(count(lit(1)).as("bn"), min(col(idCol)).as("anchor"))
-    val capped = bands.join(bsize, Seq("band")).cache()
-    val small = capped.filter(col("bn") <= maxBucket)
-    val cand = small.alias("a")
-      .join(small.alias("b"),
-        col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+    // same one-exchange shape as [[cappedPairs]], with the (hi, lo)
+    // halves riding along: the Window computes bucket size, anchor id
+    // AND the anchor's signature halves (min_by over the same exchange),
+    // so neither branch ever joins back — the former shape spent three
+    // more exchanges (size aggregate + join-back + bucket self-join) and
+    // a fourth join fetching the anchor's signature.
+    val w = Window.partitionBy(col("band"))
+    val rows = bands.select(col(idCol), col("hi"), col("lo"), col("band"),
+        count(lit(1)).over(w).as("bn"),
+        min(col(idCol)).over(w).as("anchor"),
+        min_by(col("hi"), col(idCol)).over(w).as("hi_anchor"),
+        min_by(col("lo"), col(idCol)).over(w).as("lo_anchor"))
+      .cache()
+    val cand = rows.filter(col("bn") <= maxBucket)
+      .groupBy(col("band"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("hi"), col("lo")))).as("ms"))
+      .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
+      // slice is 1-based: partners of the element at 0-based i start at i+2
+      .select(col("a"), explode(slice(col("ms"), col("i") + lit(2), lit(maxBucket))).as("b"))
       .select(col(s"a.$idCol").as("doc_a"), col("a.hi").as("hi_a"), col("a.lo").as("lo_a"),
         col(s"b.$idCol").as("doc_b"), col("b.hi").as("hi_b"), col("b.lo").as("lo_b"))
-    val bigCand = capped
+    val bigCand = rows
       .filter(col("bn") > maxBucket && col(idCol) > col("anchor"))
-      .select(col("anchor").as("doc_a"),
+      .select(col("anchor").as("doc_a"), col("hi_anchor").as("hi_a"),
+        col("lo_anchor").as("lo_a"),
         col(idCol).as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
-      .join(sig.select(col(idCol).as("doc_a"),
-        col("hi").as("hi_a"), col("lo").as("lo_a")), Seq("doc_a"))
-      .select(col("doc_a"), col("hi_a"), col("lo_a"),
-        col("doc_b"), col("hi_b"), col("lo_b"))
     // pairs sharing several bands appear several times — recomputing the
     // two-instruction hamming beats an early wide-row distinct shuffle
     cand.unionAll(bigCand).withColumn("hamming",

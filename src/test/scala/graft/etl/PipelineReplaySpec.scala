@@ -201,6 +201,40 @@ class PipelineReplaySpec extends AnyFunSuite {
     assert(wh.read("fact_transactions").count() == factBefore)
   }
 
+  test("fact append anti-join: Bloom-pruned fact side broadcasts — " +
+    "no fact-sized shuffle survives") {
+    // Settles the "bucket the fact table for the append anti-join"
+    // question with the actual runtime plan: the only fact-side exchange
+    // is the distinct over the PRUNED id set (duplicate density + ~1% FP
+    // of fact rows — delta-sized at any corpus size), and the anti join
+    // broadcasts that set. Bucketing could not remove it anyway: facts
+    // append a dir per day, and a union of per-dir bucketed scans carries
+    // no co-partitioning guarantee in Spark's planner — only a single-dir
+    // table does (the dim steady state). The plan below is already the
+    // 100 TB shape; locking it here keeps a refactor from regressing the
+    // fact side into a sort-merge join.
+    val whRoot = Files.createTempDirectory("wh-append-plan")
+    val drop = Files.createTempDirectory("drop-append-plan")
+    val wh = new Warehouse(spark, whRoot.toString)
+    val pipe = new Pipeline(spark, wh, Reports.Corrected)
+    stageDay(drop, 1)
+    pipe.run(bankFor(1), Some(drop.toString), Timestamp.valueOf("2021-03-01 23:55:00"))
+
+    val stg = wh.read("stg_transactions")
+    val fact = wh.read("fact_transactions")
+    val fresh = stg.join(
+      graft.operators.BloomJoin.pruneIds(fact, stg, "trans_id"),
+      Seq("trans_id"), "left_anti")
+    assert(fresh.count() == 0L) // day-1 ids are all already appended
+    val p = fresh.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"pruned fact ids should broadcast into the anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no side of the append anti-join may sort-merge:\n$p")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"Bloom prune missing below the join:\n$p")
+  }
+
   test("faithful mode: report №1 tautology and null blacklist rows") {
     val whRoot = Files.createTempDirectory("wh-faithful")
     val drop = Files.createTempDirectory("drop-f")

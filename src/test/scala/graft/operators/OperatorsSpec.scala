@@ -57,6 +57,23 @@ class OperatorsSpec extends AnyFunSuite {
     labels.sparkSession.catalog.clearCache()
   }
 
+  test("withPersistCleanup reclaims clusterLabels' checkpoint residue after consumption") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val (labels, cleanup) = Dedup.withPersistCleanup(spark) {
+      Dedup.clusterLabels(pairs, nodes)
+    }
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // consume
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
+      "expected checkpoint residue before cleanup")
+    cleanup()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      "cleanup left persisted RDDs behind")
+  }
+
   test("bucket cap: 1500 identical docs yield linear anchor pairs, not O(N^2)") {
     val many = (1L to 1500L).map(i => (i, "identical corpus text repeated" +
       " across every document to form one degenerate lsh bucket")).toDF("doc_id", "text")
