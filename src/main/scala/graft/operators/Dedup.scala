@@ -418,6 +418,52 @@ object Dedup {
     arrayJaccardVerify(cand, docHashes, threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup: pairs whose overlap coefficient
+    * `|grams(A) ∩ grams(B)| / min(|A|, |B|)` reaches `threshold` — the
+    * quote/snippet/prefix-inclusion case Jaccard structurally misses (a
+    * 12-word excerpt of a 300-word page has Jaccard ≈ 0.04 but
+    * containment 1.0; training-data pipelines drop or attribute such
+    * subsumed docs).
+    *
+    * Same poly word-gram machinery as [[wordGramNearDupsPoly]] with TWO
+    * deliberate deltas: bands are SINGLE minhash families (bandSize 1 —
+    * per-band collision probability J rather than J^s, because
+    * containment pairs have low Jaccard by construction, exactly the
+    * regime AND-composed bands suppress), and the verify divides by the
+    * smaller gram set. Recall still tracks Jaccard (min-wise hashing
+    * is a Jaccard sketch; there is no symmetric containment LSH) —
+    * documented: 8 single-family bands give 1-(1-J)^8, e.g. ≈ 0.83 at
+    * J = 0.2. The capped-bucket discipline is unchanged, so degenerate
+    * corpora stay linear.
+    */
+  def wordGramContainment(docs: DataFrame, threshold: Double = 0.9, n: Int = 3,
+                          maxBucket: Int = 256,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.QWordGrams
+    val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
+      .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
+    val sig = base
+      .select(col(idCol), QWordGrams.polySigCol(col("t"), n).as("ms"))
+      .select(col(idCol) +:
+        (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
+    val bands = sig.select(col(idCol),
+      posexplode(array((0 until 8).map(j => col(s"m$j").cast("string")): _*))
+        .as(Seq("band_id", "band")))
+    val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket, idCol).cache()
+    val docHashes = candDocSets(cand, base,
+      QWordGrams.polyHashesCol(col("t"), n), idCol)
+    val overlap = col("n_inter").cast("double") /
+      least(col("na"), col("nb")).cast("double")
+    cand
+      .join(docHashes.select(col(idCol).as("doc_a"), col("hs").as("ha"),
+        size(col("hs")).cast("long").as("na")), Seq("doc_a"))
+      .join(docHashes.select(col(idCol).as("doc_b"), col("hs").as("hb"),
+        size(col("hs")).cast("long").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter", graft.functions.QSortedIntersect.col(col("ha"), col("hb")))
+      .select(col("doc_a"), col("doc_b"), overlap.as("overlap"))
+      .filter(col("overlap") >= threshold)
+  }
+
   /** Connected components over near-dup pairs: every node gets
     * `cluster_id` = the smallest doc id transitively reachable through
     * the pair graph — the "cluster, then keep one canonical doc" step
@@ -471,11 +517,12 @@ object Dedup {
     */
   def clusterLabels(pairs0: DataFrame, nodes: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
-    // materialize the (possibly expensive) pair pipeline ONCE — the
-    // bidirectional union would otherwise execute it per branch
-    val pairs = pairs0.localCheckpoint()
-    // LAZY checkpoint: the parallelism-sizing count below materializes it
-    // — marking + counting is one job where eager + count was two
+    // LAZY checkpoint on the (possibly expensive) pair pipeline: the mark
+    // persists the RDD, so the bidirectional union's two branches share
+    // one computation of it — and the parallelism-sizing count below
+    // materializes pairs AND edges in ONE job, where the former eager
+    // pairs checkpoint launched its own (round-5: two jobs → one).
+    val pairs = pairs0.localCheckpoint(false)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false)
@@ -490,10 +537,15 @@ object Dedup {
       // with one aggregation; round 1 always changes something when edges
       // exist (the larger end of every pair), so its convergence count is
       // skipped, not approximated.
+      // LAZY mark again: round 1 of the loop references the seed twice
+      // (own-label branch + neighbor join), the persist mark makes both
+      // branches share one computation, and round 1's convergence count
+      // materializes seed AND round in one job (round-5: the seed's own
+      // eager-checkpoint job folded away).
       labels = edges.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       while (changed > 0) {
         // fused round: propagate neighbor labels over the edges, UNION
         // the nodes' own labels (tagged in `own`), and take both the

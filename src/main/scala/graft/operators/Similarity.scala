@@ -243,6 +243,59 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Two-stage quantized ANN: an INT8 coarse pass ranks the corpus per
+    * query on the 4×-compressed representation a 100 TB vector index
+    * actually scans (int8 dot products — quarter the memory bandwidth,
+    * SIMD-friendly), keeps the top `overscan`·k survivors, and re-ranks
+    * only those with the full-precision (1e6-quantized) cosine. The
+    * final top-k therefore pays full-precision arithmetic on `overscan·k`
+    * rows per query, not N — the quantized-scan + rerank shape every
+    * production ANN service runs.
+    *
+    * Determinism: `qv = floor(v·127 / amax)` (the [[quantizeInt8]]
+    * formulas, already oracle-proven), int8 dots and norms are exact
+    * BIGINT sums, both cosines fixed IEEE sequences. All-zero vectors
+    * (amax = 0) are excluded from both sides — their int8 cosine is
+    * 0/0. Output: (query_id, hit_id, cosine, rnk) like the other ANN
+    * variants, where `cosine` is the full-precision rerank score.
+    */
+  def int8RerankTopK(embeddings: DataFrame, queryPred: Column, k: Int,
+                     overscan: Int = 4): DataFrame = {
+    val qv8 = transform(col("v"), x =>
+      floor((x.cast("double") * lit(127.0)) / col("amax")).cast("long"))
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding").as("v"), quantize(col("embedding")).as("q"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x.cast("double")))))
+      .filter(col("amax") > 0d)
+      .withColumn("q8", qv8)
+      .select(col("vec_id"), col("q8"), qdot(col("q8"), col("q8")).as("n8"),
+        col("q"), qdot(col("q"), col("q")).as("nrm"))
+    val queries8 = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq8"), col("n8").as("qn8"))
+    // coarse pass touches ONLY int8 columns (column pruning keeps the
+    // full-precision arrays out of this scan branch), and only scalar
+    // doubles cross the top-k window exchange
+    val w8 = Window.partitionBy("query_id").orderBy(col("cos8").desc, col("hit_id"))
+    val survivors = corpus.select(col("vec_id"), col("q8"), col("n8"))
+      .join(broadcast(queries8), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("hit_id"),
+        cosine(qdot(col("qq8"), col("q8")), col("qn8"), col("n8")).as("cos8"))
+      .withColumn("rnk8", row_number().over(w8))
+      .filter(col("rnk8") <= k * overscan)
+      .select(col("query_id"), col("hit_id"))
+    // rerank: only overscan·k rows per query rejoin the full-precision
+    // table — the survivor set broadcasts, the corpus is never shuffled
+    val full = corpus.select(col("vec_id"), col("q"), col("nrm"))
+    val queriesF = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("hit_id"))
+    broadcast(survivors).join(full, col("hit_id") === col("vec_id"))
+      .join(broadcast(queriesF), Seq("query_id"))
+      .select(col("query_id"), col("hit_id"),
+        cosine(qdot(col("qq"), col("q")), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Symmetric int8 scalar quantization — the compression step before
     * shipping an embedding table to an ANN index or training job:
     * `q_i = floor(v_i · 127 / amax)` with per-vector `amax = max|v_i|`

@@ -380,4 +380,80 @@ object TextAnalysis {
         frac(col("top2_cnt"), col("n_grams2")).as("top_bigram_frac"),
         frac(col("dup2_cnt"), col("n_grams2")).as("dup_bigram_frac"))
   }
+
+  /** C4-style boilerplate filter: per-document LINE heuristics (the
+    * web-scrape cleanup pass that runs before any dedup) — line count,
+    * mean words per line, fraction of lines ending in terminal
+    * punctuation, code/markup braces, and a boilerplate phrase list
+    * (javascript/cookie/privacy-policy/terms-of-use). `keep` is the
+    * C4 rule: no braces, no boilerplate phrase, lines averaging at
+    * least `minMeanWordsPerLine` words.
+    *
+    * Entirely map-side — one row in, one row out, runs at scan speed at
+    * any corpus size. Portability: line split is a literal '\n' split
+    * (trailing empties kept in both engines), fractions are single
+    * int/int double divisions, the phrase test is lower-cased
+    * substring containment (no regex dialect in play).
+    */
+  def boilerplateFilter(docs: DataFrame, minMeanWordsPerLine: Double = 4.0,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val lowered = lower(col(textCol))
+    val phrases = Seq("javascript", "cookie", "privacy policy", "terms of use")
+    val nWords = size(filter(split(col(textCol), "\\s+", -1), w => w =!= ""))
+    docs.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        nWords.cast("long").as("n_words"),
+        size(filter(lines, l =>
+          l.substr(length(l), lit(1)).isin(".", "!", "?"))).cast("long")
+          .as("n_punct_lines"),
+        (col(textCol).contains("{") || col(textCol).contains("}")).as("has_brace"),
+        phrases.map(p => lowered.contains(p)).reduce(_ || _).as("has_boilerplate"))
+      .withColumn("mean_words_per_line",
+        col("n_words").cast("double") / col("n_lines").cast("double"))
+      .withColumn("frac_punct_lines",
+        col("n_punct_lines").cast("double") / col("n_lines").cast("double"))
+      .withColumn("keep",
+        !col("has_brace") && !col("has_boilerplate") &&
+          col("mean_words_per_line") >= minMeanWordsPerLine)
+  }
+
+  /** Temperature-based mixture resampling: domains are re-weighted to
+    * `(n_d)^(1/2)` (temperature α = 0.5 — the multilingual-pretraining
+    * up/down-sampling rule) and each document survives a deterministic
+    * md5 gate at its domain's resulting rate, targeting `targetFrac` of
+    * the corpus overall. Head domains downsample toward the flattened
+    * share; tail domains keep (capped at) 100 % of their rows.
+    *
+    * Shape at scale: one partial-combining count per domain (rows
+    * crossing the exchange = domain count), a single-row broadcast for
+    * the totals, then a map-side filter over the corpus — the corpus is
+    * never shuffled. Portability: α = 0.5 is computed as `sqrt` (IEEE
+    * correctly-rounded everywhere, unlike `pow`), the per-domain weight
+    * is quantized to BIGINT before the cross-domain sum (float sums
+    * depend on aggregation order; integer sums don't), and the rate is
+    * a fixed parenthesized sequence of double ops both engines replay
+    * bit for bit.
+    */
+  def temperatureResample(docs: DataFrame, domainCol: Column,
+                          targetFrac: Double = 0.5,
+                          idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(domainCol.as("domain"))
+      .agg(count(lit(1)).as("n_domain"))
+      .withColumn("s_d", floor(sqrt(col("n_domain").cast("double")) * lit(1000000.0))
+        .cast("long"))
+    val totals = counts.agg(sum("s_d").as("s_tot"), sum("n_domain").as("n_tot"))
+    val rate = least(lit(10000L),
+      floor(col("s_d").cast("double") / col("s_tot").cast("double")
+        * lit(targetFrac) * col("n_tot").cast("double")
+        / col("n_domain").cast("double") * lit(10000.0)).cast("long"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_domain"), rate.as("rate_bp"))
+    docs.select(col(idCol), domainCol.as("domain"))
+      .withColumn("bucket",
+        expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING) || ':temp'), 1, 8), 16, 10) AS BIGINT) % 10000"))
+      .join(broadcast(rates), Seq("domain"))
+      .filter(col("bucket") < col("rate_bp"))
+      .select(col(idCol), col("domain"), col("n_domain"), col("rate_bp"))
+  }
 }

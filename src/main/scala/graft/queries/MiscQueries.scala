@@ -182,6 +182,23 @@ object MiscQueries {
       Dedup.exactWithin(aug.withColumn("day", to_date(col("ts"))),
           Seq("day"), concat(col("event_type"), lit("|"), col("props")))
         .orderBy("event_id")
+    }),
+
+    // Z-order layout statistics: (partkey, suppkey) rank-binned to 9 bits
+    // each (the max+1 comes from a single-row broadcast — the lazy-N
+    // idiom), interleaved, and rolled up into 64 z-prefix cells, each
+    // reporting its bounding rectangle — the file-skipping property a
+    // z-ordered rewrite buys. Entirely map-side + one aggregation.
+    "q_zorder" -> ((s, dir) => {
+      import graft.operators.Layout
+      val li = Tables(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val mx = li.agg((max("l_partkey") + 1).cast("double").as("pmx"),
+        (max("l_suppkey") + 1).cast("double").as("smx"))
+      val binned = li.crossJoin(broadcast(mx)).select(
+        Layout.rankBin(col("l_partkey"), col("pmx"), 9).as("p_bin"),
+        Layout.rankBin(col("l_suppkey"), col("smx"), 9).as("s_bin"))
+      Layout.zorderStats(binned, "p_bin", "s_bin", cellPow = 3, bits = 9)
+        .orderBy("cell")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -363,5 +380,25 @@ object MiscQueries {
         |  event_id = min(event_id) OVER w AS is_canonical
         |FROM k
         |WINDOW w AS (PARTITION BY day, payload_hash)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_zorder" -> {
+      val zTerms = (0 until 9).flatMap(i => Seq(
+        s"(((p_bin >> $i) & 1) << ${2 * i})",
+        s"(((s_bin >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH mx AS (
+         |  SELECT CAST(max(l_partkey) + 1 AS DOUBLE) AS pmx,
+         |         CAST(max(l_suppkey) + 1 AS DOUBLE) AS smx
+         |  FROM lineitem),
+         |binned AS (
+         |  SELECT
+         |    CAST(floor(CAST(l_partkey AS DOUBLE) * 512.0 / pmx) AS BIGINT) AS p_bin,
+         |    CAST(floor(CAST(l_suppkey AS DOUBLE) * 512.0 / smx) AS BIGINT) AS s_bin
+         |  FROM lineitem, mx),
+         |z AS (SELECT p_bin, s_bin, $zTerms AS zv FROM binned)
+         |SELECT zv >> 12 AS cell, count(*) AS n_rows,
+         |  min(p_bin) AS a_min, max(p_bin) AS a_max,
+         |  min(s_bin) AS b_min, max(s_bin) AS b_max
+         |FROM z GROUP BY 1 ORDER BY cell""".stripMargin
+    })
 }

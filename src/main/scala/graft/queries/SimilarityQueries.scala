@@ -67,7 +67,12 @@ object SimilarityQueries {
 
     "q_vec_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"))
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    "ann_int8" -> ((s, dir) =>
+      Similarity.int8RerankTopK(Tables(s, dir, "embeddings"),
+          col("vec_id") % 50 === 0, k = 5, overscan = 4)
+        .orderBy("query_id", "rnk")))
 
   val oracles: Map[String, String] = Map(
     "ann_brute" ->
@@ -167,7 +172,55 @@ object SimilarityQueries {
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_sat,
         |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')) AS q_checksum
-        |FROM q ORDER BY vec_id""".stripMargin)
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // int8 coarse top-20 (k·overscan) per query, full-precision rerank
+    // to top-5 — same quantization formulas as q_vec_quantize
+    "ann_int8" ->
+      s"""WITH ${flatSql("embeddings")},
+         |a8 AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |q8v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / amax) AS BIGINT)) AS qv
+         |  FROM a8 WHERE amax > 0),
+         |flat8 AS (
+         |  SELECT vec_id, unnest(qv) AS q8, generate_subscripts(qv, 1) AS i FROM q8v),
+         |n8 AS (SELECT vec_id, sum(q8 * q8) AS n8 FROM flat8 GROUP BY 1),
+         |qf8 AS (SELECT * FROM flat8 WHERE vec_id % 50 = 0),
+         |dots8 AS (
+         |  SELECT qf8.vec_id AS query_id, c.vec_id AS hit_id, sum(qf8.q8 * c.q8) AS dot
+         |  FROM qf8 JOIN flat8 c USING (i)
+         |  WHERE qf8.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |coarse AS (
+         |  SELECT query_id, hit_id FROM (
+         |    SELECT d.query_id, d.hit_id,
+         |      row_number() OVER (PARTITION BY d.query_id ORDER BY
+         |        CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.n8 AS DOUBLE)) / sqrt(CAST(na.n8 AS DOUBLE)) DESC,
+         |        d.hit_id) AS r8
+         |    FROM dots8 d JOIN n8 nq ON nq.vec_id = d.query_id
+         |                 JOIN n8 na ON na.vec_id = d.hit_id)
+         |  WHERE r8 <= 20),
+         |rdots AS (
+         |  SELECT c.query_id, c.hit_id, sum(fq.q * fa.q) AS dot
+         |  FROM coarse c
+         |  JOIN flat fq ON fq.vec_id = c.query_id
+         |  JOIN flat fa ON fa.vec_id = c.hit_id AND fa.i = fq.i
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT r.query_id, r.hit_id,
+         |    CAST(r.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) AS cosine,
+         |    row_number() OVER (PARTITION BY r.query_id ORDER BY
+         |      CAST(r.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) DESC,
+         |      r.hit_id) AS rnk
+         |  FROM rdots r JOIN norms nq ON nq.vec_id = r.query_id
+         |               JOIN norms na ON na.vec_id = r.hit_id)
+         |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin)
 
   /** Shared IVF oracle tail: assignment / nprobe=2 probing / in-bucket
     * top-5 search against whatever `cents`(cent_id, i, q) / `cnorm`

@@ -203,7 +203,45 @@ object TextQueries {
         .select((col("doc_id") + 300000).as("doc_id"),
           concat(col("text"), lit(" "), col("text")).as("text")))
       TextAnalysis.repetitionScore(aug).orderBy("doc_id")
-    }))
+    }),
+
+    // containment positives: 12-word snippets (prefix inclusion — high
+    // containment, LOW Jaccard, the case the operator exists for) plus
+    // exact copies (containment 1 both ways)
+    "dedup_containment" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val aug = d
+        .unionAll(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " ", -1), 1, 12)).as("text")))
+        .unionAll(d.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.wordGramContainment(aug, threshold = 0.9).orderBy("doc_a", "doc_b")
+    }),
+
+    // the corpus is single-line prose, so the boilerplate cases are
+    // injected deterministically (the text_pii playbook): js/cookie/brace
+    // docs that must be dropped, multi-line punctuated docs that must
+    // survive with frac_punct_lines = 1
+    "text_boilerplate" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val aug = d
+        .unionAll(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(lit("please enable javascript to continue\n{ \"consent\": true }\nwe use cookies on this site\n"),
+              col("text")).as("text")))
+        .unionAll(d.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(lit("the quick brown fox jumps over the lazy dog.\n"),
+              col("text"), lit(" and that is the end of it.")).as("text")))
+      TextAnalysis.boilerplateFilter(aug).orderBy("doc_id")
+    }),
+
+    // lang is the skewed domain (en ≈ 3.4× fr at sf0.01); source is
+    // uniform by construction and would make the reweighting vacuous
+    "text_tempsample" -> ((s, dir) =>
+      TextAnalysis.temperatureResample(Tables(s, dir, "documents"), col("lang"))
+        .orderBy("doc_id")))
 
   /** Oracle for the NATIVE char-gram path (Dedup.charGramNearDups /
     * QCharGrams): the same polynomial gram hash computed relationally —
@@ -287,8 +325,11 @@ object TextQueries {
     * ':'-joined family minima → capped candidates → exact Jaccard)
     * mirrors charGramSql.
     */
-  private def wordGramPolyPairsCte(threshold: Double, n: Int = 3,
-                                   bandSize: Int = 2) = {
+  /** Shared candidate scaffold (grams → hashes → signature → bands →
+    * capped candidates → per-pair intersection + sizes); the Jaccard and
+    * containment oracles differ only in the final `pairs` measure.
+    */
+  private def wordGramPolyCandCte(n: Int = 3, bandSize: Int = 2) = {
     val p = "1000000007"
     val sigMins = (0 until 8).map { j =>
       s"min(((${37 + 101 * j} * h) + ${17 + 89 * j}) % $p) AS m$j"
@@ -339,14 +380,18 @@ object TextQueries {
        |  JOIN hashes sa ON sa.doc_id = c.doc_a
        |  JOIN hashes sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1)""".stripMargin
+  }
+
+  private def wordGramPolyPairsCte(threshold: Double, n: Int = 3,
+                                   bandSize: Int = 2) =
+    s"""${wordGramPolyCandCte(n, bandSize)},
        |pairs AS (
        |  SELECT i.doc_a, i.doc_b,
        |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
        |  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
        |               JOIN sizes zb ON zb.doc_id = i.doc_b
        |  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= $threshold)""".stripMargin
-  }
 
   private def wordGramPolySql(threshold: Double, n: Int = 3, bandSize: Int = 2) =
     s"""${wordGramPolyPairsCte(threshold, n, bandSize)}
@@ -793,5 +838,79 @@ object TextQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':perkey'), doc_id) AS smp_rank
         |  FROM documents)
         |SELECT doc_id, smp_key, smp_h, smp_rank FROM r WHERE smp_rank <= 10
-        |ORDER BY smp_key, smp_rank""".stripMargin)
+        |ORDER BY smp_key, smp_rank""".stripMargin,
+
+    // same poly-gram scaffold as dedup_minhash, bandSize 1, overlap
+    // coefficient (÷ smaller set) instead of Jaccard
+    "dedup_containment" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000,
+         |    array_to_string((string_split(text, ' '))[1:12], ' ')
+         |  FROM documents WHERE doc_id % 11 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 23 = 0),
+         |${wordGramPolyCandCte(3, 1)},
+         |pairs AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) AS overlap
+         |  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+         |               JOIN sizes zb ON zb.doc_id = i.doc_b
+         |  WHERE CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) >= 0.9)
+         |SELECT doc_a, doc_b, overlap FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000,
+        |    'please enable javascript to continue' || chr(10) ||
+        |    '{ "consent": true }' || chr(10) ||
+        |    'we use cookies on this site' || chr(10) || text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |    'the quick brown fox jumps over the lazy dog.' || chr(10) ||
+        |    text || ' and that is the end of it.'
+        |  FROM documents WHERE doc_id % 31 = 0),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> substr(l, length(l), 1) IN ('.', '!', '?'))) AS BIGINT) AS n_punct_lines,
+        |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
+        |    (contains(lower(text), 'javascript') OR contains(lower(text), 'cookie')
+        |      OR contains(lower(text), 'privacy policy')
+        |      OR contains(lower(text), 'terms of use')) AS has_boilerplate
+        |  FROM docs)
+        |SELECT doc_id, n_lines, n_words, n_punct_lines, has_brace, has_boilerplate,
+        |  CAST(n_words AS DOUBLE) / CAST(n_lines AS DOUBLE) AS mean_words_per_line,
+        |  CAST(n_punct_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS frac_punct_lines,
+        |  (NOT has_brace AND NOT has_boilerplate
+        |    AND CAST(n_words AS DOUBLE) / CAST(n_lines AS DOUBLE) >= 4.0) AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // α = 0.5 temperature reweighting over lang: s_d = floor(sqrt(n_d)·1e6)
+    // quantized BEFORE the cross-domain sum (integer sum ⇒ order-free),
+    // rate = one fixed parenthesized double sequence, md5 gate per doc
+    "text_tempsample" ->
+      """WITH c AS (SELECT lang AS domain, count(*) AS n_domain
+        |           FROM documents GROUP BY 1),
+        |s AS (SELECT domain, n_domain,
+        |        CAST(floor(sqrt(CAST(n_domain AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_d
+        |      FROM c),
+        |t AS (SELECT sum(s_d) AS s_tot, sum(n_domain) AS n_tot FROM s),
+        |r AS (SELECT domain, n_domain,
+        |        least(10000, CAST(floor(CAST(s_d AS DOUBLE) / CAST(s_tot AS DOUBLE)
+        |          * 0.5 * CAST(n_tot AS DOUBLE)
+        |          / CAST(n_domain AS DOUBLE) * 10000.0) AS BIGINT)) AS rate_bp
+        |      FROM s, t)
+        |SELECT d.doc_id, d.lang AS domain, r.n_domain, r.rate_bp
+        |FROM documents d JOIN r ON r.domain = d.lang
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))::BIGINT % 10000
+        |      < r.rate_bp
+        |ORDER BY d.doc_id""".stripMargin)
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 curation operators: containment dedup, boilerplate filter,
+  * temperature resampling, int8 rerank ANN.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- containment ----
+
+  private val longText = (1 to 40).map(i => s"w$i").mkString(" ")
+  private val snippet = (1 to 12).map(i => s"w$i").mkString(" ") // prefix of longText
+  private val contDocs = Seq(
+    (1L, longText),
+    (2L, snippet),
+    (3L, "totally unrelated words about spark shuffles and parquet footers"),
+    (4L, longText) // exact copy of 1
+  ).toDF("doc_id", "text")
+
+  test("containment finds snippet-in-document pairs Jaccard misses") {
+    val pairs = Dedup.wordGramContainment(contDocs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"snippet pair missing from $keys")
+    assert(keys.contains((1L, 4L)), "exact-copy pair missing")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "false positive on unrelated doc")
+    val snippetOverlap = pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3
+    assert(snippetOverlap == 1.0, s"prefix snippet overlap should be 1.0, was $snippetOverlap")
+    // the motivating property: the Jaccard path does NOT surface the
+    // snippet pair at any useful threshold (10 shared grams / 38 union)
+    val jac = Dedup.wordGramNearDupsPoly(contDocs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "Jaccard at 0.5 should miss the snippet pair")
+  }
+
+  // ---- boilerplate ----
+
+  test("boilerplate filter drops js/cookie/brace docs, keeps prose") {
+    val docs = Seq(
+      (1L, "this is a perfectly normal sentence with plenty of words per line."),
+      (2L, "please enable javascript to continue\nnormal words here after that"),
+      (3L, "{ \"config\": true }\nsome other content follows the json blob"),
+      (4L, "one\ntwo\nthree\nfour"), // 1 word/line
+      (5L, "first line ends properly.\nsecond line also ends with a mark!")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateFilter(docs)
+      .select("doc_id", "keep", "frac_punct_lines", "n_lines")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(1L)._1, "plain prose must survive")
+    assert(!out(2L)._1, "javascript phrase must drop")
+    assert(!out(3L)._1, "brace doc must drop")
+    assert(!out(4L)._1, "1-word lines must drop on mean words per line")
+    assert(out(5L)._1 && out(5L)._2 == 1.0, "punctuated prose survives with frac 1.0")
+    assert(out(2L)._3 == 2L, "line count")
+  }
+
+  // ---- temperature resampling ----
+
+  test("temperature resample flattens a skewed mixture toward sqrt weights") {
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "domain")
+    val out = TextAnalysis.temperatureResample(docs, col("domain"), targetFrac = 0.5)
+    val rates = out.select("domain", "rate_bp").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt weights: s_big/s_small = 3 while n_big/n_small = 9 ⇒ the big
+    // domain's PER-DOC rate is 3× lower
+    assert(rates("big") < rates("small"),
+      s"head domain must downsample harder: $rates")
+    assert(rates("small") <= 10000L && rates("big") > 0L)
+    // exact md5 gate ⇒ deterministic: same rows both runs
+    val again = TextAnalysis.temperatureResample(docs, col("domain"), targetFrac = 0.5)
+    assert(out.collect().toSet == again.collect().toSet, "resample must be deterministic")
+    // overall volume lands near targetFrac (md5 buckets are uniform-ish)
+    val n = out.count()
+    assert(n > 300 && n < 700, s"kept $n of 1000 at targetFrac 0.5")
+  }
+
+  // ---- int8 rerank ANN ----
+
+  test("int8 rerank: exact duplicate ranks first; top-k agrees with brute force") {
+    // deterministic pseudo-random vectors; vec 100 duplicates vec 0 (a query)
+    def vec(seed: Long): Seq[Float] =
+      (0 until 16).map(i => (((seed * 2654435761L + i * 40503L) % 1000).toFloat - 500f) / 500f)
+    val emb = ((0L until 100L).map(i => (i, vec(i))) :+ (100L, vec(0L)))
+      .toDF("vec_id", "embedding")
+    val pred = col("vec_id") === 0L
+    val rerank = Similarity.int8RerankTopK(emb, pred, k = 5, overscan = 4)
+      .orderBy("rnk").collect()
+    assert(rerank.length == 5, "k rows per query")
+    assert(rerank.head.getAs[Long]("hit_id") == 100L, "exact duplicate must rank 1")
+    assert(rerank.head.getAs[Double]("cosine") > 0.999999)
+    // int8 coarse pass + full rerank should agree with brute force on
+    // well-separated data (overscan absorbs quantization reordering)
+    val brute = Similarity.bruteForceTopK(emb, pred, k = 5)
+      .orderBy("rnk").collect().map(_.getAs[Long]("hit_id")).toSeq
+    val got = rerank.map(_.getAs[Long]("hit_id")).toSeq
+    assert(got == brute, s"rerank $got != brute $brute")
+  }
+}
