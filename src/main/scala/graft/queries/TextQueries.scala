@@ -68,7 +68,13 @@ object TextQueries {
     // variant's extra join per round measured SLOWER here — it pays off
     // only past ~10-round diameters (clusterLabelsDoubling, spec-covered).
     "dedup_clusters" -> ((s, dir) => {
-      val aug = docsAug(s, dir)
+      // cached: the corpus feeds TWO plan branches — the signature
+      // pipeline and the isolated-nodes attach — and without the cache
+      // each re-runs the parquet scan + augment union (measured ~1s of
+      // the query at sf0.1). At cluster scale prefer
+      // recompute-or-checkpoint over caching a 100 TB frame (the
+      // caching-contract note on graft.operators.Dedup).
+      val aug = docsAug(s, dir).cache()
       Dedup.clusterLabels(Dedup.wordGramNearDupsPoly(aug, threshold = 0.5),
           aug.select("doc_id"))
         .orderBy("doc_id")
