@@ -147,19 +147,24 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
     txn.overwrite("meta", metaKept.unionByName(metaNew))
 
     // ---- facts (K8): anti-join dedup append, blacklist first
-    // (main.py:390-391). The fact side is Bloom-pruned below the join
-    // (graft.operators.BloomJoin): the filter is built from the day's
-    // staging keys (one small-side action, like a broadcast), and fact
-    // ids that cannot match die in the scan stage instead of crossing
-    // the shuffle — at a 100 TB fact table that's the whole cost. No
-    // false negatives ⇒ identical append results (replay-verified).
-    def appendFact(fact: String, stg: String, id: String): Unit = {
-      val stgDf = txn.read(stg)
-      val fresh = stgDf.join(
-        graft.operators.BloomJoin.pruneIds(txn.read(fact), stgDf, id),
-        Seq(id), "left_anti")
-      txn.append(fact, fresh)
-    }
+    // (main.py:390-391). Two fact-side defenses compose:
+    //  - Bloom prune BELOW the join (graft.operators.BloomJoin): one
+    //    filter built from the day's staging keys (ONE small-side
+    //    action, reused across every fact dir), so fact ids that cannot
+    //    match die in the scan stage. Identical results — no false
+    //    negatives (replay-verified).
+    //  - bucketed layout (Warehouse.defaultBuckets): fact dirs are
+    //    bucketed by the dedup key, and `stg ANTI (d₁ ∪ d₂ ∪ …)` is
+    //    rewritten as the cascade `((stg ANTI d₁) ANTI d₂) …` — each
+    //    dir is its own bucketed scan carrying HashPartitioning(key, n),
+    //    so the plan has ZERO fact-side ShuffleExchange (spec-gated);
+    //    the delta exchanges once into the bucket layout and its
+    //    partitioning is preserved through the whole cascade. This is
+    //    what keeps the big-delta regime safe: when the Bloom auto-sizer
+    //    declines (too many staging keys to filter profitably), an
+    //    unbucketed plan would shuffle the FULL 100 TB fact id set.
+    def appendFact(fact: String, stg: String, id: String): Unit =
+      txn.append(fact, freshFactRows(txn, fact, stg, id))
     appendFact("fact_blacklist", "stg_blacklist", "passport_num")
     appendFact("fact_transactions", "stg_transactions", "trans_id")
 
@@ -181,5 +186,26 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
     // ---- K11: one atomic commit, then (and only then) archive inputs
     txn.commit()
     files.foreach(DropFolder.archive)
+  }
+
+  /** The staging rows NOT already in `fact` — the dedup side of the K8
+    * append (see the comment block at the call site for the two
+    * fact-side defenses this plan composes). Exposed at class level so
+    * the plan-shape spec can gate the runtime plan directly.
+    */
+  private[etl] def freshFactRows(txn: Txn, fact: String, stg: String,
+                                 id: String): DataFrame = {
+    val stgDf = txn.read(stg)
+    val bloom = graft.operators.BloomJoin.keyFilter(stgDf, id)
+    def pruned(part: DataFrame): DataFrame = {
+      val keys = part.select(col(id)).filter(col(id).isNotNull)
+      bloom.fold(keys)(b => keys.filter(b.mightContain(col(id))))
+    }
+    val factParts =
+      if (wh.bucketSpec.contains(fact)) txn.readBucketedParts(fact)
+      else Seq(txn.read(fact))
+    factParts.foldLeft(stgDf) { (acc, part) =>
+      acc.join(pruned(part), Seq(id), "left_anti")
+    }
   }
 }

@@ -43,6 +43,14 @@ import scala.jdk.CollectionConverters._
   * identically into the new immutable dir. At a 100 TB dim with ~1%
   * daily churn that turns the run's dominant cost (full dim shuffle +
   * full rewrite) into a delta-sized merge + delta-sized write.
+  *
+  * The big fact table combines BOTH layouts: date partitions inside
+  * each append dir (IO pruning) and key-hash buckets within each
+  * partition (join co-location) — `Pipeline.freshFactRows` chains the
+  * dedup anti-join per dir so no fact row or id ever crosses an
+  * Exchange. Note the layouts are not retro-fitted: a dir written
+  * before its table had a `bucketSpec` entry must be rewritten
+  * (`compact()`) before bucketed reads of it are sound.
   */
 class Warehouse(val spark: SparkSession, val root: String,
                 val schemas: Map[String, StructType] = Schemas.tables,
@@ -197,10 +205,16 @@ class Warehouse(val spark: SparkSession, val root: String,
   private[etl] def writeDataDir(table: String, df: DataFrame): String = {
     val dir = newDataDir(table)
     (partitionSpec.get(table), bucketSpec.get(table)) match {
-      case (Some((name, derive)), _) =>
+      case (Some((name, derive)), Some(_)) =>
+        // the production fact layout: date partitions prune IO, key-hash
+        // buckets kill the join shuffle — each `dt=` dir holds one file
+        // per (bucket × date) and the scan still carries
+        // HashPartitioning(key, n) (bucket id is per-row, not per-dir)
+        writeBucketedDir(table, df.withColumn(name, derive), dir, Some(name))
+      case (Some((name, derive)), None) =>
         df.withColumn(name, derive).write.partitionBy(name).parquet(dir)
       case (None, Some(_)) =>
-        writeBucketedDir(table, df, dir)
+        writeBucketedDir(table, df, dir, None)
       case _ =>
         df.write.parquet(dir)
     }
@@ -216,11 +230,13 @@ class Warehouse(val spark: SparkSession, val root: String,
     * non-empty bucket (which also keeps Spark trusting the SORTED BY
     * metadata on read). Dropping the external table keeps the files.
     */
-  private def writeBucketedDir(table: String, df: DataFrame, dir: String): Unit = {
+  private def writeBucketedDir(table: String, df: DataFrame, dir: String,
+                               partitionCol: Option[String]): Unit = {
     val (key, n) = bucketSpec(table)
     val tmp = "graft_tmp_" + UUID.randomUUID().toString.replace("-", "")
-    df.repartition(n, col(key))
-      .write.bucketBy(n, key).sortBy(key)
+    val w = df.repartition(n, col(key)).write
+    partitionCol.fold(w)(w.partitionBy(_))
+      .bucketBy(n, key).sortBy(key)
       .option("path", dir).format("parquet").saveAsTable(tmp)
     spark.sql(s"DROP TABLE `$tmp`")
   }
@@ -231,15 +247,37 @@ class Warehouse(val spark: SparkSession, val root: String,
     * path; dirs are immutable, so a registration never goes stale —
     * [[vacuum]] drops it with the dir).
     */
-  private def readBucketedDir(table: String, dir: String): DataFrame = {
+  private[etl] def readBucketedDir(table: String, dir: String): DataFrame = {
     val (key, n) = bucketSpec(table)
     val name = Warehouse.bucketedTableName(dir)
-    if (!spark.catalog.tableExists(name))
+    if (!spark.catalog.tableExists(name)) {
+      // partitioned+bucketed dirs (facts) declare the partition column
+      // too — its type is derived from the partition expression so the
+      // registration never drifts from what writeDataDir produced
+      val (cols, partClause) = partitionSpec.get(table) match {
+        case Some((p, derive)) =>
+          val pType = emptyDf(table).withColumn(p, derive).schema(p).dataType.sql
+          (s"${schemas(table).toDDL}, `$p` $pType", s"PARTITIONED BY (`$p`)")
+        case None => (schemas(table).toDDL, "")
+      }
       spark.sql(
-        s"""CREATE TABLE `$name` (${schemas(table).toDDL})
+        s"""CREATE TABLE `$name` ($cols)
            |USING PARQUET
+           |$partClause
            |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS
            |LOCATION '$dir'""".stripMargin)
+      // datasource tables with a LOCATION don't discover partitions on
+      // their own; dirs are immutable so one recovery at registration
+      // time is complete forever
+      if (partitionSpec.contains(table))
+        spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+      // a catalog table without stats planwise weighs Long.MaxValue —
+      // no plan reading it could ever choose a broadcast. NOSCAN fills
+      // in sizeInBytes from file sizes (metadata-only, once per
+      // immutable dir), so a small dim still broadcasts into report
+      // joins while a 100 TB scan keeps the co-located SMJ.
+      spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS NOSCAN")
+    }
     spark.table(name)
   }
 
@@ -304,6 +342,19 @@ class Txn private[etl] (wh: Warehouse) {
     */
   private[etl] def currentDirs(table: String): Seq[String] =
     pending.getOrElse(table, snapshot.getOrElse(table, Nil))
+
+  /** Each of the table's data dirs as its own BUCKETED scan (declared
+    * columns only — partition columns dropped, like [[read]]). A multi-
+    * dir bucketed table can't be read as ONE bucketed scan (a union
+    * discards the partitioning), but per-dir frames each carry
+    * HashPartitioning(key, n), which is exactly what a chained per-dir
+    * join (appendFact's anti-join cascade) needs.
+    */
+  private[etl] def readBucketedParts(table: String): Seq[DataFrame] = {
+    val fields = wh.schemas(table).fieldNames.toIndexedSeq
+    currentDirs(table).map(d =>
+      wh.readBucketedDir(table, d).select(fields.map(org.apache.spark.sql.functions.col): _*))
+  }
 
   /** Replace the table image (staging truncate-and-load K1/K2, dim merge
     * result K4+K6+K7). Data lands in a fresh immutable dir; old dirs are
@@ -394,7 +445,15 @@ object Warehouse {
     * 16 keeps test/bench file counts sane at local scale.
     */
   val defaultBuckets: Map[String, (String, Int)] =
-    Schemas.dimKeys.map { case (t, k) => t -> (k, 16) }
+    Schemas.dimKeys.map { case (t, k) => t -> (k, 16) } ++
+      // the 100 TB fact table is bucketed by its dedup key ON TOP of its
+      // date partitioning: the nightly append anti-join then reads every
+      // fact dir as a bucketed scan and plans with ZERO fact-side
+      // Exchange (Pipeline.appendFact), where an unbucketed layout
+      // shuffles the full fact id set whenever the Bloom auto-sizer
+      // declines (exactly the big-delta regime where it hurts most).
+      // fact_blacklist stays unbucketed: dozens of rows, broadcast-sized.
+      Map("fact_transactions" -> ("trans_id", 16))
 
   /** Deterministic registration name for a bucketed data dir. */
   private[etl] def bucketedTableName(dir: String): String =

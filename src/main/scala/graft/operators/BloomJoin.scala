@@ -40,6 +40,15 @@ object BloomJoin {
     bits.map(b => QBloom.build(small, col(key), b, k))
   }
 
+  /** Auto-sized filter over `small`'s keys, built ONCE for reuse across
+    * several big-side frames (appendFact applies the same filter under
+    * every per-dir co-located join — k dirs must not mean k build
+    * actions). `None` = auto-sizer declined; callers skip the prune.
+    */
+  def keyFilter(small: DataFrame, key: String, mBits: Long = -1,
+                k: Int = 5): Option[QBloom.Filter] =
+    autoFilter(small, key, mBits, k)
+
   /** `big ⋉ small` on `bigKey = smallKey`, Bloom-pruned (prune skipped
     * when the auto-sizer reports the small side too large to filter
     * profitably — the semi-join result is identical either way).

@@ -201,38 +201,68 @@ class PipelineReplaySpec extends AnyFunSuite {
     assert(wh.read("fact_transactions").count() == factBefore)
   }
 
-  test("fact append anti-join: Bloom-pruned fact side broadcasts — " +
-    "no fact-sized shuffle survives") {
-    // Settles the "bucket the fact table for the append anti-join"
-    // question with the actual runtime plan: the only fact-side exchange
-    // is the distinct over the PRUNED id set (duplicate density + ~1% FP
-    // of fact rows — delta-sized at any corpus size), and the anti join
-    // broadcasts that set. Bucketing could not remove it anyway: facts
-    // append a dir per day, and a union of per-dir bucketed scans carries
-    // no co-partitioning guarantee in Spark's planner — only a single-dir
-    // table does (the dim steady state). The plan below is already the
-    // 100 TB shape; locking it here keeps a refactor from regressing the
-    // fact side into a sort-merge join.
+  test("fact append anti-join: zero fact-side shuffle in BOTH Bloom regimes") {
+    // The K8 append composes two fact-side defenses; this test gates the
+    // runtime plan in both regimes.
+    //  - Small delta (the common night): the Bloom prune below the join
+    //    shrinks the fact id set to delta size and AQE broadcasts it —
+    //    zero shuffle anywhere.
+    //  - Big delta (Bloom auto-sizer declines): the fact dirs are
+    //    BUCKETED by trans_id, and freshFactRows chains per-dir
+    //    co-located anti-joins (`((stg ANTI d₁) ANTI d₂) …` — a UNION of
+    //    bucketed scans would lose the co-partitioning, a cascade keeps
+    //    it per dir), so even a sort-merge plan exchanges only the
+    //    staging delta ONCE; every fact-side scan feeds its join
+    //    directly from the files' HashPartitioning.
     val whRoot = Files.createTempDirectory("wh-append-plan")
     val drop = Files.createTempDirectory("drop-append-plan")
     val wh = new Warehouse(spark, whRoot.toString)
     val pipe = new Pipeline(spark, wh, Reports.Corrected)
-    stageDay(drop, 1)
-    pipe.run(bankFor(1), Some(drop.toString), Timestamp.valueOf("2021-03-01 23:55:00"))
+    (1 to 2).foreach { day =>   // two runs => two bucketed fact dirs
+      stageDay(drop, day)
+      pipe.run(bankFor(day), Some(drop.toString),
+        Timestamp.valueOf(f"2021-03-0$day 23:55:00"))
+    }
+    assert(wh.catalog()("fact_transactions").length == 2)
 
-    val stg = wh.read("stg_transactions")
-    val fact = wh.read("fact_transactions")
-    val fresh = stg.join(
-      graft.operators.BloomJoin.pruneIds(fact, stg, "trans_id"),
-      Seq("trans_id"), "left_anti")
-    assert(fresh.count() == 0L) // day-1 ids are all already appended
-    val p = fresh.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"pruned fact ids should broadcast into the anti join:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"no side of the append anti-join may sort-merge:\n$p")
-    assert(p.contains("graft_bloom_might_contain"),
-      s"Bloom prune missing below the join:\n$p")
+    val txn = wh.begin()
+    def freshPlan(): (Long, String) = {
+      val fresh = pipe.freshFactRows(txn, "fact_transactions", "stg_transactions", "trans_id")
+      // collect() (not count()) so THIS frame's QueryExecution runs and
+      // its AdaptiveSparkPlan finalizes — count() would execute a
+      // different QueryExecution and leave this plan un-adapted
+      val n = fresh.collect().length.toLong
+      // finalized AQE toString appends an "== Initial Plan ==" section;
+      // assertions must see only the plan that actually ran
+      val p = fresh.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      (n, p)
+    }
+
+    // regime 1: broadcast (day-2 staging is all appended already)
+    val (n1, p1) = freshPlan()
+    assert(n1 == 0L)
+    assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"),
+      s"pruned fact ids should broadcast into the anti join:\n$p1")
+    assert(p1.contains("graft_bloom_might_contain"),
+      s"Bloom prune missing below the join:\n$p1")
+    assert(!p1.contains("Exchange hashpartitioning"),
+      s"small-delta append must plan with no shuffle at all:\n$p1")
+
+    // regime 2: broadcasts disabled — the sort-merge fallback a huge
+    // delta would force. The bucketed cascade allows ONE exchange total
+    // (the staging delta entering the bucket layout); the fact side
+    // never shuffles.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (n2, p2) = freshPlan()
+      assert(n2 == 0L)
+      assert(p2.contains("SortMergeJoin"), s"expected the SMJ fallback:\n$p2")
+      assert("SelectedBucketsCount".r.findAllIn(p2).size >= 2,
+        s"each fact dir should scan bucketed:\n$p2")
+      assert("Exchange hashpartitioning".r.findAllIn(p2).size == 1,
+        s"only the staging delta may shuffle (once):\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("faithful mode: report №1 tautology and null blacklist rows") {
