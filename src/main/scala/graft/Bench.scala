@@ -73,7 +73,13 @@ object Bench {
     val spreads = results.map { case (k, v) => "\"" + k + f"""\":${v.max / v.min}%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    // the JSON line must be the LAST thing on stdout: Spark's shutdown
+    // logging (and wrapped startup INFO lines, which lose their stream
+    // prefix under sbt) otherwise lands after it and a tail-based
+    // harness parse reads noise instead of the artifact — the observed
+    // BENCH_r03/r04 `parsed: null` failure mode
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
   }
 }

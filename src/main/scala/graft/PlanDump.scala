@@ -16,7 +16,9 @@ object PlanDump {
         "q_window_lag", "q_topk_perkey", "ann_brute",
         "dedup_embed", "q_range_join", "q_rep_fraud",
         "q_bloom_semi", "ann_ivf_learned", "text_pack",
-        "dedup_ngram", "dedup_minhash", "text_decontam", "text_curate")
+        "dedup_ngram", "dedup_minhash", "text_decontam", "text_curate",
+        "dedup_simhash", "dedup_containment", "ann_int8", "q_zorder",
+        "text_tempsample")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

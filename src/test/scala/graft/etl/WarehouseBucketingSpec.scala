@@ -152,4 +152,38 @@ class WarehouseBucketingSpec extends AnyFunSuite {
     assert(wh.read("dim_clients").filter(col("client_id") === "C003")
       .head().getAs[String]("phone") == "+7 777")
   }
+
+  test("fact compaction preserves the partitioned+bucketed layout") {
+    // compact() routes through the same writeDataDir as appends, so the
+    // merged dir must carry BOTH layout halves: date subdirs (pruning)
+    // and bucket-id file names (the single-dir bucketed read path +
+    // future co-located appends).
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-fact-compact").toString)
+    import spark.implicits._
+    def batch(ids: Range, day: Int): org.apache.spark.sql.DataFrame =
+      ids.map(i => (s"T$i", Timestamp.valueOf(f"2021-03-0$day 10:00:00"),
+          BigDecimal(i), s"K$i", "PAY", "OK", s"A$i"))
+        .toDF("trans_id", "trans_date", "amt", "card_num", "oper_type",
+          "oper_result", "terminal")
+    val t1 = wh.begin(); t1.append("fact_transactions", batch(1 to 50, 1)); t1.commit()
+    val t2 = wh.begin(); t2.append("fact_transactions", batch(51 to 90, 2)); t2.commit()
+    assert(wh.catalog()("fact_transactions").length == 2)
+
+    wh.compact("fact_transactions")
+    val dirs = wh.catalog()("fact_transactions")
+    assert(dirs.length == 1)
+
+    // both layout halves present in the merged dir
+    val partDirs = Files.list(Paths.get(dirs.head)).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
+    assert(partDirs.count(_.startsWith("trans_dt=")) == 2,
+      s"expected two date partitions, got $partDirs")
+
+    // single-dir steady state: the bucketed read satisfies a groupBy on
+    // the dedup key with no Exchange, and rows survived intact
+    assert(wh.read("fact_transactions").count() == 90)
+    val agg = wh.read("fact_transactions").groupBy("trans_id").count()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      "groupBy on the bucket key should need no exchange after compaction")
+  }
 }
