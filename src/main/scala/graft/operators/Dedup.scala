@@ -464,6 +464,79 @@ object Dedup {
       .filter(col("overlap") >= threshold)
   }
 
+  /** INCREMENTAL near-dup — the production ingestion shape: a batch of
+    * `incoming` documents is checked against the `existing` corpus (and
+    * against earlier docs in the same batch) WITHOUT re-pairing the
+    * existing corpus with itself. Emits exactly the
+    * [[wordGramNearDupsPoly]] pairs that involve at least one incoming
+    * doc — same signatures, same banding, same capped-bucket
+    * discipline, same exact-Jaccard verify — so a full-corpus oracle
+    * restricted to incoming-touching pairs verifies it unchanged.
+    *
+    * What is incremental at scale: the existing side contributes only
+    * its 8-BIGINT signatures (in production these live in a signature
+    * STORE, written once at ingest — this method recomputes them so the
+    * contract stays self-contained) and its per-bucket stats; candidate
+    * generation PROBES the band index with the batch's bands only, so
+    * join work tracks the batch size, not the corpus. The verify
+    * re-reads raw text for CANDIDATE docs only (the store keeps 8
+    * BIGINTs per doc, not gram sets) via the usual semi-join.
+    *
+    * Over-cap buckets keep the anchor discipline: every member pairs
+    * with the bucket's min id; the pair survives here iff one endpoint
+    * is new (when the ANCHOR itself is new, the whole bucket pairs with
+    * it — transitive reachability through the anchor is preserved for
+    * the batch).
+    */
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
+                          threshold: Double = 0.5, n: Int = 3,
+                          bandSize: Int = 2, maxBucket: Int = 256,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.QWordGrams
+    require(8 % bandSize == 0, "bandSize must divide 8")
+    def prep(df: DataFrame, isNew: Boolean) =
+      df.select(col(idCol), lower(col(textCol)).as("t"))
+        .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
+        .withColumn("is_new", lit(isNew))
+    val base = prep(existing, isNew = false).unionAll(prep(incoming, isNew = true))
+      .cache()
+    val sig = base
+      .select(col(idCol), col("is_new"), QWordGrams.polySigCol(col("t"), n).as("ms"))
+      .select(col(idCol) +: col("is_new") +:
+        (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
+    val bandCols = (0 until 8 / bandSize).map { b =>
+      concat_ws(":", (b * bandSize until (b + 1) * bandSize)
+        .map(j => col(s"m$j").cast("string")): _*)
+    }
+    val bands = sig.select(col(idCol), col("is_new"),
+      posexplode(array(bandCols: _*)).as(Seq("band_id", "band")))
+    // one exchange on the bucket key: size + anchor(id, flag) per row
+    // (at scale these stats are maintained in the store, not recomputed)
+    val w = Window.partitionBy("band_id", "band")
+    val rows = bands.select(col("band_id"), col("band"), col(idCol), col("is_new"),
+        count(lit(1)).over(w).as("bn"),
+        min(struct(col(idCol), col("is_new"))).over(w).as("anchor"))
+      .cache()
+    // ≤cap: probe the bucket with NEW rows only; (least, greatest)
+    // normalization makes new×new pairs single and ordered
+    val small = rows.filter(col("is_new") && col("bn") <= maxBucket)
+      .join(rows.filter(col("bn") <= maxBucket)
+          .select(col("band_id"), col("band"), col(idCol).as("other")),
+        Seq("band_id", "band"))
+      .filter(col(idCol) =!= col("other"))
+      .select(least(col(idCol), col("other")).as("doc_a"),
+        greatest(col(idCol), col("other")).as("doc_b"))
+    // >cap: anchor pairs, kept iff an endpoint is new
+    val big = rows
+      .filter(col("bn") > maxBucket && col(idCol) > col("anchor")(idCol) &&
+        (col("is_new") || col("anchor")("is_new")))
+      .select(col("anchor")(idCol).as("doc_a"), col(idCol).as("doc_b"))
+    val cand = small.unionAll(big).distinct().cache()
+    val docHashes = candDocSets(cand, base.select(col(idCol), col("t")),
+      QWordGrams.polyHashesCol(col("t"), n), idCol)
+    arrayJaccardVerify(cand, docHashes, threshold)
+  }
+
   /** Connected components over near-dup pairs: every node gets
     * `cluster_id` = the smallest doc id transitively reachable through
     * the pair graph — the "cluster, then keep one canonical doc" step

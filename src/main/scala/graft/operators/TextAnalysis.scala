@@ -456,4 +456,136 @@ object TextAnalysis {
       .filter(col("bucket") < col("rate_bp"))
       .select(col(idCol), col("domain"), col("n_domain"), col("rate_bp"))
   }
+
+  /** Deterministic global corpus shuffle + sharding — the "shuffle the
+    * corpus before training" step, without a global sort. Each document
+    * hashes to a shard (`md5(id) % nShards`) and gets a position within
+    * its shard by ranking on the remaining hash bits (id as the
+    * final tiebreak): reading shards `0..n-1` sequentially replays one
+    * fixed pseudo-random permutation of the corpus, stable across runs,
+    * engines, and input partitionings — `rand(seed)` sampling gives none
+    * of that across repartitions.
+    *
+    * Shape at scale: one hash-shuffle on the shard key, then one window
+    * per shard — each window partition holds ~corpus/nShards rows, so
+    * parallelism is chosen by the caller (nShards), not capped by data
+    * skew; no stage ever sees a global ordering. This is the layout step
+    * feeding [[packSequences]], which packs each shard independently.
+    */
+  def corpusShard(df: DataFrame, nShards: Int = 64,
+                  idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr(
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING) || ':shard'), 1, 12), 16, 10) AS BIGINT)")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
+    df.select(col(idCol), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** BM25-style keyword search over the corpus: score every document
+    * against a bag of query terms, return the global top-`k`. The tf
+    * saturation and length normalization are exactly BM25's
+    * (k1 = 1.2, b = 0.75); the idf factor is the LINEAR rarity weight
+    * `(N - df + ½)/(df + ½)` rather than its logarithm — same
+    * monotone per-term ordering, and log-free arithmetic is what lets
+    * the whole score live in exact BIGINT domain (the [[topTerms]]
+    * libm-ulp lesson). With avgdl = S/N (S = corpus token count), each
+    * (doc, term) contribution clears denominators to
+    * `scale·22·S·tf·(2N−2df+1)  div  (2df+1)·(10·S·tf + 3·S + 9·dl·N)`
+    * — all-integer, order-free to sum, bit-identical in any engine.
+    * Fits in BIGINT through bench scales (documented envelope
+    * ~1e17 at sf0.1); a 100 TB deployment flips the same formula to
+    * doubles and keeps the ranking.
+    *
+    * Shape at scale: tokens are filtered to the query terms BEFORE any
+    * aggregation (the term list is a literal `isin` — a scan-level
+    * prune), so the tf aggregation carries query-term occurrences only,
+    * not the corpus vocabulary. Doc lengths ride the same single pass
+    * over the token arrays (map-side, no explode for non-query rows);
+    * df and the corpus totals are broadcast single-row/short frames.
+    * Final top-k is a global `orderBy(...).limit(k)` — Spark's
+    * TakeOrderedAndProject, a per-partition heap + driver merge of k
+    * rows, not a global sort.
+    */
+  def bm25Search(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val t = tokens(col(textCol))
+    // one pass: per-doc length + per-doc tf of each query term
+    val base = docs.select(col(idCol), size(t).cast("long").as("dl"),
+      t.as("toks")).filter(col("dl") > 0)
+    val totals = base.agg(sum("dl").as("s_tot"),
+      count(lit(1)).as("n_docs"))
+    val tf = base
+      .select(col(idCol), col("dl"),
+        explode(filter(col("toks"), w => w.isin(queryTerms.map(lit): _*)))
+          .as("term"))
+      .groupBy(idCol, "dl", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("num", lit(10000L) * lit(22L) * col("s_tot") * col("tf")
+        * (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+      .withColumn("den", (lit(2L) * col("df") + lit(1L))
+        * (lit(10L) * col("s_tot") * col("tf") + lit(3L) * col("s_tot")
+          + lit(9L) * col("dl") * col("n_docs")))
+      // exact BIGINT floor division — the numerator tops 2^53, so a
+      // double `/` + floor would round before flooring
+      .withColumn("q", expr("num div den"))
+      .groupBy(idCol).agg(sum("q").as("score_q"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("score", col("score_q").cast("double") / lit(10000.0))
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Bigram language-model scoring — the CCNet-style "how surprising is
+    * this document under a corpus LM" quality signal. The LM is add-one-
+    * smoothed bigram counts over the corpus itself (in production: over
+    * a trusted reference corpus — same plumbing, different `model`
+    * input); each document is scored by its mean inverse bigram
+    * probability `(c(w1)+V)/(c(w1,w2)+1)` — low = fluent under the
+    * model, high = anomalous — which is perplexity's ranking without its
+    * logarithm. Portability: each per-bigram inverse probability is
+    * quantized to BIGINT (`·1e6, floor` — exact integer arithmetic)
+    * before the per-doc sum, so the aggregate is order-free; the final
+    * mean is one fixed-shape double division.
+    *
+    * Shape at scale: bigrams are built map-side from each doc's token
+    * array (`transform` over indices — no self-join, no window); the
+    * model is one partial-combining count per distinct bigram (Zipf:
+    * output is vocabulary², but partial aggregation collapses the heavy
+    * head before the exchange) pre-joined with its prefix unigram
+    * count; scoring is one join of doc bigrams against the model (AQE
+    * broadcasts it when the vocabulary is small) and one partial-
+    * combining per-doc aggregation.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val toBigrams = (ts: Column) =>
+      transform(sequence(lit(1), size(ts) - 1),
+        i => concat_ws(" ", element_at(ts, i), element_at(ts, i + 1)))
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val docBigrams = base.select(col(idCol),
+      explode(toBigrams(col("toks"))).as("bg"))
+    val words = base.select(explode(col("toks")).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    // model: bigram count + prefix unigram count, keyed by the bigram
+    val model = docBigrams.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .select(col("bg"), col("c12"), col("c1"))
+    docBigrams.join(model, Seq("bg"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("invp_q", expr("(1000000 * (c1 + v)) div (c12 + 1)"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("invp_q").as("sum_q"))
+      .withColumn("lm_score",
+        col("sum_q").cast("double") / col("n_bigrams").cast("double")
+          / lit(1000000.0))
+  }
 }

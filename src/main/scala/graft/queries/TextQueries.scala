@@ -247,6 +247,36 @@ object TextQueries {
     // uniform by construction and would make the reweighting vacuous
     "text_tempsample" -> ((s, dir) =>
       TextAnalysis.temperatureResample(Tables(s, dir, "documents"), col("lang"))
+        .orderBy("doc_id")),
+
+    // batch = the synthetic augment rows (ids ≥ 100000), corpus = the
+    // raw table: the batch is probed against the corpus band index +
+    // itself; oracle = the full-corpus pair set restricted to pairs
+    // touching the batch
+    "dedup_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val incoming = d.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" neardup extra")).as("text"))
+        .unionAll(d.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text").as("text")))
+      Dedup.incrementalNearDups(d, incoming, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "text_shard" -> ((s, dir) =>
+      TextAnalysis.corpusShard(Tables(s, dir, "documents").select("doc_id"),
+          nShards = 16)
+        .orderBy("doc_id")),
+
+    // three mid-frequency terms from the synthetic vocabulary; global
+    // top-10 with deterministic (score, id) tiebreak
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Search(Tables(s, dir, "documents"),
+        Seq("merge", "window", "stream"), k = 10)),
+
+    "text_perplexity" -> ((s, dir) =>
+      TextAnalysis.bigramLmScore(Tables(s, dir, "documents"))
         .orderBy("doc_id")))
 
   /** Oracle for the NATIVE char-gram path (Dedup.charGramNearDups /
@@ -918,5 +948,79 @@ object TextQueries {
         |FROM documents d JOIN r ON r.domain = d.lang
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))::BIGINT % 10000
         |      < r.rate_bp
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the full-corpus poly pair set restricted to pairs touching the
+    // incoming batch (ids ≥ 100000) — band index, caps, and verify are
+    // population-identical between the incremental probe and the full
+    // self-join, so the restriction IS the incremental result
+    "dedup_incremental" ->
+      s"""WITH $augSql,
+         |${wordGramPolyPairsCte(0.5)}
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |WHERE doc_a >= 100000 OR doc_b >= 100000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // deterministic shuffle: shard = h % 16, pos = rank on (h, id)
+    // within shard — one fixed permutation, engine-independent
+    "text_shard" ->
+      """WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 12))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the linear (log-free) rarity weight, denominators
+    // cleared so every (doc, term) contribution is one exact BIGINT
+    // floor division (k1 = 1.2, b = 0.75, ×10^4 fixed point)
+    "text_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+        |      FROM base WHERE len(toks) > 0),
+        |t AS (SELECT sum(dl) AS s_tot, count(*) AS n_docs FROM b),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b)
+        |       WHERE term IN ('merge', 'window', 'stream') GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT tf.doc_id,
+        |        (10000 * 22 * t.s_tot * tf.tf * (2 * t.n_docs - 2 * df.df + 1))
+        |        // ((2 * df.df + 1)
+        |           * (10 * t.s_tot * tf.tf + 3 * t.s_tot + 9 * tf.dl * t.n_docs)) AS q
+        |      FROM tf JOIN df USING (term), t)
+        |SELECT doc_id, CAST(sum(q) AS BIGINT) AS score_q,
+        |  count(*) AS n_terms_hit,
+        |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 10000.0 AS score
+        |FROM q GROUP BY doc_id
+        |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+
+    // add-one-smoothed bigram LM: mean inverse bigram probability,
+    // each (c1+V)/(c12+1) quantized to BIGINT (·1e6, exact integer
+    // division) before the order-free per-doc sum
+    "text_perplexity" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks FROM base WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |       FROM b),
+        |uni AS (SELECT w, count(*) AS c1
+        |        FROM (SELECT unnest(toks) AS w FROM b) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |m AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+        |m2 AS (SELECT m.bg, m.c12, u.c1
+        |       FROM m JOIN uni u ON u.w = split_part(m.bg, ' ', 1)),
+        |q AS (SELECT bg.doc_id,
+        |        (1000000 * (m2.c1 + v.v)) // (m2.c12 + 1) AS invp_q
+        |      FROM bg JOIN m2 USING (bg), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(invp_q) AS BIGINT) AS sum_q,
+        |  CAST(CAST(sum(invp_q) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1000000.0 AS lm_score
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 search, bigram-LM scoring, deterministic sharding, and
+  * incremental near-dup — the round-5 corpus-service operators.
+  */
+class CorpusSearchSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- BM25 ----
+
+  private lazy val searchDocs = Seq(
+    (1L, "merge merge merge sort sort table"),      // heavy on 'merge'
+    (2L, "merge sort table scan filter project"),   // one hit
+    (3L, "scan filter project join group order"),   // no hits
+    (4L, "window window merge stream stream stream")// 3 distinct terms
+  ).toDF("doc_id", "text")
+
+  test("bm25: multi-term docs outrank single-term docs; non-hits absent") {
+    val out = TextAnalysis.bm25Search(searchDocs, Seq("merge", "window", "stream"), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_q"))
+    val ranked = out.map(_._1)
+    assert(!ranked.contains(3L), "doc with no query terms must not appear")
+    assert(ranked.head == 4L, s"doc 4 hits all three terms, got order $ranked")
+    // every score positive, ordering matches score desc
+    val scores = out.map(_._2)
+    assert(scores.forall(_ > 0))
+    assert(scores.sorted(Ordering[Long].reverse).sameElements(scores))
+  }
+
+  test("bm25: tf saturation — 3x the tf is far less than 3x the score") {
+    val docs = Seq(
+      (1L, Seq.fill(9)("merge").mkString(" ") + " a b c"),
+      (2L, "merge a b c d e f g h i j k")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, Seq("merge"), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_q")).toMap
+    assert(out(1L) > out(2L), "more tf must score higher")
+    assert(out(1L) < 3 * out(2L), s"k1 saturation must damp tf: $out")
+  }
+
+  // ---- bigram LM ----
+
+  test("bigram LM: anomalous word sequences score higher than corpus-typical ones") {
+    // 20 docs share the same fluent phrasing; one doc scrambles rare words
+    val fluent = (1 to 20).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val weird = Seq((99L, "dog the over quick lazy brown jumps fox the"))
+    val out = TextAnalysis.bigramLmScore((fluent ++ weird).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_score")).toMap
+    assert(out(99L) > out(1L),
+      s"scrambled doc must be more surprising: ${out(99L)} vs ${out(1L)}")
+    // all fluent copies share one score (identical bigram profile)
+    assert((2 to 20).forall(i => out(i.toLong) == out(1L)))
+  }
+
+  // ---- corpus shard ----
+
+  test("corpusShard: partitions the corpus; positions contiguous per shard; repartition-stable") {
+    val ids = (1L to 500L).toDF("doc_id")
+    val out = TextAnalysis.corpusShard(ids, nShards = 8).cache()
+    assert(out.count() == 500)
+    assert(out.select("doc_id").distinct().count() == 500)
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .collect()
+    assert(perShard.length == 8)
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("n"),
+        s"positions must be 1..n within shard: $r")
+    }
+    val again = TextAnalysis.corpusShard(ids.repartition(13), nShards = 8)
+    assert(again.except(out).isEmpty && out.except(again).isEmpty,
+      "shard assignment must be independent of input partitioning")
+    out.unpersist()
+  }
+
+  // ---- incremental near-dup ----
+
+  test("incremental == full near-dup pairs restricted to batch-touching pairs") {
+    def words(seed: Int) =
+      (0 until 30).map(k => s"w${(seed * 31 + k * 7) % 97}").mkString(" ")
+    val existing = (1 to 30).map(i => (i.toLong, words(i))).toDF("doc_id", "text")
+    // batch: near-copies of existing docs + one fresh doc + an in-batch dup pair
+    val incoming = Seq(
+      (101L, words(3) + " extra tail"),
+      (102L, words(7)),
+      (103L, "completely novel content never seen before in this corpus at all"),
+      (104L, words(50)), (105L, words(50) + " x")
+    ).toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDups(existing, incoming, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullPairs = Dedup.wordGramNearDupsPoly(existing.unionAll(incoming), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = fullPairs.filter { case (a, b) => a > 100L || b > 100L }
+    assert(inc == expected, s"inc=$inc expected=$expected")
+    assert(inc.contains((3L, 101L)) && inc.contains((7L, 102L)), "cross-corpus dups missing")
+    assert(inc.contains((104L, 105L)), "in-batch dup missing")
+    assert(!inc.exists { case (a, b) => a <= 100L && b <= 100L },
+      "existing-existing pairs must not be re-emitted")
+  }
+}
