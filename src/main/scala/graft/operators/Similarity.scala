@@ -229,6 +229,43 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .filter(col("cosine") >= threshold)
 
+  /** SemDeDup-style SEMANTIC dedup: spherical-k-means-cluster the
+    * embedding space (seed codebook from `centroidPred`, `lloydIters`
+    * floor-mean refinements — the [[ivfTopKLearned]] build), then mark
+    * as duplicate any vector whose cosine to a LOWER-id member of its
+    * OWN cluster reaches `threshold`. This is the published SemDeDup
+    * recipe (Abbas et al. 2023) with one determinism substitution: the
+    * keep-representative rule is min-id (relational, engine-portable)
+    * rather than distance-to-centroid.
+    *
+    * Cost model at scale — exactly the paper's: clustering makes the
+    * candidate set per vector its OWN cluster only, so the pairwise
+    * stage is Σ(cluster²) not N²; the codebook size is the lever that
+    * keeps clusters small (k ∝ N/target-cluster-size), and at 100 TB
+    * the codebook is trained once on a sample. Output: one row per
+    * vector — (vec_id, cluster_id, is_dup).
+    */
+  def semanticDedup(embeddings: DataFrame, centroidPred: Column,
+                    threshold: Double = 0.9, lloydIters: Int = 1): DataFrame = {
+    val corpus = withQuant(embeddings).cache()
+    var cents = seedCents(corpus, centroidPred)
+    for (_ <- 1 to lloydIters) cents = lloydStep(corpus, cents)
+    val assigned = assign(corpus, cents).cache()
+    val dups = assigned
+      .select(col("bucket"), col("vec_id").as("vec_a"),
+        col("q").as("aq"), col("nrm").as("an"))
+      .join(assigned.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("q").as("bq"), col("nrm").as("bn")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(qdot(col("aq"), col("bq")), col("an"), col("bn")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("bucket").as("cluster_id"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
+
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Exact but
     * all-pairs O(N²) — verification/recall baseline for modest corpora
     * only; production near-dup goes through [[nearDupPairs]].

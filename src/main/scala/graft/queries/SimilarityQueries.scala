@@ -72,7 +72,14 @@ object SimilarityQueries {
     "ann_int8" -> ((s, dir) =>
       Similarity.int8RerankTopK(Tables(s, dir, "embeddings"),
           col("vec_id") % 50 === 0, k = 5, overscan = 4)
-        .orderBy("query_id", "rnk")))
+        .orderBy("query_id", "rnk")),
+
+    // augmented corpus (exact copies at +100000) so the dup flag has
+    // positives; 1 Lloyd refinement exercises the learned codebook
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(embAug(s, dir), col("vec_id") % 50 === 7,
+          threshold = 0.9, lloydIters = 1)
+        .orderBy("vec_id")))
 
   val oracles: Map[String, String] = Map(
     "ann_brute" ->
@@ -220,7 +227,64 @@ object SimilarityQueries {
          |  FROM rdots r JOIN norms nq ON nq.vec_id = r.query_id
          |               JOIN norms na ON na.vec_id = r.hit_id)
          |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin)
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // SemDeDup: 1-Lloyd learned codebook (the ann_ivf_learned build),
+    // within-cluster pairwise cosine, dup = has a lower-id neighbor ≥ τ
+    "dedup_semantic" ->
+      s"""WITH $augSql,
+         |${flatSql("emb")},
+         |cents0 AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 50 = 7),
+         |cnorm0 AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 50 = 7),
+         |adots0 AS (
+         |  SELECT f.vec_id, c.cent_id, sum(f.q * c.q) AS dot
+         |  FROM flat f JOIN cents0 c USING (i) GROUP BY 1, 2),
+         |assigned0 AS (
+         |  SELECT vec_id, cent_id AS bucket FROM (
+         |    SELECT a.vec_id, a.cent_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(a.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+         |        a.cent_id) AS r
+         |    FROM adots0 a JOIN norms n ON n.vec_id = a.vec_id
+         |                  JOIN cnorm0 cn ON cn.cent_id = a.cent_id)
+         |  WHERE r = 1),
+         |cents AS (
+         |  SELECT a.bucket AS cent_id, f.i,
+         |    CAST(floor(CAST(sum(f.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+         |  FROM assigned0 a JOIN flat f ON f.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |cnorm AS (SELECT cent_id, sum(q * q) AS nrm FROM cents GROUP BY 1),
+         |adots AS (
+         |  SELECT f.vec_id, c.cent_id, sum(f.q * c.q) AS dot
+         |  FROM flat f JOIN cents c USING (i) GROUP BY 1, 2),
+         |assigned AS (
+         |  SELECT vec_id, cent_id AS bucket FROM (
+         |    SELECT a.vec_id, a.cent_id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        CAST(a.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+         |        a.cent_id) AS r
+         |    FROM adots a JOIN norms n ON n.vec_id = a.vec_id
+         |                 JOIN cnorm cn ON cn.cent_id = a.cent_id)
+         |  WHERE r = 1),
+         |cpairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pdots AS (
+         |  SELECT p.vec_a, p.vec_b, sum(fa.q * fb.q) AS dot
+         |  FROM cpairs p
+         |  JOIN flat fa ON fa.vec_id = p.vec_a
+         |  JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT d.vec_b AS vec_id
+         |  FROM pdots d JOIN norms na ON na.vec_id = d.vec_a
+         |               JOIN norms nb ON nb.vec_id = d.vec_b
+         |  WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE))
+         |        / sqrt(CAST(nb.nrm AS DOUBLE)) >= 0.9)
+         |SELECT a.vec_id, a.bucket AS cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin)
 
   /** Shared IVF oracle tail: assignment / nprobe=2 probing / in-bucket
     * top-5 search against whatever `cents`(cent_id, i, q) / `cnorm`

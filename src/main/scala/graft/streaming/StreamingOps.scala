@@ -249,6 +249,82 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING near-dup filter: documents arrive as a stream and each is
+    * checked against everything already ingested — the online form of
+    * [[graft.operators.Dedup.simhashNearDups]], with the band index kept
+    * as STREAMING STATE instead of a shuffle. Each doc's 64-bit SimHash
+    * (the native one-pass expression) splits into 4 × 16-bit bands; a
+    * `flatMapGroupsWithState` keyed by band value holds the
+    * (doc_id, hi, lo) members seen per bucket and emits a pair the
+    * moment a new arrival sits within `maxHamming` of a stored member —
+    * pigeonhole-exact at Hamming ≤ 3, like the batch path, regardless
+    * of how the corpus is split across micro-batches (a ≤3-Hamming pair
+    * shares at least one exact band, so it meets in that band's bucket).
+    *
+    * Determinism: arrivals are processed in doc_id order within each
+    * micro-batch, and pairs are emitted (min, max), so the DISTINCT
+    * pair set equals the batch result for any batch split (spec-
+    * asserted). State discipline: bucket membership is capped at
+    * `maxBucket` (over-cap arrivals still CHECK against the stored
+    * members — only pairs among the overflow are lost, the batch path's
+    * anchor-diversion trade); production runs add a
+    * `GroupStateTimeout`/watermark eviction for unbounded streams —
+    * with AvailableNow drains, state dies with the query. The trailing
+    * `dropDuplicates` collapses multi-band hits; its state is one row
+    * per emitted PAIR (duplicate density, not corpus size).
+    */
+  def streamingNearDupFilter(docs: DataFrame, maxHamming: Int = 3,
+                             maxBucket: Int = 256): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val sig = docs
+      .filter(size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")) > 0)
+      .select(col("doc_id"),
+        graft.functions.QSimHash.sigCol(lower(col("text"))).as("simhash"))
+      .withColumn("hi", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"))
+    // bands keyed by VALUE alone (no position), mirroring the batch
+    // path: cross-position collisions only add candidates, and a
+    // ≤3-Hamming pair that collides anywhere must be found to match
+    // the batch pair set exactly
+    sig.select(col("doc_id"), col("hi"), col("lo"),
+        explode(array((0 until 4).map(k =>
+          substring(col("simhash"), 1 + 16 * k, 16)): _*)).as("band"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        StreamingOps.nearDupBucketFn(maxHamming, maxBucket))
+      .toDF("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Per-bucket state fold for [[streamingNearDupFilter]] — static so
+    * the closure serializes without capturing the enclosing session.
+    */
+  private[streaming] def nearDupBucketFn(maxHamming: Int, maxBucket: Int):
+      (String, Iterator[(Long, Long, Long, String)],
+       org.apache.spark.sql.streaming.GroupState[Seq[(Long, Long, Long)]])
+        => Iterator[(Long, Long, Int)] = {
+    (_, it, state) =>
+      var seen = state.getOption.getOrElse(Seq.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      it.toSeq.sortBy(_._1).foreach { case (id, hi, lo, _) =>
+        seen.foreach { case (sid, shi, slo) =>
+          if (sid != id) {
+            val d = java.lang.Long.bitCount(hi ^ shi) +
+              java.lang.Long.bitCount(lo ^ slo)
+            if (d <= maxHamming)
+              out += ((math.min(sid, id), math.max(sid, id), d))
+          }
+        }
+        if (seen.size < maxBucket) seen = seen :+ ((id, hi, lo))
+      }
+      state.update(seen)
+      out.iterator
+  }
+
   /** Sessionization via stateful streaming: gaps > `gapMinutes` split a
     * user's events into sessions. Implemented with the batch-equivalent
     * window expression here (deterministic, oracle-checkable); the

@@ -78,6 +78,24 @@ class CorpusSearchSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  // ---- semantic dedup ----
+
+  test("semanticDedup: exact copies flagged, originals and singletons kept") {
+    // three well-separated directions in 4-d; copies share the direction
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.4f, 0f, 0f)), // cos(1,2) ≈ 0.914
+      (10L, Seq(0f, 1f, 0f, 0f)), (11L, Seq(0f, 1f, 0f, 0f)),   // 11 dups 10
+      (20L, Seq(0f, 0f, 1f, 0f)),
+      (21L, Seq(1f, 0f, 0f, 0f))                                 // 21 dups 1
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.semanticDedup(vecs, col("vec_id").isin(1L, 10L, 20L),
+        threshold = 0.99, lloydIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> false, 10L -> false, 11L -> true,
+      20L -> false, 21L -> true), s"got $out")
+  }
+
   // ---- incremental near-dup ----
 
   test("incremental == full near-dup pairs restricted to batch-touching pairs") {

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming SimHash near-dup filter == the batch pair set, for any
+  * micro-batch split of the corpus.
+  */
+class StreamNearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    // near-copies (one appended token) + exact copies, like the oracle
+    // augment, so Hamming ≤ 3 pairs exist
+    d.unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text")))
+      .unionAll(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+  }
+
+  test("streamed pair set equals batch simhashNearDups across a batch split") {
+    val rows = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    // split so copies arrive in a LATER batch than their originals
+    val (b1, b2) = rows.partition(_._1 < 100000)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingNearDupFilter(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("snd_out")
+      .outputMode("append").start()
+    mem.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("snd_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val batch = Dedup.simhashNearDups(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(batch.nonEmpty, "augmented corpus must contain near-dup pairs")
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}; " +
+        s"only-streamed=${streamed.keySet -- batch.keySet}, " +
+        s"only-batch=${batch.keySet -- streamed.keySet}")
+  }
+
+  test("single-batch arrival gives the same result as the split") {
+    val rows = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingNearDupFilter(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("snd_one")
+      .outputMode("append").start()
+    mem.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("snd_one")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.simhashNearDups(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+}
