@@ -18,7 +18,8 @@ object PlanDump {
         "q_bloom_semi", "ann_ivf_learned", "text_pack",
         "dedup_ngram", "dedup_minhash", "text_decontam", "text_curate",
         "dedup_simhash", "dedup_containment", "ann_int8", "q_zorder",
-        "text_tempsample")
+        "text_tempsample", "dedup_incremental", "dedup_semantic",
+        "text_bm25", "text_perplexity", "text_shard")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -30,7 +30,10 @@ import scala.jdk.CollectionConverters._
   * daily fact batches land as their own directories, giving date-aligned
   * pruning for free), and overwrites retire directories logically
   * (`vacuum()` reclaims them). Readers always see the catalog as of their
-  * `begin()`, i.e. snapshot isolation for the duration of a run.
+  * `begin()`, i.e. snapshot isolation for the duration of a run. Every
+  * commit also leaves an immutable numbered catalog snapshot under
+  * `_versions/` — [[readAsOf]] replays any retained version (TIME
+  * TRAVEL), and `vacuum(retainVersions)` sets the retention horizon.
   *
   * Dims additionally use a BUCKETED layout (`bucketSpec`: table → SCD1
   * key + bucket count): data dirs are written with Spark's bucketed
@@ -59,6 +62,7 @@ class Warehouse(val spark: SparkSession, val root: String,
                 val bucketSpec: Map[String, (String, Int)] = Warehouse.defaultBuckets) {
 
   private val catalogPath: Path = Paths.get(root, "_catalog.json")
+  private val versionsDir: Path = Paths.get(root, "_versions")
   Files.createDirectories(Paths.get(root, "data"))
 
   def emptyDf(table: String): DataFrame =
@@ -169,8 +173,21 @@ class Warehouse(val spark: SparkSession, val root: String,
   }
 
   /** Delete data directories no longer referenced by the catalog. */
-  def vacuum(): Int = {
-    val live = catalog().values.flatten.map(Paths.get(_).toAbsolutePath.toString).toSet
+  /** Reclaim data dirs referenced by neither the current catalog nor the
+    * newest `retainVersions` historical versions, and prune version
+    * files past that horizon (the newest version file — the current
+    * state's mirror — always survives). `retainVersions = 0` (default)
+    * keeps today's behavior: only current data survives, time travel
+    * resets. Returns the number of data dirs removed.
+    */
+  def vacuum(retainVersions: Int = 0): Int = {
+    val vfs = versionFiles()
+    val keptVersions = vfs.takeRight(math.max(1, retainVersions + 1))
+    vfs.dropRight(math.max(1, retainVersions + 1))
+      .foreach { case (_, p) => Files.deleteIfExists(p) }
+    val live = (catalog().values.flatten ++
+        keptVersions.flatMap { case (v, _) => catalogAsOf(v).values.flatten })
+      .map(Paths.get(_).toAbsolutePath.toString).toSet
     val dataRoot = Paths.get(root, "data")
     var removed = 0
     if (Files.exists(dataRoot)) {
@@ -304,11 +321,48 @@ class Warehouse(val spark: SparkSession, val root: String,
   }
 
   private[etl] def commitCatalog(entries: Map[String, Seq[String]]): Unit = {
+    val bytes = CatalogJson.render(entries).getBytes(StandardCharsets.UTF_8)
+    // TIME TRAVEL: an immutable numbered copy per commit, written BEFORE
+    // the pointer swap so the history is always a superset of pointer
+    // states (a version file whose swap lost a race is a version that
+    // was superseded instantly — harmless; ordering of history numbers
+    // shares the documented single-maintenance-writer assumption).
+    // Version files are metadata-sized; vacuum() prunes them.
+    Files.createDirectories(versionsDir)
+    Files.write(versionsDir.resolve(f"v${nextVersion()}%08d.json"), bytes)
     val tmp = Paths.get(root, s"_catalog.${UUID.randomUUID()}.tmp")
-    Files.write(tmp, CatalogJson.render(entries).getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, bytes)
     Files.move(tmp, catalogPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def versionFiles(): Seq[(Long, Path)] =
+    if (!Files.exists(versionsDir)) Nil
+    else Files.list(versionsDir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d{8}\\.json"))
+      .map(p => p.getFileName.toString.drop(1).take(8).toLong -> p)
+      .toSeq.sortBy(_._1)
+
+  private def nextVersion(): Long =
+    versionFiles().lastOption.map(_._1 + 1).getOrElse(1L)
+
+  /** Committed versions, oldest first. */
+  def versions(): Seq[Long] = versionFiles().map(_._1)
+
+  /** The catalog as of a committed `version` (see [[versions]]). */
+  def catalogAsOf(version: Long): Map[String, Seq[String]] = {
+    val p = versionsDir.resolve(f"v$version%08d.json")
+    require(Files.exists(p), s"version $version not found (vacuumed?)")
+    CatalogJson.parse(Files.readString(p))
+  }
+
+  /** TIME TRAVEL read: the committed image of `table` as of `version`.
+    * Works until a `vacuum()` whose `retainVersions` horizon has passed
+    * that version reclaims its data dirs — the Delta/Iceberg retention
+    * contract: history is free until storage is reclaimed.
+    */
+  def readAsOf(table: String, version: Long): DataFrame =
+    readDirs(table, catalogAsOf(version).getOrElse(table, Nil))
 
   /** Conditional catalog swap: only commit if the file still holds
     * `expected` (empty string = file absent). Returns false — without

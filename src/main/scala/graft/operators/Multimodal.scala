@@ -219,7 +219,10 @@ object Multimodal {
     * per-scanline filter handling (filter 0; others rejected — the
     * renderer never emits them).
     */
-  private[operators] def decodePng(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+  /** Chunk walk + CRC verify + inflate + filter check, shared by the
+    * stats and patch decoders: (w, h, raw scanlines incl. filter bytes).
+    */
+  private def pngScanlines(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
     val sigOk = bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
@@ -253,10 +256,19 @@ object Multimodal {
     val got = inflater.inflate(raw)
     require(inflater.finished && got == raw.length, "bad IDAT scanline volume")
     inflater.end()
-    var sum = 0L; var mn = 256L; var mx = -1L
     var y = 0
     while (y < h) {
       require(raw(y * (1 + w)) == 0, s"unsupported scanline filter ${raw(y * (1 + w))}")
+      y += 1
+    }
+    (w, h, raw)
+  }
+
+  private[operators] def decodePng(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val (w, h, raw) = pngScanlines(bytes)
+    var sum = 0L; var mn = 256L; var mx = -1L
+    var y = 0
+    while (y < h) {
       var x = 0
       while (x < w) {
         val u = (raw(y * (1 + w) + 1 + x) & 0xff).toLong
@@ -389,6 +401,93 @@ object Multimodal {
             val (w, h, n, sum, mn, mx) = decodePng(bytes)
             Row(id, "png", w.toLong, h.toLong, 0L, n, sum.toDouble / n, mn, mx)
         }
+      }
+    }(enc)
+  }
+
+  /** 2×2 AVERAGE-POOL patch grid over the REAL decoded pixels — the
+    * resize/feature-extraction step after decode (a thumbnail embedding
+    * in miniature). Pixel (x, y) pools into patch
+    * (gx, gy) = ((2x) div w, (2y) div h) — balanced halves at any
+    * dimension; patch value = floor-mean of pixel intensities, kept in
+    * exact BIGINT (`sum div count`). Intensity: PNG = the grayscale
+    * byte; BMP = the 3-channel byte sum (0..765), rows in STORAGE order
+    * (BMP stores bottom-up — the grid is over the stored layout, not
+    * the display orientation; documented, deterministic). WAV rows are
+    * rejected — filter to images upstream.
+    *
+    * Same scale shape as [[decodeMediaFeatures]]: partition-wise decode
+    * (the `mapInPandas` batch form), one row in → one row out, no
+    * shuffle; the pooling is a single pass over the pixels it already
+    * decoded.
+    */
+  def imagePatchFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fmt", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("q00", LongType), StructField("q01", LongType),
+      StructField("q10", LongType), StructField("q11", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "fmt", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fmt = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val sums = new Array[Long](4)
+        val cnts = new Array[Long](4)
+        var w = 0; var h = 0
+        fmt match {
+          case "png" =>
+            val (pw, ph, raw) = pngScanlines(bytes)
+            w = pw; h = ph
+            var y = 0
+            while (y < h) {
+              val gy = (2 * y) / h
+              var x = 0
+              while (x < w) {
+                val p = gy * 2 + (2 * x) / w
+                sums(p) += (raw(y * (1 + w) + 1 + x) & 0xff).toLong
+                cnts(p) += 1
+                x += 1
+              }
+              y += 1
+            }
+          case "bmp" =>
+            val buf = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            require(bytes.length >= 54 && bytes(0) == 'B'.toByte &&
+              bytes(1) == 'M'.toByte, "not a BMP file")
+            val dataOffset = buf.getInt(10)
+            w = buf.getInt(18); h = buf.getInt(22)
+            require(buf.getShort(28) == 24 && buf.getInt(30) == 0,
+              "unsupported BMP layout")
+            val rowBytes = w * 3
+            val pad = (4 - rowBytes % 4) % 4
+            require(bytes.length >= dataOffset + (rowBytes + pad) * h,
+              "truncated pixel data")
+            var y = 0
+            while (y < h) {
+              val gy = (2 * y) / h
+              val base = dataOffset + y * (rowBytes + pad)
+              var x = 0
+              while (x < w) {
+                val p = gy * 2 + (2 * x) / w
+                sums(p) += ((bytes(base + 3 * x) & 0xff) +
+                  (bytes(base + 3 * x + 1) & 0xff) +
+                  (bytes(base + 3 * x + 2) & 0xff)).toLong
+                cnts(p) += 1
+                x += 1
+              }
+              y += 1
+            }
+          case other => throw new IllegalArgumentException(
+            s"imagePatchFeatures: not an image format: $other")
+        }
+        Row(id, fmt, w.toLong, h.toLong,
+          sums(0) / cnts(0), sums(1) / cnts(1),
+          sums(2) / cnts(2), sums(3) / cnts(3))
       }
     }(enc)
   }

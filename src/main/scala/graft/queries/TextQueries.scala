@@ -277,6 +277,15 @@ object TextQueries {
 
     "text_perplexity" -> ((s, dir) =>
       TextAnalysis.bigramLmScore(Tables(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // decode-then-pool on the real bytes; the oracle recomputes the
+    // parametric pixel formulas, so a defect anywhere in the codec or
+    // pooling breaks the hash
+    "mm_patches" -> ((s, dir) =>
+      Multimodal.imagePatchFeatures(
+        Multimodal.attachMediaPayload(Tables(s, dir, "documents"))
+          .filter(col("fmt") =!= "wav"))
         .orderBy("doc_id")))
 
   /** Oracle for the NATIVE char-gram path (Dedup.charGramNearDups /
@@ -996,6 +1005,39 @@ object TextQueries {
         |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 10000.0 AS score
         |FROM q GROUP BY doc_id
         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+
+    // 2×2 average-pool over the engine's REAL decoded pixels vs the
+    // closed-form pixel values (PNG: (id·53+k)%256 row-major; BMP:
+    // 3-channel sum of (id·31+k)%256, storage order); patch =
+    // ((2x)//w, (2y)//h), value = sum // count — all integer
+    "mm_patches" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+        |    doc_id % 16 + 4 AS w, doc_id % 9 + 3 AS h
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |px AS (
+        |  SELECT i.doc_id, i.fmt, i.w, i.h,
+        |    CASE WHEN i.fmt = 'png'
+        |         THEN (i.doc_id * 53 + ys.y * i.w + xs.x) % 256
+        |         ELSE ((i.doc_id * 31 + ys.y * 3 * i.w + 3 * xs.x) % 256
+        |             + (i.doc_id * 31 + ys.y * 3 * i.w + 3 * xs.x + 1) % 256
+        |             + (i.doc_id * 31 + ys.y * 3 * i.w + 3 * xs.x + 2) % 256)
+        |    END AS v,
+        |    (2 * xs.x) // i.w AS gx, (2 * ys.y) // i.h AS gy
+        |  FROM img i,
+        |       unnest(generate_series(0, i.w - 1)) AS xs(x),
+        |       unnest(generate_series(0, i.h - 1)) AS ys(y)),
+        |pat AS (
+        |  SELECT doc_id, fmt, w, h, gy * 2 + gx AS p,
+        |    CAST(sum(v) AS BIGINT) // count(*) AS q
+        |  FROM px GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, fmt, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  max(CASE WHEN p = 0 THEN q END) AS q00,
+        |  max(CASE WHEN p = 1 THEN q END) AS q01,
+        |  max(CASE WHEN p = 2 THEN q END) AS q10,
+        |  max(CASE WHEN p = 3 THEN q END) AS q11
+        |FROM pat GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
 
     // add-one-smoothed bigram LM: mean inverse bigram probability,
     // each (c1+V)/(c12+1) quantized to BIGINT (·1e6, exact integer

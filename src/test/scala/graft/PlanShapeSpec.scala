@@ -75,11 +75,29 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("no unblocked joins in the LSH/range operators") {
+    // dedup_semantic is excluded: its centroid assignment is the IVF
+    // every-vector × broadcast-codebook BroadcastNestedLoopJoin, by
+    // design (see Similarity.assign)
     for (name <- Seq("dedup_embed", "dedup_minhash", "dedup_ngram", "dedup_simhash",
-        "q_range_join", "q_interval_overlap")) {
+        "q_range_join", "q_interval_overlap", "dedup_incremental")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
     }
+  }
+
+  test("text_bm25: global top-k is a heap (TakeOrdered), not a sort") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("SortExec"), "top-k must not global-sort")
+  }
+
+  test("corpusShard: exactly one exchange (the shard key)") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.TextAnalysis.corpusShard(
+      graft.Tables(spark, dir, "documents").select(col("doc_id")), nShards = 16)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"want 1 hash exchange, got $exchanges:\n${p.take(1200)}")
   }
 }

@@ -219,6 +219,32 @@ class OperatorsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.decodePng(png) }
   }
 
+  test("image patch pooling matches a per-pixel fold of the render formulas") {
+    val ids = Seq(0L, 2L, 9L, 17L, 33L).toDF("doc_id") // bmp (0,9,33) + png (2,17)
+    val out = Multimodal.imagePatchFeatures(Multimodal.attachMediaPayload(ids))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      val w = (id % 16 + 4).toInt; val h = (id % 9 + 3).toInt
+      val sums = new Array[Long](4); val cnts = new Array[Long](4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = (2 * y) / h * 2 + (2 * x) / w
+        val v = if (id % 3 == 0)
+          (0 until 3).map(c => (id * 31 + y * 3 * w + 3 * x + c) % 256).sum
+        else (id * 53 + y * w + x) % 256
+        sums(p) += v; cnts(p) += 1
+      }
+      val r = out(id)
+      assert(r.getLong(2) == w && r.getLong(3) == h)
+      assert((4 to 7).map(r.getLong) ==
+        (0 to 3).map(p => sums(p) / cnts(p)), s"doc $id")
+    }
+    // audio is not an image: loud failure, not a zero row
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.imagePatchFeatures(
+        Multimodal.attachMediaPayload(Seq(1L).toDF("doc_id"))).collect()
+    }
+  }
+
   test("frame sampling yields <=4 in-range indices per video") {
     val out = Multimodal.frameSample(docs).collect()
     val byDoc = out.groupBy(_.getLong(0))
