@@ -364,6 +364,38 @@ class Warehouse(val spark: SparkSession, val root: String,
   def readAsOf(table: String, version: Long): DataFrame =
     readDirs(table, catalogAsOf(version).getOrElse(table, Nil))
 
+  /** SNAPSHOT DIFF — CDC extraction between two committed versions:
+    * one row per key whose image changed, with
+    * `change_type ∈ {insert, delete, update}` and the full before/after
+    * value structs (null on the absent side). The downstream consumer
+    * of a nightly SCD1 warehouse that needs "what changed since
+    * yesterday" gets it from two retained versions, without the source
+    * system's cooperation.
+    *
+    * Plan shape: ONE full-outer join on the key. For a table with a
+    * `bucketSpec` (the dims) BOTH version reads carry
+    * HashPartitioning(key) from the bucketed layout, so the join plans
+    * with ZERO Exchange (spec-gated) — the diff of a 100 TB dim moves
+    * no data across the cluster. Value comparison is one null-safe
+    * struct equality (`<=>`), codegen'd.
+    */
+  def diffVersions(table: String, fromVersion: Long, toVersion: Long,
+                   keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{struct, when, not}
+    val valueCols = schemas(table).fieldNames.toIndexedSeq.filterNot(keys.contains)
+    def side(v: Long, as: String) =
+      readAsOf(table, v).select(keys.map(col) :+
+        struct(valueCols.map(col): _*).as(as): _*)
+    side(fromVersion, "before").join(side(toVersion, "after"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("before").isNull, "insert")
+          .when(col("after").isNull, "delete")
+          .when(not(col("before") <=> col("after")), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(keys.map(col) :+ col("change_type") :+ col("before") :+ col("after"): _*)
+  }
+
   /** Conditional catalog swap: only commit if the file still holds
     * `expected` (empty string = file absent). Returns false — without
     * writing — on mismatch, so callers can re-derive their update from

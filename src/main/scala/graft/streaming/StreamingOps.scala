@@ -300,6 +300,73 @@ object StreamingOps {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** [[streamingNearDupFilter]] with EVENT-TIME STATE EVICTION — the
+    * unbounded-stream form. Input must carry an event-time `ts` column;
+    * a band bucket's members are retained only `ttlMs` past the latest
+    * watermark that touched the bucket, then the group times out and
+    * its state drops. The dedup horizon becomes "within ttl", exactly
+    * the windowed-dedup trade the batch side makes in
+    * [[graft.operators.Dedup.exactWithin]]: a duplicate arriving after
+    * its original's state expired is NOT flagged (spec-asserted, both
+    * directions). Watermark delay is the caller's lateness budget,
+    * separate from the retention ttl.
+    */
+  def streamingNearDupFilterTtl(docs: DataFrame, ttlMs: Long,
+                                lateness: String = "1 second",
+                                maxHamming: Int = 3,
+                                maxBucket: Int = 256): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val sig = docs
+      .filter(size(filter(split(lower(col("text")), "\\s+"), w => w =!= "")) > 0)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.QSimHash.sigCol(lower(col("text"))).as("simhash"))
+      .withColumn("hi", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
+      .withColumn("lo", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"))
+    sig.select(col("doc_id"), col("hi"), col("lo"), col("ts"),
+        explode(array((0 until 4).map(k =>
+          substring(col("simhash"), 1 + 16 * k, 16)): _*)).as("band"))
+      .withWatermark("ts", lateness)
+      .as[(Long, Long, Long, java.sql.Timestamp, String)]
+      .groupByKey(_._5)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        StreamingOps.nearDupBucketTtlFn(maxHamming, maxBucket, ttlMs))
+      .toDF("doc_a", "doc_b", "hamming")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  private[streaming] def nearDupBucketTtlFn(maxHamming: Int, maxBucket: Int,
+                                            ttlMs: Long):
+      (String, Iterator[(Long, Long, Long, java.sql.Timestamp, String)],
+       org.apache.spark.sql.streaming.GroupState[Seq[(Long, Long, Long)]])
+        => Iterator[(Long, Long, Int)] = {
+    (_, it, state) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var seen = state.getOption.getOrElse(Seq.empty)
+        val rows = it.toSeq
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        rows.sortBy(_._1).foreach { case (id, hi, lo, _, _) =>
+          seen.foreach { case (sid, shi, slo) =>
+            if (sid != id) {
+              val d = java.lang.Long.bitCount(hi ^ shi) +
+                java.lang.Long.bitCount(lo ^ slo)
+              if (d <= maxHamming)
+                out += ((math.min(sid, id), math.max(sid, id), d))
+            }
+          }
+          if (seen.size < maxBucket) seen = seen :+ ((id, hi, lo))
+        }
+        state.update(seen)
+        // retain until ttl past this batch's newest event in the bucket
+        val maxTs = rows.map(_._4.getTime).max
+        state.setTimeoutTimestamp(maxTs + ttlMs)
+        out.iterator
+      }
+  }
+
   /** Per-bucket state fold for [[streamingNearDupFilter]] — static so
     * the closure serializes without capturing the enclosing session.
     */

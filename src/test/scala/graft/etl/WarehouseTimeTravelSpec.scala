@@ -50,6 +50,40 @@ class WarehouseTimeTravelSpec extends AnyFunSuite {
     assert(wh.read("meta").collect().map(_.getString(0)).toSeq == Seq("v3"))
   }
 
+  test("diffVersions: insert/update/delete between snapshots; bucketed dim diffs with zero Exchange") {
+    import java.sql.{Date, Timestamp}
+    val feb1 = Timestamp.valueOf("2021-02-01 00:00:00")
+    def clientRow(i: Int, phone: String = "+7 000") =
+      (f"C$i%03d", s"Last$i", s"First$i", Some(s"Pat$i"), Date.valueOf("1980-01-01"),
+        f"$i%04d 000000", Some(Date.valueOf("2030-01-01")), phone, feb1,
+        None: Option[Timestamp])
+    def df(rows: Seq[(String, String, String, Option[String], Date,
+        String, Option[Date], String, Timestamp, Option[Timestamp])]) =
+      ReplayFixtures.clientsDf(spark, rows)
+        .withColumn("processed_dt", org.apache.spark.sql.functions.lit(feb1))
+
+    val wh = new Warehouse(spark, Files.createTempDirectory("whdiff").toString)
+    val t1 = wh.begin()
+    t1.overwrite("dim_clients", df((1 to 40).map(clientRow(_))))
+    t1.commit()
+    val t2 = wh.begin()
+    t2.overwrite("dim_clients", df(
+      (1 to 41).filter(_ != 3).map(i => clientRow(i, if (i == 7) "+7 999" else "+7 000"))))
+    t2.commit()
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = wh.diffVersions("dim_clients", 1L, 2L, Seq("client_id"))
+      val got = diff.collect()
+        .map(r => r.getString(0) -> r.getAs[String]("change_type")).toMap
+      assert(got == Map("C003" -> "delete", "C007" -> "update", "C041" -> "insert"))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed version diff must move no data:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("retained-version data dirs survive vacuum; unreferenced ones go") {
     val wh = new Warehouse(spark, Files.createTempDirectory("whtt3").toString)
     val t1 = wh.begin(); t1.overwrite("meta", metaRow("old")); t1.commit()

@@ -54,6 +54,38 @@ class StreamNearDupSpec extends AnyFunSuite {
         s"only-batch=${batch.keySet -- streamed.keySet}")
   }
 
+  test("ttl variant: dup within horizon flagged, dup after eviction is not") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1614556800000L + min * 60000L)
+    implicit val sqlCtx = spark.sqlContext
+
+    def run(name: String, batches: Seq[Seq[(Long, String, Timestamp)]]): Set[(Long, Long)] = {
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val out = StreamingOps.streamingNearDupFilterTtl(
+        mem.toDF().toDF("doc_id", "text", "ts"), ttlMs = 10L * 60000L)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+    val doc = "some reasonably long text for a simhash signature to chew on"
+    // dup arrives 5 min after the original: inside the 10-min ttl
+    val in1 = run("ttl_in", Seq(
+      Seq((1L, doc, ts(0))),
+      Seq((2L, doc, ts(5)))))
+    assert(in1 == Set((1L, 2L)), s"in-horizon dup must flag: $in1")
+
+    // watermark passes original+ttl (unrelated traffic advances it, the
+    // bucket gets no data, its state times out) -> late dup not flagged
+    val in2 = run("ttl_out", Seq(
+      Seq((1L, doc, ts(0))),
+      Seq((9L, "completely different words everywhere here", ts(30))),
+      Seq((2L, doc, ts(31)))))
+    assert(in2 == Set.empty, s"post-eviction dup must NOT flag: $in2")
+  }
+
   test("single-batch arrival gives the same result as the split") {
     val rows = corpus.select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
