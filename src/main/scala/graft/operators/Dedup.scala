@@ -537,6 +537,25 @@ object Dedup {
     arrayJaccardVerify(cand, docHashes, threshold)
   }
 
+  /** RECALL REPORT for a near-dup pass against a PLANTED ground-truth
+    * pair list — the "measure your dedup before trusting it" harness a
+    * production pipeline runs on every banding-parameter change. Takes
+    * the pass's (doc_a, doc_b) output and a `planted` frame
+    * (doc_a, doc_b, kind) of known-duplicate pairs, and reports per
+    * kind: how many were planted, how many the pass found, and recall
+    * in integer basis points (exact `div` — no float compare in the
+    * gate). End-to-end honest: a planted pair lost to banding OR to the
+    * verify threshold both count as missed.
+    */
+  def nearDupRecallReport(found: DataFrame, planted: DataFrame): DataFrame =
+    planted
+      .join(found.select(col("doc_a"), col("doc_b"), lit(1L).as("hit")),
+        Seq("doc_a", "doc_b"), "left_outer")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall_bp", expr("(10000 * n_found) div n_planted"))
+
   /** Connected components over near-dup pairs: every node gets
     * `cluster_id` = the smallest doc id transitively reachable through
     * the pair graph — the "cluster, then keep one canonical doc" step

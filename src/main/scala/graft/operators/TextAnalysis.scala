@@ -541,6 +541,73 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** EXPORT step: the curated corpus written as TRAINING SHARDS — the
+    * terminal stage of the pipeline ([[corpusShard]]'s deterministic
+    * permutation + [[packSequences]]'s concat-and-chunk layout, fused
+    * into one plan and one partitioned write). Shard `k`'s directory
+    * read top-to-bottom replays position order: documents land in their
+    * permuted order with `(bin, offset_in_bin)` saying exactly where
+    * each starts in the fixed-`capacity` token stream — what a
+    * dataloader needs to build batches with zero further shuffling.
+    *
+    * One plan: a single hash exchange on the shard key, ONE Window exec
+    * (rank + running token sum share partitioning and ordering), then a
+    * `partitionBy(shard)` write whose files are sorted by position.
+    * Packing here runs in PERMUTED order — shuffle-then-pack, the
+    * training layout — where [[packSequences]] alone packs in id order.
+    */
+  def exportTrainingShards(docs: DataFrame, outDir: String, nShards: Int = 16,
+                           capacity: Long = 2048, textCol: String = "text",
+                           idCol: String = "doc_id"): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val h = expr(
+      s"CAST(conv(substring(md5(CAST($idCol AS STRING) || ':shard'), 1, 12), 16, 10) AS BIGINT)")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), col(textCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("tokens_before",
+        coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin", expr(s"tokens_before div $capacity"))
+      .withColumn("offset_in_bin", pmod(col("tokens_before"), lit(capacity)))
+      .select(col(idCol), col(textCol), col("n_tokens"), col("shard"),
+        col("pos"), col("bin"), col("offset_in_bin"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  /** Vocabulary-coverage (OOV) scoring: the vocabulary is the corpus
+    * words with document frequency ≥ `minDf` (the deterministic stand-in
+    * for a broadcast tokenizer vocab — identical plumbing), and each
+    * document reports how many of its token OCCURRENCES fall outside
+    * it. High OOV rate flags encoding damage, boilerplate alphabets,
+    * and out-of-domain text — a standard curation gate next to
+    * [[languageId]] and [[qualityScore]].
+    *
+    * Shape at scale: one (word, df) aggregation (vocabulary-bounded
+    * output, partial combine collapses the Zipf head), then one join of
+    * exploded tokens against the IN-vocab word set and a per-doc
+    * partial-combining count. The rate is a single int/int double
+    * division.
+    */
+  def oovScore(docs: DataFrame, minDf: Long = 3, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val words = base.select(col(idCol), explode(col("toks")).as("w"))
+    val vocab = words.select(col("w"), col(idCol)).distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("w")
+    words.join(vocab.withColumn("in_vocab", lit(1L)), Seq("w"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Bigram language-model scoring — the CCNet-style "how surprising is
     * this document under a corpus LM" quality signal. The LM is add-one-
     * smoothed bigram counts over the corpus itself (in production: over

@@ -279,6 +279,25 @@ object TextQueries {
       TextAnalysis.bigramLmScore(Tables(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    "text_oov" -> ((s, dir) =>
+      TextAnalysis.oovScore(Tables(s, dir, "documents"), minDf = 3)
+        .orderBy("doc_id")),
+
+    // recall of the poly near-dup pass against the planted dup pairs —
+    // end-to-end (banding AND threshold losses both count as missed)
+    "dedup_eval" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("doc_id")
+      val planted = d.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000).as("doc_b"),
+          lit("near").as("kind"))
+        .unionAll(d.filter(col("doc_id") % 23 === 0)
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 200000).as("doc_b"),
+            lit("exact").as("kind")))
+      Dedup.nearDupRecallReport(
+          Dedup.wordGramNearDupsPoly(docsAug(s, dir), threshold = 0.5), planted)
+        .orderBy("kind")
+    }),
+
     // decode-then-pool on the real bytes; the oracle recomputes the
     // parametric pixel formulas, so a defect anywhere in the codec or
     // pooling breaks the hash
@@ -1005,6 +1024,44 @@ object TextQueries {
         |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 10000.0 AS score
         |FROM q GROUP BY doc_id
         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin,
+
+    // vocab = words in ≥3 docs; OOV = token occurrences outside it
+    "text_oov" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(toks) AS w FROM base),
+        |vocab AS (
+        |  SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1)
+        |  WHERE df >= 3),
+        |j AS (SELECT words.doc_id, words.w, (v.w IS NOT NULL) AS in_vocab
+        |      FROM words LEFT JOIN vocab v ON v.w = words.w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  CAST(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // planted-pair recall of the poly near-dup pass, in basis points
+    "dedup_eval" ->
+      s"""WITH $augSql,
+         |${wordGramPolyPairsCte(0.5)},
+         |planted AS (
+         |  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b, 'near' AS kind
+         |  FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b, 'exact' AS kind
+         |  FROM documents WHERE doc_id % 23 = 0),
+         |hits AS (
+         |  SELECT p.kind, p.doc_a, p.doc_b,
+         |    CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM planted p LEFT JOIN pairs f
+         |    ON f.doc_a = p.doc_a AND f.doc_b = p.doc_b)
+         |SELECT kind, count(*) AS n_planted,
+         |  CAST(sum(hit) AS BIGINT) AS n_found,
+         |  (10000 * CAST(sum(hit) AS BIGINT)) // count(*) AS recall_bp
+         |FROM hits GROUP BY kind ORDER BY kind""".stripMargin,
 
     // 2×2 average-pool over the engine's REAL decoded pixels vs the
     // closed-form pixel values (PNG: (id·53+k)%256 row-major; BMP:

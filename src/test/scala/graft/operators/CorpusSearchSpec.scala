@@ -78,6 +78,46 @@ class CorpusSearchSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  // ---- training-shard export ----
+
+  test("exportTrainingShards: dirs per shard, positions replay the permutation, " +
+    "packing offsets consistent, rewrite deterministic") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tshards").toString
+    TextAnalysis.exportTrainingShards(docs, dir, nShards = 8, capacity = 256)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    // shard dirs exist and positions are 1..n within each
+    val shards = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+      .collect()
+    assert(shards.length == 8)
+    shards.foreach(r => assert(r.getAs[Long]("mn") == 1L &&
+      r.getAs[Long]("mx") == r.getAs[Long]("n")))
+    // offsets replay the running token sum in pos order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bad = back
+      .withColumn("tb", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("bin") =!= expr("tb div 256") ||
+        col("offset_in_bin") =!= pmod(col("tb"), lit(256L)))
+      .count()
+    assert(bad == 0, s"$bad rows with inconsistent packing offsets")
+    // shard/pos assignment matches corpusShard's permutation contract
+    val fromOp = TextAnalysis.corpusShard(docs.select("doc_id"), nShards = 8)
+    assert(back.select("doc_id", "shard", "pos")
+      .except(fromOp).isEmpty, "export must replay corpusShard's permutation")
+    // rewriting yields identical content
+    val dir2 = java.nio.file.Files.createTempDirectory("tshards2").toString
+    TextAnalysis.exportTrainingShards(docs, dir2, nShards = 8, capacity = 256)
+    assert(spark.read.parquet(dir2).except(back).isEmpty &&
+      back.except(spark.read.parquet(dir2)).isEmpty)
+  }
+
   // ---- semantic dedup ----
 
   test("semanticDedup: exact copies flagged, originals and singletons kept") {
