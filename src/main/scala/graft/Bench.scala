@@ -27,6 +27,16 @@ import org.apache.spark.sql.SparkSession
   * whose spread is ≈1 is a real regression; a moved min with spread ≥2
   * is noise until reproduced. Cross-run comparisons below ~0.5 s should
   * be judged against spread, not treated as signal.
+  *
+  * ROUND-ROBIN repeats (round-5 lesson): environmental slowdowns
+  * persist for longer than three back-to-back repeats — measured
+  * same-build cross-run drift of 2.6× on a query whose own spread read
+  * 1.1, i.e. all three adjacent repeats sat inside one slow window and
+  * the min learned nothing. Repeats therefore cycle through the WHOLE
+  * suite per round (q1..qn, q1..qn, ...) instead of repeating each
+  * query in place: a query's samples land minutes apart, so a slow
+  * window inflates one sample, not all of them, and both the min and
+  * the spread become honest under slow-drift noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,16 +68,17 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times
+    val ordered = selected.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to runs; (name, fn) <- ordered) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    val results = ordered.map { case (name, _) => name -> samples(name) }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":${v.min}%.3f""" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, v) => "\"" + k + f"""\":${v.max / v.min}%.2f""" }
