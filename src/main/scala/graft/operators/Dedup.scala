@@ -491,19 +491,47 @@ object Dedup {
   def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
                           threshold: Double = 0.5, n: Int = 3,
                           bandSize: Int = 2, maxBucket: Int = 256,
-                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    incrementalNearDupsStored(signatureStore(existing, n, textCol, idCol),
+      existing, incoming, threshold, n, bandSize, maxBucket, textCol, idCol)
+
+  /** The SIGNATURE STORE row for every document: the 8 polynomial
+    * MinHash family minima, one row per doc, 8 BIGINTs — what the
+    * ingestion pipeline persists (a warehouse table keyed by doc id) so
+    * [[incrementalNearDupsStored]] never re-reads existing text except
+    * for verify candidates. Build cost: one scalar map over the corpus.
+    */
+  def signatureStore(docs: DataFrame, n: Int = 3, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
     import graft.functions.QWordGrams
+    docs.select(col(idCol), lower(col(textCol)).as("t"))
+      .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
+      .select(col(idCol), QWordGrams.polySigCol(col("t"), n).as("ms"))
+      .select(col(idCol) +:
+        (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
+  }
+
+  /** [[incrementalNearDups]] with the existing side's signatures taken
+    * from a PERSISTED [[signatureStore]] instead of recomputed — the
+    * full production shape: per batch, the existing corpus contributes
+    * 8 BIGINTs/doc from storage for banding and raw text ONLY for the
+    * (semi-joined) verify candidates. `existing` still supplies that
+    * candidate text; `store` must hold exactly `existing`'s store rows
+    * (spec-asserted equal to the recomputed path, including through a
+    * parquet round trip).
+    */
+  def incrementalNearDupsStored(store: DataFrame, existing: DataFrame,
+                                incoming: DataFrame,
+                                threshold: Double = 0.5, n: Int = 3,
+                                bandSize: Int = 2, maxBucket: Int = 256,
+                                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(8 % bandSize == 0, "bandSize must divide 8")
-    def prep(df: DataFrame, isNew: Boolean) =
+    def prep(df: DataFrame) =
       df.select(col(idCol), lower(col(textCol)).as("t"))
         .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
-        .withColumn("is_new", lit(isNew))
-    val base = prep(existing, isNew = false).unionAll(prep(incoming, isNew = true))
-      .cache()
-    val sig = base
-      .select(col(idCol), col("is_new"), QWordGrams.polySigCol(col("t"), n).as("ms"))
-      .select(col(idCol) +: col("is_new") +:
-        (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
+    val base = prep(existing).unionAll(prep(incoming)).cache()
+    val sig = store.withColumn("is_new", lit(false)).unionByName(
+      signatureStore(incoming, n, textCol, idCol).withColumn("is_new", lit(true)))
     val bandCols = (0 until 8 / bandSize).map { b =>
       concat_ws(":", (b * bandSize until (b + 1) * bandSize)
         .map(j => col(s"m$j").cast("string")): _*)
@@ -533,7 +561,7 @@ object Dedup {
       .select(col("anchor")(idCol).as("doc_a"), col(idCol).as("doc_b"))
     val cand = small.unionAll(big).distinct().cache()
     val docHashes = candDocSets(cand, base.select(col(idCol), col("t")),
-      QWordGrams.polyHashesCol(col("t"), n), idCol)
+      graft.functions.QWordGrams.polyHashesCol(col("t"), n), idCol)
     arrayJaccardVerify(cand, docHashes, threshold)
   }
 

@@ -160,4 +160,22 @@ class CorpusSearchSpec extends AnyFunSuite {
     assert(!inc.exists { case (a, b) => a <= 100L && b <= 100L },
       "existing-existing pairs must not be re-emitted")
   }
+
+  test("persisted signature store: stored path == recomputed path through parquet") {
+    def words(seed: Int) =
+      (0 until 30).map(k => s"w${(seed * 31 + k * 7) % 97}").mkString(" ")
+    val existing = (1 to 30).map(i => (i.toLong, words(i))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, words(3) + " extra tail"), (102L, words(7)),
+      (104L, words(50)), (105L, words(50) + " x")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    Dedup.signatureStore(existing).write.mode("overwrite").parquet(dir)
+    val stored = Dedup.incrementalNearDupsStored(
+        spark.read.parquet(dir), existing, incoming, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = Dedup.incrementalNearDups(existing, incoming, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored == recomputed && stored.nonEmpty, s"stored=$stored")
+  }
 }
