@@ -229,6 +229,42 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .filter(col("cosine") >= threshold)
 
+  /** TWO-LEVEL centroid assignment — the scale path for when the fine
+    * codebook outgrows a broadcast (the [[assign]] scaladoc's promised
+    * fix). A small COARSE codebook routes twice: each fine centroid
+    * registers under its nearest coarse centroid, and each vector
+    * probes its `nprobeCoarse` nearest coarse buckets, scoring only the
+    * fine centroids registered there — an EQUI join on the coarse id,
+    * so the k-sized fine codebook is never broadcast and per-vector
+    * work drops from k to ~nprobeCoarse·k/√k. Approximate by
+    * construction (the true nearest fine centroid can live in an
+    * unprobed coarse bucket — raise `nprobeCoarse` for recall);
+    * exhaustive probing reproduces the flat assignment exactly
+    * (spec-asserted). Output: (vec_id, bucket).
+    */
+  def assignTwoLevel(embeddings: DataFrame, finePred: Column, coarsePred: Column,
+                     nprobeCoarse: Int = 2): DataFrame = {
+    val corpus = withQuant(embeddings).cache()
+    val fine = seedCents(corpus, finePred)
+    val coarse = corpus.filter(coarsePred)
+      .select(col("vec_id").as("co_id"), col("q").as("oq"), col("nrm").as("on"))
+    val fw = Window.partitionBy("cent_id").orderBy(col("fcos").desc, col("co_id"))
+    val fineRouted = fine.join(broadcast(coarse), lit(true))
+      .withColumn("fcos", cosine(qdot(col("cq"), col("oq")), col("cn"), col("on")))
+      .withColumn("r", row_number().over(fw)).filter(col("r") === 1)
+      .select(col("co_id"), col("cent_id"), col("cq"), col("cn"))
+    val vw = Window.partitionBy("vec_id").orderBy(col("vcos").desc, col("co_id"))
+    val probes = corpus.join(broadcast(coarse), lit(true))
+      .withColumn("vcos", cosine(qdot(col("q"), col("oq")), col("nrm"), col("on")))
+      .withColumn("r", row_number().over(vw)).filter(col("r") <= nprobeCoarse)
+      .select(col("vec_id"), col("q"), col("nrm"), col("co_id"))
+    val aw = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    probes.join(fineRouted, Seq("co_id"))
+      .withColumn("ccos", cosine(qdot(col("cq"), col("q")), col("cn"), col("nrm")))
+      .withColumn("r2", row_number().over(aw)).filter(col("r2") === 1)
+      .select(col("vec_id"), col("cent_id").as("bucket"))
+  }
+
   /** SemDeDup-style SEMANTIC dedup: spherical-k-means-cluster the
     * embedding space (seed codebook from `centroidPred`, `lloydIters`
     * floor-mean refinements — the [[ivfTopKLearned]] build), then mark

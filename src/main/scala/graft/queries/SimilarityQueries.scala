@@ -74,6 +74,12 @@ object SimilarityQueries {
           col("vec_id") % 50 === 0, k = 5, overscan = 4)
         .orderBy("query_id", "rnk")),
 
+    // 20-ish fine centroids routed through 5-ish coarse ones; probe 2
+    "ann_assign2" -> ((s, dir) =>
+      Similarity.assignTwoLevel(Tables(s, dir, "embeddings"),
+          col("vec_id") % 25 === 7, col("vec_id") % 100 === 3, nprobeCoarse = 2)
+        .orderBy("vec_id")),
+
     // augmented corpus (exact copies at +100000) so the dup flag has
     // positives; 1 Lloyd refinement exercises the learned codebook
     "dedup_semantic" -> ((s, dir) =>
@@ -228,6 +234,44 @@ object SimilarityQueries {
          |               JOIN norms na ON na.vec_id = r.hit_id)
          |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // two-level assignment: fine→coarse routing, vector probes 2
+    // coarse buckets, scores only the fine centroids registered there
+    "ann_assign2" ->
+      s"""WITH ${flatSql("embeddings")},
+         |cf AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 25 = 7),
+         |cfn AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 25 = 7),
+         |co AS (SELECT vec_id AS co_id, q, i FROM flat WHERE vec_id % 100 = 3),
+         |con AS (SELECT vec_id AS co_id, nrm FROM norms WHERE vec_id % 100 = 3),
+         |f2cd AS (SELECT cf.cent_id, co.co_id, sum(cf.q * co.q) AS dot
+         |         FROM cf JOIN co USING (i) GROUP BY 1, 2),
+         |f2c AS (SELECT cent_id, co_id FROM (
+         |  SELECT d.cent_id, d.co_id, row_number() OVER (PARTITION BY d.cent_id ORDER BY
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+         |    d.co_id) AS r
+         |  FROM f2cd d JOIN cfn n ON n.cent_id = d.cent_id
+         |              JOIN con cn ON cn.co_id = d.co_id) WHERE r = 1),
+         |v2cd AS (SELECT f.vec_id, co.co_id, sum(f.q * co.q) AS dot
+         |         FROM flat f JOIN co USING (i) GROUP BY 1, 2),
+         |v2c AS (SELECT vec_id, co_id FROM (
+         |  SELECT d.vec_id, d.co_id, row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+         |    d.co_id) AS r
+         |  FROM v2cd d JOIN norms n ON n.vec_id = d.vec_id
+         |              JOIN con cn ON cn.co_id = d.co_id) WHERE r <= 2),
+         |cand AS (SELECT v.vec_id, f.cent_id FROM v2c v JOIN f2c f USING (co_id)),
+         |cd AS (SELECT c.vec_id, c.cent_id, sum(fv.q * fc.q) AS dot
+         |       FROM cand c JOIN flat fv ON fv.vec_id = c.vec_id
+         |       JOIN cf fc ON fc.cent_id = c.cent_id AND fc.i = fv.i
+         |       GROUP BY 1, 2)
+         |SELECT vec_id, bucket FROM (
+         |  SELECT d.vec_id, d.cent_id AS bucket,
+         |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+         |      CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+         |      d.cent_id) AS r
+         |  FROM cd d JOIN norms n ON n.vec_id = d.vec_id
+         |            JOIN cfn cn ON cn.cent_id = d.cent_id)
+         |WHERE r = 1 ORDER BY vec_id""".stripMargin,
 
     // SemDeDup: 1-Lloyd learned codebook (the ann_ivf_learned build),
     // within-cluster pairwise cosine, dup = has a lower-id neighbor ≥ τ

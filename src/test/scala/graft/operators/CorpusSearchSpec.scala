@@ -136,6 +136,35 @@ class CorpusSearchSpec extends AnyFunSuite {
       20L -> false, 21L -> true), s"got $out")
   }
 
+  // ---- two-level codebook ----
+
+  test("two-level assignment with exhaustive coarse probing == flat argmax") {
+    val vecs = (0 until 24).map { i =>
+      val r = new scala.util.Random(i * 7 + 1)
+      (i.toLong, Seq.fill(4)(r.nextFloat() * 2f - 1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val fineIds = vecs.map(_._1).filter(_ % 6 == 1)   // 1, 7, 13, 19
+    val out = Similarity.assignTwoLevel(df,
+        col("vec_id") % 6 === 1, col("vec_id") % 12 === 5, nprobeCoarse = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent flat argmax in the exact quantized domain
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    }.toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble) /
+        math.sqrt(b.map(x => x * x).sum.toDouble)
+    }
+    val expected = vecs.map { case (id, _) =>
+      id -> fineIds.map(c => (c, cos(q(id), q(c))))
+        .sortBy { case (c, s) => (-s, c) }.head._1
+    }.toMap
+    assert(out == expected, s"got $out expected $expected")
+  }
+
   // ---- incremental near-dup ----
 
   test("incremental == full near-dup pairs restricted to batch-touching pairs") {
