@@ -118,12 +118,26 @@ class Warehouse(val spark: SparkSession, val root: String,
     * job that bounds read amplification from daily appends; readers are
     * unaffected (snapshot isolation), and the retired dirs are
     * reclaimed by the next `vacuum()`.
+    *
+    * Also the LAYOUT-REPAIR route: a single-dir table whose dir predates
+    * its `bucketSpec` entry (files without bucket naming) cannot be read
+    * through the bucketed registration, so compacting a single-dir
+    * bucketed table reads the dir as PLAIN parquet and rewrites it
+    * through the bucketed writer — after which bucketed reads are sound.
+    * (Re-compacting an already-bucketed dir is a harmless rewrite.)
     */
   def compact(table: String): Unit = {
     val dirs = catalog().getOrElse(table, Nil)
     if (dirs.length > 1) {
       val txn = begin()
       txn.overwrite(table, txn.read(table))
+      txn.commit()
+    } else if (dirs.length == 1 && bucketSpec.contains(table)) {
+      val schema = schemas(table)
+      val plain = spark.read.schema(schema).parquet(dirs.head)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      val txn = begin()
+      txn.overwrite(table, plain)
       txn.commit()
     }
   }

@@ -529,7 +529,11 @@ object Dedup {
     def prep(df: DataFrame) =
       df.select(col(idCol), lower(col(textCol)).as("t"))
         .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
-    val base = prep(existing).unionAll(prep(incoming)).cache()
+    // NOT cached: consumed exactly once, by candDocSets' semi-join
+    // (which caches its own candidate-sized output) — caching here
+    // would materialize the full corpus text per batch, defeating the
+    // signatures-from-storage point
+    val base = prep(existing).unionAll(prep(incoming))
     val sig = store.withColumn("is_new", lit(false)).unionByName(
       signatureStore(incoming, n, textCol, idCol).withColumn("is_new", lit(true)))
     val bandCols = (0 until 8 / bandSize).map { b =>
@@ -864,6 +868,11 @@ object Dedup {
       .select(col("a"), explode(slice(col("ms"), col("i") + lit(2), lit(maxBucket))).as("b"))
       .select(col(s"a.$idCol").as("doc_a"), col("a.hi").as("hi_a"), col("a.lo").as("lo_a"),
         col(s"b.$idCol").as("doc_b"), col("b.hi").as("hi_b"), col("b.lo").as("lo_b"))
+      // a doc whose signature repeats a 16-bit quarter appears TWICE in
+      // that band-value group — the adjacent sorted entries would pair
+      // it with itself ((A, A, hamming 0) passes any threshold); the
+      // oracle's a.doc_id < b.doc_id predicate never emits those
+      .filter(col("doc_a") =!= col("doc_b"))
     val bigCand = rows
       .filter(col("bn") > maxBucket && col(idCol) > col("anchor"))
       .select(col("anchor").as("doc_a"), col("hi_anchor").as("hi_a"),

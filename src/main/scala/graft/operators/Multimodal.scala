@@ -284,7 +284,11 @@ object Multimodal {
     * uncompressed BMP — header fields at their documented offsets, pixel
     * rows read at the header's data offset with 4-byte padding skipped.
     */
-  private[operators] def decodeBmp(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+  /** Validated 24-bit BMP geometry — (dataOffset, w, h, rowBytes, pad),
+    * shared by the stats and patch decoders so the header contract
+    * lives in one place.
+    */
+  private def bmpGeometry(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
       "not a BMP file")
@@ -297,6 +301,11 @@ object Multimodal {
     val rowBytes = w * 3
     val pad = (4 - rowBytes % 4) % 4
     require(bytes.length >= dataOffset + (rowBytes + pad) * h, "truncated pixel data")
+    (dataOffset, w, h, rowBytes, pad)
+  }
+
+  private[operators] def decodeBmp(bytes: Array[Byte]): (Int, Int, Long, Long, Long, Long) = {
+    val (dataOffset, w, h, rowBytes, pad) = bmpGeometry(bytes)
     var sum = 0L; var mn = 256L; var mx = -1L
     var y = 0
     while (y < h) {
@@ -442,6 +451,7 @@ object Multimodal {
           case "png" =>
             val (pw, ph, raw) = pngScanlines(bytes)
             w = pw; h = ph
+            require(w >= 2 && h >= 2, s"2x2 patch grid needs w,h >= 2, got ${w}x$h")
             var y = 0
             while (y < h) {
               val gy = (2 * y) / h
@@ -455,18 +465,9 @@ object Multimodal {
               y += 1
             }
           case "bmp" =>
-            val buf = java.nio.ByteBuffer.wrap(bytes)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            require(bytes.length >= 54 && bytes(0) == 'B'.toByte &&
-              bytes(1) == 'M'.toByte, "not a BMP file")
-            val dataOffset = buf.getInt(10)
-            w = buf.getInt(18); h = buf.getInt(22)
-            require(buf.getShort(28) == 24 && buf.getInt(30) == 0,
-              "unsupported BMP layout")
-            val rowBytes = w * 3
-            val pad = (4 - rowBytes % 4) % 4
-            require(bytes.length >= dataOffset + (rowBytes + pad) * h,
-              "truncated pixel data")
+            val (dataOffset, bw, bh, rowBytes, pad) = bmpGeometry(bytes)
+            w = bw; h = bh
+            require(w >= 2 && h >= 2, s"2x2 patch grid needs w,h >= 2, got ${w}x$h")
             var y = 0
             while (y < h) {
               val gy = (2 * y) / h

@@ -434,6 +434,10 @@ object TextAnalysis {
     * depend on aggregation order; integer sums don't), and the rate is
     * a fixed parenthesized sequence of double ops both engines replay
     * bit for bit.
+    *
+    * NULL domains: documents whose `domainCol` is NULL are DROPPED (the
+    * rate join is not null-safe) — coalesce to a sentinel domain or
+    * filter upstream if they should participate.
     */
   def temperatureResample(docs: DataFrame, domainCol: Column,
                           targetFrac: Double = 0.5,

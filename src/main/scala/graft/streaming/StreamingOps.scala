@@ -357,12 +357,17 @@ object StreamingOps {
                 out += ((math.min(sid, id), math.max(sid, id), d))
             }
           }
-          if (seen.size < maxBucket) seen = seen :+ ((id, hi, lo))
+          if (seen.size < maxBucket && !seen.exists(_._1 == id))
+            seen = seen :+ ((id, hi, lo))
         }
         state.update(seen)
-        // retain until ttl past this batch's newest event in the bucket
+        // retain until ttl past this batch's newest event in the bucket,
+        // clamped past the watermark: a bucket fed only LATE rows (the
+        // engine delivers them to the state fn regardless) would
+        // otherwise compute a timeout the API rejects and kill the query
         val maxTs = rows.map(_._4.getTime).max
-        state.setTimeoutTimestamp(maxTs + ttlMs)
+        val floor = state.getCurrentWatermarkMs() + 1
+        state.setTimeoutTimestamp(math.max(maxTs + ttlMs, floor))
         out.iterator
       }
   }
@@ -386,7 +391,11 @@ object StreamingOps {
               out += ((math.min(sid, id), math.max(sid, id), d))
           }
         }
-        if (seen.size < maxBucket) seen = seen :+ ((id, hi, lo))
+        // membership check: a doc whose signature repeats a band value
+        // hits this group twice — storing it twice would waste bucket
+        // capacity and double-emit its matches
+        if (seen.size < maxBucket && !seen.exists(_._1 == id))
+          seen = seen :+ ((id, hi, lo))
       }
       state.update(seen)
       out.iterator

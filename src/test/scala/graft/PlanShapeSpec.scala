@@ -89,7 +89,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("text_bm25: global top-k is a heap (TakeOrdered), not a sort") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
-    assert(!p.contains("SortExec"), "top-k must not global-sort")
+    // executedPlan.toString renders SortExec as "Sort [" — matching the
+    // class name would be vacuously true
+    assert(!p.contains("Sort ["), "top-k must not global-sort")
   }
 
   test("corpusShard: exactly one exchange (the shard key)") {

@@ -68,6 +68,29 @@ class WarehouseBucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compact repairs a pre-bucketSpec dir into the bucketed layout") {
+    val root = Files.createTempDirectory("wh-bkt-migrate").toString
+    // a warehouse written BEFORE the table had a bucketSpec: plain files
+    val legacy = new Warehouse(spark, root, bucketSpec = Map.empty)
+    val t0 = legacy.begin()
+    t0.overwrite("dim_clients", snapshotWithProcessed(clientsDf((1 to 40).map(clientRow(_)))))
+    t0.commit()
+    val expected = legacy.read("dim_clients").collect().map(_.toSeq).toSet
+
+    // reopened with today's bucketSpec: the documented repair route
+    val wh = new Warehouse(spark, root)
+    wh.compact("dim_clients")
+    val got = wh.read("dim_clients")
+    assert(got.collect().map(_.toSeq).toSet == expected, "repair must not change data")
+    // the layout pays off where it matters: a bucket-key aggregation
+    // plans with no Exchange (a bare scan "disables" bucketed reading
+    // because nothing needs the partitioning — assert on the plan that
+    // does)
+    val agg = got.groupBy("client_id").count()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "post-repair bucket-key aggregation must need no exchange")
+  }
+
   test("partial overwrite rewrites only touched buckets; the rest carry over byte-identical") {
     val wh = new Warehouse(spark, Files.createTempDirectory("wh-bkt-part").toString)
     val seed = clientsDf((1 to 40).map(clientRow(_)))
