@@ -569,6 +569,30 @@ object Dedup {
     arrayJaccardVerify(cand, docHashes, threshold)
   }
 
+  /** The LAST dedup stage: cluster labels → keep/drop DECISIONS. Within
+    * each cluster exactly one document survives — the longest text
+    * (most complete near-duplicate), ties to the lowest id; the rest
+    * carry their cluster's canonical id for attribution. This is the
+    * step that turns the pairs → clusters machinery into the filter a
+    * curation pipeline actually applies. One broadcastable join of
+    * labels to doc lengths and one per-cluster window (cluster sizes
+    * are near-dup groups — tiny — so the window partitions are bounded
+    * regardless of corpus size).
+    */
+  def keepCanonical(docs: DataFrame, labels: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col(idCol))
+    labels
+      .join(docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars")),
+        Seq(idCol))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("canonical_id", min(when(col("rk") === 1, col(idCol))).over(
+        Window.partitionBy("cluster_id")))
+      .select(col(idCol), col("cluster_id"), col("n_chars"),
+        (col("rk") === 1).as("keep"), col("canonical_id"))
+  }
+
   /** RECALL REPORT for a near-dup pass against a PLANTED ground-truth
     * pair list — the "measure your dedup before trusting it" harness a
     * production pipeline runs on every banding-parameter change. Takes

@@ -80,6 +80,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // clusters -> one survivor per cluster (longest text, ties lowest
+    // id) — the decision the curation pipeline actually applies
+    "dedup_keep" -> ((s, dir) => {
+      val aug = docsAug(s, dir).cache()
+      Dedup.keepCanonical(aug,
+          Dedup.clusterLabels(Dedup.wordGramNearDupsPoly(aug, threshold = 0.5),
+            aug.select("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -492,6 +502,33 @@ object TextQueries {
          |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // clusters (same recursive walk) -> survivor per cluster: longest
+    // text, ties to the lowest id; every row carries its canonical
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $augSql,
+         |${wordGramPolyPairsCte(0.5)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM docs),
+         |rk AS (
+         |  SELECT l.doc_id, l.cluster_id, n.n_chars,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY n.n_chars DESC, l.doc_id) AS rk
+         |  FROM lab l JOIN len n USING (doc_id)),
+         |can AS (SELECT cluster_id,
+         |          min(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id
+         |        FROM rk GROUP BY 1)
+         |SELECT r.doc_id, r.cluster_id, r.n_chars, (r.rk = 1) AS keep, c.canonical_id
+         |FROM rk r JOIN can c USING (cluster_id)
+         |ORDER BY r.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $augSql,

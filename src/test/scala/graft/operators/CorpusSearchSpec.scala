@@ -136,6 +136,24 @@ class CorpusSearchSpec extends AnyFunSuite {
       20L -> false, 21L -> true), s"got $out")
   }
 
+  // ---- keep decisions ----
+
+  test("keepCanonical: longest text survives, ties break low, canonical propagates") {
+    val docs = Seq(
+      (1L, "short"), (2L, "much longer text here"), (3L, "same len"),
+      (4L, "same len"), (5L, "solo doc")
+    ).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.keepCanonical(docs, labels)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(3), r.getLong(4))).toMap
+    assert(out == Map(
+      1L -> (false, 2L), 2L -> (true, 2L),   // longest wins
+      3L -> (true, 3L), 4L -> (false, 3L),   // tie -> lowest id
+      5L -> (true, 5L)), s"got $out")        // singleton keeps itself
+  }
+
   // ---- two-level codebook ----
 
   test("two-level assignment with exhaustive coarse probing == flat argmax") {
