@@ -243,8 +243,15 @@ object Similarity {
     * (spec-asserted). Output: (vec_id, bucket).
     */
   def assignTwoLevel(embeddings: DataFrame, finePred: Column, coarsePred: Column,
-                     nprobeCoarse: Int = 2): DataFrame = {
-    val corpus = withQuant(embeddings).cache()
+                     nprobeCoarse: Int = 2): DataFrame =
+    assignTwoLevelQ(withQuant(embeddings).cache(), finePred, coarsePred, nprobeCoarse)
+
+  /** [[assignTwoLevel]] over an already-quantized (and ideally cached)
+    * corpus — shared by the standalone query and the SemDeDup tail so
+    * both reuse one cached quantization pass.
+    */
+  private def assignTwoLevelQ(corpus: DataFrame, finePred: Column, coarsePred: Column,
+                              nprobeCoarse: Int): DataFrame = {
     val fine = seedCents(corpus, finePred)
     val coarse = corpus.filter(coarsePred)
       .select(col("vec_id").as("co_id"), col("q").as("oq"), col("nrm").as("on"))
@@ -286,7 +293,34 @@ object Similarity {
     val corpus = withQuant(embeddings).cache()
     var cents = seedCents(corpus, centroidPred)
     for (_ <- 1 to lloydIters) cents = lloydStep(corpus, cents)
-    val assigned = assign(corpus, cents).cache()
+    markDups(assign(corpus, cents).cache(), threshold)
+  }
+
+  /** SemDeDup over the TWO-LEVEL assignment — the variant for codebooks
+    * too large to broadcast (k grows with N to hold the target cluster
+    * size, so at 100 TB the flat broadcast-NLJ assignment is the first
+    * thing to break). Clusters come from [[assignTwoLevel]] (coarse
+    * routing, equi-join scoring of registered fine centroids); the
+    * within-cluster dup rule is identical to [[semanticDedup]].
+    * Exhaustive coarse probing reproduces the flat seed-codebook
+    * assignment, so the two variants agree exactly there
+    * (spec-asserted). Output: (vec_id, cluster_id, is_dup).
+    */
+  def semanticDedupTwoLevel(embeddings: DataFrame, finePred: Column,
+                            coarsePred: Column, nprobeCoarse: Int = 2,
+                            threshold: Double = 0.9): DataFrame = {
+    val corpus = withQuant(embeddings).cache()
+    val assigned = assignTwoLevelQ(corpus, finePred, coarsePred, nprobeCoarse)
+      .join(corpus, Seq("vec_id"))
+    markDups(assigned.cache(), threshold)
+  }
+
+  /** Shared SemDeDup tail: given (vec_id, q, nrm, bucket), mark every
+    * vector with a lower-id same-bucket neighbor at cosine ≥ threshold.
+    * The self-join key is the bucket — pairwise cost is Σ(cluster²),
+    * never N².
+    */
+  private def markDups(assigned: DataFrame, threshold: Double): DataFrame = {
     val dups = assigned
       .select(col("bucket"), col("vec_id").as("vec_a"),
         col("q").as("aq"), col("nrm").as("an"))

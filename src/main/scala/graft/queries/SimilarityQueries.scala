@@ -85,6 +85,14 @@ object SimilarityQueries {
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(embAug(s, dir), col("vec_id") % 50 === 7,
           threshold = 0.9, lloydIters = 1)
+        .orderBy("vec_id")),
+
+    // SemDeDup over the two-level (large-codebook) assignment: same
+    // fine/coarse split as ann_assign2, augmented corpus for positives
+    "dedup_semantic2" -> ((s, dir) =>
+      Similarity.semanticDedupTwoLevel(embAug(s, dir),
+          col("vec_id") % 25 === 7, col("vec_id") % 100 === 3,
+          nprobeCoarse = 2, threshold = 0.9)
         .orderBy("vec_id")))
 
   val oracles: Map[String, String] = Map(
@@ -239,39 +247,8 @@ object SimilarityQueries {
     // coarse buckets, scores only the fine centroids registered there
     "ann_assign2" ->
       s"""WITH ${flatSql("embeddings")},
-         |cf AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 25 = 7),
-         |cfn AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 25 = 7),
-         |co AS (SELECT vec_id AS co_id, q, i FROM flat WHERE vec_id % 100 = 3),
-         |con AS (SELECT vec_id AS co_id, nrm FROM norms WHERE vec_id % 100 = 3),
-         |f2cd AS (SELECT cf.cent_id, co.co_id, sum(cf.q * co.q) AS dot
-         |         FROM cf JOIN co USING (i) GROUP BY 1, 2),
-         |f2c AS (SELECT cent_id, co_id FROM (
-         |  SELECT d.cent_id, d.co_id, row_number() OVER (PARTITION BY d.cent_id ORDER BY
-         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
-         |    d.co_id) AS r
-         |  FROM f2cd d JOIN cfn n ON n.cent_id = d.cent_id
-         |              JOIN con cn ON cn.co_id = d.co_id) WHERE r = 1),
-         |v2cd AS (SELECT f.vec_id, co.co_id, sum(f.q * co.q) AS dot
-         |         FROM flat f JOIN co USING (i) GROUP BY 1, 2),
-         |v2c AS (SELECT vec_id, co_id FROM (
-         |  SELECT d.vec_id, d.co_id, row_number() OVER (PARTITION BY d.vec_id ORDER BY
-         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
-         |    d.co_id) AS r
-         |  FROM v2cd d JOIN norms n ON n.vec_id = d.vec_id
-         |              JOIN con cn ON cn.co_id = d.co_id) WHERE r <= 2),
-         |cand AS (SELECT v.vec_id, f.cent_id FROM v2c v JOIN f2c f USING (co_id)),
-         |cd AS (SELECT c.vec_id, c.cent_id, sum(fv.q * fc.q) AS dot
-         |       FROM cand c JOIN flat fv ON fv.vec_id = c.vec_id
-         |       JOIN cf fc ON fc.cent_id = c.cent_id AND fc.i = fv.i
-         |       GROUP BY 1, 2)
-         |SELECT vec_id, bucket FROM (
-         |  SELECT d.vec_id, d.cent_id AS bucket,
-         |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
-         |      CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
-         |      d.cent_id) AS r
-         |  FROM cd d JOIN norms n ON n.vec_id = d.vec_id
-         |            JOIN cfn cn ON cn.cent_id = d.cent_id)
-         |WHERE r = 1 ORDER BY vec_id""".stripMargin,
+         |$assign2Sql
+         |SELECT vec_id, bucket FROM assigned ORDER BY vec_id""".stripMargin,
 
     // SemDeDup: 1-Lloyd learned codebook (the ann_ivf_learned build),
     // within-cluster pairwise cosine, dup = has a lower-id neighbor ≥ τ
@@ -310,25 +287,15 @@ object SimilarityQueries {
          |    FROM adots a JOIN norms n ON n.vec_id = a.vec_id
          |                 JOIN cnorm cn ON cn.cent_id = a.cent_id)
          |  WHERE r = 1),
-         |cpairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM assigned a JOIN assigned b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |pdots AS (
-         |  SELECT p.vec_a, p.vec_b, sum(fa.q * fb.q) AS dot
-         |  FROM cpairs p
-         |  JOIN flat fa ON fa.vec_id = p.vec_a
-         |  JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
-         |  GROUP BY 1, 2),
-         |dups AS (
-         |  SELECT DISTINCT d.vec_b AS vec_id
-         |  FROM pdots d JOIN norms na ON na.vec_id = d.vec_a
-         |               JOIN norms nb ON nb.vec_id = d.vec_b
-         |  WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE))
-         |        / sqrt(CAST(nb.nrm AS DOUBLE)) >= 0.9)
-         |SELECT a.vec_id, a.bucket AS cluster_id, (d.vec_id IS NOT NULL) AS is_dup
-         |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
-         |ORDER BY a.vec_id""".stripMargin)
+         |$semDupTailSql""".stripMargin,
+
+    // SemDeDup over the two-level assignment: the ann_assign2 routing
+    // chain on the augmented corpus, then the shared dup tail
+    "dedup_semantic2" ->
+      s"""WITH $augSql,
+         |${flatSql("emb")},
+         |$assign2Sql,
+         |$semDupTailSql""".stripMargin)
 
   /** Shared IVF oracle tail: assignment / nprobe=2 probing / in-bucket
     * top-5 search against whatever `cents`(cent_id, i, q) / `cnorm`
@@ -379,6 +346,73 @@ object SimilarityQueries {
       |      d.hit_id) AS rnk
       |  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
       |              JOIN norms na ON na.vec_id = d.hit_id)""".stripMargin
+
+  /** Two-level assignment oracle chain (the ann_assign2 routing): fine
+    * centroids (`vec_id % 25 = 7`) register under their nearest coarse
+    * centroid (`vec_id % 100 = 3`); each vector probes its 2 nearest
+    * coarse buckets and rank-1s only the fine centroids registered
+    * there. Ends in `assigned(vec_id, bucket)` — shared by ann_assign2
+    * and dedup_semantic2 (whose `flat` comes from the augmented corpus).
+    */
+  private def assign2Sql: String =
+    """cf AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 25 = 7),
+      |cfn AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 25 = 7),
+      |co AS (SELECT vec_id AS co_id, q, i FROM flat WHERE vec_id % 100 = 3),
+      |con AS (SELECT vec_id AS co_id, nrm FROM norms WHERE vec_id % 100 = 3),
+      |f2cd AS (SELECT cf.cent_id, co.co_id, sum(cf.q * co.q) AS dot
+      |         FROM cf JOIN co USING (i) GROUP BY 1, 2),
+      |f2c AS (SELECT cent_id, co_id FROM (
+      |  SELECT d.cent_id, d.co_id, row_number() OVER (PARTITION BY d.cent_id ORDER BY
+      |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+      |    d.co_id) AS r
+      |  FROM f2cd d JOIN cfn n ON n.cent_id = d.cent_id
+      |              JOIN con cn ON cn.co_id = d.co_id) WHERE r = 1),
+      |v2cd AS (SELECT f.vec_id, co.co_id, sum(f.q * co.q) AS dot
+      |         FROM flat f JOIN co USING (i) GROUP BY 1, 2),
+      |v2c AS (SELECT vec_id, co_id FROM (
+      |  SELECT d.vec_id, d.co_id, row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+      |    d.co_id) AS r
+      |  FROM v2cd d JOIN norms n ON n.vec_id = d.vec_id
+      |              JOIN con cn ON cn.co_id = d.co_id) WHERE r <= 2),
+      |cand AS (SELECT v.vec_id, f.cent_id FROM v2c v JOIN f2c f USING (co_id)),
+      |cd AS (SELECT c.vec_id, c.cent_id, sum(fv.q * fc.q) AS dot
+      |       FROM cand c JOIN flat fv ON fv.vec_id = c.vec_id
+      |       JOIN cf fc ON fc.cent_id = c.cent_id AND fc.i = fv.i
+      |       GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id, bucket FROM (
+      |    SELECT d.vec_id, d.cent_id AS bucket,
+      |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+      |        CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
+      |        d.cent_id) AS r
+      |    FROM cd d JOIN norms n ON n.vec_id = d.vec_id
+      |              JOIN cfn cn ON cn.cent_id = d.cent_id)
+      |  WHERE r = 1)""".stripMargin
+
+  /** Shared SemDeDup oracle tail over an `assigned(vec_id, bucket)` CTE:
+    * within-cluster pairwise cosine, dup = has a lower-id neighbor ≥ 0.9.
+    */
+  private def semDupTailSql: String =
+    """cpairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM assigned a JOIN assigned b
+      |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |pdots AS (
+      |  SELECT p.vec_a, p.vec_b, sum(fa.q * fb.q) AS dot
+      |  FROM cpairs p
+      |  JOIN flat fa ON fa.vec_id = p.vec_a
+      |  JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
+      |  GROUP BY 1, 2),
+      |dups AS (
+      |  SELECT DISTINCT d.vec_b AS vec_id
+      |  FROM pdots d JOIN norms na ON na.vec_id = d.vec_a
+      |               JOIN norms nb ON nb.vec_id = d.vec_b
+      |  WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE))
+      |        / sqrt(CAST(nb.nrm AS DOUBLE)) >= 0.9)
+      |SELECT a.vec_id, a.bucket AS cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+      |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+      |ORDER BY a.vec_id""".stripMargin
 
   /** Shared hyperplane-LSH oracle tail: deterministic integer hyperplanes
     * (same Knuth-hash arithmetic as Similarity.hcomp), sign-bit bands of

@@ -272,6 +272,14 @@ object StreamingOps {
     * with AvailableNow drains, state dies with the query. The trailing
     * `dropDuplicates` collapses multi-band hits; its state is one row
     * per emitted PAIR (duplicate density, not corpus size).
+    *
+    * Unbounded runs should back the bucket index with the RocksDB
+    * state store (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`): state then lives off-heap
+    * and spills to executor-local disk with changelog checkpointing,
+    * so the index is bounded by disk, not heap. The operator is
+    * provider-agnostic — identical output under either provider is
+    * spec-asserted.
     */
   def streamingNearDupFilter(docs: DataFrame, maxHamming: Int = 3,
                              maxBucket: Int = 256): DataFrame = {

@@ -183,6 +183,29 @@ class CorpusSearchSpec extends AnyFunSuite {
     assert(out == expected, s"got $out expected $expected")
   }
 
+  test("semanticDedupTwoLevel: exhaustive coarse probing == flat seed-codebook SemDeDup") {
+    val vecs = (0 until 24).map { i =>
+      val r = new scala.util.Random(i * 7 + 1)
+      (i.toLong, Seq.fill(4)(r.nextFloat() * 2f - 1f))
+    } ++ Seq((100L, {  // exact copy of vec 1 so the dup flag has a positive
+      val r = new scala.util.Random(1 * 7 + 1)
+      Seq.fill(4)(r.nextFloat() * 2f - 1f)
+    }))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // 2 coarse cents, nprobeCoarse=2 ⇒ exhaustive ⇒ assignment == flat
+    val twoLevel = Similarity.semanticDedupTwoLevel(df,
+        col("vec_id") % 6 === 1, col("vec_id") % 12 === 5,
+        nprobeCoarse = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val flat = Similarity.semanticDedup(df, col("vec_id") % 6 === 1,
+        threshold = 0.99, lloydIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(twoLevel == flat, s"two-level=$twoLevel flat=$flat")
+    assert(twoLevel.exists(_._3), "expected at least one dup flag")
+    assert(twoLevel.count(!_._3) >= 24, "originals must be kept")
+  }
+
   // ---- incremental near-dup ----
 
   test("incremental == full near-dup pairs restricted to batch-touching pairs") {

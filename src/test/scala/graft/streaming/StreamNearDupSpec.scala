@@ -86,6 +86,42 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(in2 == Set.empty, s"post-eviction dup must NOT flag: $in2")
   }
 
+  test("RocksDB state store: same pair set as the default (HDFS-backed) provider") {
+    // unbounded runs hold the bucket index in a RocksDB state store
+    // (bounded executor heap, state spills to local disk + changelog) —
+    // the operator itself is provider-agnostic, so the contract is
+    // simply: identical output under either provider, across a split
+    // that forces originals and copies into different micro-batches
+    val rows = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.partition(_._1 < 100000)
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val out = StreamingOps.streamingNearDupFilter(
+        mem.toDF().toDF("doc_id", "text"))
+      val q = out.writeStream.format("memory").queryName("snd_rocks")
+        .outputMode("append").start()
+      mem.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+    val streamed = spark.table("snd_rocks")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val batch = Dedup.simhashNearDups(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("single-batch arrival gives the same result as the split") {
     val rows = corpus.select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
