@@ -336,6 +336,42 @@ object Similarity {
         coalesce(col("dup"), lit(false)).as("is_dup"))
   }
 
+  /** CROSS-SET embedding decontamination: every (benchmark, corpus)
+    * pair with cosine ≥ threshold, blocked by the same deterministic
+    * hyperplane LSH as [[nearDupPairs]] — the embedding-space analogue
+    * of the n-gram benchmark decontamination in
+    * [[TextAnalysis.decontaminate]], catching paraphrased eval leakage
+    * that exact-gram overlap misses. Both sets band identically (same
+    * integer hyperplanes), so a bench vector and its corpus paraphrase
+    * collide whenever their sign patterns share a band; only colliding
+    * pairs pay the exact quantized cosine.
+    *
+    * Scale shape: the benchmark is orders of magnitude smaller than the
+    * corpus, so its banded form broadcasts and the corpus makes ONE
+    * map-side banding pass + a broadcast hash join — the corpus is
+    * never self-joined and never shuffled on the band key. The
+    * candidate `distinct` is bounded by collisions, not the corpus.
+    * Output: (bench_id, vec_id, cosine).
+    */
+  def crossSetMatches(corpus: DataFrame, bench: DataFrame, threshold: Double,
+                      planes: Int = 32, bandBits: Int = 8): DataFrame = {
+    val c = withQuant(corpus)
+    val b = withQuant(bench)
+    val bb = hyperplaneBands(b.select(col("vec_id"), col("q")), planes, bandBits)
+      .select(col("vec_id").as("bench_id"), col("band_id"), col("band_val"))
+    val cand = broadcast(bb)
+      .join(hyperplaneBands(c.select(col("vec_id"), col("q")), planes, bandBits),
+        Seq("band_id", "band_val"))
+      .select(col("bench_id"), col("vec_id")).distinct()
+    cand
+      .join(broadcast(b.select(col("vec_id").as("bench_id"),
+        col("q").as("bq"), col("nrm").as("bn"))), Seq("bench_id"))
+      .join(c, Seq("vec_id"))
+      .select(col("bench_id"), col("vec_id"),
+        cosine(qdot(col("bq"), col("q")), col("bn"), col("nrm")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** All near-duplicate pairs (a < b) with cosine ≥ threshold. Exact but
     * all-pairs O(N²) — verification/recall baseline for modest corpora
     * only; production near-dup goes through [[nearDupPairs]].

@@ -93,7 +93,18 @@ object SimilarityQueries {
       Similarity.semanticDedupTwoLevel(embAug(s, dir),
           col("vec_id") % 25 === 7, col("vec_id") % 100 === 3,
           nprobeCoarse = 2, threshold = 0.9)
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // embedding-space benchmark decontamination: bench = the %29
+    // originals, corpus = everything else incl. their exact copies at
+    // +100000 (guaranteed cross-set positives at cosine 1)
+    "dedup_crossset" -> ((s, dir) => {
+      val aug = embAug(s, dir)
+      val isBench = col("vec_id") % 29 === 0 && col("vec_id") < 100000
+      Similarity.crossSetMatches(aug.filter(!isBench), aug.filter(isBench),
+          threshold = 0.35)
+        .orderBy("bench_id", "vec_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "ann_brute" ->
@@ -295,7 +306,33 @@ object SimilarityQueries {
       s"""WITH $augSql,
          |${flatSql("emb")},
          |$assign2Sql,
-         |$semDupTailSql""".stripMargin)
+         |$semDupTailSql""".stripMargin,
+
+    // cross-set decontamination: bands over the full augmented corpus,
+    // candidates = bench×corpus band collisions, exact cosine ≥ 0.35
+    "dedup_crossset" ->
+      s"""WITH $augSql,
+         |${flatSql("emb")},
+         |$lshBandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS bench_id, b.vec_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |  WHERE a.vec_id % 29 = 0 AND a.vec_id < 100000
+         |    AND NOT (b.vec_id % 29 = 0 AND b.vec_id < 100000)),
+         |cdot AS (
+         |  SELECT c.bench_id, c.vec_id, sum(fa.q * fb.q) AS dot
+         |  FROM cand c
+         |  JOIN flat fa ON fa.vec_id = c.bench_id
+         |  JOIN flat fb ON fb.vec_id = c.vec_id AND fb.i = fa.i
+         |  GROUP BY 1, 2)
+         |SELECT d.bench_id, d.vec_id,
+         |  CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE)) / sqrt(CAST(nb.nrm AS DOUBLE)) AS cosine
+         |FROM cdot d JOIN norms na ON na.vec_id = d.bench_id
+         |            JOIN norms nb ON nb.vec_id = d.vec_id
+         |WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE))
+         |      / sqrt(CAST(nb.nrm AS DOUBLE)) >= 0.35
+         |ORDER BY d.bench_id, d.vec_id""".stripMargin)
 
   /** Shared IVF oracle tail: assignment / nprobe=2 probing / in-bucket
     * top-5 search against whatever `cents`(cent_id, i, q) / `cnorm`
@@ -419,7 +456,7 @@ object SimilarityQueries {
     * 8 bits × 4, candidates = pairs sharing a band, exact quantized
     * cosine on candidates only.
     */
-  private def lshSql: String =
+  private def lshBandsSql: String =
     """hp AS (SELECT unnest(generate_series(0, 31)) AS j),
       |pdot AS (
       |  SELECT f.vec_id, h.j,
@@ -429,7 +466,10 @@ object SimilarityQueries {
       |bands AS (
       |  SELECT vec_id, j // 8 AS band_id,
       |    sum(CASE WHEN d >= 0 THEN 1 << (j % 8) ELSE 0 END) AS band_val
-      |  FROM pdot GROUP BY 1, 2),
+      |  FROM pdot GROUP BY 1, 2)""".stripMargin
+
+  private def lshSql: String =
+    s"""$lshBandsSql,
       |cand AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS bands_shared
       |  FROM bands a JOIN bands b

@@ -79,7 +79,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // every-vector × broadcast-codebook BroadcastNestedLoopJoin, by
     // design (see Similarity.assign)
     for (name <- Seq("dedup_embed", "dedup_minhash", "dedup_ngram", "dedup_simhash",
-        "q_range_join", "q_interval_overlap", "dedup_incremental")) {
+        "q_range_join", "q_interval_overlap", "dedup_incremental", "dedup_crossset")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")

@@ -154,6 +154,28 @@ class CorpusSearchSpec extends AnyFunSuite {
       5L -> (true, 5L)), s"got $out")        // singleton keeps itself
   }
 
+  test("crossSetMatches: exact copy found, unrelated vector not, no corpus-corpus pairs") {
+    val bench = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val corpus = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)),    // exact copy of bench 1
+      (11L, Seq(0.95f, 0.3f, 0f, 0f)), // near copy of bench 1
+      (12L, Seq(0f, 0f, 0f, 1f)),    // orthogonal to both
+      (13L, Seq(1f, 0f, 0f, 0f))     // second copy of bench 1 (corpus dup)
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.crossSetMatches(corpus, bench, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 10L)) && out.contains((1L, 13L)),
+      s"exact copies must match: $out")
+    assert(!out.exists(_._2 == 12L), "orthogonal corpus vector must not match")
+    assert(out.forall(p => p._1 <= 2L && p._2 >= 10L),
+      s"only bench→corpus pairs allowed: $out")
+  }
+
   // ---- two-level codebook ----
 
   test("two-level assignment with exhaustive coarse probing == flat argmax") {
