@@ -19,7 +19,8 @@ object PlanDump {
         "dedup_ngram", "dedup_minhash", "text_decontam", "text_curate",
         "dedup_simhash", "dedup_containment", "ann_int8", "q_zorder",
         "text_tempsample", "dedup_incremental", "dedup_semantic",
-        "text_bm25", "text_perplexity", "text_shard")
+        "text_bm25", "text_perplexity", "text_shard",
+        "dedup_semantic2", "dedup_crossset", "text_quantile", "q_profile")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -66,6 +66,166 @@ object TextAnalysis {
       wordLen.as("mean_word_len"))
   }
 
+  /** Percentile-cutoff quality filter: keep (at least) the top
+    * `keepFrac` fraction of documents by a composite quality score,
+    * with the cutoff computed EXACTLY — no sampled quantile, no global
+    * row sort. The score is pure BIGINT fixed point (denominators
+    * cleared by integer floor division): stopword density up,
+    * punctuation and digit density down — higher reads as cleaner
+    * prose. Zero-token docs are dropped (no score).
+    *
+    * Scale shape: scoring is map-side; the only corpus-sized exchange
+    * is a partial-combining `groupBy(score_q)` histogram whose key
+    * space is HARD-BOUNDED at ~3M values (each term lives in
+    * [0, 1e6]), independent of corpus size — so the cumulative-count
+    * window that finds the cutoff runs on a bounded tiny frame, and
+    * the cutoff broadcasts back into a map-side filter. Ties at the
+    * cutoff are all kept ("at least" semantics): deterministic in any
+    * engine, unlike a row-ranked cut under score ties. At 100 TB an
+    * `approx_percentile` single-pass variant trades this exactness for
+    * one fewer aggregation; the exact histogram is cheap enough that
+    * the trade is rarely worth it.
+    */
+  /** (doc_id, n_tokens, score_q): the shared fixed-point quality score —
+    * stopword density up, punctuation/digit density down, denominators
+    * cleared by nonnegative integer floor division (where Spark's
+    * truncate-toward-zero `div` and DuckDB's floor `//` agree).
+    * Zero-token docs are dropped.
+    */
+  private def scoredQ(docs: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast("long").as("punct_c"),
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[0-9]", ""))).cast("long").as("digit_c"),
+        stopCount(t, stopEn).cast("long").as("stop_c"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        expr("stop_c * 1000000 div n_tokens - punct_c * 1000000 div n_chars" +
+          " - digit_c * 1000000 div n_chars").as("score_q"))
+  }
+
+  def qualityPercentileFilter(docs: DataFrame, keepFrac: Double,
+                              textCol: String = "text"): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val ppm = math.round(keepFrac * 1e6) // driver-side exact constant
+    val scored = scoredQ(docs, textCol)
+    val hist = scored.groupBy("score_q").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("score_q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cum >= ceil(nTotal·keepFrac) ⟺ cum·1e6 >= nTotal·ppm (integers)
+    val cutoff = hist.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(hist.agg(sum("cnt").as("n_total"))))
+      .filter(col("cum") * lit(1000000L) >= col("n_total") * lit(ppm))
+      .agg(max("score_q").as("cutoff"))
+    scored.crossJoin(broadcast(cutoff))
+      .filter(col("score_q") >= col("cutoff"))
+      .select(col("doc_id"), col("score_q"))
+  }
+
+  /** TOKEN-BUDGET corpus selection: keep the highest-quality documents
+    * until their token sum reaches `budgetTokens` — "fill the training
+    * run's budget with the best data first", the selection rule behind
+    * quality-ranked pretraining mixes. Same exact-histogram machinery
+    * as [[qualityPercentileFilter]] (same bounded score key space, same
+    * broadcast cutoff, ties-kept semantics — so the result slightly
+    * overshoots the budget rather than making a nondeterministic
+    * within-tie pick); the histogram aggregates SUM(n_tokens) instead
+    * of doc counts. A corpus whose total falls short of the budget is
+    * kept whole. Output: (doc_id, n_tokens, score_q) of survivors.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long,
+                        textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredQ(docs, textCol)
+    val hist = scored.groupBy("score_q").agg(sum("n_tokens").as("tok"))
+    val w = Window.orderBy(col("score_q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // max score whose desc-cumulative token sum crosses the budget;
+    // no crossing (total < budget) -> keep everything
+    val cutoff = hist.withColumn("cum", sum("tok").over(w))
+      .filter(col("cum") >= budgetTokens)
+      .agg(coalesce(max("score_q"), lit(Long.MinValue)).as("cutoff"))
+    scored.crossJoin(broadcast(cutoff))
+      .filter(col("score_q") >= col("cutoff"))
+      .select(col("doc_id"), col("n_tokens"), col("score_q"))
+  }
+
+  /** Corpus length statistics — doc count, token total, mean, min/max,
+    * and EXACT p50/p90/p99 of tokens-per-doc — via the same bounded
+    * histogram: the corpus pays one map pass and one partial-combining
+    * `groupBy(n_tokens)`; every percentile then reads off the tiny
+    * cumulative frame (percentile p = smallest length whose ascending
+    * cumulative count reaches ceil(p·N/100) — `quantile_disc`
+    * semantics, deterministic in any engine, no global row sort).
+    * Output: (metric, value) rows.
+    */
+  def lengthStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs.select(size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val totals = hist.agg(sum("cnt").as("n_docs"),
+      sum(col("n_tokens") * col("cnt")).as("tok_total"),
+      min("n_tokens").as("mn"), max("n_tokens").as("mx"))
+    val w = Window.orderBy(col("n_tokens").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pcts = hist.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("n_tokens"), col("cum"), col("n_docs"),
+        explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+      .filter(col("cum") * 100 >= col("n_docs") * col("p"))
+      .groupBy("p").agg(min("n_tokens").as("v"))
+      .select(concat(lit("p"), col("p")).as("metric"),
+        col("v").cast("double").as("value"))
+    totals.select(explode(map(
+        lit("n_docs"), col("n_docs").cast("double"),
+        lit("tok_total"), col("tok_total").cast("double"),
+        lit("mean"), col("tok_total").cast("double") / col("n_docs").cast("double"),
+        lit("min"), col("mn").cast("double"),
+        lit("max"), col("mx").cast("double"))).as(Seq("metric", "value")))
+      .unionAll(pcts)
+  }
+
+  /** MIXTURE REBALANCING to a target distribution: each group (language,
+    * source, domain…) is downsampled to `share_ppm · totalOut / 1e6`
+    * documents — "mix the corpus to spec", the step that turns a crawl's
+    * accidental distribution into the training mix the run was designed
+    * for. Groups absent from `sharesPpm` get share 0 (dropped); a group
+    * with fewer documents than its quota contributes everything it has
+    * (no upsampling — duplication is the dedup pipeline's enemy).
+    *
+    * Selection within a group is by salted-md5 rank — the same fixed
+    * pseudo-random permutation as [[samplePerKey]], so the choice is
+    * engine/partitioning-stable and, crucially, MONOTONE in the quota: a
+    * larger target keeps a superset of a smaller one (caches and
+    * incremental runs stay consistent as the mix is retuned). Shape: the
+    * quota table is driver-side constants joined broadcast; one window
+    * shuffle on the group key, same as any per-key rank. Output:
+    * (doc_id, grp, rb_rank).
+    */
+  def rebalanceMixture(docs: DataFrame, groupCol: Column,
+                       sharesPpm: Seq[(String, Long)], totalOut: Long,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(totalOut > 0 && sharesPpm.nonEmpty, "need a target size and shares")
+    import org.apache.spark.sql.expressions.Window
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val quota = sharesPpm.toDF("grp", "ppm")
+      .select(col("grp"), expr(s"ppm * $totalOut div 1000000").as("quota"))
+    val w = Window.partitionBy("grp").orderBy(col("rb_h"), col(idCol))
+    docs.withColumn("grp", groupCol)
+      .join(broadcast(quota), Seq("grp"))
+      .withColumn("rb_h", expr(s"md5(CAST($idCol AS STRING) || ':rebal')"))
+      .withColumn("rb_rank", row_number().over(w))
+      .filter(col("rb_rank") <= col("quota"))
+      .select(col(idCol), col("grp"), col("rb_rank"))
+  }
+
   /** Stopword-profile language ID: count membership against per-language
     * stopword lists; argmax wins (ties broken by language code order,
     * zero evidence → 'und'). An n-gram heuristic in the

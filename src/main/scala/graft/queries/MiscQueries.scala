@@ -199,9 +199,51 @@ object MiscQueries {
         Layout.rankBin(col("l_suppkey"), col("smx"), 9).as("s_bin"))
       Layout.zorderStats(binned, "p_bin", "s_bin", cellPow = 3, bits = 9)
         .orderBy("cell")
-    }))
+    }),
+
+    // Column-level profile (nulls / exact distinct / min / max) in ONE
+    // aggregation pass over the fact table, unpivoted via stack
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profiler.profile(Tables(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+            "l_linestatus", "l_shipdate"))
+        .orderBy("col_name")))
 
   val oracles: Map[String, String] = Map(
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(l_orderkey) AS n_nulls,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+        |  count(DISTINCT l_linenumber),
+        |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |  count(DISTINCT l_quantity),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag),
+        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+        |  count(DISTINCT l_linestatus),
+        |  CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |  count(DISTINCT l_shipdate),
+        |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
+
     "q_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
         | count(*) AS n_events,

@@ -96,6 +96,46 @@ object TextQueries {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_quantile" -> ((s, dir) =>
+      TextAnalysis.qualityPercentileFilter(Tables(s, dir, "documents"),
+          keepFrac = 0.3)
+        .orderBy("doc_id")),
+
+    // budget ≈ 40% of the sf0.001 corpus's ~58k tokens: a real cut
+    "text_budget" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetSelect(Tables(s, dir, "documents"),
+          budgetTokens = 24000L)
+        .orderBy("doc_id")),
+
+    "text_lenstats" -> ((s, dir) =>
+      TextAnalysis.lengthStats(Tables(s, dir, "documents"))
+        .orderBy("metric")),
+
+    // tokenizer fertility (subwords per word) by language — the
+    // per-language cost report that decides tokenizer vocab allocation;
+    // exact integer sums, one double division at the end
+    "text_fertility" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      TextAnalysis.tokenCounts(d)
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tok_total"),
+          sum("n_subwords").as("subword_total"),
+          (sum("n_subwords").cast("double") / sum("n_tokens").cast("double"))
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+
+    // rebalance to an en-heavy 4-language mix of 200 docs; zh has no
+    // share (dropped), de's 30% quota (60) exceeds demand on some SFs —
+    // both the cap and the drop paths execute
+    "text_rebalance" -> ((s, dir) =>
+      TextAnalysis.rebalanceMixture(Tables(s, dir, "documents"), col("lang"),
+          Seq("en" -> 400000L, "de" -> 300000L, "es" -> 200000L, "fr" -> 100000L),
+          totalOut = 200L)
+        .orderBy("doc_id")),
+
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -600,6 +640,109 @@ object TextQueries {
         |    / len(toks) AS stopword_ratio,
         |  CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks) AS mean_word_len
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // exact percentile cutoff over the integer quality score: histogram
+    // → desc cumulative → max score with cum ≥ ceil(n·0.3), ties kept
+    "text_quantile" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_c,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_c,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS stop_c
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    stop_c * 1000000 // n_tokens - punct_c * 1000000 // n_chars
+        |      - digit_c * 1000000 // n_chars AS score_q
+        |  FROM t WHERE n_tokens > 0),
+        |h AS (SELECT score_q, count(*) AS cnt FROM s GROUP BY 1),
+        |c AS (SELECT score_q, sum(cnt) OVER (ORDER BY score_q DESC) AS cum FROM h),
+        |n AS (SELECT sum(cnt) AS n_total FROM h),
+        |cut AS (SELECT max(score_q) AS cutoff FROM c, n
+        |        WHERE cum * 1000000 >= n_total * 300000)
+        |SELECT s.doc_id, s.score_q FROM s, cut WHERE s.score_q >= cut.cutoff
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // token-budget selection: same score CTEs, histogram of token sums,
+    // cutoff = max score whose desc cumulative crosses the budget
+    "text_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_c,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_c,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS stop_c
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    stop_c * 1000000 // n_tokens - punct_c * 1000000 // n_chars
+        |      - digit_c * 1000000 // n_chars AS score_q
+        |  FROM t WHERE n_tokens > 0),
+        |h AS (SELECT score_q, sum(n_tokens) AS tok FROM s GROUP BY 1),
+        |c AS (SELECT score_q, sum(tok) OVER (ORDER BY score_q DESC) AS cum FROM h),
+        |cut AS (SELECT coalesce(max(score_q), -9223372036854775808) AS cutoff
+        |        FROM c WHERE cum >= 24000)
+        |SELECT s.doc_id, s.n_tokens, s.score_q FROM s, cut
+        |WHERE s.score_q >= cut.cutoff
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // exact length percentiles off the bounded histogram (quantile_disc
+    // semantics written out relationally so the definition is pinned)
+    "text_lenstats" ->
+      """WITH t AS (
+        |  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    w -> w <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |h AS (SELECT n_tokens, count(*) AS cnt FROM t GROUP BY 1),
+        |c AS (SELECT n_tokens, sum(cnt) OVER (ORDER BY n_tokens) AS cum FROM h),
+        |tot AS (SELECT sum(cnt) AS n_docs, sum(n_tokens * cnt) AS tok_total,
+        |               min(n_tokens) AS mn, max(n_tokens) AS mx FROM h),
+        |p AS (SELECT 'p' || pv AS metric, CAST(min(n_tokens) AS DOUBLE) AS value
+        |      FROM c, tot, (SELECT unnest([50, 90, 99]) AS pv) ps
+        |      WHERE cum * 100 >= n_docs * pv GROUP BY pv)
+        |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM tot
+        |UNION ALL SELECT 'tok_total', CAST(tok_total AS DOUBLE) FROM tot
+        |UNION ALL SELECT 'mean', CAST(tok_total AS DOUBLE) / n_docs FROM tot
+        |UNION ALL SELECT 'min', CAST(mn AS DOUBLE) FROM tot
+        |UNION ALL SELECT 'max', CAST(mx AS DOUBLE) FROM tot
+        |UNION ALL SELECT metric, value FROM p
+        |ORDER BY metric""".stripMargin,
+
+    "text_fertility" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), p -> p <> ''),
+        |      p -> (length(p) + 3) // 4)) AS BIGINT) AS n_subwords
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |  CAST(sum(n_subwords) AS BIGINT) AS subword_total,
+        |  CAST(sum(n_subwords) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS fertility
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // mixture rebalance: quota = share·200 div 1e6 per lang, md5-rank
+    // selection within each lang, quota-capped
+    "text_rebalance" ->
+      """WITH q AS (
+        |  SELECT * FROM (VALUES ('en', 400000 * 200 // 1000000),
+        |                        ('de', 300000 * 200 // 1000000),
+        |                        ('es', 200000 * 200 // 1000000),
+        |                        ('fr', 100000 * 200 // 1000000)) AS v(grp, quota)),
+        |r AS (
+        |  SELECT d.doc_id, d.lang AS grp, q.quota,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':rebal'), d.doc_id) AS rb_rank
+        |  FROM documents d JOIN q ON q.grp = d.lang)
+        |SELECT doc_id, grp, rb_rank FROM r WHERE rb_rank <= quota
+        |ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (

@@ -11,6 +11,69 @@ class CurationOpsSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
+  // ---- percentile quality filter ----
+
+  test("qualityPercentileFilter: exact cutoff, ties kept, keepFrac=1 keeps all") {
+    // doc i: i stopwords + one junk token -> score_q = i*1e6 div (i+1),
+    // strictly increasing in i; doc 108 ties doc 8 exactly
+    val docs = ((1 to 10).map(i => (i.toLong, ("the " * i) + "zz")) :+
+      (108L, ("the " * 8) + "zz")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityPercentileFilter(docs, keepFrac = 0.3)
+      .collect().map(r => r.getLong(0)).toSet
+    // ceil(11*0.3)=4: top scores are docs 10, 9, then the 8/108 tie —
+    // both tie members kept
+    assert(out == Set(10L, 9L, 8L, 108L), s"got $out")
+    val all = TextAnalysis.qualityPercentileFilter(docs, keepFrac = 1.0)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(all.size == 11, s"keepFrac=1 must keep everything: $all")
+    // zero-token docs are excluded, not scored
+    val withEmpty = docs.unionAll(Seq((99L, "   ")).toDF("doc_id", "text"))
+    val all2 = TextAnalysis.qualityPercentileFilter(withEmpty, keepFrac = 1.0)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(!all2.contains(99L) && all2.size == 11)
+  }
+
+  test("tokenBudgetSelect: fills the budget best-first; short corpus kept whole") {
+    // doc i: i stopwords + "zz" -> i+1 tokens, score strictly increasing
+    val docs = (1 to 10).map(i => (i.toLong, ("the " * i) + "zz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenBudgetSelect(docs, budgetTokens = 15L)
+      .collect().map(r => r.getLong(0)).toSet
+    // best-first: doc 10 (11 tokens), then doc 9 crosses 15 at cum 21
+    assert(out == Set(10L, 9L), s"got $out")
+    val all = TextAnalysis.tokenBudgetSelect(docs, budgetTokens = 1000000L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(all.size == 10, s"under-budget corpus must survive whole: $all")
+  }
+
+  test("lengthStats: exact percentiles and scalars off the histogram") {
+    val docs = (1 to 10).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthStats(docs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map(
+      "n_docs" -> 10.0, "tok_total" -> 55.0, "mean" -> 5.5,
+      "min" -> 1.0, "max" -> 10.0,
+      "p50" -> 5.0, "p90" -> 9.0, "p99" -> 10.0), s"got $out")
+  }
+
+  test("rebalanceMixture: quotas hit, short groups kept whole, absent dropped, monotone") {
+    val docs = ((1 to 60).map(i => (i.toLong, "a")) ++
+      (61 to 70).map(i => (i.toLong, "b")) ++
+      (71 to 80).map(i => (i.toLong, "c"))).toDF("doc_id", "g")
+    val out = TextAnalysis.rebalanceMixture(docs, col("g"),
+        Seq("a" -> 500000L, "b" -> 500000L), totalOut = 40L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val byG = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byG == Map("a" -> 20, "b" -> 10), s"got $byG") // b capped by supply
+    assert(!out.exists(_._2 == "c"), "group with no share must drop")
+    // monotone: halving the target keeps a subset of the larger run
+    val small = TextAnalysis.rebalanceMixture(docs, col("g"),
+        Seq("a" -> 500000L, "b" -> 500000L), totalOut = 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(small.subsetOf(out), "selection must be monotone in the quota")
+  }
+
   // ---- containment ----
 
   private val longText = (1 to 40).map(i => s"w$i").mkString(" ")
