@@ -37,26 +37,46 @@ object Profiler {
   private def asString(c: Column, isTimestamp: Boolean): Column =
     if (isTimestamp) date_format(c, "yyyy-MM-dd HH:mm:ss") else c.cast("string")
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileImpl(df, cols, approxRsd = None)
+
+  /** [[profile]] with `approx_count_distinct` (HLL++, `rsd` relative
+    * standard deviation) — the routine-monitoring form: the distinct
+    * branch folds into the codegen'd scalar aggregation, so the whole
+    * profile is one fully partial-combining pass (plus the narrow
+    * string branch) with NO Expand — at 100 TB the shape that matters.
+    * Same output schema; `n_distinct` is approximate.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.05): DataFrame =
+    profileImpl(df, cols, approxRsd = Some(rsd))
+
+  private def profileImpl(df: DataFrame, cols: Seq[String],
+                          approxRsd: Option[Double]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val isTs = cols.map(c => c ->
       (types(c) == TimestampType || types(c) == TimestampNTZType)).toMap
     val isStr = cols.map(c => c -> (types(c) == StringType)).toMap
+    val approxNd = approxRsd.map(rsd =>
+      (c: String) => approx_count_distinct(col(c), rsd).as(s"${c}__nd"))
     val fastAggs = cols.flatMap { c =>
-      count(col(c)).as(s"${c}__nn") +: (if (isStr(c)) Nil else
-        Seq(asString(min(col(c)), isTs(c)).as(s"${c}__mn"),
-          asString(max(col(c)), isTs(c)).as(s"${c}__mx")))
+      Seq(count(col(c)).as(s"${c}__nn")) ++ approxNd.map(f => f(c)) ++
+        (if (isStr(c)) Nil else
+          Seq(asString(min(col(c)), isTs(c)).as(s"${c}__mn"),
+            asString(max(col(c)), isTs(c)).as(s"${c}__mx")))
     }
     val strCols = cols.filter(isStr)
     val strAggs = strCols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}__mn"), max(col(c)).as(s"${c}__mx")))
-    val distinctAggs = cols.map(c => count_distinct(col(c)).as(s"${c}__nd"))
     val fastRow = df.agg(count(lit(1)).as("__total"), fastAggs: _*)
     val withStr = if (strCols.isEmpty) fastRow
       else fastRow.crossJoin(
         df.select(strCols.map(col): _*).agg(strAggs.head, strAggs.tail: _*))
-    val row = withStr.crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
+    val row = if (approxNd.isDefined) withStr else {
+      val distinctAggs = cols.map(c => count_distinct(col(c)).as(s"${c}__nd"))
+      withStr.crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
+    }
     val stacked = cols
       .map(c => s"'$c', `${c}__nn`, `${c}__nd`, `${c}__mn`, `${c}__mx`")
       .mkString(", ")

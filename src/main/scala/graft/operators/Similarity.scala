@@ -354,8 +354,26 @@ object Similarity {
     * Output: (bench_id, vec_id, cosine).
     */
   def crossSetMatches(corpus: DataFrame, bench: DataFrame, threshold: Double,
-                      planes: Int = 32, bandBits: Int = 8): DataFrame = {
-    val c = withQuant(corpus)
+                      planes: Int = 32, bandBits: Int = 8): DataFrame =
+    crossSetMatchesStored(withQuant(corpus), bench, threshold, planes, bandBits)
+
+  /** The quantized form of an embedding table — (vec_id, q, nrm) — as a
+    * persistable STORE: an ingestion pipeline materializes this once and
+    * every downstream pass (cross-set decontamination, banding, ANN
+    * probing) runs from storage with no float re-read. The embedding
+    * analogue of [[Dedup.signatureStore]]; exactness survives the
+    * parquet round trip because every value is integral (spec-pinned).
+    */
+  def embeddingStore(embeddings: DataFrame): DataFrame = withQuant(embeddings)
+
+  /** [[crossSetMatches]] against a persisted [[embeddingStore]] — the
+    * production decontamination path: corpus floats are never re-read;
+    * the (small) benchmark is quantized fresh per run.
+    */
+  def crossSetMatchesStored(corpusStore: DataFrame, bench: DataFrame,
+                            threshold: Double, planes: Int = 32,
+                            bandBits: Int = 8): DataFrame = {
+    val c = corpusStore
     val b = withQuant(bench)
     val bb = hyperplaneBands(b.select(col("vec_id"), col("q")), planes, bandBits)
       .select(col("vec_id").as("bench_id"), col("band_id"), col("band_val"))

@@ -176,6 +176,23 @@ class CorpusSearchSpec extends AnyFunSuite {
       s"only bench→corpus pairs allowed: $out")
   }
 
+  test("embeddingStore: stored path == fresh path through a parquet round trip") {
+    val bench = Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val corpus = Seq(
+      (10L, Seq(0.97f, 0.21f, 0f, 0f)), (11L, Seq(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("embstore").toString
+    Similarity.embeddingStore(corpus).write.mode("overwrite").parquet(dir)
+    val stored = Similarity.crossSetMatchesStored(
+        spark.read.parquet(dir), bench, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fresh = Similarity.crossSetMatches(corpus, bench, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored == fresh && stored.nonEmpty, s"stored=$stored fresh=$fresh")
+  }
+
   // ---- two-level codebook ----
 
   test("two-level assignment with exhaustive coarse probing == flat argmax") {

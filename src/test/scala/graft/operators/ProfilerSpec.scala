@@ -21,6 +21,26 @@ class ProfilerSpec extends AnyFunSuite {
     assert(out("s") == ((5L, 1L, 3L, "a", "c")), s"got ${out("s")}")
   }
 
+  test("profileApprox: no Expand in the plan, distincts within HLL tolerance") {
+    val df = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+    val approx = Profiler.profileApprox(df, cols, rsd = 0.02)
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx mode must not plan an Expand")
+    val a = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val e = Profiler.profile(df, cols)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols.foreach { c =>
+      assert(math.abs(a(c) - e(c)).toDouble / e(c) <= 0.10,
+        s"$c: approx ${a(c)} vs exact ${e(c)}")
+    }
+    // everything except n_distinct is identical to the exact profile
+    val aRest = approx.drop("n_distinct").collect().map(_.toString).sorted
+    val eRest = Profiler.profile(df, cols).drop("n_distinct")
+      .collect().map(_.toString).sorted
+    assert(aRest.sameElements(eRest))
+  }
+
   test("profile: single aggregation pass (one scan of the input)") {
     val df = (1L to 100L).toDF("k").withColumn("s",
       org.apache.spark.sql.functions.concat(
