@@ -191,6 +191,67 @@ object TextAnalysis {
       .unionAll(pcts)
   }
 
+  /** DOCUMENT CHUNKING into fixed token windows with overlap — the
+    * docs→model-context step before packing/training: chunk `i` covers
+    * tokens `[i·stride, i·stride + chunkTokens)` with
+    * `stride = chunkTokens - overlap`, the last chunk simply shorter
+    * (no padding — that's the packer's job). Output one row per chunk:
+    * (doc_id, chunk_id, n_chunk_tokens, chunk_hash), the hash (md5 of
+    * the space-joined window) standing in for the chunk text so
+    * downstream equality/dedup is cheap and the oracle compare robust.
+    *
+    * Purely map-side: `sequence` + `posexplode` + `slice` inside one
+    * projection — the output is chunk-sized by contract (≈ n/stride
+    * rows per doc), and nothing shuffles. Zero-token docs produce no
+    * chunks.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16,
+                textCol: String = "text"): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      "need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    docs.select(col("doc_id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L),
+          expr(s"CAST((size(t) - 1) div $stride AS BIGINT)"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("ck"), " ").cast("binary")).as("chunk_hash"))
+  }
+
+  /** THRESHOLD SWEEP over the quality score — the calibration report
+    * read before picking a filter cutoff: for each candidate τ, how
+    * many documents and tokens survive `score_q ≥ τ`, as counts and
+    * ppm rates. Runs entirely off the bounded score histogram (one
+    * corpus aggregation; the sweep itself touches only the tiny
+    * frame × |thresholds|). Rates are exact integer-scaled divisions.
+    * A threshold no document reaches is absent from the output (its
+    * survivor set is empty), matching the relational oracle exactly.
+    */
+  def thresholdSweep(docs: DataFrame, thresholds: Seq[Long],
+                     textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val scored = scoredQ(docs, textCol)
+    val hist = scored.groupBy("score_q")
+      .agg(count(lit(1)).as("cnt"), sum("n_tokens").as("tok"))
+    val totals = hist.agg(sum("cnt").as("n_docs"), sum("tok").as("n_tokens"))
+    hist.crossJoin(broadcast(totals))
+      .select(col("score_q"), col("cnt"), col("tok"), col("n_docs"),
+        col("n_tokens"),
+        explode(array(thresholds.map(lit(_)): _*)).as("tau"))
+      .filter(col("score_q") >= col("tau"))
+      .groupBy("tau")
+      .agg(sum("cnt").as("keep_docs"), sum("tok").as("keep_tokens"),
+        max("n_docs").as("n_docs"), max("n_tokens").as("n_tokens"))
+      .select(col("tau"), col("keep_docs"), col("keep_tokens"),
+        expr("keep_docs * 1000000 div n_docs").as("doc_rate_ppm"),
+        expr("keep_tokens * 1000000 div n_tokens").as("token_rate_ppm"))
+  }
+
   /** MIXTURE REBALANCING to a target distribution: each group (language,
     * source, domain…) is downsampled to `share_ppm · totalOut / 1e6`
     * documents — "mix the corpus to spec", the step that turns a crawl's

@@ -111,6 +111,16 @@ object TextQueries {
       TextAnalysis.lengthStats(Tables(s, dir, "documents"))
         .orderBy("metric")),
 
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables(s, dir, "documents"),
+          chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")),
+
+    "text_sweep" -> ((s, dir) =>
+      TextAnalysis.thresholdSweep(Tables(s, dir, "documents"),
+          Seq(-50000L, 0L, 50000L, 100000L, 150000L))
+        .orderBy("tau")),
+
     // tokenizer fertility (subwords per word) by language — the
     // per-language cost report that decides tokenizer vocab allocation;
     // exact integer sums, one double division at the end
@@ -743,6 +753,55 @@ object TextQueries {
         |  FROM documents d JOIN q ON q.grp = d.lang)
         |SELECT doc_id, grp, rb_rank FROM r WHERE rb_rank <= quota
         |ORDER BY doc_id""".stripMargin,
+
+    // fixed-window chunking with overlap: stride 48, chunk i covers
+    // tokens [i*48, i*48+64), last chunk shorter; hash stands for text
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n, unnest(generate_series(0, (n - 1) // 48)) AS chunk_id
+        |  FROM n),
+        |ck AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |    list_slice(toks, chunk_id * 48 + 1, least(chunk_id * 48 + 64, n)) AS w
+        |  FROM c)
+        |SELECT doc_id, chunk_id, CAST(len(w) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(w, ' ')) AS chunk_hash
+        |FROM ck ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // threshold sweep off the same score CTEs as text_quantile:
+    // survivors per tau as counts and exact ppm rates
+    "text_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_c,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_c,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> list_contains(['the','a','of','and','to','in','is'], w))) AS BIGINT) AS stop_c
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    stop_c * 1000000 // n_tokens - punct_c * 1000000 // n_chars
+        |      - digit_c * 1000000 // n_chars AS score_q
+        |  FROM t WHERE n_tokens > 0),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM s),
+        |taus AS (SELECT unnest([-50000, 0, 50000, 100000, 150000]) AS tau),
+        |k AS (
+        |  SELECT taus.tau, CAST(count(*) AS BIGINT) AS keep_docs,
+        |    CAST(sum(s.n_tokens) AS BIGINT) AS keep_tokens
+        |  FROM taus JOIN s ON s.score_q >= taus.tau
+        |  GROUP BY taus.tau)
+        |SELECT CAST(k.tau AS BIGINT) AS tau, k.keep_docs, k.keep_tokens,
+        |  k.keep_docs * 1000000 // tot.n_docs AS doc_rate_ppm,
+        |  k.keep_tokens * 1000000 // tot.n_tokens AS token_rate_ppm
+        |FROM k, tot ORDER BY tau""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (

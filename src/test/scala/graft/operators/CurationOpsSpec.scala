@@ -74,6 +74,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(small.subsetOf(out), "selection must be monotone in the quota")
   }
 
+  test("chunkDocs: windows cover the doc, overlap honored, last chunk short") {
+    val docs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, chunkTokens = 8, overlap = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // stride 5: starts 0,5,10,15 -> sizes 8,8,8,5
+    assert(out.map(c => (c._1, c._2)).toSeq ==
+      Seq((0L, 8L), (1L, 8L), (2L, 8L), (3L, 5L)), s"got ${out.toSeq}")
+    val h0 = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 8).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.head._3 == h0, "chunk 0 hash must cover tokens 1..8")
+    // empty docs chunk to nothing
+    assert(TextAnalysis.chunkDocs(Seq((2L, "  ")).toDF("doc_id", "text"))
+      .count() == 0)
+  }
+
+  test("thresholdSweep: survivor counts and ppm rates; unreachable tau absent") {
+    val docs = (1 to 10).map(i => (i.toLong, ("the " * i) + "zz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.thresholdSweep(docs, Seq(800000L, 950000L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // score_i = i*1e6 div (i+1); tau 800000 keeps docs 4..10:
+    // 7 docs, 56 of 65 tokens
+    assert(out == Map(800000L -> ((7L, 56L, 700000L, 861538L))), s"got $out")
+    assert(!out.contains(950000L), "tau above every score must be absent")
+  }
+
   // ---- containment ----
 
   private val longText = (1 to 40).map(i => s"w$i").mkString(" ")
