@@ -92,6 +92,12 @@ class CurationOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("chunkDocs: zero exchanges — the operator is map-side by contract") {
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextAnalysis.chunkDocs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n${plan.take(800)}")
+  }
+
   test("thresholdSweep: survivor counts and ppm rates; unreachable tau absent") {
     val docs = (1 to 10).map(i => (i.toLong, ("the " * i) + "zz"))
       .toDF("doc_id", "text")
