@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SCD Type-2 historization — the natural extension of the reference's
+  * Type-1 merge (`/root/reference/main.py:139-343` keeps only the latest
+  * image; a Type-2 dim keeps every version with its validity interval).
+  * Not in the reference's surface, but the first thing a real warehouse
+  * user asks for once SCD1 works, and the semantics compose from the
+  * exact same primitives: the null-safe change predicate
+  * ([[Scd1.anyChanged]]) and the full-snapshot delete rule (K7).
+  *
+  * History schema = keys ++ compareCols ++
+  * (`valid_from` timestamp, `valid_to` nullable timestamp,
+  * `is_current` boolean). Invariants: per key, intervals are
+  * non-overlapping, at most one `is_current` row, and
+  * `valid_to IS NULL ⇔ is_current`.
+  *
+  * Merge semantics at load time `asOf` against a FULL snapshot:
+  *  - new key            → one open row (asOf, NULL, true)
+  *  - changed (null-safe) → current row closes at asOf; new open row
+  *  - unchanged          → current row passes through verbatim
+  *  - absent from snapshot → current row closes at asOf (soft delete —
+  *    the key's history stays; a later re-appearance opens a fresh row)
+  *  - already-closed rows pass through untouched, always.
+  *
+  * Scale shape: ONE full-outer join of the CURRENT slice against the
+  * snapshot, producing 0-2 output rows per key via an array-explode (no
+  * second pass over the join). Closed rows never enter the join — store
+  * the history partitioned by `is_current` (or date-partition `valid_to`)
+  * and the merge reads and rewrites only the current partition, which is
+  * dim-sized, not history-sized; with the Warehouse's bucketed layout the
+  * current slice co-locates with the snapshot like any SCD1 dim.
+  */
+object Scd2 {
+
+  private val auditCols = Seq("valid_from", "valid_to", "is_current")
+
+  /** First load: every snapshot row becomes an open version. */
+  def initial(snapshot: DataFrame, keys: Seq[String], compareCols: Seq[String],
+              asOf: java.sql.Timestamp): DataFrame =
+    snapshot.select((keys ++ compareCols).map(col): _*)
+      .withColumn("valid_from", lit(asOf))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+
+  /** Merge a full snapshot taken at `asOf` into the history. */
+  def merge(history: DataFrame, snapshot: DataFrame, keys: Seq[String],
+            compareCols: Seq[String], asOf: java.sql.Timestamp): DataFrame = {
+    val attrs = keys ++ compareCols
+    val closed = history.filter(!col("is_current"))
+      .select((attrs ++ auditCols).map(col): _*)
+    val d = history.filter(col("is_current"))
+      .select((attrs ++ auditCols).map(col): _*)
+      .withColumn("__dexists", lit(1))
+      .alias("d")
+    val s = snapshot.select(attrs.map(col): _*)
+      .withColumn("__sexists", lit(1))
+      .alias("s")
+    val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
+
+    val isInsert = col("d.__dexists").isNull
+    val isDelete = col("s.__sexists").isNull
+    val isChange = !isInsert && !isDelete && Scd1.anyChanged(compareCols)
+
+    // The three row shapes share one struct schema so they can ride a
+    // single array-explode off the single join (no cached second pass).
+    def shape(side: String, from: Column, to: Column, cur: Column): Column =
+      struct(attrs.map(c => col(s"$side.$c").as(c)) ++ Seq(
+        from.as("valid_from"), to.as("valid_to"), cur.as("is_current")): _*)
+    val oldKept   = shape("d", col("d.valid_from"), col("d.valid_to"), col("d.is_current"))
+    val oldClosed = shape("d", col("d.valid_from"), lit(asOf), lit(false))
+    val newOpen   = shape("s", lit(asOf), lit(null).cast("timestamp"), lit(true))
+
+    val rows = when(isInsert, array(newOpen))
+      .when(isDelete, array(oldClosed))
+      .when(isChange, array(oldClosed, newOpen))
+      .otherwise(array(oldKept))
+    val merged = s.join(d, on, "full")
+      .select(explode(rows).as("r"))
+      .select((attrs ++ auditCols).map(c => col(s"r.$c").as(c)): _*)
+    closed.unionAll(merged)
+  }
+
+  /** Point-in-time lookup: the version of each key valid at `at` —
+    * the query an SCD2 dim exists to answer (joins from facts use the
+    * same interval predicate). Half-open intervals: [valid_from,
+    * valid_to); a row whose valid_to equals `at` is already superseded.
+    */
+  def asOf(history: DataFrame, at: java.sql.Timestamp): DataFrame =
+    history.filter(col("valid_from") <= lit(at) &&
+      (col("valid_to").isNull || col("valid_to") > lit(at)))
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of an aggregate materialized view — the
+  * warehouse pattern that turns the reference's nightly full-table
+  * report rebuild (`/root/reference/main.py` recomputes report №1/№2
+  * from the whole fact table every run) into a delta-sized refresh.
+  *
+  * A view is declared over ALGEBRAIC measures only (count / sum / min /
+  * max — the self-mergeable aggregates Spark itself uses for partial
+  * aggregation; avg is sum/count at read time). The stored MV row is the
+  * PARTIAL state per group, so a refresh is: aggregate the delta
+  * (delta-sized shuffle), union with the stored MV (group-cardinality-
+  * sized, not base-sized), and re-merge. Cost ∝ |delta| + |groups|; the
+  * 100 TB base table is never rescanned. With the MV stored bucketed on
+  * the group key (Warehouse layout), the merge plans with no MV-side
+  * Exchange, exactly like the SCD1 dim merge.
+  *
+  * Append-only deltas: min/max are NOT subtractable, so (like every
+  * production incremental-view engine's algebraic tier) retractions
+  * require either a full rebuild or count-carrying deletion handling on
+  * the sum/count subset — documented, not hidden.
+  */
+object MaterializedAgg {
+
+  sealed trait Kind
+  case object Count extends Kind
+  case object Sum extends Kind
+  case object Min extends Kind
+  case object Max extends Kind
+
+  /** A named measure: output column `name` = `kind` over `expr`. */
+  final case class Measure(name: String, expr: Column, kind: Kind)
+
+  private def build(m: Measure): Column = (m.kind match {
+    case Count => count(m.expr)
+    case Sum   => sum(m.expr)
+    case Min   => min(m.expr)
+    case Max   => max(m.expr)
+  }).as(m.name)
+
+  /** Merge function for an already-partial column: counts and sums add;
+    * min/max re-minimize. This is exactly Spark's own partial-merge
+    * algebra, expressed relationally so it can run across refreshes.
+    */
+  private def merge(m: Measure): Column = (m.kind match {
+    case Count | Sum => sum(col(m.name))
+    case Min         => min(col(m.name))
+    case Max         => max(col(m.name))
+  }).as(m.name)
+
+  /** Build the view from scratch (initial load, or a forced rebuild). */
+  def aggregate(base: DataFrame, keys: Seq[String], measures: Seq[Measure]): DataFrame =
+    base.groupBy(keys.map(col): _*).agg(build(measures.head), measures.tail.map(build): _*)
+
+  /** Refresh the stored view with an APPENDED delta. The base table is
+    * not an input — only the delta and the (small) stored state are.
+    * Identity: refresh(aggregate(b), d) == aggregate(b ∪ d) for any
+    * split (spec-asserted, and the `q_mv_refresh` oracle recomputes the
+    * full aggregate).
+    */
+  def refresh(mv: DataFrame, delta: DataFrame, keys: Seq[String],
+              measures: Seq[Measure]): DataFrame = {
+    val deltaAgg = aggregate(delta, keys, measures)
+    mv.select((keys ++ measures.map(_.name)).map(col): _*)
+      .unionAll(deltaAgg.select((keys ++ measures.map(_.name)).map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(merge(measures.head), measures.tail.map(merge): _*)
+  }
+}

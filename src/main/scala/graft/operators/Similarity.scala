@@ -308,8 +308,22 @@ object Similarity {
     */
   def semanticDedupTwoLevel(embeddings: DataFrame, finePred: Column,
                             coarsePred: Column, nprobeCoarse: Int = 2,
-                            threshold: Double = 0.9): DataFrame = {
-    val corpus = withQuant(embeddings).cache()
+                            threshold: Double = 0.9): DataFrame =
+    semanticDedupTwoLevelStored(withQuant(embeddings), finePred, coarsePred,
+      nprobeCoarse, threshold)
+
+  /** [[semanticDedupTwoLevel]] against a persisted [[embeddingStore]] —
+    * the production shape: ingestion quantizes once, and the semantic
+    * pass (like [[crossSetMatchesStored]]) runs entirely from the stored
+    * (vec_id, q, nrm) integers with no float re-read. The recomputing
+    * entry point above routes through here, so the `dedup_semantic2`
+    * oracle covers this whole path; exactness across the parquet round
+    * trip is additionally spec-pinned.
+    */
+  def semanticDedupTwoLevelStored(corpusStore: DataFrame, finePred: Column,
+                                  coarsePred: Column, nprobeCoarse: Int = 2,
+                                  threshold: Double = 0.9): DataFrame = {
+    val corpus = corpusStore.cache()
     val assigned = assignTwoLevelQ(corpus, finePred, coarsePred, nprobeCoarse)
       .join(corpus, Seq("vec_id"))
     markDups(assigned.cache(), threshold)

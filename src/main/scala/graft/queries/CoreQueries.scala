@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.etl.Scd1
+import graft.etl.{Scd1, Scd2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -124,6 +124,29 @@ object CoreQueries {
       Scd1.mergeTagged(dim, snapshot, Seq("c_custkey"),
           Seq("c_name", "c_acctbal", "c_mktsegment"))
         .orderBy("c_custkey")
+    }),
+
+    // ---- SCD2 historization (Type-1 merge's natural extension): day-1
+    // initial load (%13 keys held out as day-2 inserts), then a day-2
+    // snapshot with the SCD1 mutation recipe (%10 deleted, %7 balance
+    // bump, %11 segment nulled). History rows carry validity intervals.
+    "q_scd2_merge" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val day1 = c.filter(col("c_custkey") % 13 =!= 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val day2 = c.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast(StringType))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+      val h1 = Scd2.initial(day1, Seq("c_custkey"),
+        Seq("c_name", "c_acctbal", "c_mktsegment"), t1)
+      Scd2.merge(h1, day2, Seq("c_custkey"),
+          Seq("c_name", "c_acctbal", "c_mktsegment"), t2)
+        .orderBy("c_custkey", "valid_from")
     }),
 
     // ---- K8/J4: idempotent fact append (anti-join dedup)
@@ -273,6 +296,38 @@ object CoreQueries {
         |      ELSE 'unchanged' END AS action
         |FROM snapshot s LEFT JOIN dim d ON s.c_custkey = d.c_custkey
         |ORDER BY s.c_custkey""".stripMargin,
+    "q_scd2_merge" ->
+      """WITH day1 AS (
+        | SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        | WHERE c_custkey % 13 <> 0),
+        |day2 AS (
+        | SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        | FROM customer WHERE c_custkey % 10 <> 0),
+        |j AS (
+        | SELECT coalesce(s.c_custkey, d.c_custkey) AS k,
+        |  d.c_custkey IS NULL AS ins, s.c_custkey IS NULL AS del,
+        |  (d.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND (
+        |    s.c_name IS DISTINCT FROM d.c_name
+        |    OR s.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |    OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment)) AS chg,
+        |  s.c_name AS sn, s.c_acctbal AS sa, s.c_mktsegment AS sm,
+        |  d.c_name AS dn, d.c_acctbal AS da, d.c_mktsegment AS dm
+        | FROM day2 s FULL JOIN day1 d ON s.c_custkey = d.c_custkey)
+        |SELECT k AS c_custkey, dn AS c_name, da AS c_acctbal, dm AS c_mktsegment,
+        | TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        | TIMESTAMP '2024-01-02 00:00:00' AS valid_to, false AS is_current
+        |FROM j WHERE del OR chg
+        |UNION ALL
+        |SELECT k, dn, da, dm, TIMESTAMP '2024-01-01 00:00:00',
+        | CAST(NULL AS TIMESTAMP), true
+        |FROM j WHERE NOT ins AND NOT del AND NOT chg
+        |UNION ALL
+        |SELECT k, sn, sa, sm, TIMESTAMP '2024-01-02 00:00:00',
+        | CAST(NULL AS TIMESTAMP), true
+        |FROM j WHERE ins OR chg
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "q_fact_append" ->
       """WITH fact AS (
         | SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),

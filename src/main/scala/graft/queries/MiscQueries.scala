@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.etl.Schemas
-import graft.operators.{AsOfJoin, Dedup, RangeJoin, Resample}
+import graft.operators.{AsOfJoin, Dedup, MaterializedAgg, RangeJoin, Resample}
 import graft.plans.TopK
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -207,7 +207,40 @@ object MiscQueries {
       graft.operators.Profiler.profile(Tables(s, dir, "lineitem"),
           Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
             "l_linestatus", "l_shipdate"))
-        .orderBy("col_name")))
+        .orderBy("col_name")),
+
+    // The routine-monitoring profile: approx_count_distinct folds the
+    // distinct branch into the codegen'd scalar pass — no Expand, fully
+    // partial-combining. HLL estimates aren't engine-portable, so this
+    // entry has no DuckDB oracle (rows-only check); the exact-profile
+    // twin above carries the hash gate for everything else.
+    "q_profile_approx" -> ((s, dir) =>
+      graft.operators.Profiler.profileApprox(Tables(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+            "l_linestatus", "l_shipdate"))
+        .orderBy("col_name")),
+
+    // Incremental MV maintenance: build the aggregate on pre-1997
+    // lineitem, refresh with the 1997+ delta — the base is never
+    // rescanned; the oracle recomputes the full aggregate, so the
+    // refresh identity is under the hash gate.
+    "q_mv_refresh" -> ((s, dir) => {
+      import MaterializedAgg._
+      val li = Tables(s, dir, "lineitem")
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq(
+        Measure("n_rows", lit(1), Count),
+        Measure("sum_qty", col("l_quantity").cast(DecimalType(18, 2)), Sum),
+        Measure("min_ship", col("l_shipdate"), Min),
+        Measure("max_ship", col("l_shipdate"), Max))
+      val cut = lit("1997-01-01 00:00:00").cast(TimestampType)
+      val mv = aggregate(li.filter(col("l_shipdate") < cut), keys, ms)
+      refresh(mv, li.filter(col("l_shipdate") >= cut), keys, ms)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+          col("sum_qty").cast(DoubleType).as("sum_qty"),
+          col("min_ship"), col("max_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_profile" ->
@@ -243,6 +276,12 @@ object MiscQueries {
         |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+
+    "q_mv_refresh" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,

@@ -245,6 +245,29 @@ class CorpusSearchSpec extends AnyFunSuite {
     assert(twoLevel.count(!_._3) >= 24, "originals must be kept")
   }
 
+  test("semanticDedupTwoLevelStored: stored == fresh through a parquet round trip") {
+    val vecs = (0 until 24).map { i =>
+      val r = new scala.util.Random(i * 7 + 1)
+      (i.toLong, Seq.fill(4)(r.nextFloat() * 2f - 1f))
+    } ++ Seq((100L, {
+      val r = new scala.util.Random(1 * 7 + 1)
+      Seq.fill(4)(r.nextFloat() * 2f - 1f)
+    }))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("semstore").toString
+    Similarity.embeddingStore(df).write.mode("overwrite").parquet(dir)
+    val stored = Similarity.semanticDedupTwoLevelStored(spark.read.parquet(dir),
+        col("vec_id") % 6 === 1, col("vec_id") % 12 === 5,
+        nprobeCoarse = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val fresh = Similarity.semanticDedupTwoLevel(df,
+        col("vec_id") % 6 === 1, col("vec_id") % 12 === 5,
+        nprobeCoarse = 2, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(stored == fresh && stored.exists(_._3), s"stored=$stored fresh=$fresh")
+  }
+
   // ---- incremental near-dup ----
 
   test("incremental == full near-dup pairs restricted to batch-touching pairs") {

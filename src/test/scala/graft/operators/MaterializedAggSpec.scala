@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The refresh identity: for ANY split of the data into base ∪ delta,
+  * refreshing the base-built view with the delta equals the full
+  * rebuild — including groups present only in the delta and only in
+  * the base, and a second chained refresh.
+  */
+class MaterializedAggSpec extends AnyFunSuite {
+  import MaterializedAgg._
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val measures = Seq(
+    Measure("n", lit(1), Count),
+    Measure("s", col("v").cast("decimal(18,2)"), Sum),
+    Measure("lo", col("v"), Min),
+    Measure("hi", col("v"), Max))
+
+  private def rows(df: DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.getDecimal(2)).map(_.toString),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+
+  test("refresh(aggregate(base), delta) == aggregate(base ++ delta)") {
+    val all = (1 to 200).map(i => (s"g${i % 7}", (i * 13 % 101).toDouble))
+      .toDF("g", "v")
+    for (cut <- Seq(0, 50, 200)) {  // empty base, mid split, empty delta
+      val base = all.limit(cut)
+      val delta = all.except(base).unionAll(
+        // delta-only group + base-only groups preserved
+        Seq(("gNew", 5.0)).toDF("g", "v"))
+      val full = aggregate(all.unionAll(Seq(("gNew", 5.0)).toDF("g", "v")),
+        Seq("g"), measures)
+      val inc = refresh(aggregate(base, Seq("g"), measures), delta,
+        Seq("g"), measures)
+      assert(rows(inc) == rows(full), s"cut=$cut")
+    }
+  }
+
+  test("chained refreshes compose") {
+    val d1 = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val d2 = Seq(("a", 3.0), ("c", 4.0)).toDF("g", "v")
+    val d3 = Seq(("b", -1.0)).toDF("g", "v")
+    val chained = refresh(refresh(aggregate(d1, Seq("g"), measures),
+      d2, Seq("g"), measures), d3, Seq("g"), measures)
+    val full = aggregate(d1.unionAll(d2).unionAll(d3), Seq("g"), measures)
+    assert(rows(chained) == rows(full))
+  }
+}
