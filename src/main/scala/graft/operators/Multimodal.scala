@@ -492,4 +492,86 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** (sampleRate, samples) from a 16-bit PCM mono WAV — the raw-sample
+    * sibling of [[decodeWav]], for operators that need the waveform
+    * itself rather than its scalar statistics.
+    */
+  private[operators] def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Int]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a WAV file")
+    var off = 12
+    var sampleRate = -1; var bits = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val len = buf.getInt(off + 4)
+      if (id == "fmt ") {
+        require(buf.getShort(off + 8) == 1, "non-PCM WAV unsupported")
+        channels = buf.getShort(off + 10)
+        sampleRate = buf.getInt(off + 12)
+        bits = buf.getShort(off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1)
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(bits == 16 && channels == 1, s"unsupported PCM layout ${bits}bit×$channels")
+    require(bytes.length >= dataOff + dataLen, "truncated sample data")
+    val n = dataLen / 2
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) { out(k) = buf.getShort(dataOff + k * 2).toInt; k += 1 }
+    (sampleRate, out)
+  }
+
+  /** Frame-level audio features over the REAL decoded waveform — the
+    * standard first pass of any audio-curation pipeline (VAD gating,
+    * silence trimming, clipping detection all read these): per
+    * `frameLen`-sample frame, the sample count, ENERGY (Σv², exact
+    * BIGINT), PEAK (max |v|), and ZERO-CROSSING count (sign changes
+    * between consecutive samples; 0 counts as non-negative).
+    *
+    * Scale shape: the codec stays imperative (`mapPartitions`, the
+    * `mapInPandas` batch form — one row per doc in and out), but the
+    * framing and per-frame aggregation are RELATIONAL: `sequence` +
+    * `slice` + higher-order `aggregate` over the samples array, all
+    * codegen-friendly and map-side — no shuffle, no per-sample row
+    * explosion (rows = frames, not samples). A 100 TB audio corpus
+    * streams through at scan speed.
+    */
+  def audioFrameFeatures(media: DataFrame, frameLen: Int = 16): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    val decSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", LongType),
+      StructField("samples", ArrayType(IntegerType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(decSchema)
+    val decoded = media.filter(col("fmt") === "wav")
+      .select("doc_id", "fmt", "payload").mapPartitions { rows =>
+        rows.map { r =>
+          val (sr, samples) = decodeWavSamples(r.getAs[Array[Byte]](2))
+          Row(r.getLong(0), sr.toLong, samples)
+        }
+      }(enc)
+    decoded
+      .withColumn("frame_id",
+        explode(sequence(lit(0), expr(s"(size(samples) - 1) div $frameLen"))))
+      .withColumn("fs",
+        slice(col("samples"), col("frame_id") * lit(frameLen) + 1, lit(frameLen)))
+      .select(col("doc_id"), col("sample_rate"), col("frame_id").cast(LongType).as("frame_id"),
+        size(col("fs")).cast(LongType).as("n"),
+        expr("aggregate(fs, CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT) * v)")
+          .as("energy"),
+        expr("aggregate(fs, CAST(0 AS BIGINT), (acc, v) -> greatest(acc, abs(CAST(v AS BIGINT))))")
+          .as("peak"),
+        expr("""aggregate(fs,
+                 named_struct('prev', CAST(-1 AS INT), 'cnt', CAST(0 AS BIGINT)),
+                 (st, v) -> named_struct(
+                   'prev', CASE WHEN v < 0 THEN 1 ELSE 0 END,
+                   'cnt', st.cnt + CASE WHEN st.prev >= 0
+                     AND (CASE WHEN v < 0 THEN 1 ELSE 0 END) <> st.prev
+                     THEN 1 ELSE 0 END),
+                 st -> st.cnt)""").as("zero_cross"))
+  }
 }

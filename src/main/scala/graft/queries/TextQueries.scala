@@ -365,7 +365,15 @@ object TextQueries {
       Multimodal.imagePatchFeatures(
         Multimodal.attachMediaPayload(Tables(s, dir, "documents"))
           .filter(col("fmt") =!= "wav"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // frame-level energy / peak / zero-crossings over the real decoded
+    // waveform; the oracle regenerates the parametric samples, so the
+    // whole codec + framing + aggregation path is under the hash gate
+    "mm_audio_frames" -> ((s, dir) =>
+      Multimodal.audioFrameFeatures(
+          Multimodal.attachMediaPayload(Tables(s, dir, "documents")))
+        .orderBy("doc_id", "frame_id")))
 
   /** Oracle for the NATIVE char-gram path (Dedup.charGramNearDups /
     * QCharGrams): the same polynomial gram hash computed relationally —
@@ -1334,6 +1342,31 @@ object TextQueries {
         |  max(CASE WHEN p = 2 THEN q END) AS q10,
         |  max(CASE WHEN p = 3 THEN q END) AS q11
         |FROM pat GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+
+    // per-frame waveform features vs the closed-form samples
+    // (id·131 + k·17) % 65536 − 32768, frames of 16; zero crossings =
+    // sign changes between consecutive in-frame samples
+    "mm_audio_frames" ->
+      """WITH wav AS (
+        |  SELECT doc_id, doc_id % 50 + 10 AS n FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |samp AS (
+        |  SELECT doc_id, k, k // 16 AS frame_id,
+        |    (doc_id * 131 + k * 17) % 65536 - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, n - 1)) AS k FROM wav)),
+        |x AS (
+        |  SELECT doc_id, frame_id, k, v,
+        |    CASE WHEN v < 0 THEN 1 ELSE 0 END AS s,
+        |    lag(CASE WHEN v < 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id, frame_id ORDER BY k) AS ps
+        |  FROM samp)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, frame_id,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM x GROUP BY doc_id, frame_id
+        |ORDER BY doc_id, frame_id""".stripMargin,
 
     // add-one-smoothed bigram LM: mean inverse bigram probability,
     // each (c1+V)/(c12+1) quantized to BIGINT (·1e6, exact integer

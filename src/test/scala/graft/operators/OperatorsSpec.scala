@@ -245,6 +245,25 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio frame features match a per-sample fold of the render formula") {
+    val ids = Seq(1L, 4L, 22L, 49L).toDF("doc_id") // all %3==1 → wav
+    val out = Multimodal.audioFrameFeatures(Multimodal.attachMediaPayload(ids))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r).toMap
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      val n = (id % 50 + 10).toInt
+      val samples = (0 until n).map(k => ((id * 131 + k * 17) % 65536 - 32768).toInt)
+      samples.grouped(16).zipWithIndex.foreach { case (fs, f) =>
+        val r = out((id, f.toLong))
+        assert(r.getLong(1) == 8000L && r.getLong(3) == fs.length, s"doc $id frame $f")
+        assert(r.getLong(4) == fs.map(v => v.toLong * v).sum, s"energy doc $id frame $f")
+        assert(r.getLong(5) == fs.map(v => math.abs(v.toLong)).max, s"peak doc $id frame $f")
+        val zc = fs.sliding(2).count(p => p.size == 2 && (p(0) < 0) != (p(1) < 0))
+        assert(r.getLong(6) == zc, s"zero_cross doc $id frame $f")
+      }
+      assert(!out.contains((id, ((n - 1) / 16 + 1).toLong)), s"no extra frame for $id")
+    }
+  }
+
   test("frame sampling yields <=4 in-range indices per video") {
     val out = Multimodal.frameSample(docs).collect()
     val byDoc = out.groupBy(_.getLong(0))
