@@ -240,6 +240,36 @@ object MiscQueries {
           col("sum_qty").cast(DoubleType).as("sum_qty"),
           col("min_ship"), col("max_ship"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Declarative data-quality audit over orders with seeded violations
+    // (dup keys, null FKs, negative prices, dangling FKs) — row rules in
+    // one aggregation pass, unique via groupBy, FK via left-anti
+    "q_dq_audit" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val o = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val aug = o
+        .unionAll(o.filter(col("o_orderkey") % 97 === 0))
+        .unionAll(o.filter(col("o_orderkey") % 89 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit(null).cast(LongType).as("o_custkey"),
+            col("o_totalprice"), col("o_orderdate")))
+        .unionAll(o.filter(col("o_orderkey") % 83 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_custkey"), (-col("o_totalprice")).as("o_totalprice"),
+            col("o_orderdate")))
+        .unionAll(o.filter(col("o_orderkey") % 79 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            (col("o_custkey") + 9000000L).as("o_custkey"),
+            col("o_totalprice"), col("o_orderdate")))
+      audit(aug, Seq(
+          Unique("orderkey_unique", Seq("o_orderkey")),
+          NotNull("custkey_not_null", "o_custkey"),
+          Check("price_non_negative", col("o_totalprice") >= 0),
+          ForeignKey("custkey_fk", Seq("o_custkey"),
+            Tables(s, dir, "customer"), Seq("c_custkey"))))
+        .orderBy("rule_name")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -282,6 +312,35 @@ object MiscQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dq_audit" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders),
+        |aug AS (
+        | SELECT * FROM o
+        | UNION ALL SELECT * FROM o WHERE o_orderkey % 97 = 0
+        | UNION ALL SELECT o_orderkey + 10000000, NULL, o_totalprice, o_orderdate
+        |   FROM o WHERE o_orderkey % 89 = 0
+        | UNION ALL SELECT o_orderkey + 20000000, o_custkey, -o_totalprice, o_orderdate
+        |   FROM o WHERE o_orderkey % 83 = 0
+        | UNION ALL SELECT o_orderkey + 30000000, o_custkey + 9000000, o_totalprice, o_orderdate
+        |   FROM o WHERE o_orderkey % 79 = 0)
+        |SELECT 'orderkey_unique' AS rule_name,
+        | CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS n_violations
+        |FROM (SELECT count(*) AS cnt FROM aug GROUP BY o_orderkey) WHERE cnt > 1
+        |UNION ALL
+        |SELECT 'custkey_not_null',
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM aug
+        |UNION ALL
+        |SELECT 'price_non_negative',
+        | CAST(sum(CASE WHEN NOT coalesce(o_totalprice >= 0, false) THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM aug
+        |UNION ALL
+        |SELECT 'custkey_fk', CAST(count(*) AS BIGINT) FROM aug
+        |WHERE o_custkey IS NOT NULL
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |ORDER BY rule_name""".stripMargin,
 
     "q_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
