@@ -91,4 +91,34 @@ object Scd2 {
   def asOf(history: DataFrame, at: java.sql.Timestamp): DataFrame =
     history.filter(col("valid_from") <= lit(at) &&
       (col("valid_to").isNull || col("valid_to") > lit(at)))
+
+  /** Point-in-time fact enrichment: each fact row joins the dim VERSION
+    * that was valid at its event time (`factTs`) — the query an SCD2
+    * dim exists for. LEFT join: facts before the key's first version,
+    * after its soft delete, or with no key at all keep their row with
+    * null dim columns (silently dropping them would corrupt any
+    * aggregate downstream).
+    *
+    * Scale shape: an EQUI join on the key with the interval predicate
+    * as a residual filter — versions per key are few (one per change),
+    * so the residual scans a handful of rows per fact, never a range
+    * scan. Both sides hash-partition on the key; with the history
+    * bucketed on the key (Warehouse layout) the dim side plans with no
+    * Exchange, exactly like the SCD1 merge.
+    */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+                      factKeys: Seq[String], dimKeys: Seq[String],
+                      factTs: String): DataFrame = {
+    val f = facts.alias("f")
+    val h = history.alias("h")
+    val on = factKeys.zip(dimKeys)
+      .map { case (fk, dk) => col(s"f.$fk") === col(s"h.$dk") }
+      .reduce(_ && _) &&
+      col(s"h.valid_from") <= col(s"f.$factTs") &&
+      (col(s"h.valid_to").isNull || col(s"h.valid_to") > col(s"f.$factTs"))
+    val dimCols = history.columns.filterNot(dimKeys.contains)
+    f.join(h, on, "left")
+      .select(facts.columns.map(c => col(s"f.$c").as(c)) ++
+        dimCols.map(c => col(s"h.$c").as(c)): _*)
+  }
 }

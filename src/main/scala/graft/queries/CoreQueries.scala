@@ -105,6 +105,25 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // ---- sliding ROWS frames + ntile + first_value: the moving-average
+    // family. Values quantized to BIGINT (floor(v·1e6)) so the moving
+    // sum is order-free-exact in both engines; one partition+order →
+    // one Window exec for all four frames (CollapseWindow)
+    "q_window_moving" -> ((s, dir) => {
+      val vq = expr("CAST(floor(value * 1e6) AS BIGINT)")
+      val base = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val w3 = base.rowsBetween(-2, 0)
+      val wf = base.rowsBetween(Window.unboundedPreceding, 0)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), vq.as("v_q"),
+          count(lit(1)).over(w3).as("mov_cnt"),
+          sum(vq).over(w3).as("mov_sum"),
+          first(vq).over(wf).as("first_q"),
+          ntile(4).over(base).cast(LongType).as("quartile"))
+        .orderBy("event_id")
+    }),
+
     // ---- K4+K6+K7: the SCD1 merge itself, driven through graft.etl.Scd1.
     // dim = customer as-is; snapshot = customer with 10% of keys deleted,
     // every 7th balance changed, every 11th segment nulled (value→null
@@ -147,6 +166,35 @@ object CoreQueries {
       Scd2.merge(h1, day2, Seq("c_custkey"),
           Seq("c_name", "c_acctbal", "c_mktsegment"), t2)
         .orderBy("c_custkey", "valid_from")
+    }),
+
+    // ---- SCD2 point-in-time enrichment: orders pick the customer
+    // VERSION valid at o_orderdate from a two-load history (loads at
+    // 1995-01-01 / 1996-01-01 inside the order-date range, so facts
+    // land before the first load, between loads, and after deletes)
+    "q_scd2_pit" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val day1 = c.filter(col("c_custkey") % 13 =!= 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val day2 = c.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast(StringType))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      val t1 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hist = Scd2.merge(
+        Scd2.initial(day1, Seq("c_custkey"),
+          Seq("c_name", "c_acctbal", "c_mktsegment"), t1),
+        day2, Seq("c_custkey"), Seq("c_name", "c_acctbal", "c_mktsegment"), t2)
+      val facts = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      Scd2.pointInTimeJoin(facts, hist, Seq("o_custkey"), Seq("c_custkey"),
+          "o_orderdate")
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+          "c_acctbal", "c_mktsegment", "valid_from", "is_current")
+        .orderBy("o_orderkey")
     }),
 
     // ---- K8/J4: idempotent fact append (anti-join dedup)
@@ -277,6 +325,21 @@ object CoreQueries {
         | CAST(epoch_ns(ts)//1000 - lag(epoch_ns(ts)//1000) OVER w AS DOUBLE) / 3600000000.0 AS hours_since
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)
         |ORDER BY event_id""".stripMargin,
+    "q_window_moving" ->
+      """SELECT event_id, user_id,
+        | CAST(floor(value * 1e6) AS BIGINT) AS v_q,
+        | count(*) OVER w3 AS mov_cnt,
+        | CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) OVER w3 AS BIGINT) AS mov_sum,
+        | first_value(CAST(floor(value * 1e6) AS BIGINT)) OVER wf AS first_q,
+        | CAST(ntile(4) OVER wo AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW
+        | w3 AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        | wf AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        | wo AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_scd1_merge" ->
       """WITH dim AS (
         | SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
@@ -328,6 +391,44 @@ object CoreQueries {
         | CAST(NULL AS TIMESTAMP), true
         |FROM j WHERE ins OR chg
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q_scd2_pit" ->
+      """WITH day1 AS (
+        | SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        | WHERE c_custkey % 13 <> 0),
+        |day2 AS (
+        | SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        | FROM customer WHERE c_custkey % 10 <> 0),
+        |j AS (
+        | SELECT coalesce(s.c_custkey, d.c_custkey) AS k,
+        |  d.c_custkey IS NULL AS ins, s.c_custkey IS NULL AS del,
+        |  (d.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND (
+        |    s.c_name IS DISTINCT FROM d.c_name
+        |    OR s.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |    OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment)) AS chg,
+        |  s.c_acctbal AS sa, s.c_mktsegment AS sm,
+        |  d.c_acctbal AS da, d.c_mktsegment AS dm
+        | FROM day2 s FULL JOIN day1 d ON s.c_custkey = d.c_custkey),
+        |hist AS (
+        | SELECT k, da AS c_acctbal, dm AS c_mktsegment,
+        |  TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+        |  TIMESTAMP '1996-01-01 00:00:00' AS valid_to, false AS is_current
+        | FROM j WHERE del OR chg
+        | UNION ALL
+        | SELECT k, da, dm, TIMESTAMP '1995-01-01 00:00:00',
+        |  CAST(NULL AS TIMESTAMP), true
+        | FROM j WHERE NOT ins AND NOT del AND NOT chg
+        | UNION ALL
+        | SELECT k, sa, sm, TIMESTAMP '1996-01-01 00:00:00',
+        |  CAST(NULL AS TIMESTAMP), true
+        | FROM j WHERE ins OR chg)
+        |SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+        | h.c_acctbal, h.c_mktsegment, h.valid_from, h.is_current
+        |FROM orders f LEFT JOIN hist h
+        | ON f.o_custkey = h.k AND h.valid_from <= f.o_orderdate
+        | AND (h.valid_to IS NULL OR h.valid_to > f.o_orderdate)
+        |ORDER BY f.o_orderkey""".stripMargin,
     "q_fact_append" ->
       """WITH fact AS (
         | SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),

@@ -71,6 +71,26 @@ class Scd2Spec extends AnyFunSuite {
     assert(h.filter("is_current <> (valid_to IS NULL)").count() == 0)
   }
 
+  test("pointInTimeJoin: each fact picks the version valid at its event time") {
+    val h = run3Days()
+    val facts = Seq(
+      (1L, "k2", Timestamp.valueOf("2024-01-01 06:00:00")),  // v1 of k2
+      (2L, "k2", Timestamp.valueOf("2024-01-02 00:00:00")),  // boundary: v2
+      (3L, "k3", Timestamp.valueOf("2024-01-02 12:00:00")),  // deleted window → null
+      (4L, "k3", Timestamp.valueOf("2024-01-03 08:00:00")),  // re-inserted version
+      (5L, "kX", Timestamp.valueOf("2024-01-02 00:00:00")),  // unknown key → null
+      (6L, "k1", Timestamp.valueOf("2023-12-31 00:00:00")))  // before history → null
+      .toDF("fid", "k", "ts")
+    val out = Scd2.pointInTimeJoin(facts, h, Seq("k"), Seq("k"), "ts")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(3)), Option(r.getTimestamp(5)))).toMap
+    assert(out == Map(
+      1L -> (Some("y"), Some(t1)), 2L -> (Some("y"), Some(t2)),
+      3L -> (None, None), 4L -> (Some("z2"), Some(t3)),
+      5L -> (None, None), 6L -> (None, None)), s"$out")
+    assert(out.size == 6)
+  }
+
   test("asOf: point-in-time lookup uses half-open intervals") {
     val h = run3Days()
     // At t2 exactly: k2's old row (valid_to = t2) is already superseded.
