@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Approximate string matching between two tables — the entity-
+  * resolution primitive (vendor-name reconciliation, benchmark-title
+  * matching, near-identical label merging) that exact equi joins can't
+  * express and an all-pairs `levenshtein` cross join can't survive.
+  *
+  * Shape: character-TRIGRAM blocking, then the exact edit distance on
+  * candidates only — the n-gram analogue of the MinHash band join in
+  * [[Dedup]]. Each side explodes to its DISTINCT trigrams (map-side,
+  * one row per (id, gram)), candidates are the pairs sharing ≥1 gram
+  * (one hash join on the gram), and only candidates pay the O(|a|·|b|)
+  * `levenshtein` (codegen'd Catalyst expression, no UDF).
+  *
+  * Recall: two strings within edit distance d share a trigram whenever
+  * min-length ≥ 3(d+1) + 2 (each edit can destroy at most 3 grams —
+  * pigeonhole), so for names ≥ 11 chars at d ≤ 2 the blocking is
+  * lossless; shorter strings fall back to their whole text as the gram.
+  * At 100 TB the known hazard is gram-frequency skew (a gram shared by
+  * every row degenerates to a self-join): production adds a stop-gram
+  * drop (grams above a document-frequency cap leave both sides — the
+  * same cap-the-bucket trade as the LSH family) or compounds the block
+  * key with a length bucket; both prune candidates, never correctness
+  * of the surviving pairs.
+  */
+object FuzzyJoin {
+
+  private def grams(df: DataFrame, id: String, c: String): DataFrame =
+    df.select(col(id), explode(array_distinct(expr(
+      s"transform(sequence(1, greatest(length($c) - 2, 1)), i -> substring($c, i, 3))")))
+      .as("g"))
+
+  /** All (leftId, rightId, dist) pairs with edit distance ≤ `maxDist`
+    * among trigram-sharing candidates.
+    */
+  def trigramBlocked(left: DataFrame, right: DataFrame,
+                     leftId: String, leftCol: String,
+                     rightId: String, rightCol: String,
+                     maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val cand = grams(left.select(leftId, leftCol), leftId, leftCol)
+      .join(grams(right.select(rightId, rightCol), rightId, rightCol), Seq("g"))
+      .select(col(leftId), col(rightId)).distinct()
+    cand
+      .join(left.select(leftId, leftCol), Seq(leftId))
+      .join(right.select(rightId, rightCol), Seq(rightId))
+      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select(col(leftId), col(rightId), col("dist"))
+  }
+}

@@ -270,6 +270,22 @@ object MiscQueries {
           ForeignKey("custkey_fk", Seq("o_custkey"),
             Tables(s, dir, "customer"), Seq("c_custkey"))))
         .orderBy("rule_name")
+    }),
+
+    // Trigram-blocked fuzzy join: supplier names with a deterministic
+    // one-character deletion (%3 keys, position keyed by %10) matched
+    // back to the originals at edit distance <= 2
+    "q_fuzzy_join" -> ((s, dir) => {
+      val sup = Tables(s, dir, "supplier")
+      val typo = sup.select(col("s_suppkey").as("l_id"),
+        when(col("s_suppkey") % 3 === 0,
+          expr("""concat(substring(s_name, 1, CAST(s_suppkey % 10 AS INT)),
+                         substring(s_name, CAST(s_suppkey % 10 AS INT) + 2, 100))"""))
+          .otherwise(col("s_name")).as("l_name"))
+      val orig = sup.select(col("s_suppkey").as("r_id"), col("s_name").as("r_name"))
+      graft.operators.FuzzyJoin.trigramBlocked(
+          typo, orig, "l_id", "l_name", "r_id", "r_name", maxDist = 2)
+        .orderBy("l_id", "r_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -341,6 +357,28 @@ object MiscQueries {
         |WHERE o_custkey IS NOT NULL
         |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
         |ORDER BY rule_name""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """WITH l AS (
+        | SELECT s_suppkey AS l_id,
+        |  CASE WHEN s_suppkey % 3 = 0
+        |       THEN substr(s_name, 1, CAST(s_suppkey % 10 AS INT))
+        |         || substr(s_name, CAST(s_suppkey % 10 AS INT) + 2, 100)
+        |       ELSE s_name END AS l_name
+        | FROM supplier),
+        |r AS (SELECT s_suppkey AS r_id, s_name AS r_name FROM supplier),
+        |lg AS (
+        | SELECT DISTINCT l_id, substr(l_name, t.g, 3) AS g
+        | FROM l, unnest(generate_series(1, greatest(len(l_name) - 2, 1))) AS t(g)),
+        |rg AS (
+        | SELECT DISTINCT r_id, substr(r_name, t.g, 3) AS g
+        | FROM r, unnest(generate_series(1, greatest(len(r_name) - 2, 1))) AS t(g)),
+        |cand AS (SELECT DISTINCT l_id, r_id FROM lg JOIN rg USING (g))
+        |SELECT c.l_id, c.r_id,
+        | CAST(levenshtein(l.l_name, r.r_name) AS BIGINT) AS dist
+        |FROM cand c JOIN l USING (l_id) JOIN r USING (r_id)
+        |WHERE levenshtein(l.l_name, r.r_name) <= 2
+        |ORDER BY l_id, r_id""".stripMargin,
 
     "q_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
