@@ -86,6 +86,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("fifth-wave queries: interval/blocked joins stay equi-keyed (no NLJ)") {
+    // q_scd2_pit's validity interval and q_fuzzy_join's gram blocking
+    // must ride equi joins as residual conditions — a lost equi key
+    // degrades either to a nested loop over the fact/corpus side
+    for (name <- Seq("q_scd2_merge", "q_scd2_pit", "q_fuzzy_join",
+        "q_dq_audit", "q_mv_refresh")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
+    }
+  }
+
+  test("audioFrameFeatures: shuffle-free (map-side codec + relational framing)") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Multimodal.audioFrameFeatures(
+      graft.operators.Multimodal.attachMediaPayload(
+        graft.Tables(spark, dir, "documents").select(col("doc_id"))))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"audio framing should not shuffle:\n${p.take(1200)}")
+  }
+
   test("text_bm25: global top-k is a heap (TakeOrdered), not a sort") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
