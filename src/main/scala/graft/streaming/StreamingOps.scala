@@ -428,4 +428,46 @@ object StreamingOps {
         sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))
   }
+
+  /** STREAMING upkeep of an aggregate materialized view: each
+    * micro-batch refreshes the warehouse-stored view with just that
+    * batch ([[graft.operators.MaterializedAgg.refresh]]) — the
+    * continuous form of the delta-sized MV refresh, with the base
+    * stream never rescanned.
+    *
+    * `foreachBatch` is at-least-once, and an aggregate refresh (unlike
+    * the SCD1 merge) is NOT naturally idempotent — re-applying a batch
+    * double-counts. Exactly-once effect therefore comes from the
+    * documented foreachBatch pattern: the last applied batch id is
+    * committed in `metaTable` IN THE SAME warehouse transaction as the
+    * view, so a redelivered batch (id ≤ stored) is skipped atomically.
+    * A torn run can't diverge: either the (view, meta) pair committed —
+    * and replay skips — or neither did, and replay re-applies.
+    * `metaTable` schema: a single `last_batch` BIGINT row.
+    */
+  def streamingMvRefresh(spark: SparkSession, wh: graft.etl.Warehouse,
+                         sourceDir: String, srcSchema: StructType,
+                         viewTable: String, metaTable: String,
+                         keys: Seq[String],
+                         measures: Seq[graft.operators.MaterializedAgg.Measure],
+                         checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(srcSchema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val txn = wh.begin()
+        val appliedRow = txn.read(metaTable).agg(max(col("last_batch"))).head()
+        val applied = if (appliedRow.isNullAt(0)) -1L else appliedRow.getLong(0)
+        if (batchId > applied) {
+          txn.overwrite(viewTable, graft.operators.MaterializedAgg.refresh(
+            txn.read(viewTable), batch, keys, measures))
+          import spark.implicits._
+          txn.overwrite(metaTable, Seq(batchId).toDF("last_batch"))
+          txn.commit()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
