@@ -92,6 +92,84 @@ object Scd2 {
     history.filter(col("valid_from") <= lit(at) &&
       (col("valid_to").isNull || col("valid_to") > lit(at)))
 
+  /** SCD2 merge INTO THE WAREHOUSE, in the layout that scales: the
+    * history is two tables — `currentTable` (one open row per live key:
+    * attrs + `valid_from`), bucketed on the key like any SCD1 dim, and
+    * `closedTable` (attrs + `valid_from` + `valid_to`), APPEND-ONLY.
+    * A load then costs what it changes, not what the history holds:
+    *
+    *  - the current slice merges exactly like the bucketed SCD1 dim —
+    *    changed-key buckets detected first (driver array bounded by the
+    *    bucket count), both join inputs pruned to those buckets, zero
+    *    current-side Exchange, untouched bucket files hard-linked;
+    *    a no-change load writes NOTHING;
+    *  - closed versions are never rewritten, re-read, or re-shuffled:
+    *    each load APPENDS just the rows it closes. The ever-growing
+    *    part of the history is strictly write-once.
+    *
+    * Both writes commit in ONE transaction (the pair is atomic — a
+    * reader never sees a version closed in `closedTable` while still
+    * open in `currentTable`). Full history = [[readHistory]].
+    */
+  def mergeWarehouse(wh: Warehouse, currentTable: String, closedTable: String,
+                     snapshot: DataFrame, keys: Seq[String],
+                     compareCols: Seq[String],
+                     asOf: java.sql.Timestamp): Unit = {
+    val attrs = keys ++ compareCols
+    val txn = wh.begin()
+    val snapC = snapshot.select(attrs.map(col): _*)
+
+    // (newCurrent, newlyClosed) from one full-outer join of the (possibly
+    // bucket-pruned) current slice against the snapshot. The join is
+    // consumed twice; in the bucketed path it is touched-bucket-sized.
+    def branches(cur: DataFrame, snap: DataFrame): (DataFrame, DataFrame) = {
+      val d = cur.withColumn("__dexists", lit(1)).alias("d")
+      val s = snap.withColumn("__sexists", lit(1)).alias("s")
+      val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
+      val joined = s.join(d, on, "full")
+      val isInsert = col("d.__dexists").isNull
+      val isDelete = col("s.__sexists").isNull
+      val isChange = !isInsert && !isDelete && Scd1.anyChanged(compareCols)
+      val newCurrent = joined.filter(isInsert || isChange)
+        .select(attrs.map(c => col(s"s.$c").as(c)) :+ lit(asOf).as("valid_from"): _*)
+        .unionAll(joined.filter(!isInsert && !isDelete && !isChange)
+          .select(attrs.map(c => col(s"d.$c").as(c)) :+
+            col("d.valid_from").as("valid_from"): _*))
+      val newlyClosed = joined.filter(isDelete || isChange)
+        .select(attrs.map(c => col(s"d.$c").as(c)) ++
+          Seq(col("d.valid_from").as("valid_from"), lit(asOf).as("valid_to")): _*)
+      (newCurrent, newlyClosed)
+    }
+
+    wh.bucketSpec.get(currentTable) match {
+      case Some((_, n)) if txn.currentDirs(currentTable).length == 1 =>
+        val cur = txn.read(currentTable)
+        val touched = Scd1.changedKeyBuckets(cur, snapC, keys, compareCols, n,
+          deletesVisible = true)
+        if (touched.nonEmpty) {
+          val inT = Scd1.inBuckets(keys, n, touched.toIndexedSeq)
+          val (newCur, closed) = branches(cur.filter(inT), snapC.filter(inT))
+          txn.overwriteBuckets(currentTable, newCur, touched.toIndexedSeq)
+          txn.append(closedTable, closed)
+        } // else: nothing changed — the history is already exact
+      case _ =>
+        val (newCur, closed) = branches(txn.read(currentTable), snapC)
+        txn.overwrite(currentTable, newCur)
+        txn.append(closedTable, closed)
+    }
+    txn.commit()
+  }
+
+  /** The full version history from the two-table warehouse layout, in
+    * [[merge]]'s schema (`valid_to` NULL ⇔ `is_current`).
+    */
+  def readHistory(wh: Warehouse, currentTable: String,
+                  closedTable: String): DataFrame =
+    wh.read(closedTable).withColumn("is_current", lit(false))
+      .unionByName(wh.read(currentTable)
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true)))
+
   /** Point-in-time fact enrichment: each fact row joins the dim VERSION
     * that was valid at its event time (`factTs`) — the query an SCD2
     * dim exists for. LEFT join: facts before the key's first version,
