@@ -15,6 +15,40 @@ object StatsQueries {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** q_corr_matrix oracle, generated from the same pair list the
+    * operator derives — one exact-decimal aggregate row, six corr
+    * branches off it (mirrors Stats.corrMatrix term for term).
+    */
+  private val corrOracle: String = {
+    val cs = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d", "l_tax" -> "t")
+    // DECIMAL(30,…): DuckDB executes width-18 decimals in int64, so an
+    // 18-width product overflows on real prices; width 30 forces the
+    // int128 path. Values are exact integers either way, so parity with
+    // Spark's (18,4)→(37,8) product arithmetic is unaffected.
+    def dd(c: String) = s"CAST($c AS DECIMAL(30,4))"
+    val sums = cs.map { case (c, a) =>
+      s"sum(${dd(c)}) AS s_$a, sum(${dd(c)} * ${dd(c)}) AS ss_$a" }
+    val pairs = for { ((ca, a), i) <- cs.zipWithIndex; (cb, b) <- cs.drop(i + 1) }
+      yield (ca, a, cb, b)
+    val sps = pairs.map { case (ca, a, cb, b) =>
+      s"sum(${dd(ca)} * ${dd(cb)}) AS sp_$a$b" }
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    val branches = pairs.map { case (ca, a, cb, b) =>
+      s"""SELECT '$ca' AS col_a, '$cb' AS col_b,
+         | round((${dbl("n")} * ${dbl(s"sp_$a$b")} - ${dbl(s"s_$a")} * ${dbl(s"s_$b")}) /
+         |  (sqrt(${dbl("n")} * ${dbl(s"ss_$a")} - ${dbl(s"s_$a")} * ${dbl(s"s_$a")}) *
+         |   sqrt(${dbl("n")} * ${dbl(s"ss_$b")} - ${dbl(s"s_$b")} * ${dbl(s"s_$b")})), 6) AS corr
+         |FROM g""".stripMargin
+    }
+    s"""WITH g AS (
+       | SELECT count(*) AS n,
+       |  ${(sums ++ sps).mkString(",\n  ")}
+       | FROM lineitem)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     // PIVOT: one column per event type, decimal-exact sums
     "q_pivot" -> ((s, dir) =>
@@ -23,6 +57,13 @@ object StatsQueries {
         .pivot("event_type", eventTypes)
         .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType))
         .orderBy("user_id")),
+
+    // pairwise Pearson correlations of the lineitem numerics, all six
+    // pairs from ONE aggregation pass of exact decimal sums
+    "q_corr_matrix" -> ((s, dir) =>
+      graft.operators.Stats.corrMatrix(Tables(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
 
     // moments from exact decimal power sums: mean and sample variance
     "q_stats_moments" -> ((s, dir) => {
@@ -89,6 +130,8 @@ object StatsQueries {
          |  $cols
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+
+    "q_corr_matrix" -> corrOracle,
 
     "q_stats_moments" ->
       """WITH a AS (
