@@ -92,6 +92,44 @@ object Scd2 {
     history.filter(col("valid_from") <= lit(at) &&
       (col("valid_to").isNull || col("valid_to") > lit(at)))
 
+  /** NET-EFFECT change feed between two points in time, extracted from
+    * the history: compare the image valid at `from` with the image
+    * valid at `to` and emit one row per key whose version differs —
+    * `insert` (no version at `from`), `delete` (no version at `to`),
+    * `update` (a different version at each), with before/after
+    * attributes (`b_*` / `a_*`, null on the absent side). Keys whose
+    * version survived the whole window produce nothing, however many
+    * loads ran — this is the downstream-consumer CDC contract (give me
+    * what changed since I last looked), the SCD2 sibling of the
+    * Warehouse's catalog-version `diffVersions`.
+    *
+    * Scale shape: two interval filters over the history (with the
+    * two-table layout, each touches the current slice plus only closed
+    * rows overlapping the window) and ONE key-hash full-outer join of
+    * two dim-sized images.
+    */
+  def changesBetween(history: DataFrame, keys: Seq[String],
+                     from: java.sql.Timestamp,
+                     to: java.sql.Timestamp): DataFrame = {
+    require(from.before(to), "from must precede to")
+    val attrs = history.columns.filterNot(auditCols.contains).filterNot(keys.contains)
+    val b = asOf(history, from).withColumn("__b", lit(1)).alias("b")
+    val a = asOf(history, to).withColumn("__a", lit(1)).alias("a")
+    val on = keys.map(k => col(s"b.$k") === col(s"a.$k")).reduce(_ && _)
+    val isInsert = col("b.__b").isNull
+    val isDelete = col("a.__a").isNull
+    val isUpdate = !isInsert && !isDelete &&
+      col("b.valid_from") =!= col("a.valid_from")
+    val op = when(isInsert, lit("insert")).when(isDelete, lit("delete"))
+      .otherwise(lit("update"))
+    b.join(a, on, "full")
+      .filter(isInsert || isDelete || isUpdate)
+      .select(keys.map(k => coalesce(col(s"b.$k"), col(s"a.$k")).as(k)) ++
+        Seq(op.as("op")) ++
+        attrs.map(c => col(s"b.$c").as(s"b_$c")) ++
+        attrs.map(c => col(s"a.$c").as(s"a_$c")): _*)
+  }
+
   /** SCD2 merge INTO THE WAREHOUSE, in the layout that scales: the
     * history is two tables — `currentTable` (one open row per live key:
     * attrs + `valid_from`), bucketed on the key like any SCD1 dim, and

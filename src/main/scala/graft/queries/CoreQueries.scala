@@ -168,6 +168,28 @@ object CoreQueries {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // ---- SCD2 net-effect change feed: what changed between the two
+    // load times, as insert/delete/update rows with before/after attrs
+    "q_scd2_changes" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val day1 = c.filter(col("c_custkey") % 13 =!= 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val day2 = c.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast(StringType))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+      val hist = Scd2.merge(
+        Scd2.initial(day1, Seq("c_custkey"),
+          Seq("c_name", "c_acctbal", "c_mktsegment"), t1),
+        day2, Seq("c_custkey"), Seq("c_name", "c_acctbal", "c_mktsegment"), t2)
+      Scd2.changesBetween(hist, Seq("c_custkey"), t1, t2)
+        .orderBy("c_custkey")
+    }),
+
     // ---- SCD2 point-in-time enrichment: orders pick the customer
     // VERSION valid at o_orderdate from a two-load history (loads at
     // 1995-01-01 / 1996-01-01 inside the order-date range, so facts
@@ -391,6 +413,32 @@ object CoreQueries {
         | CAST(NULL AS TIMESTAMP), true
         |FROM j WHERE ins OR chg
         |ORDER BY c_custkey, valid_from""".stripMargin,
+    "q_scd2_changes" ->
+      """WITH day1 AS (
+        | SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        | WHERE c_custkey % 13 <> 0),
+        |day2 AS (
+        | SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        | FROM customer WHERE c_custkey % 10 <> 0),
+        |j AS (
+        | SELECT coalesce(s.c_custkey, d.c_custkey) AS k,
+        |  d.c_custkey IS NULL AS ins, s.c_custkey IS NULL AS del,
+        |  (d.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND (
+        |    s.c_name IS DISTINCT FROM d.c_name
+        |    OR s.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |    OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment)) AS chg,
+        |  s.c_name AS sn, s.c_acctbal AS sa, s.c_mktsegment AS sm,
+        |  d.c_name AS dn, d.c_acctbal AS da, d.c_mktsegment AS dm
+        | FROM day2 s FULL JOIN day1 d ON s.c_custkey = d.c_custkey)
+        |SELECT k AS c_custkey,
+        | CASE WHEN ins THEN 'insert' WHEN del THEN 'delete'
+        |      ELSE 'update' END AS op,
+        | dn AS b_c_name, da AS b_c_acctbal, dm AS b_c_mktsegment,
+        | sn AS a_c_name, sa AS a_c_acctbal, sm AS a_c_mktsegment
+        |FROM j WHERE ins OR del OR chg
+        |ORDER BY c_custkey""".stripMargin,
     "q_scd2_pit" ->
       """WITH day1 AS (
         | SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
