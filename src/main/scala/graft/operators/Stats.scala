@@ -48,4 +48,40 @@ object Stats {
       .select(explode(array(rows: _*)).as("r"))
       .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
   }
+
+  /** Per-group ordinary least squares of `y` on `x` — slope, intercept
+    * and R² from the closed-form normal equations, the feature/target
+    * screening fit an ML pipeline runs per segment before training.
+    *
+    * Same exactness discipline as [[corrMatrix]]: the five sufficient
+    * statistics (Σx, Σy, Σx², Σxy, Σy²) accumulate as DECIMALs in ONE
+    * partial-combining HashAggregate — exact, associative, order-free,
+    * so the result is deterministic under any partitioning and the
+    * scan streams once regardless of group count. Only the final
+    * scalar arithmetic runs in double (`round(…, 6)` absorbing ≤1-ulp
+    * decimal→double conversion differences between engines).
+    *
+    * Groups with < 2 rows or zero x-variance have no defined line —
+    * they surface with null slope/intercept/r2 rather than dropping
+    * (losing a segment silently would corrupt any downstream report).
+    */
+  def olsFit(df: DataFrame, keys: Seq[String], x: String, y: String,
+             scale: Int = 4): DataFrame = {
+    val dx = col(x).cast(DecimalType(18, scale))
+    val dy = col(y).cast(DecimalType(18, scale))
+    val grouped = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"), sum(dx).as("sx"), sum(dy).as("sy"),
+      sum(dx * dx).as("sxx"), sum(dx * dy).as("sxy"), sum(dy * dy).as("syy"))
+    def dbl(c: String): Column = col(c).cast(DoubleType)
+    val n = dbl("n")
+    val num = n * dbl("sxy") - dbl("sx") * dbl("sy")
+    val den = n * dbl("sxx") - dbl("sx") * dbl("sx")
+    val deny = n * dbl("syy") - dbl("sy") * dbl("sy")
+    val defined = col("n") >= 2 && den =!= 0.0
+    val slope = num / den
+    grouped.select(keys.map(col) :+ col("n") :+
+      when(defined, round(slope, 6)).as("slope") :+
+      when(defined, round((dbl("sy") - slope * dbl("sx")) / n, 6)).as("intercept") :+
+      when(defined && deny =!= 0.0, round(num * num / (den * deny), 6)).as("r2"): _*)
+  }
 }

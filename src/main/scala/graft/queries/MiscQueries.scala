@@ -40,6 +40,27 @@ object MiscQueries {
       StreamingOps.sessionize(Tables(s, dir, "events"), gapMinutes = 30)
         .orderBy("event_id")),
 
+    // Ordered funnel: users reaching view -> click -> purchase, each
+    // stage strictly after the previous (one exchange, stacked windows)
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(Tables(s, dir, "events"),
+          Seq("view", "click", "purchase"), "user_id", "ts", "event_type")
+        .orderBy("stage")),
+
+    // Cohort retention triangle: first-event week x active week
+    "q_cohort" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cohortRetention(
+          Tables(s, dir, "events"), "user_id", "ts", period = "week")
+        .orderBy("cohort", "period")),
+
+    // Time-weighted average value per user (irregular sampling; each
+    // observation holds until the next)
+    "q_twap" -> ((s, dir) =>
+      graft.operators.EventAnalytics.timeWeightedAvg(
+          Tables(s, dir, "events"), "user_id", "ts", "value",
+          tieBreakCols = Seq("event_id"))
+        .orderBy("user_id")),
+
     // Semi-structured: JSON field extraction from the props column
     "q_json_extract" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -428,6 +449,66 @@ object MiscQueries {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // mirrors EventAnalytics.funnel: running-min chain per stage over
+    // the default RANGE frame (tie semantics identical in both engines)
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_type, tus,
+        |    min(CASE WHEN event_type = 'view' THEN tus END)
+        |      OVER (PARTITION BY user_id ORDER BY tus) AS m0
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND m0 IS NOT NULL
+        |                   AND tus > m0 THEN tus END AS q1
+        |  FROM s1),
+        |s2m AS (
+        |  SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY tus) AS m1
+        |  FROM s2),
+        |s3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND m1 IS NOT NULL
+        |                   AND tus > m1 THEN tus END AS q2
+        |  FROM s2m),
+        |u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN tus END) AS u0,
+        |    min(q1) AS u1, min(q2) AS u2
+        |  FROM s3 GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS event_type, count(u0) AS users FROM u
+        |UNION ALL
+        |SELECT 2, 'click', count(u1) FROM u
+        |UNION ALL
+        |SELECT 3, 'purchase', count(u2) FROM u
+        |ORDER BY stage""".stripMargin,
+
+    "q_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', make_timestamp(epoch_ns(ts)//1000)) AS DATE) AS period
+        |  FROM events),
+        |f AS (SELECT user_id, min(period) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, period FROM e)
+        |SELECT f.cohort, a.period, count(DISTINCT a.user_id) AS active_users
+        |FROM f JOIN a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // each observation holds until the user's next one; zero-duration
+    // tie rows drop out; exact decimal weighted sum, quotient in double
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus, value FROM events),
+        |d AS (
+        |  SELECT user_id, value,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur
+        |  FROM e)
+        |SELECT user_id,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,6)) * CAST(dur AS DECIMAL(30,0))) AS DOUBLE)
+        |    / CAST(sum(dur) AS DOUBLE), 6) AS twa,
+        |  CAST(sum(dur) AS BIGINT) AS observed_micros
+        |FROM d WHERE dur IS NOT NULL AND dur > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -65,6 +65,13 @@ object StatsQueries {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")),
 
+    // per-group OLS: extendedprice regressed on quantity per return
+    // flag — slope/intercept/R² from one exact-decimal aggregate pass
+    "q_regression" -> ((s, dir) =>
+      graft.operators.Stats.olsFit(Tables(s, dir, "lineitem"),
+          Seq("l_returnflag"), x = "l_quantity", y = "l_extendedprice")
+        .orderBy("l_returnflag")),
+
     // moments from exact decimal power sums: mean and sample variance
     "q_stats_moments" -> ((s, dir) => {
       val v = col("value").cast(DecimalType(18, 6))
@@ -132,6 +139,35 @@ object StatsQueries {
     },
 
     "q_corr_matrix" -> corrOracle,
+
+    // mirrors Stats.olsFit term for term: exact DECIMAL sufficient
+    // statistics (width 30 → DuckDB's int128 path, the corrOracle
+    // lesson), closed-form slope/intercept/R² in double, round(…, 6)
+    "q_regression" ->
+      """WITH g AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(30,4))) AS sx,
+        |  sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS sy,
+        |  sum(CAST(l_quantity AS DECIMAL(30,4)) * CAST(l_quantity AS DECIMAL(30,4))) AS sxx,
+        |  sum(CAST(l_quantity AS DECIMAL(30,4)) * CAST(l_extendedprice AS DECIMAL(30,4))) AS sxy,
+        |  sum(CAST(l_extendedprice AS DECIMAL(30,4)) * CAST(l_extendedprice AS DECIMAL(30,4))) AS syy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END AS slope,
+        | CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0 THEN
+        |  round((CAST(sy AS DOUBLE) -
+        |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 6) END AS intercept,
+        | CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+        |       AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0 THEN
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS r2
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "q_stats_moments" ->
       """WITH a AS (
