@@ -378,6 +378,40 @@ class Warehouse(val spark: SparkSession, val root: String,
   def readAsOf(table: String, version: Long): DataFrame =
     readDirs(table, catalogAsOf(version).getOrElse(table, Nil))
 
+  /** RESTORE — roll the whole warehouse back to `version` AS A NEW
+    * COMMIT (Delta's RESTORE semantics): the old catalog content is
+    * re-committed forward, so the rollback is itself versioned,
+    * auditable, and re-revertable — history never rewinds, the pointer
+    * does. Zero data movement: the old dirs are still on disk as long
+    * as no `vacuum()` horizon has passed them (the [[readAsOf]]
+    * retention contract; this is why vacuum keeps dirs referenced by
+    * RETAINED versions, not just the current catalog).
+    */
+  def restore(version: Long): Unit = commitCatalog(catalogAsOf(version))
+
+  /** ZERO-COPY CLONE: `dst` becomes a table whose catalog entry points
+    * at `src`'s CURRENT data dirs — no bytes move (Delta's SHALLOW
+    * CLONE). Because dirs are immutable and commits only swap
+    * pointers, the clone and the source diverge safely from here:
+    * writes to either land in fresh dirs; shared dirs survive until no
+    * catalog or retained version references them (`vacuum()` counts
+    * references across ALL tables). The dev/test copy of a 100 TB
+    * table costs one metadata write.
+    *
+    * `dst` must be registered in `schemas` (same shape as `src`) —
+    * the read path resolves columns from the registry. Tables with a
+    * `bucketSpec`/`partitionSpec` keep their layout properties only if
+    * `dst` carries equivalent entries (same maps, same key).
+    */
+  def cloneTable(src: String, dst: String): Unit = {
+    require(schemas.contains(dst),
+      s"clone destination '$dst' must be registered in schemas")
+    require(schemas(dst) == schemas(src),
+      s"clone destination '$dst' must share '$src' schema")
+    val cat = catalog()
+    commitCatalog(cat + (dst -> cat.getOrElse(src, Nil)))
+  }
+
   /** SNAPSHOT DIFF — CDC extraction between two committed versions:
     * one row per key whose image changed, with
     * `change_type ∈ {insert, delete, update}` and the full before/after

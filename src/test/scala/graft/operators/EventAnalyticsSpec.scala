@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the event-analytics operators: ordered-funnel
+  * strictness (stage k counts only strictly after stage k-1), OLS
+  * closed-form exactness on a perfect line, and TWAP's holding-time
+  * weighting vs the plain average.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: (String, Long, String)*) =
+    rows.toSeq.toDF("user_id", "us", "event_type")
+      .selectExpr("user_id", "timestamp_micros(us) AS ts", "event_type")
+
+  test("funnel: stages count only strictly after the previous stage") {
+    val events = ev(
+      // u1 converts fully in order
+      ("u1", 1000L, "view"), ("u1", 2000L, "click"), ("u1", 3000L, "purchase"),
+      // u2 purchases BEFORE clicking: reaches stage 2 only
+      ("u2", 1000L, "view"), ("u2", 1500L, "purchase"), ("u2", 2000L, "click"),
+      // u3 clicks at the SAME timestamp as its view: strict > excludes it
+      ("u3", 1000L, "view"), ("u3", 1000L, "click"),
+      // u4 clicks with no view at all: reaches no stage
+      ("u4", 1000L, "click"), ("u4", 2000L, "purchase"))
+    val got = EventAnalytics
+      .funnel(events, Seq("view", "click", "purchase"), "user_id", "ts", "event_type")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: an earlier-stage event AFTER a later one still opens the chain") {
+    // view at t=5 is u's first view; the click at t=6 follows it -> stage 2,
+    // even though a (non-qualifying) click already happened at t=1
+    val events = ev(("u", 1L, "click"), ("u", 5L, "view"), ("u", 6L, "click"))
+    val got = EventAnalytics
+      .funnel(events, Seq("view", "click"), "user_id", "ts", "event_type")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 1L), (2, 1L)))
+  }
+
+  test("olsFit recovers an exact line with r2 = 1; degenerate groups go null") {
+    val pts = Seq.tabulate(20)(i => ("a", i.toDouble, 3.5 * i + 2.0)) ++
+      Seq(("b", 4.0, 9.9)) ++                       // n = 1: no line
+      Seq(("c", 2.0, 1.0), ("c", 2.0, 5.0))        // zero x-variance
+    val df = pts.toDF("g", "x", "y")
+    val rows = Stats.olsFit(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(rows("a") == ((20L, Some(3.5), Some(2.0), Some(1.0))))
+    assert(rows("b") == ((1L, None, None, None)))
+    assert(rows("c") == ((2L, None, None, None)))
+  }
+
+  test("timeWeightedAvg weighs by holding duration, not sample count") {
+    // value 10 holds 1s, value 0 holds 9s, final observation drops out:
+    // twa = (10*1e6 + 0*9e6) / 1e7 = 1.0 — a plain AVG would say 40/3
+    val df = Seq(("u", 0L, 10.0), ("u", 1000000L, 0.0), ("u", 10000000L, 100.0))
+      .toDF("user_id", "us", "value")
+      .selectExpr("user_id", "monotonically_increasing_id() AS event_id",
+        "timestamp_micros(us) AS ts", "value")
+    val r = EventAnalytics
+      .timeWeightedAvg(df, "user_id", "ts", "value", tieBreakCols = Seq("event_id"))
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getDouble(1) == 1.0)
+    assert(r.head.getLong(2) == 10000000L)
+  }
+}
