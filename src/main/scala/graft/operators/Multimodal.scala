@@ -493,6 +493,131 @@ object Multimodal {
     }(enc)
   }
 
+  /** PERCEPTUAL IMAGE HASH (average hash): decode, average-pool the
+    * pixel intensities into an 8×8 grid, and set bit (gy·8+gx) iff its
+    * cell mean exceeds the image mean — the classic aHash, the
+    * resize/re-encode-robust fingerprint an image dedup pipeline
+    * blocks on. All arithmetic is exact BIGINT: the cell-vs-image
+    * comparison is the cross-multiplication
+    * `cellSum·totalCount > totalSum·cellCount` (no division, no
+    * floats, empty cells — images narrower/shorter than 8 — compare
+    * 0 > 0 and stay 0), so any engine reproduces the bits exactly and
+    * the hash query carries a DuckDB oracle over the parametric pixel
+    * formulas.
+    *
+    * The 64 bits are emitted as FOUR 16-bit band values `b0..b3`
+    * (bits [16j, 16j+16)) rather than one packed word: BIGINT-safe in
+    * every engine (bit 63 would wrap a signed 64-bit pack), and the
+    * bands are exactly what the Hamming join ([[imageHashPairs]])
+    * indexes — at scale the four (j, value) pairs are the stored
+    * band index, SimHash-style.
+    *
+    * Intensity convention matches [[imagePatchFeatures]]: PNG = the
+    * grayscale byte, BMP = the 3-channel byte sum over STORAGE order
+    * rows. Same scale shape too: partition-wise decode, one row in →
+    * one row out, no shuffle.
+    */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fmt", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("b0", LongType), StructField("b1", LongType),
+      StructField("b2", LongType), StructField("b3", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "fmt", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val fmt = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var w = 0; var h = 0
+        def cell(x: Int, y: Int, v: Long): Unit = {
+          val p = ((8 * y) / h) * 8 + (8 * x) / w
+          sums(p) += v; cnts(p) += 1
+        }
+        fmt match {
+          case "png" =>
+            val (pw, ph, raw) = pngScanlines(bytes)
+            w = pw; h = ph
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                cell(x, y, (raw(y * (1 + w) + 1 + x) & 0xff).toLong)
+                x += 1
+              }
+              y += 1
+            }
+          case "bmp" =>
+            val (dataOffset, bw, bh, rowBytes, pad) = bmpGeometry(bytes)
+            w = bw; h = bh
+            var y = 0
+            while (y < h) {
+              val base = dataOffset + y * (rowBytes + pad)
+              var x = 0
+              while (x < w) {
+                cell(x, y, ((bytes(base + 3 * x) & 0xff) +
+                  (bytes(base + 3 * x + 1) & 0xff) +
+                  (bytes(base + 3 * x + 2) & 0xff)).toLong)
+                x += 1
+              }
+              y += 1
+            }
+          case other => throw new IllegalArgumentException(
+            s"imageAHash: not an image format: $other")
+        }
+        var totalSum = 0L; var totalCnt = 0L
+        var p = 0
+        while (p < 64) { totalSum += sums(p); totalCnt += cnts(p); p += 1 }
+        val bands = new Array[Long](4)
+        p = 0
+        while (p < 64) {
+          if (sums(p) * totalCnt > totalSum * cnts(p))
+            bands(p / 16) |= 1L << (p % 16)
+          p += 1
+        }
+        Row(id, fmt, w.toLong, h.toLong, bands(0), bands(1), bands(2), bands(3))
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs by aHash Hamming distance, banded: a
+    * pair is a CANDIDATE iff it collides on one of the four 16-bit
+    * bands, then the exact distance (4 × xor + bit_count, codegen'd)
+    * filters. By pigeonhole the blocking is EXACT for `maxHamming ≤ 3`
+    * (≤3 differing bits cannot touch all 4 bands); beyond that it is
+    * the standard recall/cost trade, documented not hidden.
+    *
+    * Scale shape: explode to 4 band rows per image, one hash-shuffle
+    * join on (band_id, value), distance filter on the candidates only —
+    * never an all-pairs comparison. Degenerate bands (e.g. all-zero
+    * hashes from flat images) concentrate candidates exactly like LSH
+    * buckets; at production scale the same cap/anchor treatment the
+    * text dedup family uses applies.
+    */
+  def imageHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val bands = hashes.select(col("doc_id") +: bandCols.map(col) :+
+      posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band")): _*)
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val cand = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
+        bandCols.map(c => col(s"a.$c").as(s"a_$c")) ++
+        bandCols.map(c => col(s"b.$c").as(s"b_$c")): _*)
+      .distinct()
+    val hamming = bandCols.map(c =>
+      bit_count(col(s"a_$c").bitwiseXOR(col(s"b_$c")))).reduce(_ + _)
+    cand.select(col("doc_a"), col("doc_b"), hamming.cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** (sampleRate, samples) from a 16-bit PCM mono WAV — the raw-sample
     * sibling of [[decodeWav]], for operators that need the waveform
     * itself rather than its scalar statistics.

@@ -367,6 +367,16 @@ object TextQueries {
           .filter(col("fmt") =!= "wav"))
         .orderBy("doc_id")),
 
+    // perceptual aHash over the real decoded pixels: 8x8 integer
+    // average-pool grid, bit = cell-vs-image mean cross-multiplication,
+    // emitted as four 16-bit band values (the Hamming-join index); the
+    // oracle recomputes every bit from the parametric pixel formulas
+    "mm_imagehash" -> ((s, dir) =>
+      Multimodal.imageAHash(
+        Multimodal.attachMediaPayload(Tables(s, dir, "documents"))
+          .filter(col("fmt") =!= "wav"))
+        .orderBy("doc_id")),
+
     // frame-level energy / peak / zero-crossings over the real decoded
     // waveform; the oracle regenerates the parametric samples, so the
     // whole codec + framing + aggregation path is under the hash gate
@@ -1342,6 +1352,50 @@ object TextQueries {
         |  max(CASE WHEN p = 2 THEN q END) AS q10,
         |  max(CASE WHEN p = 3 THEN q END) AS q11
         |FROM pat GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+
+    // every aHash bit recomputed relationally: same pixel CTE as
+    // mm_patches, 8x8 grid, cross-multiplied cell-vs-image comparison,
+    // bits packed per 16-bit band (1 << (p % 16) stays tiny — exact)
+    "mm_imagehash" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+        |    doc_id % 16 + 4 AS w, doc_id % 9 + 3 AS h
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |px AS (
+        |  SELECT i.doc_id, i.fmt, i.w, i.h,
+        |    CASE WHEN i.fmt = 'png'
+        |         THEN (i.doc_id * 53 + ys.y * i.w + xs.x) % 256
+        |         ELSE ((i.doc_id * 31 + ys.y * 3 * i.w + 3 * xs.x) % 256
+        |             + (i.doc_id * 31 + ys.y * 3 * i.w + 3 * xs.x + 1) % 256
+        |             + (i.doc_id * 31 + ys.y * 3 * i.w + 3 * xs.x + 2) % 256)
+        |    END AS v,
+        |    ((8 * ys.y) // i.h) * 8 + (8 * xs.x) // i.w AS p
+        |  FROM img i,
+        |       unnest(generate_series(0, i.w - 1)) AS xs(x),
+        |       unnest(generate_series(0, i.h - 1)) AS ys(y)),
+        |cells AS (
+        |  SELECT doc_id, fmt, w, h, p,
+        |    CAST(sum(v) AS BIGINT) AS cs, count(*) AS cc
+        |  FROM px GROUP BY 1, 2, 3, 4, 5),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts,
+        |    CAST(sum(cc) AS BIGINT) AS tc
+        |  FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT c.doc_id, c.fmt, c.w, c.h, c.p // 16 AS j,
+        |    CASE WHEN c.cs * t.tc > t.ts * c.cc
+        |         THEN (1 << (c.p % 16)) ELSE 0 END AS contrib
+        |  FROM cells c JOIN tot t USING (doc_id)),
+        |bands AS (
+        |  SELECT doc_id, fmt, w, h, j, CAST(sum(contrib) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, fmt, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  coalesce(max(CASE WHEN j = 0 THEN bv END), 0) AS b0,
+        |  coalesce(max(CASE WHEN j = 1 THEN bv END), 0) AS b1,
+        |  coalesce(max(CASE WHEN j = 2 THEN bv END), 0) AS b2,
+        |  coalesce(max(CASE WHEN j = 3 THEN bv END), 0) AS b3
+        |FROM bands GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
 
     // per-frame waveform features vs the closed-form samples
     // (id·131 + k·17) % 65536 − 32768, frames of 16; zero crossings =
