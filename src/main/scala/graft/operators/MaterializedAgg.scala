@@ -31,24 +31,41 @@ object MaterializedAgg {
   case object Min extends Kind
   case object Max extends Kind
 
+  /** DISTINCT COUNT, the measure that breaks the naive MV story — it is
+    * not algebraic over raw values (distinct users in b ∪ d ≠ distinct
+    * in b + distinct in d), so an exact MV would have to store the
+    * value SETS. The standard at-scale answer is storing an HLL SKETCH
+    * per group instead: registers merge by max, which IS algebraic, so
+    * the sketch column rides the exact same build/merge algebra as a
+    * sum — refresh stays delta-sized, and the estimate is read out at
+    * query time ([[readView]]). Spark's DataSketches implementation
+    * gives merge-invariance by construction (same registers whether
+    * built whole or unioned from any split — spec-asserted), at the
+    * documented ~1–2% relative error of `lgConfigK = 12`.
+    */
+  case object ApproxDistinct extends Kind
+
   /** A named measure: output column `name` = `kind` over `expr`. */
   final case class Measure(name: String, expr: Column, kind: Kind)
 
   private def build(m: Measure): Column = (m.kind match {
-    case Count => count(m.expr)
-    case Sum   => sum(m.expr)
-    case Min   => min(m.expr)
-    case Max   => max(m.expr)
+    case Count          => count(m.expr)
+    case Sum            => sum(m.expr)
+    case Min            => min(m.expr)
+    case Max            => max(m.expr)
+    case ApproxDistinct => hll_sketch_agg(m.expr)
   }).as(m.name)
 
   /** Merge function for an already-partial column: counts and sums add;
-    * min/max re-minimize. This is exactly Spark's own partial-merge
-    * algebra, expressed relationally so it can run across refreshes.
+    * min/max re-minimize; HLL sketches union (register max). This is
+    * exactly Spark's own partial-merge algebra, expressed relationally
+    * so it can run across refreshes.
     */
   private def merge(m: Measure): Column = (m.kind match {
-    case Count | Sum => sum(col(m.name))
-    case Min         => min(col(m.name))
-    case Max         => max(col(m.name))
+    case Count | Sum    => sum(col(m.name))
+    case Min            => min(col(m.name))
+    case Max            => max(col(m.name))
+    case ApproxDistinct => hll_union_agg(col(m.name))
   }).as(m.name)
 
   /** Build the view from scratch (initial load, or a forced rebuild). */
@@ -69,4 +86,17 @@ object MaterializedAgg {
       .groupBy(keys.map(col): _*)
       .agg(merge(measures.head), measures.tail.map(merge): _*)
   }
+
+  /** Reader projection over the stored view: exact measures pass
+    * through; sketch columns surface as their BIGINT estimate. The MV
+    * stores STATE, readers want ANSWERS — this is the boundary.
+    */
+  def readView(mv: DataFrame, keys: Seq[String],
+               measures: Seq[Measure]): DataFrame =
+    mv.select(keys.map(col) ++ measures.map { m =>
+      m.kind match {
+        case ApproxDistinct => hll_sketch_estimate(col(m.name)).as(m.name)
+        case _              => col(m.name)
+      }
+    }: _*)
 }

@@ -263,6 +263,24 @@ object MiscQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // MV with a DISTINCT-COUNT measure: the HLL-sketch column rides the
+    // same delta-sized build/merge algebra as the exact sums (register
+    // max is algebraic); estimates read out at the view boundary. No
+    // DuckDB oracle — its HLL is a different sketch; the merge-
+    // invariance and small-cardinality exactness are spec-gated.
+    "q_mv_approx" -> ((s, dir) => {
+      import MaterializedAgg._
+      val ev = Tables(s, dir, "events")
+      val keys = Seq("event_type")
+      val ms = Seq(
+        Measure("n_rows", lit(1), Count),
+        Measure("approx_users", col("user_id"), ApproxDistinct))
+      val cut = lit("2024-03-01 00:00:00").cast(TimestampType)
+      val mv = aggregate(ev.filter(col("ts") < cut), keys, ms)
+      readView(refresh(mv, ev.filter(col("ts") >= cut), keys, ms), keys, ms)
+        .orderBy("event_type")
+    }),
+
     // Declarative data-quality audit over orders with seeded violations
     // (dup keys, null FKs, negative prices, dangling FKs) — row rules in
     // one aggregation pass, unique via groupBy, FK via left-anti

@@ -43,6 +43,27 @@ class MaterializedAggSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL measure: estimates are merge-invariant across any split, exact at small cardinality") {
+    val all = (1 to 300).map(i => (s"g${i % 5}", s"user${i % 83}")).toDF("g", "u")
+    val ms = Seq(Measure("n", lit(1), Count),
+      Measure("du", col("u"), ApproxDistinct))
+    def est(df: DataFrame) = readView(df, Seq("g"), ms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = aggregate(all, Seq("g"), ms)
+    for (cut <- Seq(0, 100, 300)) {
+      val base = all.limit(cut)
+      val inc = refresh(aggregate(base, Seq("g"), ms), all.except(base),
+        Seq("g"), ms)
+      assert(est(inc) == est(full), s"cut=$cut")
+    }
+    // sparse-mode sketches are exact at these cardinalities: estimate ==
+    // true distinct per group (the spec would catch a broken hash, not
+    // just a broken merge)
+    val exact = all.groupBy("g").agg(countDistinct(col("u")).as("du"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(est(full).map(t => (t._1, t._3)) == exact)
+  }
+
   test("chained refreshes compose") {
     val d1 = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
     val d2 = Seq(("a", 3.0), ("c", 4.0)).toDF("g", "v")
