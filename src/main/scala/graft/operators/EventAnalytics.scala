@@ -79,20 +79,24 @@ object EventAnalytics {
     * the (cohort, period, active_users) triangle behind every
     * retention curve.
     *
-    * Plan: one per-user min (cohort assignment) and one per-(user,
-    * period) distinct, both partitioned by user, joined on user —
-    * co-partitioned, so the join adds no Exchange beyond the two
-    * aggregations' own — then a final count per (cohort, period).
+    * Plan: cohort assignment is a whole-partition window min over the
+    * user key (no join back to the event log — the naive two-pass
+    * formulation pays an extra Exchange re-aligning the activity side
+    * to the join key), then a distinct over (user, period, cohort)
+    * whose rows the final count consumes AS distinct — plain
+    * `count(*)`, never a countDistinct Expand. Three exchanges, each
+    * over a strictly smaller frame: events → user-periods → cohort
+    * cells.
     */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
                       period: String = "week"): DataFrame = {
     val bucket = date_trunc(period, col(tsCol)).cast("date")
-    val firsts = events.groupBy(userCol)
-      .agg(min(bucket).as("cohort"))
-    val active = events.select(col(userCol), bucket.as("period")).distinct()
-    firsts.join(active, userCol)
+    events.select(col(userCol), bucket.as("period"))
+      .withColumn("cohort",
+        min(col("period")).over(Window.partitionBy(userCol)))
+      .distinct()
       .groupBy("cohort", "period")
-      .agg(countDistinct(col(userCol)).as("active_users"))
+      .agg(count(lit(1)).as("active_users"))
   }
 
   /** TIME-WEIGHTED AVERAGE of an observed value per key: each

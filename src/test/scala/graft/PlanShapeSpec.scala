@@ -123,4 +123,49 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"want 1 hash exchange, got $exchanges:\n${p.take(1200)}")
   }
+
+  test("q_funnel: one user-key exchange feeds the stacked stage windows") {
+    val p = plan("q_funnel")
+    // chained stage mins are dependent windows — they may stack as
+    // separate Window execs but must all ride ONE hash exchange, with
+    // the per-user and global reductions reusing its partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"want 1 hash exchange, got $exchanges:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_twap: one exchange; the duration window and the aggregate share it") {
+    val p = plan("q_twap")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"want 1 hash exchange, got $exchanges:\n${p.take(1500)}")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      "lead() should be a single Window exec")
+  }
+
+  test("q_cohort: no join; exchanges strictly reduce (user -> user-period -> cell)") {
+    val p = plan("q_cohort")
+    assert(!p.contains("Join"), s"cohort should not join:\n${p.take(1200)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"want <= 3 hash exchanges, got $exchanges")
+  }
+
+  test("q_regression: one aggregation pass (partial+final HashAggregate), no Expand") {
+    val p = plan("q_regression")
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      s"want one partial/final HashAggregate pair:\n${p.take(1500)}")
+    assert(!p.contains("Expand"), "sufficient statistics must not Expand")
+  }
+
+  test("imageAHash: partition-wise decode, no shuffle") {
+    import org.apache.spark.sql.functions.col
+    // the registered query adds an output orderBy for the oracle dump;
+    // the operator itself must be shuffle-free
+    val df = graft.operators.Multimodal.imageAHash(
+      graft.operators.Multimodal.attachMediaPayload(
+        graft.Tables(spark, dir, "documents").select(col("doc_id")))
+        .filter(col("fmt") =!= "wav"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"decode+hash should be shuffle-free:\n${p.take(1200)}")
+  }
 }
