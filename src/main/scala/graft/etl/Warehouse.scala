@@ -516,6 +516,38 @@ class Txn private[etl] (wh: Warehouse) {
     pending(table) = Seq(dir)
   }
 
+  /** Targeted DELETE (GDPR erasure, bad-batch retraction): remove the
+    * rows matching `predicate`, keeping everything else — including
+    * rows where the predicate is NULL (SQL DELETE semantics: only
+    * TRUE deletes).
+    *
+    * For a bucketed single-dir table this costs what it deletes, not
+    * what the table holds: one scan finds the buckets containing
+    * matching rows (driver result bounded by the bucket count), both
+    * the rewrite and its input prune to those buckets, and every other
+    * bucket's files hard-link into the new dir byte-identically — the
+    * 100 TB erasure request rewrites a handful of buckets. A match-less
+    * predicate writes nothing. Unbucketed (or multi-dir) tables fall
+    * back to a filtered full overwrite.
+    */
+  def deleteWhere(table: String, predicate: Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce => cl, hash, lit => l, not, pmod}
+    val cur = read(table)
+    val keep = not(cl(predicate, l(false)))
+    wh.bucketSpec.get(table) match {
+      case Some((key, n)) if currentDirs(table).length == 1 =>
+        val touched = cur.filter(predicate)
+          .select(pmod(hash(org.apache.spark.sql.functions.col(key)), l(n)).as("b"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          val inT = Scd1.inBuckets(Seq(key), n, touched.toIndexedSeq)
+          overwriteBuckets(table, cur.filter(inT && keep), touched.toIndexedSeq)
+        } // no matches: the table is already exact — write nothing
+      case _ =>
+        overwrite(table, cur.filter(keep))
+    }
+  }
+
   /** Append a batch (facts K8, report rows K10). No existing file is
     * touched — the new dir is referenced alongside the old ones.
     */

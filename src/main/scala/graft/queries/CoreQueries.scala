@@ -124,6 +124,21 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // ---- time-RANGE frames: rolling 1-hour count/sum per user over
+    // the event-time axis (the frame family ROWS can't express when
+    // sampling is irregular). Values quantized to BIGINT so the moving
+    // sum is order-free-exact; both frames share one Window exec
+    "q_window_range" -> ((s, dir) => {
+      val vq = expr("CAST(floor(value * 1e6) AS BIGINT)")
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(vq).over(w).as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
     // ---- K4+K6+K7: the SCD1 merge itself, driven through graft.etl.Scd1.
     // dim = customer as-is; snapshot = customer with 10% of keys deleted,
     // every 7th balance changed, every 11th segment nulled (value→null
@@ -339,6 +354,18 @@ object CoreQueries {
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    // time-RANGE frame over the µs axis; same-timestamp ties land in
+    // the same frame in both engines (RANGE semantics), so the rolling
+    // aggregates are deterministic without a tie-break column
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS n_1h,
+        | CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) OVER w AS BIGINT) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     // epoch_ns//1000 floor-truncates ns→µs exactly like the Spark-side
     // read in graft.Tables (DuckDB keeps TIMESTAMP_NS from this parquet).
     "q_window_lag" ->

@@ -1,0 +1,99 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.{Date, Timestamp}
+import graft.TestSpark
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Targeted deletion (`Txn.deleteWhere`): SQL DELETE semantics (NULL
+  * predicate rows survive), bucket-pruned rewrite on the bucketed
+  * layout — only buckets holding matching rows are rewritten, the rest
+  * hard-link byte-identically — and a write-nothing fast path when
+  * nothing matches.
+  */
+class WarehouseDeleteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  private val feb1 = Timestamp.valueOf("2021-02-01 00:00:00")
+
+  private def clientRow(i: Int, phone: String = "+7 000") =
+    (f"C$i%03d", s"Last$i", s"First$i", Some(s"Pat$i"), Date.valueOf("1980-01-01"),
+      f"$i%04d 000000", Some(Date.valueOf("2030-01-01")), phone, feb1,
+      None: Option[Timestamp])
+
+  private def dim(rows: Seq[Int], phoneOf: Int => String = _ => "+7 000"): DataFrame =
+    ReplayFixtures.clientsDf(spark, rows.map(i => clientRow(i, phoneOf(i))))
+      .withColumn("processed_dt", lit(feb1))
+
+  private def parquetFiles(dir: String): Map[String, Path] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> p).toMap
+
+  test("bucketed delete rewrites only touched buckets; untouched files carry byte-identical") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-del").toString)
+    val t0 = wh.begin()
+    t0.overwrite("dim_clients", dim(1 to 40, i => if (i % 10 == 3) "+7 BAD" else "+7 000"))
+    t0.commit()
+    val oldDir = wh.catalog()("dim_clients").head
+    val oldFiles = parquetFiles(oldDir)
+
+    val t1 = wh.begin()
+    t1.deleteWhere("dim_clients", col("phone") === "+7 BAD")
+    t1.commit()
+
+    val after = wh.read("dim_clients")
+    assert(after.count() == 36)
+    assert(after.filter(col("phone") === "+7 BAD").count() == 0)
+
+    val newDir = wh.catalog()("dim_clients").head
+    assert(newDir != oldDir)
+    val newFiles = parquetFiles(newDir)
+    val (key, n) = wh.bucketSpec("dim_clients")
+    val touched = Seq(3, 13, 23, 33)
+      .map(i => f"C$i%03d")
+      .map(id => spark.range(1).select(
+        pmod(hash(lit(id)), lit(n))).head.getInt(0)).toSet
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def bucketOf(name: String): Int = name match { case bucketRe(b) => b.toInt }
+    oldFiles.foreach { case (name, p) =>
+      if (!touched.contains(bucketOf(name))) {
+        assert(newFiles.contains(name), s"untouched file $name missing")
+        assert(Files.mismatch(p, newFiles(name)) == -1L, s"$name not byte-identical")
+      } else assert(!newFiles.contains(name), s"touched bucket file $name carried over")
+    }
+  }
+
+  test("NULL predicate rows survive (SQL DELETE semantics); no-match delete writes nothing") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-del2").toString)
+    val t0 = wh.begin()
+    t0.overwrite("dim_clients", dim(1 to 10))
+    t0.commit()
+    val dirBefore = wh.catalog()("dim_clients")
+
+    // update_dt is NULL everywhere: predicate evaluates NULL -> keep all,
+    // and since nothing matches, the catalog must not move at all
+    val t1 = wh.begin()
+    t1.deleteWhere("dim_clients", col("update_dt") > lit(feb1))
+    t1.commit()
+    assert(wh.read("dim_clients").count() == 10)
+    assert(wh.catalog()("dim_clients") == dirBefore, "no-match delete must write nothing")
+  }
+
+  test("unbucketed table falls back to a filtered overwrite") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-del3").toString)
+    import spark.implicits._
+    val t0 = wh.begin()
+    t0.overwrite("meta", Seq(
+      ("keep", "t", None: Option[Timestamp]),
+      ("drop", "t", None: Option[Timestamp]))
+      .toDF("schema_name", "table_name", "max_update_dt"))
+    t0.commit()
+    val t1 = wh.begin()
+    t1.deleteWhere("meta", col("schema_name") === "drop")
+    t1.commit()
+    assert(wh.read("meta").collect().map(_.getString(0)).toSeq == Seq("keep"))
+  }
+}
