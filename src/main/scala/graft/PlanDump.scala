@@ -20,7 +20,9 @@ object PlanDump {
         "dedup_simhash", "dedup_containment", "ann_int8", "q_zorder",
         "text_tempsample", "dedup_incremental", "dedup_semantic",
         "text_bm25", "text_perplexity", "text_shard",
-        "dedup_semantic2", "dedup_crossset", "text_quantile", "q_profile")
+        "dedup_semantic2", "dedup_crossset", "text_quantile", "q_profile",
+        "q_funnel", "q_cohort", "q_twap", "q_regression",
+        "q_window_range", "mm_imagehash", "q_scd2_changes", "q_mv_approx")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
