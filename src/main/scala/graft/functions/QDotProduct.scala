@@ -148,5 +148,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[QSortedIntersectCount].getName, "graft_sorted_intersect"),
         (exprs: Seq[Expression]) => QSortedIntersectCount(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // transparent MV routing: aggregates over a registered base table
+    // rewrite to a scan of the stored view (MaterializedAgg + MvRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }
