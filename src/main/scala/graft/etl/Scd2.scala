@@ -198,6 +198,20 @@ object Scd2 {
     txn.commit()
   }
 
+  /** [[changesBetween]] over the two-table warehouse layout. Catalyst
+    * pushes the two `asOf` interval predicates through the
+    * [[readHistory]] union into both parquet scans, so each image read
+    * touches the (dim-sized) current slice plus only the closed rows
+    * whose intervals overlap the window — the ever-growing closed
+    * table is scanned with `valid_from`/`valid_to` PushedFilters, not
+    * in full (spec-gated).
+    */
+  def changesBetweenWarehouse(wh: Warehouse, currentTable: String,
+                              closedTable: String, keys: Seq[String],
+                              from: java.sql.Timestamp,
+                              to: java.sql.Timestamp): DataFrame =
+    changesBetween(readHistory(wh, currentTable, closedTable), keys, from, to)
+
   /** The full version history from the two-table warehouse layout, in
     * [[merge]]'s schema (`valid_to` NULL ⇔ `is_current`).
     */

@@ -591,30 +591,28 @@ object Multimodal {
     * (≤3 differing bits cannot touch all 4 bands); beyond that it is
     * the standard recall/cost trade, documented not hidden.
     *
-    * Scale shape: explode to 4 band rows per image, one hash-shuffle
-    * join on (band_id, value), distance filter on the candidates only —
-    * never an all-pairs comparison. Degenerate bands (e.g. all-zero
-    * hashes from flat images) concentrate candidates exactly like LSH
-    * buckets; at production scale the same cap/anchor treatment the
-    * text dedup family uses applies.
+    * Scale shape: explode to 4 band rows per image, candidates via the
+    * text family's CAPPED bucket enumeration ([[Dedup.cappedPairs]]) —
+    * a degenerate band bucket (a flat-image corpus hashing to all-zero
+    * bands) emits linear ANCHOR pairs instead of exploding
+    * quadratically, members reach each other transitively through the
+    * anchor — then the distance filter runs on candidates only, never
+    * all pairs.
     */
-  def imageHashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageHashPairs(hashes: DataFrame, maxHamming: Int = 3,
+                     maxBucket: Int = 256): DataFrame = {
     val bandCols = Seq("b0", "b1", "b2", "b3")
-    val bands = hashes.select(col("doc_id") +: bandCols.map(col) :+
-      posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band")): _*)
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    val cand = a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band") === col("b.band") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
-        bandCols.map(c => col(s"a.$c").as(s"a_$c")) ++
-        bandCols.map(c => col(s"b.$c").as(s"b_$c")): _*)
-      .distinct()
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band")))
+    val cand = Dedup.cappedPairs(bands, Seq("band_id", "band"), maxBucket)
+    val h = hashes.select(col("doc_id") +: bandCols.map(col): _*)
+    val withSides = cand
+      .join(h.toDF("doc_a" +: bandCols.map("a_" + _): _*), Seq("doc_a"))
+      .join(h.toDF("doc_b" +: bandCols.map("b_" + _): _*), Seq("doc_b"))
     val hamming = bandCols.map(c =>
       bit_count(col(s"a_$c").bitwiseXOR(col(s"b_$c")))).reduce(_ + _)
-    cand.select(col("doc_a"), col("doc_b"), hamming.cast(LongType).as("hamming"))
+    withSides.select(col("doc_a"), col("doc_b"),
+        hamming.cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

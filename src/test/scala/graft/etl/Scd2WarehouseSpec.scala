@@ -102,6 +102,30 @@ class Scd2WarehouseSpec extends AnyFunSuite {
     assert(catalog3 != catalog2)
   }
 
+  test("changesBetweenWarehouse: net-effect CDC with interval filters pushed into both scans") {
+    val wh = mkWh(Files.createTempDirectory("wh-scd2-cdc").toString)
+    merge(wh, day1, t1); merge(wh, day2, t2); merge(wh, day3, t3)
+
+    // net effect t1 -> t3: k2/k3/k4 updated (k3's t2 delete + t3 revival
+    // collapses to an update), k5 inserted, k1 silent
+    val feed = Scd2.changesBetweenWarehouse(wh, "scd2_current", "scd2_closed",
+      Seq("k"), t1, t3)
+    val got = feed.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("k2", "update"), ("k3", "update"),
+      ("k4", "update"), ("k5", "insert")), s"got $got")
+
+    // and the window predicates reach the parquet scans (visible in the
+    // scans' DataFilters — the PushedFilters rendering truncates): the
+    // closed table is read under valid_from AND valid_to bounds, never
+    // in full
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(plan.contains("valid_from") && plan.contains("<= 2024-01-01 00:00:00"),
+      s"valid_from bound not pushed:\n${plan.take(2000)}")
+    assert(plan.contains("isnull(valid_to"),
+      "valid_to interval disjunction not pushed to the closed-table scan")
+  }
+
   test("current-slice merge: bucket-pruned scan, zero current-side Exchange") {
     val wh = mkWh(Files.createTempDirectory("wh-scd2-plan").toString)
     merge(wh, (1 to 40).map(i => (f"k$i%03d", Some(s"v$i"), Some(i))), t1)

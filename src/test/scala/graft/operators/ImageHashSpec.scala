@@ -49,6 +49,19 @@ class ImageHashSpec extends AnyFunSuite {
     assert(got.contains((4L, 1000L, 0L)))
   }
 
+  test("degenerate corpus: over-cap band buckets emit linear anchor pairs") {
+    // 30 byte-identical images — every band bucket holds all 30 ids.
+    // Uncapped blocking would enumerate C(30,2)=435 pairs; the cap
+    // diverts to anchor form: 29 pairs, all through the lowest id,
+    // every one at Hamming 0 (so clustering still reaches everyone).
+    val df = (1 to 30).map(i => (i.toLong, "bmp", Multimodal.encodeBmp(4)))
+      .toDF("doc_id", "fmt", "payload")
+    val pairs = Multimodal.imageHashPairs(
+        Multimodal.imageAHash(df), maxHamming = 3, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == (2 to 30).map(i => (1L, i.toLong, 0L)).toSet)
+  }
+
   test("band emission: empty grid rows (h < 8) leave their band zero") {
     // h = id % 9 + 3 = 3 for id 9 (png): grid rows 6..7 never populate
     val df = Seq((9L, "png", Multimodal.encodePng(9L)))
