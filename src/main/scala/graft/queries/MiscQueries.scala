@@ -40,6 +40,28 @@ object MiscQueries {
       StreamingOps.sessionize(Tables(s, dir, "events"), gapMinutes = 30)
         .orderBy("event_id")),
 
+    // String aggregation: deterministic listagg (sorted distinct set,
+    // joined) — the report-formatting aggregate SQL calls string_agg
+    "q_listagg" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types_csv"))
+        .orderBy("user_id")),
+
+    // UNPIVOT/melt: wide numeric columns to (metric, value) rows, then
+    // one exact-decimal sum per metric — the inverse of q_pivot
+    "q_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(expr(
+          "stack(4, 'l_quantity', CAST(l_quantity AS DECIMAL(18,4))," +
+            " 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,4))," +
+            " 'l_discount', CAST(l_discount AS DECIMAL(18,4))," +
+            " 'l_tax', CAST(l_tax AS DECIMAL(18,4))) AS (metric, v)"))
+        .groupBy("metric")
+        .agg(sum(col("v")).cast(DoubleType).as("total"))
+        .orderBy("metric")),
+
     // Ordered funnel: users reaching view -> click -> purchase, each
     // stage strictly after the previous (one exchange, stacked windows)
     "q_funnel" -> ((s, dir) =>
@@ -467,6 +489,23 @@ object MiscQueries {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT user_id,
+        | string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH m AS (
+        | SELECT 'l_quantity' AS metric, CAST(l_quantity AS DECIMAL(30,4)) AS v FROM lineitem
+        | UNION ALL
+        | SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(30,4)) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_discount', CAST(l_discount AS DECIMAL(30,4)) FROM lineitem
+        | UNION ALL
+        | SELECT 'l_tax', CAST(l_tax AS DECIMAL(30,4)) FROM lineitem)
+        |SELECT metric, CAST(sum(v) AS DOUBLE) AS total
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
 
     // mirrors EventAnalytics.funnel: running-min chain per stage over
     // the default RANGE frame (tie semantics identical in both engines)
