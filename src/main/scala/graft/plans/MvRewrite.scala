@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -48,7 +48,14 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** (outName, kind, input column name or None for count). */
   final case class MeasureSig(name: String, kind: String, input: Option[String])
-  final case class MvDef(basePaths: Set[String], mvPlan: LogicalPlan,
+
+  /** Paths and plan are PROVIDERS, resolved per query: a warehouse
+    * table's dir set moves with every commit, and the stored view's
+    * dir moves with every refresh — a snapshot taken at registration
+    * time would go stale (and stale here means WRONG ANSWERS, the one
+    * thing the rule must never produce).
+    */
+  final case class MvDef(basePaths: () => Set[String], mvPlan: () => LogicalPlan,
                          keys: Seq[String], measures: Seq[MeasureSig])
 
   private val registry = new scala.collection.mutable.ArrayBuffer[MvDef]
@@ -57,7 +64,24 @@ object MvRewrite extends Rule[LogicalPlan] {
                measures: Seq[MeasureSig]): Unit = synchronized {
     val paths = rootPaths(base.queryExecution.analyzed)
     require(paths.nonEmpty, "base must be a file-backed relation")
-    registry += MvDef(paths, mv.queryExecution.analyzed, keys, measures)
+    val mvPlan = mv.queryExecution.analyzed
+    registry += MvDef(() => paths, () => mvPlan, keys, measures)
+  }
+
+  /** Warehouse-table registration: base paths and the view's plan are
+    * re-derived from the CURRENT catalog on every query, so the
+    * routing follows appends and refreshes automatically — provided
+    * base and view move in the same commit (the engine's refresh
+    * contract: `MaterializedAgg.refresh` in the same `Txn` as the
+    * fact append).
+    */
+  def registerWarehouse(wh: graft.etl.Warehouse, baseTable: String,
+                        mvTable: String, keys: Seq[String],
+                        measures: Seq[MeasureSig]): Unit = synchronized {
+    registry += MvDef(
+      () => rootPaths(wh.read(baseTable).queryExecution.analyzed),
+      () => wh.read(mvTable).queryExecution.analyzed,
+      keys, measures)
   }
 
   def clear(): Unit = synchronized { registry.clear() }
@@ -69,13 +93,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }.flatten.toSet
 
-  /** The aggregate child stripped of a pure column-pruning Project;
-    * None if anything else (filter, join, …) sits in between.
+  /** The root paths of the aggregate's child when it is the bare table
+    * image — file relations under nothing but pure column-pruning
+    * Projects and the warehouse's per-dir UNION (a date-partitioned
+    * table reads as one scan per dir). Anything else (filter, join,
+    * generate, …) disqualifies: the stored view doesn't cover it.
     */
-  private def bareRelation(plan: LogicalPlan): Option[LogicalPlan] = plan match {
-    case r: LogicalRelation => Some(r)
-    case Project(exprs, r: LogicalRelation) if exprs.forall(_.isInstanceOf[Attribute]) =>
-      Some(r)
+  private def imagePaths(plan: LogicalPlan): Option[Set[String]] = plan match {
+    case lr: LogicalRelation => Some(rootPaths(lr))
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
+      imagePaths(child)
+    case u: Union =>
+      val cs = u.children.map(imagePaths)
+      if (cs.forall(_.isDefined)) Some(cs.flatMap(_.get).toSet) else None
     case _ => None
   }
 
@@ -104,8 +134,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case agg: Aggregate =>
       val rewritten = for {
-        rel <- bareRelation(agg.child)
-        d <- synchronized(registry.find(_.basePaths == rootPaths(rel)))
+        paths <- imagePaths(agg.child) if paths.nonEmpty
+        d <- synchronized(registry.toSeq).find(_.basePaths() == paths)
         out <- tryRewrite(agg.groupingExpressions, agg.aggregateExpressions, d)
       } yield out
       rewritten.getOrElse(agg)
@@ -120,7 +150,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     if (groupNames.exists(_.isEmpty) ||
         groupNames.flatten.toSet != d.keys.toSet) return None
-    val mvOut = d.mvPlan.output.map(a => a.name -> a).toMap
+    val mvPlan = d.mvPlan()
+    val mvOut = mvPlan.output.map(a => a.name -> a).toMap
 
     val projected = aggExprs.map {
       case a: AttributeReference if d.keys.contains(a.name) =>
@@ -136,6 +167,6 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     if (projected.exists(_.isEmpty)) None
-    else Some(Project(projected.flatten, d.mvPlan))
+    else Some(Project(projected.flatten, mvPlan))
   }
 }

@@ -61,6 +61,49 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("warehouse registration: routing follows appends + refreshes across commits") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val schemas = Map(
+      "facts" -> StructType(Seq(StructField("g", StringType),
+        StructField("v", DoubleType))),
+      "facts_mv" -> StructType(Seq(StructField("g", StringType),
+        StructField("n", LongType))))
+    val wh = new graft.etl.Warehouse(spark,
+      Files.createTempDirectory("mvrw-wh").toString, schemas,
+      partitionSpec = Map.empty, bucketSpec = Map.empty)
+    val measures = Seq(MaterializedAgg.Measure("n", lit(1), MCount))
+
+    def day(ids: Range) = ids.map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
+    val t0 = wh.begin()
+    t0.append("facts", day(1 to 60))
+    t0.overwrite("facts_mv",
+      MaterializedAgg.aggregate(day(1 to 60), Seq("g"), measures))
+    t0.commit()
+
+    MvRewrite.registerWarehouse(wh, "facts", "facts_mv", Seq("g"),
+      Seq(MvRewrite.MeasureSig("n", "count", None)))
+    withRule {
+      def q = wh.read("facts").groupBy("g").agg(count(lit(1)).as("n"))
+      val plan1 = q.queryExecution.executedPlan.toString
+      assert(plan1.contains("facts_mv") && !plan1.contains("/facts/"),
+        s"should scan only the view:\n${plan1.take(1200)}")
+      assert(q.collect().map(_.getLong(1)).sum == 60)
+
+      // append + refresh IN ONE COMMIT; the same query re-derives paths
+      // and routes to the refreshed view
+      val t1 = wh.begin()
+      t1.append("facts", day(61 to 100))
+      t1.overwrite("facts_mv", MaterializedAgg.refresh(
+        t1.read("facts_mv"), day(61 to 100), Seq("g"), measures))
+      t1.commit()
+      assert(q.collect().map(_.getLong(1)).sum == 100)
+      val plan2 = q.queryExecution.executedPlan.toString
+      assert(plan2.contains("facts_mv") && !plan2.contains("/facts/"),
+        s"post-refresh query should scan only the view:\n${plan2.take(1200)}")
+    }
+  }
+
   test("non-covered shapes are untouched: filter below, wrong keys, distinct") {
     val root = Files.createTempDirectory("mvrw2").toString
     val basePath = s"$root/base"
