@@ -44,6 +44,25 @@ object EventAnalytics {
     */
   def funnel(events: DataFrame, stages: Seq[String], userCol: String,
              tsCol: String, typeCol: String): DataFrame = {
+    val totals = funnelUsers(events, stages, userCol, tsCol, typeCol).agg(
+      count(col("u0")).as("c0"),
+      stages.indices.tail.map(i => count(col(s"u$i")).as(s"c$i")): _*)
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("stage"), lit(st).as("event_type"),
+        col(s"c$i").as("users"))
+    }
+    totals.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.users"))
+  }
+
+  /** Per-user funnel frame behind [[funnel]]: `u0..u{k-1}` = the
+    * earliest QUALIFIED timestamp per stage (null = stage not
+    * reached), the shape a per-user conversion report or the streaming
+    * twin ([[graft.streaming.StreamingOps.streamingFunnelUsers]])
+    * compares against.
+    */
+  def funnelUsers(events: DataFrame, stages: Seq[String], userCol: String,
+                  tsCol: String, typeCol: String): DataFrame = {
     require(stages.size >= 2, "a funnel needs at least two stages")
     val w = Window.partitionBy(userCol).orderBy(col("__tsu"))
     // qualified-timestamp column per stage, each defined from the
@@ -59,19 +78,10 @@ object EventAnalytics {
         when(col("__et") === st && prevMin.isNotNull &&
           col("__tsu") > prevMin, col("__tsu")))
     }
-    val perUser = staged
+    staged
       .groupBy(userCol)
       .agg(min(col("q0")).as("u0"),
         stages.indices.tail.map(i => min(col(s"q$i")).as(s"u$i")): _*)
-    val totals = perUser.agg(
-      count(col("u0")).as("c0"),
-      stages.indices.tail.map(i => count(col(s"u$i")).as(s"c$i")): _*)
-    val rows = stages.zipWithIndex.map { case (st, i) =>
-      struct(lit(i + 1).as("stage"), lit(st).as("event_type"),
-        col(s"c$i").as("users"))
-    }
-    totals.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.stage"), col("r.event_type"), col("r.users"))
   }
 
   /** COHORT RETENTION: users grouped by the period of their FIRST

@@ -409,6 +409,86 @@ object StreamingOps {
       out.iterator
   }
 
+  /** STREAMING funnel progression — the continuous twin of
+    * [[graft.operators.EventAnalytics.funnelUsers]]: per-user state
+    * holds the earliest QUALIFIED timestamp per stage; each
+    * micro-batch folds its (ts-sorted) events through the same
+    * strictly-after chaining the batch windows express, emitting the
+    * user's stage vector whenever it improves. The returned frame is
+    * the FINAL per-user image (latest emission per user), directly
+    * comparable to the batch operator.
+    *
+    * Equivalence contract (spec-asserted): identical to the batch
+    * funnel whenever arrival order respects event time across
+    * micro-batches (within a batch any order is fine — events are
+    * sorted before folding, and the strict `>` makes same-timestamp
+    * ties land exactly like the batch RANGE frames). Late data is
+    * ADMIT-FORWARD-ONLY: a late stage-k event can still qualify
+    * against recorded earlier stages, but already-seen stage-k+1
+    * events are not re-examined — the standard trade of an
+    * unbounded-state-free streaming funnel.
+    */
+  def streamingFunnelUsers(events: DataFrame, stages: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val sp = events.sparkSession
+    import sp.implicits._
+    val out = events
+      .select(col("user_id").cast(LongType), unix_micros(col("ts")).as("tsu"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Long], Long), (Long, Seq[Long], Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        StreamingOps.funnelFoldFn(stages))
+      .toDF("user_id", "stages", "seq")
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("seq").desc)
+    sp.table(name)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("user_id") +: stages.indices.map(i =>
+        when(element_at(col("stages"), i + 1) =!= -1L,
+          element_at(col("stages"), i + 1)).as(s"u$i")): _*)
+  }
+
+  /** The per-user fold behind [[streamingFunnelUsers]]: state =
+    * (earliest qualified ts per stage, -1 unset; emission seq). Events
+    * fold in ts order; stage 0 takes its running min, stage k
+    * qualifies strictly after stage k-1's recorded time.
+    */
+  private[streaming] def funnelFoldFn(stages: Seq[String]):
+      (Long, Iterator[(Long, Long, String)],
+       org.apache.spark.sql.streaming.GroupState[(Seq[Long], Long)]) =>
+        Iterator[(Long, Seq[Long], Long)] = {
+    (user, rows, state) =>
+      val prev = state.getOption.getOrElse((Seq.fill(stages.size)(-1L), 0L))
+      val arr = prev._1.toArray
+      var changed = false
+      rows.toSeq.sortBy(_._2).foreach { case (_, tsu, et) =>
+        val k = stages.indexOf(et)
+        if (k == 0) {
+          if (arr(0) == -1L || tsu < arr(0)) { arr(0) = tsu; changed = true }
+        } else if (k > 0) {
+          val p = arr(k - 1)
+          if (p != -1L && tsu > p && (arr(k) == -1L || tsu < arr(k))) {
+            arr(k) = tsu; changed = true
+          }
+        }
+      }
+      if (changed) {
+        val seq = prev._2 + 1
+        state.update((arr.toSeq, seq))
+        Iterator.single((user, arr.toSeq, seq))
+      } else Iterator.empty
+  }
+
   /** Sessionization via stateful streaming: gaps > `gapMinutes` split a
     * user's events into sessions. Implemented with the batch-equivalent
     * window expression here (deterministic, oracle-checkable); the
