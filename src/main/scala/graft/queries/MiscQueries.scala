@@ -69,6 +69,14 @@ object MiscQueries {
           Seq("view", "click", "purchase"), "user_id", "ts", "event_type")
         .orderBy("stage")),
 
+    // Per-user funnel frame: earliest qualified timestamp per stage
+    // (the row-level view behind q_funnel's counts)
+    "q_funnel_users" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnelUsers(Tables(s, dir, "events"),
+          Seq("view", "click", "purchase"), "user_id", "ts", "event_type")
+        .filter(col("u0").isNotNull)
+        .orderBy("user_id")),
+
     // Cohort retention triangle: first-event week x active week
     "q_cohort" -> ((s, dir) =>
       graft.operators.EventAnalytics.cohortRetention(
@@ -539,6 +547,32 @@ object MiscQueries {
         |UNION ALL
         |SELECT 3, 'purchase', count(u2) FROM u
         |ORDER BY stage""".stripMargin,
+
+    "q_funnel_users" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_type, tus,
+        |    min(CASE WHEN event_type = 'view' THEN tus END)
+        |      OVER (PARTITION BY user_id ORDER BY tus) AS m0
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND m0 IS NOT NULL
+        |                   AND tus > m0 THEN tus END AS q1
+        |  FROM s1),
+        |s2m AS (
+        |  SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY tus) AS m1
+        |  FROM s2),
+        |s3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND m1 IS NOT NULL
+        |                   AND tus > m1 THEN tus END AS q2
+        |  FROM s2m)
+        |SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN tus END) AS u0,
+        |  min(q1) AS u1, min(q2) AS u2
+        |FROM s3 GROUP BY 1
+        |HAVING min(CASE WHEN event_type = 'view' THEN tus END) IS NOT NULL
+        |ORDER BY user_id""".stripMargin,
 
     "q_cohort" ->
       """WITH e AS (
