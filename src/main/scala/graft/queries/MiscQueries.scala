@@ -77,6 +77,30 @@ object MiscQueries {
         .filter(col("u0").isNotNull)
         .orderBy("user_id")),
 
+    // Conversion-lag report: per funnel transition, converters + mean
+    // and median time-to-convert — ONE aggregation over the per-user
+    // frame, two rows via array-explode (the corrMatrix shape)
+    "q_funnel_lag" -> ((s, dir) => {
+      val fu = graft.operators.EventAnalytics.funnelUsers(
+        Tables(s, dir, "events"), Seq("view", "click", "purchase"),
+        "user_id", "ts", "event_type")
+      val agg = fu.agg(
+        count(col("u1")).as("n1"),
+        round(avg(col("u1") - col("u0")), 6).as("avg1"),
+        expr("percentile(u1 - u0, 0.5)").as("p501"),
+        count(col("u2")).as("n2"),
+        round(avg(col("u2") - col("u1")), 6).as("avg2"),
+        expr("percentile(u2 - u1, 0.5)").as("p502"))
+      agg.select(explode(array(
+          struct(lit("view->click").as("transition"), col("n1").as("n"),
+            col("avg1").as("avg_lag_us"), col("p501").as("p50_lag_us")),
+          struct(lit("click->purchase").as("transition"), col("n2").as("n"),
+            col("avg2").as("avg_lag_us"), col("p502").as("p50_lag_us")))).as("r"))
+        .select(col("r.transition"), col("r.n"), col("r.avg_lag_us"),
+          col("r.p50_lag_us"))
+        .orderBy("transition")
+    }),
+
     // Cohort retention triangle: first-event week x active week
     "q_cohort" -> ((s, dir) =>
       graft.operators.EventAnalytics.cohortRetention(
@@ -573,6 +597,41 @@ object MiscQueries {
         |FROM s3 GROUP BY 1
         |HAVING min(CASE WHEN event_type = 'view' THEN tus END) IS NOT NULL
         |ORDER BY user_id""".stripMargin,
+
+    "q_funnel_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_type, tus,
+        |    min(CASE WHEN event_type = 'view' THEN tus END)
+        |      OVER (PARTITION BY user_id ORDER BY tus) AS m0
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND m0 IS NOT NULL
+        |                   AND tus > m0 THEN tus END AS q1
+        |  FROM s1),
+        |s2m AS (
+        |  SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY tus) AS m1
+        |  FROM s2),
+        |s3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND m1 IS NOT NULL
+        |                   AND tus > m1 THEN tus END AS q2
+        |  FROM s2m),
+        |u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN tus END) AS u0,
+        |    min(q1) AS u1, min(q2) AS u2
+        |  FROM s3 GROUP BY 1)
+        |SELECT 'view->click' AS transition, count(u1) AS n,
+        |  round(CAST(sum(u1 - u0) AS DOUBLE) / count(u1), 6) AS avg_lag_us,
+        |  quantile_cont(u1 - u0, 0.5) AS p50_lag_us
+        |FROM u
+        |UNION ALL
+        |SELECT 'click->purchase', count(u2),
+        |  round(CAST(sum(u2 - u1) AS DOUBLE) / count(u2), 6) AS avg_lag_us,
+        |  quantile_cont(u2 - u1, 0.5)
+        |FROM u
+        |ORDER BY transition""".stripMargin,
 
     "q_cohort" ->
       """WITH e AS (
