@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Expression, HllSketchEstimate, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** TRANSPARENT MATERIALIZED-VIEW ROUTING — the optimizer half of the
   * [[graft.operators.MaterializedAgg]] story: a `Rule[LogicalPlan]`
@@ -22,22 +23,40 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   *  - the aggregate's child is the registered base relation (matched
   *    by its file-source root paths — stable across separate reads of
-  *    the same table), bare or under the optimizer's own column-
-  *    pruning Project; any OTHER intervening operator (a filter, a
-  *    join) disqualifies — the stored view doesn't cover filtered
-  *    aggregates;
-  *  - grouping expressions are exactly the registered keys (any
-  *    order, attribute references only);
-  *  - every aggregate is `count(lit)` / `sum(col)` / `min(col)` /
-  *    `max(col)` (no DISTINCT, no filter clause) matching a registered
-  *    measure BY KIND, INPUT COLUMN, and RESULT TYPE. Sketch measures
-  *    never match here — their stored state is not the query's result.
+  *    the same table), under nothing but pure column-pruning Projects,
+  *    the warehouse's per-dir UNION, and FILTERS WHOSE REFERENCES ARE
+  *    ALL GROUPING KEYS of the view (a key predicate holds uniformly
+  *    inside a group, so filtering view rows == filtering base rows;
+  *    any predicate touching a non-key column disqualifies);
+  *  - grouping expressions are attribute references forming a SUBSET
+  *    of the registered keys — the view's exact grain routes to a
+  *    projection of the stored rows; a coarser grain routes to a
+  *    RE-AGGREGATION of the view (roll-up: counts and sums re-sum,
+  *    min/max re-minimize, sketches re-union — the partial-state
+  *    algebra the view stores was chosen exactly so this is sound);
+  *  - every aggregate is `count(lit)` / `count(col)` / `sum(col)` /
+  *    `min(col)` / `max(col)` (no DISTINCT, no filter clause) matching
+  *    a registered measure BY KIND, INPUT COLUMN, and RESULT TYPE; or
+  *    `avg(col)` with BOTH `sum(col)` and the non-null `count(col)`
+  *    registered (the derived-measure readout re-uses Average's own
+  *    `evaluateExpression` with the stored sum/count substituted for
+  *    its buffer, so result type and null semantics are Spark's, not
+  *    ours); or `hll_sketch_estimate(hll_sketch_agg(col))` with an
+  *    `hll` measure at the same `lgConfigK` (sound because DataSketches
+  *    HLL is merge-invariant: same registers whether built whole or
+  *    unioned from any split — spec-asserted in MaterializedAggSpec).
   *
-  * The replacement is a Project over the view's plan that re-aliases
-  * view columns under the aggregate's ORIGINAL output exprIds, so
-  * parent operators are untouched. Registration is session-scoped
-  * ([[MvRewrite.register]]); inject via `spark.experimental
-  * .extraOptimizations` or `GraftExtensions` (plain-SQL sessions).
+  * Floating-point note: a `sum`/`avg` over DOUBLE routes to a sum that
+  * was accumulated in a different order than the direct query would
+  * use. Spark itself does not guarantee bitwise-stable double sums
+  * across partitionings, so the rewrite stays inside the engine's own
+  * tolerance; exact types (integral, decimal) are bit-identical.
+  *
+  * The replacement re-aliases under the aggregate's ORIGINAL output
+  * exprIds, so parent operators are untouched. Registration is
+  * session-scoped ([[MvRewrite.register]]); inject via
+  * `spark.experimental.extraOptimizations` or `GraftExtensions`
+  * (plain-SQL sessions).
   *
   * The view must be CURRENT for the rewrite to be sound — the engine's
   * refresh contract (`MaterializedAgg.refresh` inside the same
@@ -46,8 +65,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
-  /** (outName, kind, input column name or None for count). */
-  final case class MeasureSig(name: String, kind: String, input: Option[String])
+  /** (outName, kind, input column name or None for count(*)).
+    * Kinds: `count` (input None = count(*), Some = non-null count of
+    * that column), `sum`, `min`, `max`, `hll` (a DataSketches HLL
+    * sketch built at `lgK`, default 12 = `hll_sketch_agg`'s default).
+    */
+  final case class MeasureSig(name: String, kind: String, input: Option[String],
+                              lgK: Option[Int] = None)
 
   /** Paths and plan are PROVIDERS, resolved per query: a warehouse
     * table's dir set moves with every commit, and the stored view's
@@ -93,80 +117,288 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }.flatten.toSet
 
-  /** The root paths of the aggregate's child when it is the bare table
-    * image — file relations under nothing but pure column-pruning
-    * Projects and the warehouse's per-dir UNION (a date-partitioned
-    * table reads as one scan per dir). Anything else (filter, join,
-    * generate, …) disqualifies: the stored view doesn't cover it.
+  /** The aggregate's child decomposed into (base-image root paths,
+    * filters found on the way down). Descends through pure column-
+    * pruning Projects, Filters, and the warehouse's per-dir UNION; any
+    * other operator (join, generate, window, …) disqualifies. By the
+    * time this rule runs the optimizer has usually replicated a
+    * query-level filter into every union branch — branches must carry
+    * the SAME predicate set (compared structurally with attributes
+    * name-canonicalized, since each branch has its own exprIds).
     */
-  private def imagePaths(plan: LogicalPlan): Option[Set[String]] = plan match {
-    case lr: LogicalRelation => Some(rootPaths(lr))
-    case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
-      imagePaths(child)
-    case u: Union =>
-      val cs = u.children.map(imagePaths)
-      if (cs.forall(_.isDefined)) Some(cs.flatMap(_.get).toSet) else None
-    case _ => None
+  private def imageFiltered(plan: LogicalPlan): Option[(Set[String], Seq[Expression])] =
+    plan match {
+      case lr: LogicalRelation => Some((rootPaths(lr), Nil))
+      case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
+        imageFiltered(child)
+      case Filter(cond, child) =>
+        imageFiltered(child).map { case (p, cs) => (p, cond +: cs) }
+      case u: Union =>
+        val parts = u.children.map(imageFiltered)
+        if (parts.exists(_.isEmpty)) None
+        else {
+          val keys = parts.map(_.get._2.map(condKey))
+          if (keys.distinct.size == 1)
+            Some((parts.flatMap(_.get._1).toSet, parts.head.get._2))
+          else None
+        }
+      case _ => None
+    }
+
+  /** Name-canonical form of a predicate, for cross-branch comparison
+    * only (never executed): attribute identity reduced to the column
+    * name, then Catalyst canonicalization for commutative ordering.
+    */
+  private def condKey(e: Expression): Expression =
+    e.transform { case a: AttributeReference => Literal("attr:" + a.name) }
+      .canonicalized
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case agg: Aggregate =>
+      val rewritten = for {
+        (paths, filters) <- imageFiltered(agg.child) if paths.nonEmpty
+        d <- synchronized(registry.toSeq).find(_.basePaths() == paths)
+        out <- tryRewrite(agg, filters, d)
+      } yield out
+      rewritten.getOrElse(agg)
   }
 
-  private def sigOf(e: Expression): Option[(String, Option[String])] = e match {
-    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+  private def tryRewrite(agg: Aggregate, filters: Seq[Expression],
+                         d: MvDef): Option[LogicalPlan] = {
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    if (groupNames.exists(_.isEmpty)) return None
+    val queryKeys = groupNames.flatten.toSet
+    if (!queryKeys.subsetOf(d.keys.toSet)) return None
+
+    val mvPlan = d.mvPlan()
+    val mvOut = mvPlan.output.map(a => a.name -> a).toMap
+
+    for {
+      cond <- rewriteFilters(filters, d, mvOut)
+      child = cond.map(Filter(_, mvPlan)).getOrElse(mvPlan)
+      out <-
+        if (queryKeys == d.keys.toSet) projectRewrite(agg.aggregateExpressions, d, mvOut, child)
+        else rollupRewrite(agg, d, mvOut, child)
+    } yield out
+  }
+
+  /** Map the pushed-down filters onto the view's attributes. Sound
+    * only when every reference is a grouping key (constant within its
+    * group); deterministic, no subqueries. Returns None to disqualify
+    * the whole rewrite, Some(None) when there is nothing to filter.
+    */
+  private def rewriteFilters(filters: Seq[Expression], d: MvDef,
+                             mvOut: Map[String, Attribute]): Option[Option[Expression]] = {
+    if (filters.isEmpty) return Some(None)
+    val cond = filters.reduce(And)
+    val mappable = cond.references.forall { r =>
+      d.keys.contains(r.name) && mvOut.get(r.name).exists(_.dataType == r.dataType)
+    }
+    val clean = cond.deterministic &&
+      cond.collectFirst { case p: PlanExpression[_] => p }.isEmpty
+    if (!mappable || !clean) None
+    else Some(Some(cond.transform {
+      case a: AttributeReference => mvOut(a.name)
+    }))
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact-grain path: query keys == view keys; measures read straight off
+  // the stored row (avg derived from sum/count, sketches estimated).
+  // ---------------------------------------------------------------------
+
+  private def projectRewrite(aggExprs: Seq[NamedExpression], d: MvDef,
+                             mvOut: Map[String, Attribute],
+                             child: LogicalPlan): Option[LogicalPlan] = {
+    val projected = aggExprs.map {
+      case a: AttributeReference if d.keys.contains(a.name) =>
+        mvOut.get(a.name).filter(_.dataType == a.dataType)
+          .map(mv => Alias(mv, a.name)(exprId = a.exprId))
+      case al @ Alias(a: AttributeReference, name) if d.keys.contains(a.name) =>
+        mvOut.get(a.name).filter(_.dataType == a.dataType)
+          .map(mv => Alias(mv, name)(exprId = al.exprId))
+      case al @ Alias(e, name) =>
+        readout(e, al, d, mvOut).map(r => Alias(r, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (projected.exists(_.isEmpty)) None
+    else Some(Project(projected.flatten, child))
+  }
+
+  /** Stored-row readout for one aggregate at the view's own grain. */
+  private def readout(e: Expression, al: Alias, d: MvDef,
+                      mvOut: Map[String, Attribute]): Option[Expression] = e match {
+    case ae: AggregateExpression if simple(ae) =>
       ae.aggregateFunction match {
-        case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-          Some(("count", None))
-        case s: Sum => s.child match {
-          case a: AttributeReference => Some(("sum", Some(a.name)))
-          case _ => None
-        }
-        case m: Min => m.child match {
-          case a: AttributeReference => Some(("min", Some(a.name)))
-          case _ => None
-        }
-        case m: Max => m.child match {
-          case a: AttributeReference => Some(("max", Some(a.name)))
-          case _ => None
-        }
+        case a: Average => avgReadout(a, d, mvOut)
+        case f => measureOf(f, d).flatMap(m => mvOut.get(m.name))
+          .filter(_.dataType == al.dataType)
+      }
+    case HllSketchEstimate(ae: AggregateExpression) if simple(ae) =>
+      ae.aggregateFunction match {
+        case h: HllSketchAgg => hllMeasure(h, d, mvOut).map(HllSketchEstimate(_))
         case _ => None
       }
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case agg: Aggregate =>
-      val rewritten = for {
-        paths <- imagePaths(agg.child) if paths.nonEmpty
-        d <- synchronized(registry.toSeq).find(_.basePaths() == paths)
-        out <- tryRewrite(agg.groupingExpressions, agg.aggregateExpressions, d)
-      } yield out
-      rewritten.getOrElse(agg)
-  }
+  /** avg(col) = Average's own final-result expression with the stored
+    * sum/count substituted for its aggregation buffer — result type,
+    * decimal precision handling, and divide-null semantics are exactly
+    * the ones the unrewritten query would have had.
+    */
+  private def avgReadout(a: Average, d: MvDef,
+                         mvOut: Map[String, Attribute]): Option[Expression] =
+    for {
+      in <- attrChild(a.child)
+      sumA <- find(d, mvOut, "sum", Some(in.name))
+      cntA <- find(d, mvOut, "count", Some(in.name))
+      if cntA.dataType == LongType
+      sumE <- widen(sumA, a.sumDataType)
+    } yield substituteAvg(a, sumE, cntA)
 
-  private def tryRewrite(groupings: Seq[Expression],
-                         aggExprs: Seq[NamedExpression],
-                         d: MvDef): Option[LogicalPlan] = {
-    val groupNames = groupings.map {
-      case a: AttributeReference => Some(a.name)
+  private def substituteAvg(a: Average, sumE: Expression, cntE: Expression): Expression =
+    a.evaluateExpression.transformUp {
+      case ar: AttributeReference if ar.exprId == a.sum.exprId => sumE
+      case ar: AttributeReference if ar.exprId == a.count.exprId => cntE
+    }
+
+  // ---------------------------------------------------------------------
+  // Roll-up path: query keys ⊂ view keys; the view re-aggregates with the
+  // partial-state merge algebra (counts/sums re-sum, min/max re-minimize,
+  // sketches re-union), output cast back to the query's own result types.
+  // ---------------------------------------------------------------------
+
+  private def rollupRewrite(agg: Aggregate, d: MvDef,
+                            mvOut: Map[String, Attribute],
+                            child: LogicalPlan): Option[LogicalPlan] = {
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference =>
+        mvOut.get(a.name).filter(_.dataType == a.dataType)
       case _ => None
     }
-    if (groupNames.exists(_.isEmpty) ||
-        groupNames.flatten.toSet != d.keys.toSet) return None
-    val mvPlan = d.mvPlan()
-    val mvOut = mvPlan.output.map(a => a.name -> a).toMap
+    if (groupAttrs.exists(_.isEmpty)) return None
 
-    val projected = aggExprs.map {
+    val out = agg.aggregateExpressions.map {
       case a: AttributeReference if d.keys.contains(a.name) =>
         mvOut.get(a.name).filter(_.dataType == a.dataType)
           .map(mv => Alias(mv, a.name)(exprId = a.exprId))
+      case al @ Alias(a: AttributeReference, name) if d.keys.contains(a.name) =>
+        mvOut.get(a.name).filter(_.dataType == a.dataType)
+          .map(mv => Alias(mv, name)(exprId = al.exprId))
       case al @ Alias(e, name) =>
-        sigOf(e).flatMap { case (kind, input) =>
-          d.measures.find(m => m.kind == kind && m.input == input)
-            .flatMap(m => mvOut.get(m.name))
-            .filter(_.dataType == al.dataType)
-            .map(mv => Alias(mv, name)(exprId = al.exprId))
-        }
+        remerge(e, al, d, mvOut).map(r => Alias(r, name)(exprId = al.exprId))
       case _ => None
     }
-    if (projected.exists(_.isEmpty)) None
-    else Some(Project(projected.flatten, mvPlan))
+    if (out.exists(_.isEmpty)) None
+    else Some(Aggregate(groupAttrs.map(_.get), out.flatten, child))
   }
+
+  /** Re-aggregation expression for one aggregate at a coarser grain. */
+  private def remerge(e: Expression, al: Alias, d: MvDef,
+                      mvOut: Map[String, Attribute]): Option[Expression] = e match {
+    case ae: AggregateExpression if simple(ae) =>
+      ae.aggregateFunction match {
+        case _: Count =>
+          // sum of stored group counts; 0 (not null) on empty input,
+          // matching count's own empty-relation result
+          measureOf(ae.aggregateFunction, d).flatMap(m => mvOut.get(m.name))
+            .filter(_.dataType == LongType)
+            .map(v => Coalesce(Seq(aggOf(Sum(v)), Literal(0L))))
+        case _: Sum =>
+          measureOf(ae.aggregateFunction, d).flatMap(m => mvOut.get(m.name)).map { v =>
+            val re = aggOf(Sum(v)) // may widen (decimal p+10); cast back
+            if (re.dataType == al.dataType) re else Cast(re, al.dataType)
+          }
+        case _: Min =>
+          measureOf(ae.aggregateFunction, d).flatMap(m => mvOut.get(m.name))
+            .filter(_.dataType == al.dataType).map(v => aggOf(Min(v)))
+        case _: Max =>
+          measureOf(ae.aggregateFunction, d).flatMap(m => mvOut.get(m.name))
+            .filter(_.dataType == al.dataType).map(v => aggOf(Max(v)))
+        case a: Average =>
+          for {
+            in <- attrChild(a.child)
+            sumA <- find(d, mvOut, "sum", Some(in.name))
+            cntA <- find(d, mvOut, "count", Some(in.name))
+            if cntA.dataType == LongType
+            reSum = aggOf(Sum(sumA))
+            sumE <- if (reSum.dataType == a.sumDataType) Some(reSum)
+                    else Some(Cast(reSum, a.sumDataType))
+          } yield substituteAvg(a, sumE, aggOf(Sum(cntA)))
+        case _ => None
+      }
+    case HllSketchEstimate(ae: AggregateExpression) if simple(ae) =>
+      ae.aggregateFunction match {
+        case h: HllSketchAgg => hllMeasure(h, d, mvOut)
+          .map(v => HllSketchEstimate(aggOf(new HllUnionAgg(v, Literal(false)))))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  // ---------------------------------------------------------------------
+  // Shared matching helpers
+  // ---------------------------------------------------------------------
+
+  private def simple(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty
+
+  private def aggOf(f: AggregateFunction): AggregateExpression =
+    AggregateExpression(f, Complete, isDistinct = false)
+
+  private def attrChild(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case _ => None
+  }
+
+  private def find(d: MvDef, mvOut: Map[String, Attribute], kind: String,
+                   input: Option[String]): Option[Attribute] =
+    d.measures.find(m => m.kind == kind && m.input == input)
+      .flatMap(m => mvOut.get(m.name))
+
+  /** The registered measure matching a plain aggregate function, by
+    * kind + input column.
+    */
+  private def measureOf(f: AggregateFunction, d: MvDef): Option[MeasureSig] = f match {
+    case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+      d.measures.find(m => m.kind == "count" && m.input.isEmpty)
+    case c: Count => c.children match {
+      case Seq(a: AttributeReference) =>
+        d.measures.find(m => m.kind == "count" && m.input.contains(a.name))
+      case _ => None
+    }
+    case s: Sum => attrChild(s.child).flatMap(a =>
+      d.measures.find(m => m.kind == "sum" && m.input.contains(a.name)))
+    case m: Min => attrChild(m.child).flatMap(a =>
+      d.measures.find(ms => ms.kind == "min" && ms.input.contains(a.name)))
+    case m: Max => attrChild(m.child).flatMap(a =>
+      d.measures.find(ms => ms.kind == "max" && ms.input.contains(a.name)))
+    case _ => None
+  }
+
+  private def hllMeasure(h: HllSketchAgg, d: MvDef,
+                         mvOut: Map[String, Attribute]): Option[Attribute] =
+    attrChild(h.left).flatMap { a =>
+      d.measures.find(m => m.kind == "hll" && m.input.contains(a.name) &&
+          m.lgK.getOrElse(12) == h.lgConfigK)
+        .flatMap(m => mvOut.get(m.name))
+    }
+
+  /** The stored sum adapted to Average's accumulator type: identical
+    * types pass through; an exact integral sum widens to the double
+    * accumulator (the direct query accumulates in double from the
+    * start, with at-least-as-much rounding). Anything else — e.g. a
+    * decimal stored sum against a double accumulator — disqualifies.
+    */
+  private def widen(attr: Attribute, target: org.apache.spark.sql.types.DataType): Option[Expression] =
+    if (attr.dataType == target) Some(attr)
+    else (attr.dataType, target) match {
+      case (ByteType | ShortType | IntegerType | LongType, DoubleType) =>
+        Some(Cast(attr, DoubleType))
+      case _ => None
+    }
 }

@@ -335,6 +335,39 @@ object MiscQueries {
         .orderBy("event_type")
     }),
 
+    // Transparent MV routing EXECUTED end to end: the query is written
+    // against the base lineitem table; with the view registered and the
+    // optimizer rule active it executes as a scan of the stored view —
+    // never the base (the helper REQUIRES the base is absent from the
+    // executed plan, so this entry fails outright if routing breaks).
+    // The DuckDB oracle recomputes from the base, hash-gating the routed
+    // execution: count(*), count(col), exact BIGINT sum, max, and the
+    // derived avg (stored sum/count substituted into Average's own
+    // result expression).
+    "q_mv_route" -> ((s, dir) => mvRouted(s, dir) { base =>
+      base.groupBy("l_returnflag", "l_linestatus").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("n_ok"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          max(col("l_shipdate")).as("max_ship"),
+          avg(col("l_orderkey")).as("avg_ok"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // The roll-up face of the same registration: a coarser grain plus a
+    // key-only filter re-aggregates the stored view with the partial-
+    // state merge algebra — counts/sums re-sum, max re-maximizes, avg
+    // re-derives from re-summed sum/count — still never touching the
+    // base table.
+    "q_mv_rollup" -> ((s, dir) => mvRouted(s, dir) { base =>
+      base.filter(col("l_linestatus") === "F").groupBy("l_returnflag").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          max(col("l_shipdate")).as("max_ship"),
+          avg(col("l_orderkey")).as("avg_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // Declarative data-quality audit over orders with seeded violations
     // (dup keys, null FKs, negative prices, dangling FKs) — row rules in
     // one aggregation pass, unique via groupBy, FK via left-anti
@@ -381,6 +414,46 @@ object MiscQueries {
         .orderBy("l_id", "r_id")
     }))
 
+  /** Register a (l_returnflag, l_linestatus) MV over lineitem, run the
+    * query with [[graft.plans.MvRewrite]] active, REQUIRE that the
+    * executed plan never scanned the base table, and materialize the
+    * routed result (group-cardinality rows — driver-safe by design)
+    * before restoring the session's optimizer state.
+    */
+  private def mvRouted(s: SparkSession, dir: String)
+                      (q: DataFrame => DataFrame): DataFrame = {
+    import MaterializedAgg._
+    import graft.plans.MvRewrite
+    val base = Tables(s, dir, "lineitem")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq(
+      Measure("mv_n", lit(1), Count),
+      Measure("mv_n_ok", col("l_orderkey"), Count),
+      Measure("mv_sum_ok", col("l_orderkey"), Sum),
+      Measure("mv_max_ship", col("l_shipdate"), Max))
+    val mvDir = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    aggregate(base, keys, ms).write.mode("overwrite").parquet(mvDir)
+    val mv = s.read.parquet(mvDir)
+    val prev = s.experimental.extraOptimizations
+    MvRewrite.register(base, mv, keys, Seq(
+      MvRewrite.MeasureSig("mv_n", "count", None),
+      MvRewrite.MeasureSig("mv_n_ok", "count", Some("l_orderkey")),
+      MvRewrite.MeasureSig("mv_sum_ok", "sum", Some("l_orderkey")),
+      MvRewrite.MeasureSig("mv_max_ship", "max", Some("l_shipdate"))))
+    try {
+      s.experimental.extraOptimizations = prev :+ MvRewrite
+      val routed = q(base)
+      val rows = routed.collect()
+      val plan = routed.queryExecution.executedPlan.toString
+      require(!plan.contains("lineitem.parquet"),
+        "MV routing did not fire — base table present in the executed plan")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), routed.schema)
+    } finally {
+      s.experimental.extraOptimizations = prev
+      MvRewrite.clear()
+    }
+  }
+
   val oracles: Map[String, String] = Map(
     "q_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
@@ -421,6 +494,21 @@ object MiscQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_mv_route" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | count(l_orderkey) AS n_ok,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        | max(l_shipdate) AS max_ship,
+        | CAST(sum(l_orderkey) AS DOUBLE) / count(l_orderkey) AS avg_ok
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_mv_rollup" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        | max(l_shipdate) AS max_ship,
+        | CAST(sum(l_orderkey) AS DOUBLE) / count(l_orderkey) AS avg_ok
+        |FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dq_audit" ->
       """WITH o AS (
