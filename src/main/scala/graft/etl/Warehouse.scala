@@ -249,7 +249,32 @@ class Warehouse(val spark: SparkSession, val root: String,
       case _ =>
         df.write.parquet(dir)
     }
+    // flat layouts get a file-stats sidecar at WRITE time (footers are
+    // hot in the page cache right now), so [[readSkipping]] prunes with
+    // zero per-file metadata I/O forever after — the dir is immutable.
+    // Partitioned dirs skip it: their pruning lever is the partition dir.
+    if (!partitionSpec.contains(table))
+      graft.sources.DataSkipping.writeSidecar(spark, dir)
     dir
+  }
+
+  /** Read `table` through the FILE-SKIPPING index
+    * ([[graft.sources.DataSkipping]]): pushed point/range predicates
+    * are resolved at planning time against the per-file min/max stats
+    * persisted in each data dir's commit-time sidecar, so files that
+    * provably hold no matching row never become scan tasks. The
+    * filter-heavy lookup path — a key probe into an append-only table
+    * whose batches are naturally range-clustered (time, sequence ids)
+    * touches the one file that can match instead of all of them.
+    * Flat layouts only (date-partitioned facts prune at dir level);
+    * a bucketed table reads fine but as a PLAIN scan — merges should
+    * keep using [[read]] for its HashPartitioning.
+    */
+  def readSkipping(table: String): (DataFrame, graft.sources.DataSkipping.StatsFileIndex) = {
+    require(!partitionSpec.contains(table),
+      s"$table is date-partitioned — dir-level pruning already applies; use read()")
+    graft.sources.DataSkipping.readWithIndex(spark, schemas(table),
+      catalog().getOrElse(table, Nil))
   }
 
   /** Bucketed write via a throwaway external-table registration — the
@@ -513,6 +538,9 @@ class Txn private[etl] (wh: Warehouse) {
       s"partial bucket overwrite needs exactly one current dir for $table, got ${current.length}")
     val dir = wh.writeDataDir(table, align(table, touchedDf))
     wh.copyUntouchedBuckets(current.head, dir, touched.toSet)
+    // the hard-linked files landed after writeDataDir's sidecar pass —
+    // refresh it so the skipping stats cover the whole dir again
+    graft.sources.DataSkipping.writeSidecar(wh.spark, dir)
     pending(table) = Seq(dir)
   }
 

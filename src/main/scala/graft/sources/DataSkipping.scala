@@ -1,0 +1,403 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files => JFiles, Paths => JPaths}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** FILE-LEVEL DATA SKIPPING — per-file column min/max/null statistics
+  * evaluated at PLANNING time through a custom [[FileIndex]], so files
+  * that provably contain no matching row never become scan tasks (the
+  * Delta/Iceberg "data skipping" feature, built on Spark's own
+  * extension seam: `FileSourceScanExec` hands its pushed data filters
+  * to `FileIndex.listFiles`).
+  *
+  * This is the read-side consumer the engine's Z-ORDER layout
+  * ([[graft.operators.Layout]]) exists for: a z-ordered table bounds
+  * every file to a small rectangle in (a, b) space, and this index
+  * turns a range predicate on EITHER column into a file-count cut
+  * before a single task is launched. Parquet's own row-group pruning
+  * happens too — but executor-side, after tasks for every file were
+  * created, scheduled, and had footers read. At 100 TB / millions of
+  * files, driver-side pruning over catalog-persisted stats is the
+  * difference between a point query costing one task and costing one
+  * task PER FILE.
+  *
+  * Stats come from the parquet FOOTERS (one driver read per file,
+  * cached per directory) or — the at-scale path — from a `_graft_stats`
+  * SIDECAR written once at commit time ([[writeSidecar]]; the
+  * Warehouse writes it for every non-partitioned data dir), so steady-
+  * state reads do ZERO per-file metadata I/O. Sidecar and footer agree
+  * by construction (the sidecar is written FROM the footers;
+  * spec-asserted).
+  *
+  * Pruning is CONSERVATIVE — a file is dropped only when the predicate
+  * provably matches no row:
+  *  - supported conjuncts: `=`, `<=>`, `<`, `<=`, `>`, `>=`, `IN`
+  *    against literals, `IS NULL` / `IS NOT NULL`; anything else
+  *    (disjunctions, expressions over the column, UDFs) is ignored —
+  *    the file is kept and row-level filtering does its normal job;
+  *  - supported stats domains: integral (incl. date/timestamp-micros),
+  *    floating (NaN stats rejected, -0.0 normalized to 0.0 to match
+  *    SQL equality), and UTF-8 strings compared BYTE-WISE unsigned —
+  *    the same ordering Spark's UTF8String uses (java.lang.String
+  *    compareTo would diverge on supplementary characters);
+  *  - a column with absent/unusable stats never prunes; unknown null
+  *    counts never prune null predicates.
+  *
+  * Correctness contract: `read(...)` ≡ `spark.read.parquet(...)` for
+  * every predicate, just with fewer files scanned (spec-asserted
+  * against the plain read on seeded layouts, nulls included).
+  */
+object DataSkipping {
+
+  /** Per-file, per-column stats in a normalized comparable domain:
+    * min/max are Long, Double, or String (None = unusable — absent,
+    * all-null, NaN, or an unsupported physical type); `nulls` is -1
+    * when the writer did not record a null count.
+    */
+  final case class ColStats(min: Option[Any], max: Option[Any],
+                            nulls: Long, rows: Long)
+
+  /** Stats for one parquet file: row count + per-column bounds. */
+  final case class FileStats(name: String, rows: Long,
+                             cols: Map[String, ColStats])
+
+  // -------------------------------------------------------------------
+  // Footer harvesting
+  // -------------------------------------------------------------------
+
+  /** Normalize one column-chunk statistics object into the comparable
+    * domain, or None when it cannot prune soundly.
+    */
+  private def normBounds(pt: PrimitiveType,
+                         st: org.apache.parquet.column.statistics.Statistics[_]): Option[(Any, Any)] = {
+    import PrimitiveType.PrimitiveTypeName._
+    if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+    def longs(f: Any => Long): Option[(Any, Any)] =
+      Some((f(st.genericGetMin), f(st.genericGetMax)))
+    def noNaN(mn: Double, mx: Double): Option[(Any, Any)] =
+      if (mn.isNaN || mx.isNaN) None
+      else Some((if (mn == 0.0) 0.0 else mn, if (mx == 0.0) 0.0 else mx))
+    val lt = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT32 => lt match {
+        case null => longs(_.asInstanceOf[Number].longValue)
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation |
+             _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+          longs(_.asInstanceOf[Number].longValue)
+        case _ => None
+      }
+      case INT64 => lt match {
+        case null => longs(_.asInstanceOf[Number].longValue)
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          longs(_.asInstanceOf[Number].longValue)
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          // normalize to MICROS — the domain of Spark timestamp literals
+          val scale: Long => Long = ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+            case LogicalTypeAnnotation.TimeUnit.NANOS => _ / 1000L
+            case _ => return None
+          }
+          longs(v => scale(v.asInstanceOf[Number].longValue))
+        case _ => None
+      }
+      case FLOAT =>
+        noNaN(st.genericGetMin.asInstanceOf[Float].toDouble,
+          st.genericGetMax.asInstanceOf[Float].toDouble)
+      case DOUBLE =>
+        noNaN(st.genericGetMin.asInstanceOf[Double],
+          st.genericGetMax.asInstanceOf[Double])
+      case BINARY => lt match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+          Some((st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+            st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Read the footer of one parquet file into [[FileStats]] —
+    * per-column bounds merged across its row groups (every row group
+    * must contribute usable bounds, else the column is unusable for
+    * the whole file).
+    */
+  def statsOfFile(spark: SparkSession, file: Path): FileStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val perCol = scala.collection.mutable.Map[String, ColStats]()
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val name = c.getPath.toDotString
+          if (!c.getPath.toArray.exists(_ == null) && c.getPath.size == 1) {
+            val bounds = normBounds(c.getPrimitiveType, c.getStatistics)
+            val nulls =
+              if (c.getStatistics == null || c.getStatistics.isNumNullsSet)
+                Option(c.getStatistics).map(_.getNumNulls).getOrElse(-1L)
+              else -1L
+            val prev = perCol.get(name)
+            val merged = prev match {
+              case None => ColStats(bounds.map(_._1), bounds.map(_._2), nulls, b.getRowCount)
+              case Some(p) =>
+                val mn = for (a <- p.min; b2 <- bounds.map(_._1); c2 <- cmp(a, b2)) yield if (c2 <= 0) a else b2
+                val mx = for (a <- p.max; b2 <- bounds.map(_._2); c2 <- cmp(a, b2)) yield if (c2 >= 0) a else b2
+                val nu = if (p.nulls < 0 || nulls < 0) -1L else p.nulls + nulls
+                ColStats(mn, mx, nu, p.rows + b.getRowCount)
+            }
+            perCol(name) = merged
+          }
+        }
+      }
+      FileStats(file.getName, rows, perCol.toMap)
+    } finally reader.close()
+  }
+
+  /** Footer-scan every data file directly under `dir` (flat layout). */
+  def collectStats(spark: SparkSession, dir: String): Seq[FileStats] = {
+    val d = JPaths.get(dir)
+    if (!JFiles.isDirectory(d)) return Nil
+    JFiles.list(d).iterator().asScala
+      .filter(p => JFiles.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_") && !p.getFileName.toString.startsWith("."))
+      .map(p => statsOfFile(spark, new Path(p.toUri)))
+      .toSeq
+  }
+
+  // -------------------------------------------------------------------
+  // Sidecar persistence (the at-scale path: stats written once at
+  // commit, zero per-file metadata I/O at read)
+  // -------------------------------------------------------------------
+
+  private val SidecarName = "_graft_stats.tsv"
+
+  private def enc(s: String): String =
+    s.flatMap {
+      case '\t' => "%09"; case '\n' => "%0a"; case '\r' => "%0d"; case '%' => "%25"
+      case c => c.toString
+    }
+
+  private def dec(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def cell(v: Option[Any]): (String, String) = v match {
+    case Some(l: Long) => ("l", l.toString)
+    case Some(d: Double) => ("d", java.lang.Double.toString(d))
+    case Some(s: String) => ("s", enc(s))
+    case _ => ("-", "")
+  }
+
+  /** Persist `dir`'s footer stats as a `_graft_stats.tsv` sidecar
+    * (leading underscore: invisible to parquet scans). One line per
+    * (file, column): name, rows, column, kind, min, max, nulls.
+    */
+  def writeSidecar(spark: SparkSession, dir: String): Unit = {
+    val lines = collectStats(spark, dir).flatMap { fs =>
+      fs.cols.toSeq.sortBy(_._1).map { case (cn, cs) =>
+        val (k1, mn) = cell(cs.min)
+        val (_, mx) = cell(cs.max)
+        Seq(enc(fs.name), fs.rows.toString, enc(cn), k1, mn, mx,
+          cs.nulls.toString).mkString("\t")
+      } match {
+        case Nil => Seq(Seq(enc(fs.name), fs.rows.toString, "", "-", "", "", "-1")
+          .mkString("\t"))
+        case ls => ls
+      }
+    }
+    JFiles.write(JPaths.get(dir, SidecarName),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Load stats for `dir`: the sidecar when present, else footers. */
+  def loadStats(spark: SparkSession, dir: String): Seq[FileStats] = {
+    val sc = JPaths.get(dir, SidecarName)
+    if (!JFiles.exists(sc)) return collectStats(spark, dir)
+    val byFile = scala.collection.mutable.LinkedHashMap[String, (Long, scala.collection.mutable.Map[String, ColStats])]()
+    JFiles.readAllLines(sc, StandardCharsets.UTF_8).asScala.foreach { line =>
+      if (line.nonEmpty) {
+        val f = line.split("\t", -1)
+        val (name, rows, cn, kind, mn, mx, nu) =
+          (dec(f(0)), f(1).toLong, dec(f(2)), f(3), f(4), f(5), f(6).toLong)
+        val entry = byFile.getOrElseUpdate(name, (rows, scala.collection.mutable.Map()))
+        if (cn.nonEmpty) {
+          val bounds: Option[(Any, Any)] = kind match {
+            case "l" => Some((mn.toLong, mx.toLong))
+            case "d" => Some((mn.toDouble, mx.toDouble))
+            case "s" => Some((dec(mn), dec(mx)))
+            case _ => None
+          }
+          entry._2(cn) = ColStats(bounds.map(_._1), bounds.map(_._2), nu, rows)
+        }
+      }
+    }
+    byFile.toSeq.map { case (n, (r, cols)) => FileStats(n, r, cols.toMap) }
+  }
+
+  // -------------------------------------------------------------------
+  // Predicate evaluation over stats
+  // -------------------------------------------------------------------
+
+  /** Domain comparison; None = incomparable (never prunes). Strings
+    * compare as unsigned UTF-8 bytes — UTF8String's ordering.
+    */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) =>
+      Some(java.util.Arrays.compareUnsigned(
+        x.getBytes(StandardCharsets.UTF_8), y.getBytes(StandardCharsets.UTF_8)))
+    case _ => None
+  }
+
+  /** A literal in the stats domain (None = unsupported type/value). */
+  private def litNorm(l: Literal): Option[Any] = {
+    if (l.value == null) return None
+    l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(l.value.asInstanceOf[Number].longValue)
+      case DateType => Some(l.value.asInstanceOf[Number].longValue)
+      case TimestampType | TimestampNTZType =>
+        Some(l.value.asInstanceOf[Number].longValue)
+      case FloatType =>
+        val d = l.value.asInstanceOf[Float].toDouble
+        if (d.isNaN) None else Some(if (d == 0.0) 0.0 else d)
+      case DoubleType =>
+        val d = l.value.asInstanceOf[Double]
+        if (d.isNaN) None else Some(if (d == 0.0) 0.0 else d)
+      case StringType => Some(l.value.asInstanceOf[UTF8String].toString)
+      case _ => None
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** May `fs` contain a row satisfying `conjunct`? (true = keep;
+    * unknown shapes are always true).
+    */
+  private def mayMatch(fs: FileStats, conjunct: Expression): Boolean = {
+    def st(a: AttributeReference): Option[ColStats] = fs.cols.get(a.name)
+    // keep-file check against [min, max]; unusable bounds keep the file
+    def bounds(a: AttributeReference)(f: (Any, Any) => Boolean): Boolean =
+      st(a) match {
+        case Some(ColStats(Some(mn), Some(mx), _, _)) => f(mn, mx)
+        case _ => true
+      }
+    def inRange(a: AttributeReference, l: Literal): Boolean =
+      litNorm(l).fold(true)(v => bounds(a) { (mn, mx) =>
+        cmp(mn, v).fold(true)(_ <= 0) && cmp(mx, v).fold(true)(_ >= 0)
+      })
+    conjunct match {
+      case EqualTo(a: AttributeReference, l: Literal) => inRange(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => inRange(a, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        if (l.value == null) st(a).forall(s => s.nulls != 0) else inRange(a, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        if (l.value == null) st(a).forall(s => s.nulls != 0) else inRange(a, l)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        litNorm(l).fold(true)(v => bounds(a)((mn, _) => cmp(mn, v).fold(true)(_ < 0)))
+      case LessThan(l: Literal, a: AttributeReference) => // v < a ⇔ a > v
+        litNorm(l).fold(true)(v => bounds(a)((_, mx) => cmp(mx, v).fold(true)(_ > 0)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        litNorm(l).fold(true)(v => bounds(a)((mn, _) => cmp(mn, v).fold(true)(_ <= 0)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        litNorm(l).fold(true)(v => bounds(a)((_, mx) => cmp(mx, v).fold(true)(_ >= 0)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        litNorm(l).fold(true)(v => bounds(a)((_, mx) => cmp(mx, v).fold(true)(_ > 0)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        litNorm(l).fold(true)(v => bounds(a)((mn, _) => cmp(mn, v).fold(true)(_ < 0)))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        litNorm(l).fold(true)(v => bounds(a)((_, mx) => cmp(mx, v).fold(true)(_ >= 0)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        litNorm(l).fold(true)(v => bounds(a)((mn, _) => cmp(mn, v).fold(true)(_ <= 0)))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => inRange(a, v.asInstanceOf[Literal]))
+      case IsNull(a: AttributeReference) => st(a).forall(s => s.nulls != 0)
+      case IsNotNull(a: AttributeReference) =>
+        st(a).forall(s => !(s.min.isEmpty && s.nulls >= 0 && s.nulls == s.rows && s.rows > 0))
+      case _ => true
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // The FileIndex
+  // -------------------------------------------------------------------
+
+  /** A [[FileIndex]] that delegates listing to an [[InMemoryFileIndex]]
+    * and drops files whose stats refute the pushed data filters.
+    * `lastTotal`/`lastSelected` expose the most recent pruning decision
+    * for gates and diagnostics.
+    */
+  final class StatsFileIndex(spark: SparkSession, schema: StructType,
+                             dirs: Seq[String]) extends FileIndex {
+    private val inner = new InMemoryFileIndex(
+      spark, dirs.map(new Path(_)), Map.empty[String, String], Some(schema))
+    // keyed by scheme-less absolute path
+    private val stats: Map[String, FileStats] = dirs.flatMap { d =>
+      loadStats(spark, d).map(fs =>
+        new Path(new Path(d), fs.name).toUri.getPath -> fs)
+    }.toMap
+
+    @volatile var lastTotal: Int = -1
+    @volatile var lastSelected: Int = -1
+
+    override def rootPaths: Seq[Path] = inner.rootPaths
+    override def inputFiles: Array[String] = inner.inputFiles
+    override def refresh(): Unit = inner.refresh()
+    override def sizeInBytes: Long = inner.sizeInBytes
+    override def partitionSchema: StructType = inner.partitionSchema
+
+    override def listFiles(partitionFilters: Seq[Expression],
+                           dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val conjuncts = dataFilters.flatMap(splitConjuncts)
+      val listed = inner.listFiles(partitionFilters, dataFilters)
+      val pruned = listed.map { pd =>
+        PartitionDirectory(pd.values, pd.files.filter { f =>
+          stats.get(f.getPath.toUri.getPath)
+            .forall(fs => conjuncts.forall(c => mayMatch(fs, c)))
+        })
+      }
+      lastTotal = listed.map(_.files.size).sum
+      lastSelected = pruned.map(_.files.size).sum
+      pruned
+    }
+  }
+
+  /** Read flat parquet dirs through the skipping index. Returns the
+    * frame plus the index (for pruning introspection).
+    */
+  def readWithIndex(spark: SparkSession, schema: StructType,
+                    dirs: Seq[String]): (DataFrame, StatsFileIndex) = {
+    val idx = new StatsFileIndex(spark, schema, dirs)
+    val rel = HadoopFsRelation(idx, new StructType(), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    (spark.baseRelationToDataFrame(rel), idx)
+  }
+
+  def read(spark: SparkSession, schema: StructType, dirs: Seq[String]): DataFrame =
+    readWithIndex(spark, schema, dirs)._1
+}
