@@ -368,6 +368,64 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Record linkage end to end: supplier records keyed by a synthetic
+    // identifier-bearing name (a hex fingerprint — realistic for
+    // system-generated ids, and trigram blocking stays near-linear on
+    // it: no stop-grams), plus seeded one-deletion variants (two per
+    // ninth supplier, so some entities have three members grouped only
+    // transitively). resolve() = fuzzy pairs -> connected components ->
+    // golden record; the oracle mirrors the whole construction
+    // relationally (trigram block, levenshtein, recursive-CTE
+    // components, window golden pick).
+    "q_linkage" -> ((s, dir) => {
+      val base = Tables(s, dir, "supplier").select(
+        col("s_suppkey").as("id"),
+        expr("substring(md5(cast(s_suppkey as string)), 1, 16)").as("name"))
+      def variant(offset: Long, posMod: Int, everyNth: Int) =
+        base.filter(col("id") % everyNth === 0).select(
+          (col("id") + offset).as("id"),
+          expr(s"""concat(substring(name, 1, cast(id % $posMod as int)),
+                   substring(name, cast(id % $posMod as int) + 2, 100))""")
+            .as("name"))
+      val recs = base
+        .unionAll(variant(100000L, 10, 3))
+        .unionAll(variant(200000L, 7, 9))
+      graft.operators.RecordLinkage.resolve(recs, "id", "name", maxDist = 2)
+        .orderBy("id")
+    }),
+
+    // Z-order layout + file-skipping scan, the write-side and read-side
+    // halves of the data-skipping story executed together: lineitem
+    // z-ordered on (l_partkey, l_suppkey) into 16 files; the range
+    // predicate on both dimensions is resolved at PLANNING time against
+    // the commit-time stats sidecar, so non-matching files never become
+    // tasks. The entry REQUIRES files were pruned (fails outright if
+    // skipping breaks); the DuckDB oracle recomputes from the raw
+    // table, hash-gating the pruned scan's correctness.
+    "q_skip_scan" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val out = java.nio.file.Files.createTempDirectory("graft-zorder")
+        .toString + "/lineitem"
+      graft.operators.Layout.writeZOrdered(
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_returnflag"),
+        out, "l_partkey", "l_suppkey", files = 16, bits = 15)
+      graft.sources.DataSkipping.writeSidecar(s, out)
+      val (skip, idx) = graft.sources.DataSkipping.readWithIndex(
+        s, s.read.parquet(out).schema, Seq(out))
+      val res = skip
+        .filter(col("l_partkey") <= 120L && col("l_suppkey") <= 8L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy("l_returnflag")
+      val rowsArr = res.collect()
+      require(idx.lastSelected < idx.lastTotal,
+        s"file skipping did not prune: ${idx.lastSelected}/${idx.lastTotal}")
+      s.createDataFrame(java.util.Arrays.asList(rowsArr: _*), res.schema)
+    }),
+
     // Declarative data-quality audit over orders with seeded violations
     // (dup keys, null FKs, negative prices, dangling FKs) — row rules in
     // one aggregation pass, unique via groupBy, FK via left-anti
@@ -494,6 +552,61 @@ object MiscQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_linkage" ->
+      """WITH RECURSIVE base AS (
+        | SELECT s_suppkey AS id,
+        |   substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 16) AS name
+        | FROM supplier),
+        |v1 AS (
+        | SELECT id + 100000 AS id,
+        |   substr(name, 1, CAST(id % 10 AS INT))
+        |     || substr(name, CAST(id % 10 AS INT) + 2, 100) AS name
+        | FROM base WHERE id % 3 = 0),
+        |v2 AS (
+        | SELECT id + 200000 AS id,
+        |   substr(name, 1, CAST(id % 7 AS INT))
+        |     || substr(name, CAST(id % 7 AS INT) + 2, 100) AS name
+        | FROM base WHERE id % 9 = 0),
+        |recs AS (SELECT * FROM base UNION ALL SELECT * FROM v1
+        |         UNION ALL SELECT * FROM v2),
+        |g AS (
+        | SELECT DISTINCT id, substr(name, t.g, 3) AS g
+        | FROM recs, unnest(generate_series(1, greatest(len(name) - 2, 1))) AS t(g)),
+        |cand AS (
+        | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        | FROM g a JOIN g b USING (g) WHERE a.id < b.id),
+        |pairs AS (
+        | SELECT id_a, id_b FROM cand
+        | JOIN recs ra ON ra.id = cand.id_a
+        | JOIN recs rb ON rb.id = cand.id_b
+        | WHERE levenshtein(ra.name, rb.name) <= 2),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        | SELECT id, id AS lbl FROM recs
+        | UNION
+        | SELECT e.src, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+        |lab AS (SELECT id, min(lbl) AS entity_id FROM reach GROUP BY 1),
+        |rk AS (
+        | SELECT l.id, l.entity_id,
+        |   row_number() OVER (PARTITION BY l.entity_id
+        |     ORDER BY len(r.name) DESC, l.id) AS rk
+        | FROM lab l JOIN recs r ON r.id = l.id),
+        |can AS (
+        | SELECT entity_id, min(CASE WHEN rk = 1 THEN id END) AS canonical_id,
+        |   CAST(count(*) AS BIGINT) AS n_members
+        | FROM rk GROUP BY 1)
+        |SELECT k.id, k.entity_id, c.canonical_id, (k.rk = 1) AS is_canonical,
+        | c.n_members
+        |FROM rk k JOIN can c USING (entity_id) ORDER BY k.id""".stripMargin,
+
+    "q_skip_scan" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey <= 120 AND l_suppkey <= 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mv_route" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

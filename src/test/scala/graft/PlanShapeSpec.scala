@@ -98,6 +98,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("seventh-wave: record-linkage joins stay equi-keyed (no NLJ)") {
+    // q_linkage's trigram blocking and component joins must ride equi
+    // keys; the MV-routed and skip-scan entries materialize driver-side
+    // (group-cardinality rows) so their final plans are local scans —
+    // the gate locks that they never regress to a distributed replan
+    // with a nested loop
+    for (name <- Seq("q_linkage", "q_mv_route", "q_mv_rollup", "q_skip_scan")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
+    }
+  }
+
   test("audioFrameFeatures: shuffle-free (map-side codec + relational framing)") {
     import org.apache.spark.sql.functions.col
     val df = graft.operators.Multimodal.audioFrameFeatures(
