@@ -22,7 +22,9 @@ object PlanDump {
         "text_bm25", "text_perplexity", "text_shard",
         "dedup_semantic2", "dedup_crossset", "text_quantile", "q_profile",
         "q_funnel", "q_cohort", "q_twap", "q_regression",
-        "q_window_range", "mm_imagehash", "q_scd2_changes", "q_mv_approx")
+        "q_window_range", "mm_imagehash", "q_scd2_changes", "q_mv_approx",
+        "q_linkage", "q_skip_scan", "q_privacy", "q_anonymize",
+        "dedup_triangles")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -368,6 +368,35 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // k-anonymity / l-diversity release audit over orders: QI =
+    // (customer band, order month, status), sensitive = order priority.
+    // One aggregation pass; both guarantee verdicts per QI group.
+    "q_privacy" -> ((s, dir) => {
+      import graft.operators.Privacy
+      val o = Tables(s, dir, "orders").select(
+        Privacy.band(col("o_custkey"), 100L).as("cust_band"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      Privacy.anonymityAudit(o, Seq("cust_band", "order_month", "o_orderstatus"),
+          "o_orderpriority", k = 5, l = 2)
+        .orderBy("cust_band", "order_month", "o_orderstatus")
+    }),
+
+    // The enforcement face: suppression keeps only rows whose QI group
+    // clears BOTH guarantees — one window over the QI key
+    "q_anonymize" -> ((s, dir) => {
+      import graft.operators.Privacy
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        Privacy.band(col("o_custkey"), 100L).as("cust_band"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      Privacy.anonymize(o, Seq("cust_band", "order_month", "o_orderstatus"),
+          "o_orderpriority", k = 5, l = 2)
+        .select("o_orderkey", "cust_band", "order_month", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // Record linkage end to end: supplier records keyed by a synthetic
     // identifier-bearing name (a hex fingerprint — realistic for
     // system-generated ids, and trigram blocking stays near-linear on
@@ -552,6 +581,31 @@ object MiscQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_privacy" ->
+      """SELECT CAST((o_custkey // 100) * 100 AS BIGINT) AS cust_band,
+        | date_trunc('month', o_orderdate) AS order_month,
+        | o_orderstatus,
+        | count(*) AS n_rows,
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_sensitive,
+        | count(*) >= 5 AS k_anonymous,
+        | count(DISTINCT o_orderpriority) >= 2 AS l_diverse
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_anonymize" ->
+      """WITH t AS (
+        | SELECT o_orderkey,
+        |   CAST((o_custkey // 100) * 100 AS BIGINT) AS cust_band,
+        |   date_trunc('month', o_orderdate) AS order_month,
+        |   o_orderstatus, o_orderpriority
+        | FROM orders),
+        |a AS (
+        | SELECT cust_band, order_month, o_orderstatus
+        | FROM t GROUP BY 1, 2, 3
+        | HAVING count(*) >= 5 AND count(DISTINCT o_orderpriority) >= 2)
+        |SELECT t.o_orderkey, t.cust_band, t.order_month, t.o_orderstatus
+        |FROM t JOIN a USING (cust_band, order_month, o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_linkage" ->
       """WITH RECURSIVE base AS (

@@ -90,6 +90,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-dup GRAPH DENSITY diagnostics: per-node triangle counts over
+    // the polynomial word-gram pair graph — cliques (template spam) and
+    // stars (one anchor, orbiting variants) separate here where
+    // component labels alone cannot. Two equi self-joins over the
+    // oriented (a<b) edge list enumerate each triangle exactly once.
+    "dedup_triangles" -> ((s, dir) => {
+      val aug = docsAug(s, dir).cache()
+      graft.operators.GraphMetrics.trianglesPerNode(
+          Dedup.wordGramNearDupsPoly(aug, threshold = 0.5))
+        .orderBy("doc_id")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -597,6 +609,21 @@ object TextQueries {
          |SELECT r.doc_id, r.cluster_id, r.n_chars, (r.rk = 1) AS keep, c.canonical_id
          |FROM rk r JOIN can c USING (cluster_id)
          |ORDER BY r.doc_id""".stripMargin,
+
+    "dedup_triangles" ->
+      s"""WITH $augSql,
+         |${wordGramPolyPairsCte(0.5)},
+         |e AS (
+         |  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+         |  FROM pairs WHERE doc_a <> doc_b),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri
+         |      UNION ALL SELECT z FROM tri)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $augSql,
