@@ -3,89 +3,125 @@ package graft.etl
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import scala.jdk.CollectionConverters._
 
-/** QUERY RESULT CACHE with commit-based invalidation — the serving-side
-  * complement of the MV family: an MV answers a DECLARED aggregate
-  * shape; the result cache answers the exact query it saw before, for
-  * the dashboard/report workload that re-issues identical queries many
-  * times between warehouse loads.
+/** QUERY RESULT CACHE with table-granular invalidation — the
+  * serving-side complement of the MV family: an MV answers a DECLARED
+  * aggregate shape; the result cache answers the exact query it saw
+  * before, for the dashboard/report workload that re-issues identical
+  * queries many times between warehouse loads.
   *
-  * Soundness comes from the warehouse's own storage contract: data dirs
-  * are immutable and every commit rolls the numbered catalog version —
-  * so the result of a plan over committed tables is a pure function of
-  * (canonical plan, catalog version), and that pair is the cache key.
-  * A hit can never be stale: any commit, to any table, moves the
-  * version and orphans every old entry (conservative cross-table
-  * invalidation — table-granular tracking is the documented refinement;
-  * [[prune]] reclaims orphans). Within one version, hash collisions are
-  * closed by comparing the stored canonical plan text — a mismatch
-  * recomputes and takes over the slot.
+  * Soundness comes from the warehouse's own storage contract: data
+  * dirs are immutable, so a deterministic plan's result is a pure
+  * function of (canonical plan, the exact set of file paths it scans).
+  * That pair is the key — no clock, no version counter:
   *
-  * Entries live under `root/_cache/<hash>_v<version>/` as parquet, so a
-  * cached result streams back distributed (no driver materialization,
-  * results of any size). The first run pays one extra write of its own
-  * result — the usual cache admission trade.
+  *  - a commit to a table the plan READS gives the next `wh.read` a
+  *    different dir set ⇒ different key ⇒ miss + recompute (exact
+  *    invalidation, by construction);
+  *  - a commit to an UNRELATED table leaves the plan's paths unchanged
+  *    ⇒ the entry keeps hitting (table-granular, unlike a global
+  *    version key);
+  *  - hash collisions are closed by comparing the stored canonical
+  *    plan text; a mismatch recomputes and takes over the slot;
+  *  - a plan containing a nondeterministic expression (rand(), uuid(),
+  *    current_timestamp) BYPASSES the cache entirely — replaying a
+  *    stored sample as a fresh one would be a lie.
+  *
+  * Entries live under `root/_cache/` as parquet, so a cached result
+  * streams back distributed (no driver materialization, any size).
+  * [[prune]] reclaims entries referencing paths no longer live in the
+  * catalog (i.e. whose source dirs were retired by later commits).
   */
 object ResultCache {
 
+  private def canonical(df: DataFrame) = df.queryExecution.analyzed.canonicalized
+
+  /** The file-source root paths the plan scans, sorted — with the plan
+    * hash, the full identity of a deterministic result.
+    */
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.distinct.sorted
+
+  private def deterministic(df: DataFrame): Boolean =
+    !df.queryExecution.analyzed.exists(_.expressions.exists(e =>
+      e.exists(!_.deterministic)))
+
+  private def digest(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_))
+      .mkString.take(16)
+
+  private def entryDir(wh: Warehouse, df: DataFrame): Path = {
+    val plan = canonical(df)
+    Paths.get(wh.root, "_cache",
+      f"${plan.semanticHash()}%08x_${digest(scannedPaths(df).mkString("\n"))}")
+  }
+
+  private def isHit(dir: Path, planText: String): Boolean = {
+    val planFile = dir.resolve("plan.txt")
+    Files.exists(planFile) &&
+      new String(Files.readAllBytes(planFile), StandardCharsets.UTF_8) == planText &&
+      Files.exists(dir.resolve("data").resolve("_SUCCESS"))
+  }
+
   /** Run `df` through the cache of `wh`: return the stored result when
-    * the same canonical plan was already evaluated at the current
-    * catalog version, else evaluate, store, and read back. Build the
-    * frame from CURRENT reads (`wh.read(...)`) right before calling —
-    * a frame captured before a commit reads the old dirs, which is
+    * the same canonical plan over the same scanned paths was already
+    * evaluated, else evaluate, store, and read back. Build the frame
+    * from CURRENT reads (`wh.read(...)`) right before calling — a
+    * frame captured before a commit reads the old dirs, which is
     * exactly what its key says it reads.
     */
   def through(wh: Warehouse, df: DataFrame): DataFrame = {
-    val version = wh.versions().lastOption.getOrElse(0L)
-    val plan = df.queryExecution.analyzed.canonicalized
-    val text = plan.toString
-    val dir = Paths.get(wh.root, "_cache",
-      f"${plan.semanticHash()}%08x_v$version")
+    if (!deterministic(df)) return df
+    val text = canonical(df).toString
+    val dir = entryDir(wh, df)
     val dataDir = dir.resolve("data")
-    val planFile = dir.resolve("plan.txt")
-    val hit = Files.exists(planFile) &&
-      new String(Files.readAllBytes(planFile), StandardCharsets.UTF_8) == text &&
-      Files.exists(dataDir.resolve("_SUCCESS"))
-    if (!hit) {
+    if (!isHit(dir, text)) {
       df.write.mode("overwrite").parquet(dataDir.toString)
       Files.createDirectories(dir)
-      Files.write(planFile, text.getBytes(StandardCharsets.UTF_8))
+      Files.write(dir.resolve("plan.txt"), text.getBytes(StandardCharsets.UTF_8))
+      Files.write(dir.resolve("paths.txt"),
+        scannedPaths(df).mkString("\n").getBytes(StandardCharsets.UTF_8))
     }
     wh.spark.read.schema(df.schema).parquet(dataDir.toString)
   }
 
-  /** True iff `through` would hit for this frame right now (test and
+  /** True iff [[through]] would hit for this frame right now (test and
     * monitoring hook — the decision logic, shared verbatim).
     */
-  def wouldHit(wh: Warehouse, df: DataFrame): Boolean = {
-    val version = wh.versions().lastOption.getOrElse(0L)
-    val plan = df.queryExecution.analyzed.canonicalized
-    val dir = Paths.get(wh.root, "_cache",
-      f"${plan.semanticHash()}%08x_v$version")
-    val planFile = dir.resolve("plan.txt")
-    Files.exists(planFile) &&
-      new String(Files.readAllBytes(planFile), StandardCharsets.UTF_8) == plan.toString &&
-      Files.exists(dir.resolve("data").resolve("_SUCCESS"))
-  }
+  def wouldHit(wh: Warehouse, df: DataFrame): Boolean =
+    deterministic(df) && isHit(entryDir(wh, df), canonical(df).toString)
 
-  /** Reclaim entries keyed to superseded catalog versions. Returns the
+  /** Reclaim entries whose recorded source paths are no longer all
+    * live in the catalog — their dirs were retired by later commits,
+    * so no current read can ever produce their key again. Returns the
     * number of entries removed.
     */
   def prune(wh: Warehouse): Int = {
-    val current = wh.versions().lastOption.getOrElse(0L)
     val root = Paths.get(wh.root, "_cache")
     if (!Files.exists(root)) return 0
+    val live = wh.catalog().values.flatten.toSet
     val stale = Files.list(root).iterator().asScala.filter { d =>
-      d.getFileName.toString match {
-        case s if s.contains("_v") =>
-          s.substring(s.lastIndexOf("_v") + 2).toLongOption.exists(_ < current)
-        case _ => false
-      }
+      val pf = d.resolve("paths.txt")
+      !Files.exists(pf) ||
+        new String(Files.readAllBytes(pf), StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty)
+          .exists(p => !live.contains(stripScheme(p)))
     }.toSeq
     stale.foreach(deleteRecursively)
     stale.size
   }
+
+  // catalog paths are plain; plan rootPaths carry the fs scheme
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

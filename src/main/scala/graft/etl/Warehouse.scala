@@ -142,6 +142,41 @@ class Warehouse(val spark: SparkSession, val root: String,
     }
   }
 
+  /** OPTIMIZE ZORDER — compact a flat-layout table into ONE data dir
+    * z-ordered on two columns ([[graft.operators.Layout]]), so range
+    * predicates on EITHER column prune files through the skipping
+    * index ([[readSkipping]]; the sidecar is written as part of the
+    * compaction). The Delta/Iceberg table-maintenance job: one
+    * range-partitioned sort at write time, amortized over every
+    * subsequent scan. Same CAS commit discipline as [[compactOldest]]:
+    * dirs another writer appends during the (long) rewrite stay
+    * referenced; on persistent contention the rewrite is abandoned,
+    * never half-applied (the orphan dir is vacuumed later).
+    */
+  def compactZOrdered(table: String, aCol: String, bCol: String,
+                      files: Int, bits: Int = 16): Unit = {
+    require(!bucketSpec.contains(table) && !partitionSpec.contains(table),
+      s"z-order compaction applies to flat layouts; $table has a bucket/partition spec")
+    val old = catalog().getOrElse(table, Nil)
+    if (old.isEmpty) return
+    val dir = newDataDir(table)
+    val schema = schemas(table)
+    graft.operators.Layout.writeZOrdered(
+      readDirs(table, old).select(schema.fieldNames.toIndexedSeq.map(col): _*),
+      dir, aCol, bCol, files, bits)
+    graft.sources.DataSkipping.writeSidecar(spark, dir)
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 5) {
+      val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
+      val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
+                else CatalogJson.parse(expected)
+      val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
+      done = commitCatalogIf(expected, cat + (table -> (dir +: kept)))
+      attempts += 1
+    }
+  }
+
   /** Incremental compaction: merge the OLDEST data dirs of `table` into
     * one, leaving the most recent `keep` dirs untouched. Bounds the
     * read-side plan growth from daily appends (the unionByName chain in

@@ -99,4 +99,52 @@ object MaterializedAgg {
         case _              => col(m.name)
       }
     }: _*)
+
+  // -------------------------------------------------------------------
+  // Incremental QUANTILES — the measure that is not algebraic over raw
+  // values but IS algebraic one grain finer: a histogram at (keys ×
+  // value bucket) is just a count view, so it refreshes delta-sized
+  // with the machinery above, and quantiles read out of the stored
+  // buckets at query time. Exact at bucket resolution (the engine's
+  // bounded-histogram discipline — `text_quantile`'s trade, made
+  // incremental), deterministic, oracle-checkable — where a mergeable
+  // float sketch (t-digest/KLL) would be none of those.
+  // -------------------------------------------------------------------
+
+  /** Order-preserving bucketization: `v` floored to its `width`-wide
+    * bucket's lower edge. The resolution/size lever: buckets per key =
+    * value range / width.
+    */
+  def bucketize(v: Column, width: Long): Column =
+    (floor(v.cast("double") / width) * width).cast("long")
+
+  /** Declare the histogram view: a count per (keys × bucket of
+    * `valueCol`). Refresh with [[refresh]] over the SAME compound key —
+    * the histogram is a plain algebraic view one grain finer.
+    */
+  def quantileView(base: DataFrame, keys: Seq[String], valueCol: String,
+                   width: Long): DataFrame =
+    aggregate(base.withColumn("bucket", bucketize(col(valueCol), width)),
+      keys :+ "bucket", Seq(Measure("n", lit(1), Count)))
+
+  /** Quantile readout: for each requested q, the smallest stored
+    * bucket whose cumulative count reaches rank ceil(q·total) —
+    * `quantile_disc` at bucket resolution. Output columns `p<q·100>`.
+    * One window + one aggregate over the (small) stored view.
+    */
+  def readQuantiles(view: DataFrame, keys: Seq[String],
+                    qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs must be in (0, 1]")
+    val cum = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val tot = Window.partitionBy(keys.map(col): _*)
+    val c = view
+      .withColumn("cum", sum(col("n")).over(cum))
+      .withColumn("total", sum(col("n")).over(tot))
+    val outs = qs.map { q =>
+      min(when(col("cum") >= ceil(lit(q) * col("total")), col("bucket")))
+        .as(s"p${math.round(q * 100)}")
+    }
+    c.groupBy(keys.map(col): _*).agg(outs.head, outs.tail: _*)
+  }
 }

@@ -368,6 +368,72 @@ object MiscQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Classic TPC-H Q3 (shipping priority), adapted to the testdata's
+    // 1995-2001 date range — the canonical selective-dims 3-way join +
+    // top-k-by-revenue shape: filters land before the joins, revenue
+    // in exact DECIMAL, top 10 via heap (TakeOrderedAndProject)
+    "q_tpch_q3" -> ((s, dir) => {
+      val cut = lit("1997-06-01 00:00:00").cast(TimestampType)
+      Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables(s, dir, "orders").filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem").filter(col("l_shipdate") > cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Classic TPC-H Q5 (local supplier volume): the 6-way join with
+    // the customer-nation == supplier-nation residual — dims
+    // broadcast, the fact side carries one shuffle into the aggregate
+    "q_tpch_q5" -> ((s, dir) => {
+      val lo = lit("1996-01-01 00:00:00").cast(TimestampType)
+      val hi = lit("1998-01-01 00:00:00").cast(TimestampType)
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders")
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(Tables(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Incremental QUANTILES: a histogram view at (key × price bucket)
+    // is a plain count MV — built on pre-1997 orders, refreshed with
+    // the 1997+ delta (base never rescanned), p50/p90/p99 read out of
+    // the stored buckets. Exact at bucket resolution, deterministic;
+    // the oracle recomputes from the whole table, so the refresh
+    // identity AND the rank arithmetic sit under the hash gate.
+    "q_mv_quantile" -> ((s, dir) => {
+      import MaterializedAgg._
+      val o = Tables(s, dir, "orders")
+      val keys = Seq("o_orderstatus")
+      val width = 10000L
+      val cut = lit("1997-01-01 00:00:00").cast(TimestampType)
+      val ms = Seq(Measure("n", lit(1), Count))
+      val mv = quantileView(o.filter(col("o_orderdate") < cut), keys,
+        "o_totalprice", width)
+      val refreshed = refresh(mv,
+        o.filter(col("o_orderdate") >= cut)
+          .withColumn("bucket", bucketize(col("o_totalprice"), width)),
+        keys :+ "bucket", ms)
+      readQuantiles(refreshed, keys, Seq(0.5, 0.9, 0.99))
+        .orderBy("o_orderstatus")
+    }),
+
     // k-anonymity / l-diversity release audit over orders: QI =
     // (customer band, order month, status), sensitive = order priority.
     // One aggregation pass; both guarantee verdicts per QI group.
@@ -581,6 +647,50 @@ object MiscQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_mv_quantile" ->
+      """WITH b AS (
+        | SELECT o_orderstatus,
+        |   CAST(floor(o_totalprice / 10000) * 10000 AS BIGINT) AS bucket,
+        |   count(*) AS n
+        | FROM orders GROUP BY 1, 2),
+        |c AS (
+        | SELECT *,
+        |   CAST(sum(n) OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS BIGINT) AS cum,
+        |   CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS total
+        | FROM b)
+        |SELECT o_orderstatus,
+        | min(CASE WHEN cum >= CAST(ceil(0.5 * total) AS BIGINT) THEN bucket END) AS p50,
+        | min(CASE WHEN cum >= CAST(ceil(0.9 * total) AS BIGINT) THEN bucket END) AS p90,
+        | min(CASE WHEN cum >= CAST(ceil(0.99 * total) AS BIGINT) THEN bucket END) AS p99
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_privacy" ->
       """SELECT CAST((o_custkey // 100) * 100 AS BIGINT) AS cust_band,

@@ -104,11 +104,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // (group-cardinality rows) so their final plans are local scans —
     // the gate locks that they never regress to a distributed replan
     // with a nested loop
-    for (name <- Seq("q_linkage", "q_mv_route", "q_mv_rollup", "q_skip_scan")) {
+    for (name <- Seq("q_linkage", "q_mv_route", "q_mv_rollup", "q_skip_scan",
+        "q_tpch_q3", "q_tpch_q5", "q_mv_quantile", "q_privacy", "q_anonymize")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
     }
+    // the 6-way TPC-H Q5 join: dims reach the fact side as broadcasts
+    assert(plan("q_tpch_q5").contains("BroadcastHashJoin"),
+      "q_tpch_q5 should broadcast its dims")
   }
 
   test("audioFrameFeatures: shuffle-free (map-side codec + relational framing)") {

@@ -6,21 +6,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Result cache: identical plans hit within a catalog version, any
-  * commit invalidates, results always equal the direct evaluation.
+/** Result cache: identical plans over identical scanned paths hit; a
+  * commit to a read table invalidates exactly; unrelated commits do
+  * not; results always equal direct evaluation.
   */
 class ResultCacheSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private val schema = StructType(Seq(StructField("g", StringType),
+    StructField("v", LongType)))
+
   private def freshWh() = new Warehouse(spark,
     Files.createTempDirectory("rescache").toString,
-    Map("t" -> StructType(Seq(StructField("g", StringType),
-      StructField("v", LongType)))),
+    Map("t" -> schema, "u" -> schema),
     partitionSpec = Map.empty, bucketSpec = Map.empty)
 
-  private def load(wh: Warehouse, rows: Seq[(String, Long)]): Unit = {
-    val t = wh.begin(); t.append("t", rows.toDF("g", "v")); t.commit()
+  private def load(wh: Warehouse, table: String, rows: Seq[(String, Long)]): Unit = {
+    val t = wh.begin(); t.append(table, rows.toDF("g", "v")); t.commit()
   }
 
   private def q(wh: Warehouse) =
@@ -28,7 +31,7 @@ class ResultCacheSpec extends AnyFunSuite {
 
   test("second identical query hits; results equal direct evaluation") {
     val wh = freshWh()
-    load(wh, Seq(("a", 1L), ("a", 2L), ("b", 5L)))
+    load(wh, "t", Seq(("a", 1L), ("a", 2L), ("b", 5L)))
     assert(!ResultCache.wouldHit(wh, q(wh)))
     val first = ResultCache.through(wh, q(wh))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
@@ -43,23 +46,53 @@ class ResultCacheSpec extends AnyFunSuite {
       wh.read("t").groupBy("g").agg(count(lit(1)).as("n"))))
   }
 
-  test("any commit rolls the version and invalidates; prune reclaims") {
+  test("a commit to the read table invalidates; an unrelated commit does not") {
     val wh = freshWh()
-    load(wh, Seq(("a", 1L)))
+    load(wh, "t", Seq(("a", 1L)))
+    load(wh, "u", Seq(("x", 7L)))
     ResultCache.through(wh, q(wh)).collect()
     assert(ResultCache.wouldHit(wh, q(wh)))
-    load(wh, Seq(("a", 10L)))   // commit -> new version
-    assert(!ResultCache.wouldHit(wh, q(wh)), "commit must invalidate")
+
+    // unrelated table commit: the plan's scanned paths are unchanged
+    load(wh, "u", Seq(("y", 8L)))
+    assert(ResultCache.wouldHit(wh, q(wh)),
+      "commit to an unrelated table must NOT invalidate")
+
+    // commit to the read table: new dir set => new key => miss
+    load(wh, "t", Seq(("a", 10L)))
+    assert(!ResultCache.wouldHit(wh, q(wh)), "commit to a read table must invalidate")
     val fresh = ResultCache.through(wh, q(wh))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(fresh == Set(("a", 11L)), "post-commit result reflects the new data")
-    assert(ResultCache.prune(wh) == 1, "one superseded entry reclaimed")
-    assert(ResultCache.wouldHit(wh, q(wh)), "current-version entry survives prune")
+  }
+
+  test("prune reclaims entries whose source dirs were retired") {
+    val wh = freshWh()
+    load(wh, "t", Seq(("a", 1L)))
+    ResultCache.through(wh, q(wh)).collect()
+    val beforeOverwrite = q(wh) // frame bound to the OLD dirs
+    // overwrite retires the old dir entirely
+    val txn = wh.begin(); txn.overwrite("t", Seq(("a", 2L)).toDF("g", "v")); txn.commit()
+    ResultCache.through(wh, q(wh)).collect() // current entry
+    assert(ResultCache.prune(wh) == 1, "exactly the retired-dir entry goes")
+    assert(ResultCache.wouldHit(wh, q(wh)), "current-dir entry survives prune")
+    assert(!ResultCache.wouldHit(wh, beforeOverwrite))
+  }
+
+  test("nondeterministic plans bypass the cache") {
+    val wh = freshWh()
+    load(wh, "t", Seq(("a", 1L)))
+    val nd = wh.read("t").withColumn("r", rand())
+    assert(!ResultCache.wouldHit(wh, nd))
+    ResultCache.through(wh, nd).collect()
+    assert(!ResultCache.wouldHit(wh, nd), "rand() must never be served from cache")
+    assert(!Files.exists(java.nio.file.Paths.get(wh.root, "_cache")) ||
+      Files.list(java.nio.file.Paths.get(wh.root, "_cache")).count() == 0)
   }
 
   test("empty results cache and read back with schema intact") {
     val wh = freshWh()
-    load(wh, Seq(("a", 1L)))
+    load(wh, "t", Seq(("a", 1L)))
     val empty = wh.read("t").filter(col("v") > 100L)
     val out = ResultCache.through(wh, empty)
     assert(out.collect().isEmpty && out.schema.fieldNames.toSeq == Seq("g", "v"))

@@ -73,4 +73,35 @@ class MaterializedAggSpec extends AnyFunSuite {
     val full = aggregate(d1.unionAll(d2).unionAll(d3), Seq("g"), measures)
     assert(rows(chained) == rows(full))
   }
+
+  test("quantile view: refresh identity holds; readout matches a direct rank walk") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // values 1..100 per group 'a' (uniform), 1..10 repeated for 'b'
+    val base = ((1 to 60).map(i => ("a", i.toDouble)) ++
+      (1 to 40).map(i => ("b", (i % 10 + 1).toDouble))).toDF("g", "v")
+    val delta = ((61 to 100).map(i => ("a", i.toDouble))).toDF("g", "v")
+    val width = 5L
+    val cnt = Seq(Measure("n", lit(1), Count))
+
+    val incremental = refresh(
+      quantileView(base, Seq("g"), "v", width),
+      delta.withColumn("bucket", bucketize(col("v"), width)),
+      Seq("g", "bucket"), cnt)
+    val full = quantileView(base.unionAll(delta), Seq("g"), "v", width)
+    assert(rowsOf(incremental) == rowsOf(full), "histogram refresh identity")
+
+    val q = readQuantiles(incremental, Seq("g"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // group a: values 1..100, width-5 buckets; rank(0.5)=50 -> value 50
+    // -> bucket 50; rank(0.9)=90 -> bucket 90; rank(0.99)=99 -> bucket 95
+    assert(q("a") == ((50L, 90L, 95L)))
+    // group b: values 1..10 uniform x4, buckets 0/5/10:
+    // counts: bucket 0 -> {1..4}=16, 5 -> {5..9}=20, 10 -> {10}=4
+    // rank(0.5)=20 <= 36 cum at bucket 5; 0.9 -> 36 at bucket 5; 0.99 -> bucket 10
+    assert(q("b") == ((5L, 5L, 10L)))
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 }

@@ -143,6 +143,45 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(df.count() == 300)
   }
 
+  test("OPTIMIZE ZORDER: compaction re-clusters a table so both dimensions prune") {
+    import org.apache.spark.sql.types._
+    val schemas = Map("m" -> StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("payload", LongType))))
+    val wh = new graft.etl.Warehouse(spark,
+      Files.createTempDirectory("zopt").toString, schemas,
+      partitionSpec = Map.empty, bucketSpec = Map.empty)
+    // three appends in PAYLOAD order — a and b are scattered, so the
+    // pre-compaction layout prunes neither dimension
+    (0 until 3).foreach { batch =>
+      val t = wh.begin()
+      t.append("m", (0 until 8000).map { i =>
+        val j = batch * 8000 + i
+        ((j * 2654435761L % 1024), (j * 40503L % 1024), j.toLong)
+      }.toDF("a", "b", "payload").coalesce(2))
+      t.commit()
+    }
+    val before = wh.read("m").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    wh.compactZOrdered("m", "a", "b", files = 12, bits = 10)
+
+    assert(wh.catalog()("m").length == 1, "compaction leaves one dir")
+    val after = wh.read("m").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before, "compaction must not change the table image")
+
+    val (df, idx) = wh.readSkipping("m")
+    def sel(pred: org.apache.spark.sql.Column): (Long, Int) = {
+      val n = df.filter(pred).count(); (n, idx.lastSelected)
+    }
+    val (na, selA) = sel(col("a") < 100L)
+    val (nb, selB) = sel(col("b") < 100L)
+    assert(na == before.count(_._1 < 100) && nb == before.count(_._2 < 100))
+    assert(selA < idx.lastTotal && selB < idx.lastTotal,
+      s"both dimensions should prune post-compaction: a=$selA b=$selB of ${idx.lastTotal}")
+  }
+
   test("z-order layout + skipping index: range predicates on either dimension prune files") {
     val dir = Files.createTempDirectory("skipz").toString + "/t"
     val n = 40000
