@@ -284,12 +284,11 @@ class Warehouse(val spark: SparkSession, val root: String,
       case _ =>
         df.write.parquet(dir)
     }
-    // flat layouts get a file-stats sidecar at WRITE time (footers are
-    // hot in the page cache right now), so [[readSkipping]] prunes with
-    // zero per-file metadata I/O forever after — the dir is immutable.
-    // Partitioned dirs skip it: their pruning lever is the partition dir.
-    if (!partitionSpec.contains(table))
-      graft.sources.DataSkipping.writeSidecar(spark, dir)
+    // every data dir gets a file-stats sidecar at WRITE time (footers
+    // are hot in the page cache right now; partition subdirs walked
+    // recursively), so [[readSkipping]] prunes with zero per-file
+    // metadata I/O forever after — the dir is immutable.
+    graft.sources.DataSkipping.writeSidecar(spark, dir)
     dir
   }
 
@@ -301,15 +300,30 @@ class Warehouse(val spark: SparkSession, val root: String,
     * filter-heavy lookup path — a key probe into an append-only table
     * whose batches are naturally range-clustered (time, sequence ids)
     * touches the one file that can match instead of all of them.
-    * Flat layouts only (date-partitioned facts prune at dir level);
-    * a bucketed table reads fine but as a PLAIN scan — merges should
-    * keep using [[read]] for its HashPartitioning.
+    *
+    * Date-partitioned tables compose BOTH pruning levers: a partition-
+    * column predicate drops whole `dt=` subdirs (Spark partition
+    * pruning, per dir), a data-column predicate drops FILES inside the
+    * surviving subdirs (the stats); the partition column rides along
+    * after the declared columns, like [[readRaw]]. A bucketed table
+    * reads fine but as a PLAIN scan — merges should keep using
+    * [[read]] for its HashPartitioning. Returns one index per data dir
+    * (sum their counters for table-level pruning numbers).
     */
-  def readSkipping(table: String): (DataFrame, graft.sources.DataSkipping.StatsFileIndex) = {
-    require(!partitionSpec.contains(table),
-      s"$table is date-partitioned — dir-level pruning already applies; use read()")
-    graft.sources.DataSkipping.readWithIndex(spark, schemas(table),
-      catalog().getOrElse(table, Nil))
+  def readSkipping(table: String): (DataFrame, Seq[graft.sources.DataSkipping.StatsFileIndex]) = {
+    val dirs = catalog().getOrElse(table, Nil)
+    if (dirs.isEmpty) return (emptyDf(table), Nil)
+    val schema = schemas(table)
+    if (!partitionSpec.contains(table)) {
+      val (df, idx) = graft.sources.DataSkipping.readWithIndex(spark, schema, dirs)
+      (df, Seq(idx))
+    } else {
+      // partitioned roots must be discovered one by one (the
+      // CONFLICTING_DIRECTORY_STRUCTURES contract, as in readDirs)
+      val parts = dirs.map(d =>
+        graft.sources.DataSkipping.readWithIndex(spark, schema, Seq(d)))
+      (parts.map(_._1).reduce(_ unionByName _), parts.map(_._2))
+    }
   }
 
   /** Bucketed write via a throwaway external-table registration — the
@@ -617,6 +631,49 @@ class Txn private[etl] (wh: Warehouse) {
   def append(table: String, df: DataFrame): Unit = {
     val dir = wh.writeDataDir(table, align(table, df))
     pending(table) = pending.getOrElse(table, snapshot.getOrElse(table, Nil)) :+ dir
+  }
+
+  /** Append with COMMIT-TIME CONSTRAINTS: the batch is audited against
+    * the declarative rules first and REJECTED (with per-rule counts,
+    * table untouched) on any violation — the NOT NULL / CHECK /
+    * UNIQUE / FK enforcement the reference's Postgres DDL provides
+    * (`main.ddl` column constraints) and a parquet lake silently
+    * loses. One aggregation pass over the BATCH plus an anti-join per
+    * FK; a `Unique` rule checks the batch against ITSELF plus the
+    * table's current image (cross-batch duplicates must reject too).
+    */
+  def appendChecked(table: String, df: DataFrame,
+                    rules: Seq[graft.operators.DataQuality.Rule]): Unit = {
+    import graft.operators.DataQuality
+    val aligned = align(table, df)
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    val rowAndFk = rules.filterNot(_.isInstanceOf[DataQuality.Unique])
+    if (rowAndFk.nonEmpty)
+      DataQuality.audit(aligned, rowAndFk)
+        .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
+        .collect().foreach(r => bad += s"${r.getString(0)}=${r.getLong(1)}")
+    // batch-internal + batch-vs-table uniqueness: audit the batch
+    // unioned with the current image projected to the unique columns
+    rules.collect { case u: DataQuality.Unique => u }.foreach { u =>
+      val existing = read(table).select(u.columns.map(
+        org.apache.spark.sql.functions.col): _*)
+      val n = DataQuality.audit(
+          aligned.select(u.columns.map(org.apache.spark.sql.functions.col): _*)
+            .unionAll(existing), Seq(u))
+        .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
+        .collect()
+      // pre-existing table duplicates are not this batch's fault: only
+      // reject when the batch ADDS violations over the table's own count
+      val before = DataQuality.audit(existing, Seq(u))
+        .collect().headOption.map(_.getLong(1)).getOrElse(0L)
+      n.foreach { r =>
+        if (r.getLong(1) > before) bad += s"${r.getString(0)}=${r.getLong(1) - before}"
+      }
+    }
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"append to '$table' rejected by constraints: ${bad.mkString(", ")}")
+    append(table, aligned)
   }
 
   /** Schema-fit before write. When the incoming frame already carries the

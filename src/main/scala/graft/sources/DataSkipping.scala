@@ -167,15 +167,25 @@ object DataSkipping {
     } finally reader.close()
   }
 
-  /** Footer-scan every data file directly under `dir` (flat layout). */
+  /** Footer-scan every data file under `dir`, RECURSIVELY — partition
+    * subdirs (`dt=…/part-….parquet`) included; `name` is the path
+    * relative to `dir`, so the sidecar stays valid wherever the dir is
+    * mounted.
+    */
   def collectStats(spark: SparkSession, dir: String): Seq[FileStats] = {
-    val d = JPaths.get(dir)
-    if (!JFiles.isDirectory(d)) return Nil
-    JFiles.list(d).iterator().asScala
-      .filter(p => JFiles.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
-        !p.getFileName.toString.startsWith("_") && !p.getFileName.toString.startsWith("."))
-      .map(p => statsOfFile(spark, new Path(p.toUri)))
-      .toSeq
+    val root = JPaths.get(dir)
+    if (!JFiles.isDirectory(root)) return Nil
+    def walk(d: java.nio.file.Path): Seq[FileStats] =
+      JFiles.list(d).iterator().asScala.toSeq.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (JFiles.isDirectory(p)) walk(p)
+        else if (JFiles.isRegularFile(p) && n.endsWith(".parquet"))
+          Seq(statsOfFile(spark, new Path(p.toUri))
+            .copy(name = root.relativize(p).toString))
+        else Nil
+      }
+    walk(root)
   }
 
   // -------------------------------------------------------------------
@@ -387,13 +397,19 @@ object DataSkipping {
     }
   }
 
-  /** Read flat parquet dirs through the skipping index. Returns the
-    * frame plus the index (for pruning introspection).
+  /** Read parquet dirs through the skipping index. Returns the frame
+    * plus the index (for pruning introspection). Partitioned dirs
+    * (`dt=…` subdirs) surface their partition column after the data
+    * columns, exactly like a plain partitioned read; partition-column
+    * predicates prune whole subdirs (Spark's partition pruning) while
+    * data-column predicates prune FILES through the stats. Dirs with
+    * CONFLICTING partition structure must go through separate calls
+    * (same contract as any multi-root Spark read).
     */
   def readWithIndex(spark: SparkSession, schema: StructType,
                     dirs: Seq[String]): (DataFrame, StatsFileIndex) = {
     val idx = new StatsFileIndex(spark, schema, dirs)
-    val rel = HadoopFsRelation(idx, new StructType(), schema, None,
+    val rel = HadoopFsRelation(idx, idx.partitionSchema, schema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     (spark.baseRelationToDataFrame(rel), idx)
   }

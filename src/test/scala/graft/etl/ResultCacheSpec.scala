@@ -90,6 +90,39 @@ class ResultCacheSpec extends AnyFunSuite {
       Files.list(java.nio.file.Paths.get(wh.root, "_cache")).count() == 0)
   }
 
+  test("serving stack: MV routing and the result cache compose") {
+    import graft.operators.MaterializedAgg
+    import graft.operators.MaterializedAgg.{Count => MCount, Measure}
+    import graft.plans.MvRewrite
+    val wh = freshWh()
+    load(wh, "t", (1 to 90).map(i => (s"g${i % 3}", i.toLong)))
+    val measures = Seq(Measure("n", lit(1), MCount))
+    val t = wh.begin()
+    t.overwrite("u", MaterializedAgg.aggregate(wh.read("t"), Seq("g"), measures)
+      .select(col("g"), col("n").cast("long").as("v")))
+    t.commit()
+    MvRewrite.registerWarehouse(wh, "t", "u", Seq("g"),
+      Seq(MvRewrite.MeasureSig("v", "count", None)))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite
+    try {
+      def covered = wh.read("t").groupBy("g").agg(count(lit(1)).as("v"))
+      // first run: routed to the view AND admitted to the cache — the
+      // cache key is the ANALYZED plan over the BASE paths, so routing
+      // (an optimizer-time rewrite) never affects hit identity
+      val r1 = ResultCache.through(wh, covered)
+      assert(r1.collect().map(_.getLong(1)).sum == 90)
+      assert(ResultCache.wouldHit(wh, covered))
+      val r2 = ResultCache.through(wh, covered)
+      assert(r2.collect().map(_.getLong(1)).sum == 90)
+      assert(r2.queryExecution.executedPlan.toString.contains("_cache"),
+        "second run should serve from the cache entry")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      MvRewrite.clear()
+    }
+  }
+
   test("empty results cache and read back with schema intact") {
     val wh = freshWh()
     load(wh, "t", Seq(("a", 1L)))

@@ -135,12 +135,55 @@ class DataSkippingSpec extends AnyFunSuite {
     wh.catalog()("ledger").foreach { d =>
       assert(Files.exists(Paths.get(d, "_graft_stats.tsv")), s"no sidecar in $d")
     }
-    val (df, idx) = wh.readSkipping("ledger")
+    val (df, Seq(idx)) = wh.readSkipping("ledger")
     val hit = df.filter(col("id") === 2050L).collect()
     assert(hit.map(_.getLong(0)).toSeq == Seq(2050L))
     assert(idx.lastTotal == 3 && idx.lastSelected == 1,
       s"id probe should touch one append's file: ${idx.lastSelected}/${idx.lastTotal}")
     assert(df.count() == 300)
+  }
+
+  test("partitioned table: partition pruning drops subdirs, stats prune files inside") {
+    import org.apache.spark.sql.types._
+    val schemas = Map("fact" -> StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("v", DoubleType))))
+    val wh = new graft.etl.Warehouse(spark,
+      Files.createTempDirectory("skippart").toString, schemas,
+      partitionSpec = Map("fact" -> ("dt", to_date(col("ts")))),
+      bucketSpec = Map.empty)
+    // one append covering two days; ids range-clustered into 4 files per day
+    val t = wh.begin()
+    t.append("fact", (0 until 2000).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"2024-05-0${1 + i % 2} 10:00:00"), i * 0.5)
+    }.toDF("id", "ts", "v").repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"))
+    t.commit()
+
+    val (df, idxs) = wh.readSkipping("fact")
+    assert(idxs.length == 1)
+    val idx = idxs.head
+    assert(df.columns.contains("dt"), "partition column rides along")
+
+    // data-column probe: files prune via stats (each day dir has 4 files)
+    val n = df.filter(col("id") between (100L, 120L)).count()
+    assert(n == 21)
+    assert(idx.lastSelected < idx.lastTotal,
+      s"id range should prune files: ${idx.lastSelected}/${idx.lastTotal}")
+
+    // partition-column predicate prunes whole subdirs BEFORE stats
+    val oneDay = df.filter(col("dt") === lit("2024-05-02").cast("date"))
+    assert(oneDay.count() == 1000)
+    assert(idx.lastTotal < 8,
+      s"partition pruning should hide day-1 files from listing: ${idx.lastTotal}")
+
+    // combined: day + id range
+    val combo = df.filter(col("dt") === lit("2024-05-02").cast("date") &&
+      col("id") < 250L)
+    assert(combo.count() ==
+      wh.readRaw("fact").filter(col("dt") === lit("2024-05-02").cast("date") &&
+        col("id") < 250L).count())
+    assert(idx.lastSelected < idx.lastTotal)
   }
 
   test("OPTIMIZE ZORDER: compaction re-clusters a table so both dimensions prune") {
@@ -171,7 +214,7 @@ class DataSkippingSpec extends AnyFunSuite {
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(after == before, "compaction must not change the table image")
 
-    val (df, idx) = wh.readSkipping("m")
+    val (df, Seq(idx)) = wh.readSkipping("m")
     def sel(pred: org.apache.spark.sql.Column): (Long, Int) = {
       val n = df.filter(pred).count(); (n, idx.lastSelected)
     }
