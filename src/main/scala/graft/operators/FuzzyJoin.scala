@@ -21,11 +21,13 @@ import org.apache.spark.sql.types.LongType
   * pigeonhole), so for names ≥ 11 chars at d ≤ 2 the blocking is
   * lossless; shorter strings fall back to their whole text as the gram.
   * At 100 TB the known hazard is gram-frequency skew (a gram shared by
-  * every row degenerates to a self-join): production adds a stop-gram
-  * drop (grams above a document-frequency cap leave both sides — the
-  * same cap-the-bucket trade as the LSH family) or compounds the block
-  * key with a length bucket; both prune candidates, never correctness
-  * of the surviving pairs.
+  * every row degenerates to a self-join): `maxGramDf` drops STOP-GRAMS
+  * (grams above a document-frequency cap) from both sides — the same
+  * cap-the-bucket trade as the LSH family. Candidates shrink from the
+  * head of the gram-frequency distribution; a true pair is lost only
+  * if EVERY shared gram is a stop-gram, and the pigeonhole bound
+  * weakens by one destroyed-gram budget per dropped SHARED gram —
+  * pairs sharing ≥ 1 sub-cap gram survive exactly (spec-asserted).
   */
 object FuzzyJoin {
 
@@ -35,15 +37,30 @@ object FuzzyJoin {
       .as("g"))
 
   /** All (leftId, rightId, dist) pairs with edit distance ≤ `maxDist`
-    * among trigram-sharing candidates.
+    * among trigram-sharing candidates. `maxGramDf` (None = exact
+    * blocking) caps a gram's COMBINED document frequency across both
+    * sides; over-cap grams generate no candidates.
     */
   def trigramBlocked(left: DataFrame, right: DataFrame,
                      leftId: String, leftCol: String,
                      rightId: String, rightCol: String,
-                     maxDist: Int): DataFrame = {
+                     maxDist: Int,
+                     maxGramDf: Option[Int] = None): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    val cand = grams(left.select(leftId, leftCol), leftId, leftCol)
-      .join(grams(right.select(rightId, rightCol), rightId, rightCol), Seq("g"))
+    require(maxGramDf.forall(_ >= 1), "maxGramDf must be positive")
+    val lg = grams(left.select(leftId, leftCol), leftId, leftCol)
+    val rg = grams(right.select(rightId, rightCol), rightId, rightCol)
+    val (lk, rk) = maxGramDf match {
+      case None => (lg, rg)
+      case Some(cap) =>
+        // one tiny aggregate over the gram lists; the keep-set joins
+        // back as a broadcast-sized filter (gram space ≪ corpus)
+        val keep = lg.select(col("g")).unionAll(rg.select(col("g")))
+          .groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("g")
+        (lg.join(keep, Seq("g")), rg.join(keep, Seq("g")))
+    }
+    val cand = lk.join(rk, Seq("g"))
       .select(col(leftId), col(rightId)).distinct()
     cand
       .join(left.select(leftId, leftCol), Seq(leftId))

@@ -44,8 +44,47 @@ object GraphMetrics {
   /** Per-node triangle participation (every triangle credits its three
     * vertices) — the local clustering signal.
     */
-  def trianglesPerNode(pairs: DataFrame): DataFrame =
-    triangles(pairs)
+  def trianglesPerNode(pairs: DataFrame, byDegree: Boolean = false): DataFrame =
+    (if (byDegree) trianglesByDegree(pairs) else triangles(pairs))
       .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+
+  /** Triangle enumeration with DEGREE orientation — each edge directed
+    * from its lower-(degree, id) endpoint, so every out-list is
+    * bounded by O(√m) and the wedge self-join's fan-out by the graph's
+    * arboricity. On the skewed similarity graphs LSH produces (one
+    * anchor document, thousands of orbiters) id-orientation can hand
+    * the anchor the whole orbit as its out-list and square it; degree
+    * orientation is the standard at-scale fix. Same triangle set as
+    * [[triangles]], vertices sorted by id (spec-asserted).
+    */
+  def trianglesByDegree(pairs: DataFrame): DataFrame = {
+    val e = oriented(pairs)
+    val d = degrees(pairs)
+    val withDeg = e
+      .join(d.select(col("doc_id").as("a"), col("degree").as("da")), Seq("a"))
+      .join(d.select(col("doc_id").as("b"), col("degree").as("db")), Seq("b"))
+    // direct low-rank -> high-rank, rank = (degree, id); carry the
+    // head's rank so the wedge join can order its two heads
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = dir.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val e2 = dir.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val closing = dir.select(col("u").as("v1"), col("v").as("v2"))
+    wedges.join(closing, Seq("v1", "v2"))
+      .select(least(col("u"), col("v1"), col("v2")).as("x"),
+        // middle by elimination — ids are table keys, far below the
+        // Long overflow range a three-way sum could threaten
+        (col("u") + col("v1") + col("v2")
+          - least(col("u"), col("v1"), col("v2"))
+          - greatest(col("u"), col("v1"), col("v2"))).as("y"),
+        greatest(col("u"), col("v1"), col("v2")).as("z"))
+  }
 }

@@ -530,7 +530,8 @@ object StreamingOps {
                          viewTable: String, metaTable: String,
                          keys: Seq[String],
                          measures: Seq[graft.operators.MaterializedAgg.Measure],
-                         checkpointDir: String)
+                         checkpointDir: String,
+                         prepare: DataFrame => DataFrame = identity)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream.schema(srcSchema).parquet(sourceDir)
       .writeStream
@@ -539,8 +540,11 @@ object StreamingOps {
         val appliedRow = txn.read(metaTable).agg(max(col("last_batch"))).head()
         val applied = if (appliedRow.isNullAt(0)) -1L else appliedRow.getLong(0)
         if (batchId > applied) {
+          // `prepare` derives view-grain columns the raw stream lacks
+          // (e.g. the value bucket of an incremental QUANTILE view) —
+          // a map-side projection, applied before the delta refresh
           txn.overwrite(viewTable, graft.operators.MaterializedAgg.refresh(
-            txn.read(viewTable), batch, keys, measures))
+            txn.read(viewTable), prepare(batch), keys, measures))
           import spark.implicits._
           txn.overwrite(metaTable, Seq(batchId).toDF("last_batch"))
           txn.commit()

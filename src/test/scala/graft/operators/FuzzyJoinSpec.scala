@@ -30,6 +30,42 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 2L && p._2 == 11L), s"$out")
   }
 
+  test("stop-gram cap: pairs sharing a sub-cap gram survive; hot-gram-only candidates go") {
+    // every row shares the hot prefix "corp-shared-prefix-" (stop-grams
+    // at any reasonable cap); each row also carries a UNIQUE letter
+    // tail, so a true (original, variant) pair shares sub-cap tail
+    // grams while unrelated rows share ONLY the hot prefix
+    def tail(i: Long): String =
+      (0 until 8).map(k => ('a' + ((i * 131 + k * 29 + i * k * 7) % 26)).toChar).mkString
+    val base = (1L to 30L).map(i => (i, s"corp-shared-prefix-${tail(i)}"))
+    val typo = base.filter(_._1 % 2 == 0)
+      .map { case (i, n) => (i + 1000L, n.patch(21, "", 1)) }
+    val left = (base ++ typo).toDF("l_id", "l_name")
+    val right = base.toDF("r_id", "r_name")
+    val truePairs = typo.map(t => (t._1, t._1 - 1000L)).toSet
+
+    val exact = FuzzyJoin.trigramBlocked(left, right,
+        "l_id", "l_name", "r_id", "r_name", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = FuzzyJoin.trigramBlocked(left, right,
+        "l_id", "l_name", "r_id", "r_name", maxDist = 1, maxGramDf = Some(6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the cap never invents pairs, and every true pair — which shares
+    // its sub-cap tail grams — survives it
+    assert(capped.subsetOf(exact))
+    assert(truePairs.forall(p => capped.exists(c => c._1 == p._1 && c._2 == p._2)),
+      s"variant pairs must survive the cap: ${truePairs.filterNot(p => capped.exists(c => c._1 == p._1 && c._2 == p._2))}")
+    assert((1L to 30L).forall(i => capped.contains((i, i, 0L))),
+      "identity matches survive on their tails")
+    // an aggressive cap of 1 starves even the tails (every shared gram
+    // has df >= 2): no candidates at all — the stop-gram mechanism is
+    // really dropping candidate generation, not post-filtering
+    val starved = FuzzyJoin.trigramBlocked(left, right,
+        "l_id", "l_name", "r_id", "r_name", maxDist = 1, maxGramDf = Some(1))
+      .collect().length
+    assert(starved == 0, s"cap=1 should starve all candidates, got $starved")
+  }
+
   test("pigeonhole recall: every single-char deletion of a long name is found") {
     val base = "supplier-depot-nine-42"
     val left = (0 until base.length)

@@ -31,6 +31,24 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(n == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("degree orientation enumerates the same triangles, star-heavy graph included") {
+    // a star (anchor 1 with orbiters 10..29, no triangles except via
+    // extra edges) + K4 + a triangle chained off the star
+    val star = (10L to 29L).map(i => (1L, i))
+    val k4 = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 102L), (101L, 103L), (102L, 103L))
+    val chained = Seq((10L, 11L), (200L, 10L), (200L, 11L))
+    val g = (star ++ k4 ++ chained).toDF("doc_a", "doc_b")
+    val byId = GraphMetrics.triangles(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byDeg = GraphMetrics.trianglesByDegree(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byDeg == byId, s"degree orientation changed the triangle set")
+    assert(byId.contains((1L, 10L, 11L)) && byId.contains((10L, 11L, 200L)))
+    assert(byId.count { case (x, _, _) => x == 100L } +
+      byId.count { case (_, y, _) => y == 101L } >= 4) // K4 present
+  }
+
   test("degrees ignore duplicates and orientation") {
     val d = GraphMetrics.degrees(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

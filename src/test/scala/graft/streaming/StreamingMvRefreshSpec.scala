@@ -79,4 +79,42 @@ class StreamingMvRefreshSpec extends AnyFunSuite {
     assert(viewRows(wh) == expect(b1.unionAll(b2)),
       "redelivered batch must not be re-applied")
   }
+
+  test("streaming upkeep of a QUANTILE view: streamed buckets == batch histogram") {
+    val whRoot = Files.createTempDirectory("wh-qmv").toString
+    val srcDir = Files.createTempDirectory("qmv-src").toString
+    val ckpt = Files.createTempDirectory("qmv-ckpt").toString
+    val qviewSchema = StructType(Seq(
+      StructField("g", StringType), StructField("bucket", LongType),
+      StructField("n", LongType)))
+    val wh = new Warehouse(spark, whRoot,
+      Map("q_view" -> qviewSchema, "q_meta" -> metaSchema))
+    val cnt = Seq(Measure("n", lit(1), Count))
+    val width = 10L
+
+    def run(): Unit = {
+      val q = StreamingOps.streamingMvRefresh(spark, wh, srcDir, srcSchema,
+        "q_view", "q_meta", Seq("g", "bucket"), cnt, ckpt,
+        prepare = b => b.withColumn("bucket",
+          MaterializedAgg.bucketize(col("v"), width)))
+      q.awaitTermination()
+    }
+
+    val b1 = (1L to 50L).map(i => ("a", i)).toDF("g", "v")
+    drop(b1, srcDir, "b1")
+    run()
+    val b2 = (51L to 100L).map(i => ("a", i)).toDF("g", "v")
+    drop(b2, srcDir, "b2")
+    run()
+
+    val streamed = MaterializedAgg.readQuantiles(wh.read("q_view"),
+        Seq("g"), Seq(0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = MaterializedAgg.readQuantiles(
+        MaterializedAgg.quantileView(b1.unionAll(b2), Seq("g"), "v", width),
+        Seq("g"), Seq(0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == direct, "streamed histogram must equal the batch build")
+    assert(streamed == Set(("a", 50L, 90L)))
+  }
 }
