@@ -102,6 +102,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Same diagnostic through the DEGREE-oriented enumeration — the
+    // skewed-graph (anchor-star) scale path — under the SAME oracle:
+    // orientation changes join fan-out, never the triangle set.
+    "dedup_triangles_deg" -> ((s, dir) => {
+      val aug = docsAug(s, dir).cache()
+      graft.operators.GraphMetrics.trianglesPerNode(
+          Dedup.wordGramNearDupsPoly(aug, threshold = 0.5), byDegree = true)
+        .orderBy("doc_id")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -552,6 +562,23 @@ object TextQueries {
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // shared by dedup_triangles and dedup_triangles_deg: orientation is a
+  // fan-out strategy, not semantics, so one enumeration oracles both
+  private lazy val trianglesOracleSql =
+    s"""WITH $augSql,
+       |${wordGramPolyPairsCte(0.5)},
+       |e AS (
+       |  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+       |  FROM pairs WHERE doc_a <> doc_b),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri
+       |      UNION ALL SELECT z FROM tri)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $augSql
@@ -610,20 +637,10 @@ object TextQueries {
          |FROM rk r JOIN can c USING (cluster_id)
          |ORDER BY r.doc_id""".stripMargin,
 
-    "dedup_triangles" ->
-      s"""WITH $augSql,
-         |${wordGramPolyPairsCte(0.5)},
-         |e AS (
-         |  SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
-         |  FROM pairs WHERE doc_a <> doc_b),
-         |tri AS (
-         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
-         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
-         |FROM (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri
-         |      UNION ALL SELECT z FROM tri)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_triangles" -> trianglesOracleSql,
+    // degree orientation is fan-out strategy, not semantics: the exact
+    // same relational triangle enumeration is the oracle for both
+    "dedup_triangles_deg" -> trianglesOracleSql,
 
     "dedup_simhash" ->
       s"""WITH $augSql,
