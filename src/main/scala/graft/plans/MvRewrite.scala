@@ -110,9 +110,13 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   def clear(): Unit = synchronized { registry.clear() }
 
+  // scheme-normalized ("file:/x" == "/x"): a skip-scan read's
+  // StatsFileIndex reports unqualified local paths where a plain
+  // parquet read qualifies them — same dirs, and they must match
   private def rootPaths(plan: LogicalPlan): Set[String] = plan.collect {
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(p => p.toUri.getPath)
       case _ => Nil
     }
   }.flatten.toSet

@@ -572,6 +572,8 @@ object MiscQueries {
     // all candidate volume; capping df ≤ 40 drops them and the match
     // rides the distinguishing digit-tail grams. The oracle replays the
     // cap relationally, so the pruned candidate set itself is verified.
+    "q_serving" -> ((s, dir) => servingStack(s, dir)),
+
     "q_fuzzy_cap" -> ((s, dir) => {
       val sup = Tables(s, dir, "supplier")
       val typo = sup.select(col("s_suppkey").as("l_id"),
@@ -592,6 +594,62 @@ object MiscQueries {
     * routed result (group-cardinality rows — driver-safe by design)
     * before restoring the session's optimizer state.
     */
+  /** The full serving stack in one driver entry: lineitem loaded into
+    * a throwaway warehouse, an MV registered, then the SAME covered
+    * aggregate asked twice through [[graft.etl.Serving.read]]. The
+    * first evaluation must ROUTE (required on the optimized plan — no
+    * base-dir scan) and ADMIT (required via `wouldHit`); the second
+    * must HIT. The DuckDB oracle recomputes the aggregate from raw
+    * lineitem, so the routed-and-cached answer is hash-gated end to
+    * end.
+    */
+  private def servingStack(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.{ResultCache, Serving, Warehouse}
+    import graft.plans.MvRewrite
+    import MaterializedAgg._
+    val li = Tables(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_orderkey")
+    val whRoot = java.nio.file.Files.createTempDirectory("graft-serving").toString
+    val wh = new Warehouse(s, whRoot,
+      Map("li" -> li.schema,
+        "li_mv" -> new org.apache.spark.sql.types.StructType()
+          .add("l_returnflag", "string").add("l_linestatus", "string")
+          .add("n", "long").add("sum_ok", "long")),
+      partitionSpec = Map.empty, bucketSpec = Map.empty)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val t = wh.begin()
+    t.append("li", li)
+    t.overwrite("li_mv", aggregate(li, keys, Seq(
+      Measure("n", lit(1), Count), Measure("sum_ok", col("l_orderkey"), Sum))))
+    t.commit()
+    MvRewrite.registerWarehouse(wh, "li", "li_mv", keys, Seq(
+      MvRewrite.MeasureSig("n", "count", None),
+      MvRewrite.MeasureSig("sum_ok", "sum", Some("l_orderkey"))))
+    def frame(read: String => DataFrame) =
+      read("li").filter(col("l_returnflag") === "R")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy("l_returnflag", "l_linestatus")
+    val prev = s.experimental.extraOptimizations
+    try {
+      s.experimental.extraOptimizations = prev :+ MvRewrite
+      val probe = frame(tb => wh.readSkipping(tb)._1)
+      require(!probe.queryExecution.optimizedPlan.toString.contains("data/li/"),
+        "MV routing did not fire under the serving stack")
+      s.experimental.extraOptimizations = prev
+      val first = Serving.read(wh)(frame)
+      val rows = first.collect()
+      require(ResultCache.wouldHit(wh, frame(tb => wh.readSkipping(tb)._1)),
+        "first serving read did not admit to the result cache")
+      val second = Serving.read(wh)(frame).collect()
+      require(second.toSeq == rows.toSeq, "cache hit must equal first answer")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), first.schema)
+    } finally {
+      s.experimental.extraOptimizations = prev
+      MvRewrite.clear()
+    }
+  }
+
   private def mvRouted(s: SparkSession, dir: String)
                       (q: DataFrame => DataFrame): DataFrame = {
     import MaterializedAgg._
@@ -856,6 +914,12 @@ object MiscQueries {
         |FROM cand c JOIN l USING (l_id) JOIN r USING (r_id)
         |WHERE levenshtein(l.l_name, r.r_name) <= 2
         |ORDER BY l_id, r_id""".stripMargin,
+
+    "q_serving" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_fuzzy_cap" ->
       """WITH l AS (

@@ -395,6 +395,17 @@ object DataSkipping {
       lastSelected = pruned.map(_.files.size).sum
       pruned
     }
+
+    // identity = the dirs scanned, mirroring InMemoryFileIndex: two
+    // reads of the same immutable dirs are the same relation, so plan
+    // canonicalization (and the result cache keyed on it) is stable
+    // across instances — stats only ever REMOVE files from a listing,
+    // never change what the relation denotes
+    override def equals(other: Any): Boolean = other match {
+      case s: StatsFileIndex => rootPaths.toSet == s.rootPaths.toSet
+      case _ => false
+    }
+    override def hashCode(): Int = rootPaths.toSet.hashCode()
   }
 
   /** Read parquet dirs through the skipping index. Returns the frame
