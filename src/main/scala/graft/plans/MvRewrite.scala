@@ -79,8 +79,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     * time would go stale (and stale here means WRONG ANSWERS, the one
     * thing the rule must never produce).
     */
+  /** `partial = true` marks a view whose plan may hold MULTIPLE rows
+    * per key (stored rows ∪ delta partials — [[registerWarehouseDelta]]):
+    * routing must then MERGE even at the view's exact grain, never
+    * project stored rows through.
+    */
   final case class MvDef(basePaths: () => Set[String], mvPlan: () => LogicalPlan,
-                         keys: Seq[String], measures: Seq[MeasureSig])
+                         keys: Seq[String], measures: Seq[MeasureSig],
+                         partial: Boolean = false)
 
   private val registry = new scala.collection.mutable.ArrayBuffer[MvDef]
 
@@ -106,6 +112,28 @@ object MvRewrite extends Rule[LogicalPlan] {
       () => rootPaths(wh.read(baseTable).queryExecution.analyzed),
       () => wh.read(mvTable).queryExecution.analyzed,
       keys, measures)
+  }
+
+  /** Delta-aware registration of a PARTIAL view maintained by
+    * [[graft.etl.DeltaMv]]: the routed plan is the stored view UNIONED
+    * with per-grain partials of exactly the base dirs the view hasn't
+    * seen ([[graft.etl.DeltaMv.currentImage]], re-derived per query) —
+    * so the view can refresh on its own schedule while routed answers
+    * stay exactly current, and a routed query never re-reads covered
+    * dirs. `build` are the Spark-side measures (the same ones
+    * `DeltaMv.refresh` uses); `measures` their signatures for
+    * matching. Always merges (`partial = true`).
+    */
+  def registerWarehouseDelta(wh: graft.etl.Warehouse, baseTable: String,
+                             mvTable: String, keys: Seq[String],
+                             measures: Seq[MeasureSig],
+                             build: Seq[graft.operators.MaterializedAgg.Measure])
+      : Unit = synchronized {
+    registry += MvDef(
+      () => rootPaths(wh.read(baseTable).queryExecution.analyzed),
+      () => graft.etl.DeltaMv.currentImage(wh, baseTable, mvTable, keys, build)
+        .queryExecution.analyzed,
+      keys, measures, partial = true)
   }
 
   def clear(): Unit = synchronized { registry.clear() }
@@ -184,7 +212,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       cond <- rewriteFilters(filters, d, mvOut)
       child = cond.map(Filter(_, mvPlan)).getOrElse(mvPlan)
       out <-
-        if (queryKeys == d.keys.toSet) projectRewrite(agg.aggregateExpressions, d, mvOut, child)
+        if (queryKeys == d.keys.toSet && !d.partial)
+          projectRewrite(agg.aggregateExpressions, d, mvOut, child)
         else rollupRewrite(agg, d, mvOut, child)
     } yield out
   }

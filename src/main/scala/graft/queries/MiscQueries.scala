@@ -574,6 +574,8 @@ object MiscQueries {
     // cap relationally, so the pruned candidate set itself is verified.
     "q_serving" -> ((s, dir) => servingStack(s, dir)),
 
+    "q_mv_delta" -> ((s, dir) => mvDelta(s, dir)),
+
     "q_fuzzy_cap" -> ((s, dir) => {
       val sup = Tables(s, dir, "supplier")
       val typo = sup.select(col("s_suppkey").as("l_id"),
@@ -644,6 +646,67 @@ object MiscQueries {
       val second = Serving.read(wh)(frame).collect()
       require(second.toSeq == rows.toSeq, "cache hit must equal first answer")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), first.schema)
+    } finally {
+      s.experimental.extraOptimizations = prev
+      MvRewrite.clear()
+    }
+  }
+
+  /** Partial-MV delta routing under the hash gate: lineitem lands in
+    * TWO appends, the view refreshes after the first only, and the
+    * registered delta routing answers a coarser-grain aggregate by
+    * merging stored rows with partials of just the second dir. The
+    * entry REQUIRES the covered dir absent from the routed plan and
+    * the view + delta dirs present; the oracle recomputes from raw
+    * lineitem, so exact currency of the merged answer is what the
+    * hash certifies.
+    */
+  private def mvDelta(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.{DeltaMv, Warehouse}
+    import graft.plans.MvRewrite
+    import MaterializedAgg._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val li = Tables(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_orderkey")
+    val wh = new Warehouse(s,
+      java.nio.file.Files.createTempDirectory("graft-deltamv").toString,
+      Map("li" -> li.schema,
+        "li_mv" -> new org.apache.spark.sql.types.StructType()
+          .add("l_returnflag", "string").add("l_linestatus", "string")
+          .add("n", "long").add("sum_ok", "long")),
+      partitionSpec = Map.empty, bucketSpec = Map.empty)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val ms = Seq(Measure("n", lit(1), Count),
+      Measure("sum_ok", col("l_orderkey"), Sum))
+    val t1 = wh.begin()
+    t1.append("li", li.filter(col("l_orderkey") % 2 === 0))
+    DeltaMv.refresh(wh, t1, "li", "li_mv", keys, ms)
+    t1.commit()
+    val covered = DeltaMv.coverage(wh, "li_mv")
+    val t2 = wh.begin()
+    t2.append("li", li.filter(col("l_orderkey") % 2 =!= 0))
+    t2.commit()
+    MvRewrite.registerWarehouseDelta(wh, "li", "li_mv", keys, Seq(
+      MvRewrite.MeasureSig("n", "count", None),
+      MvRewrite.MeasureSig("sum_ok", "sum", Some("l_orderkey"))), ms)
+    val prev = s.experimental.extraOptimizations
+    try {
+      s.experimental.extraOptimizations = prev :+ MvRewrite
+      val q = wh.read("li").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy("l_returnflag")
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+      }.flatten.toSet
+      require(covered.intersect(scanned).isEmpty,
+        "delta routing must not re-read covered base dirs")
+      require(wh.catalog()("li_mv").exists(scanned.contains),
+        "delta routing must scan the stored view")
+      val rows = q.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
     } finally {
       s.experimental.extraOptimizations = prev
       MvRewrite.clear()
@@ -914,6 +977,11 @@ object MiscQueries {
         |FROM cand c JOIN l USING (l_id) JOIN r USING (r_id)
         |WHERE levenshtein(l.l_name, r.r_name) <= 2
         |ORDER BY l_id, r_id""".stripMargin,
+
+    "q_mv_delta" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_serving" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
