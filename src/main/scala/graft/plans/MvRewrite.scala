@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Expression, HllSketchEstimate, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Cast, Coalesce, EqualTo, Expression, HllSketchEstimate, IsNotNull, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
@@ -136,7 +137,46 @@ object MvRewrite extends Rule[LogicalPlan] {
       keys, measures, partial = true)
   }
 
-  def clear(): Unit = synchronized { registry.clear() }
+  /** Aggregate-over-JOIN view: the registered shape is ONE inner
+    * equi-join of two base tables (each matched by root paths, either
+    * order), aggregated at `inner.keys`. Narrow by design, like the
+    * single-table rule: the query's join must be Inner with exactly
+    * the registered equi pairs (any non-equi conjunct disqualifies),
+    * each side must decompose to its base image through pruning
+    * Projects / key-only Filters / the per-dir Union, and filters must
+    * reference view keys BY THE NAME THE VIEW STORES — a predicate or
+    * grouping on a join key under its other-side name does not route
+    * (missed rewrite, never a wrong one). Inferred `IsNotNull(joinKey)`
+    * filters are discarded before matching: an inner equi-join implies
+    * them, so the view built over the same join already embodies them.
+    */
+  final case class JoinMvDef(leftPaths: () => Set[String],
+                             rightPaths: () => Set[String],
+                             keyPairs: Set[(String, String)], inner: MvDef)
+
+  private val joinRegistry = new scala.collection.mutable.ArrayBuffer[JoinMvDef]
+
+  /** Register an aggregate-over-join view stored in the warehouse.
+    * `joinKeys` are (leftCol, rightCol) equi pairs. Refresh contract:
+    * the view must be rebuilt (or refreshed) in the same `Txn` as any
+    * commit to EITHER base — both path providers re-derive from the
+    * current catalog per query, so a stale registration routes wrong
+    * answers exactly like every MV system.
+    */
+  def registerWarehouseJoin(wh: graft.etl.Warehouse,
+                            leftTable: String, rightTable: String,
+                            joinKeys: Seq[(String, String)], mvTable: String,
+                            keys: Seq[String], measures: Seq[MeasureSig])
+      : Unit = synchronized {
+    joinRegistry += JoinMvDef(
+      () => rootPaths(wh.read(leftTable).queryExecution.analyzed),
+      () => rootPaths(wh.read(rightTable).queryExecution.analyzed),
+      joinKeys.toSet,
+      MvDef(() => Set.empty,
+        () => wh.read(mvTable).queryExecution.analyzed, keys, measures))
+  }
+
+  def clear(): Unit = synchronized { registry.clear(); joinRegistry.clear() }
 
   // scheme-normalized ("file:/x" == "/x"): a skip-scan read's
   // StatsFileIndex reports unqualified local paths where a plain
@@ -192,7 +232,65 @@ object MvRewrite extends Rule[LogicalPlan] {
         d <- synchronized(registry.toSeq).find(_.basePaths() == paths)
         out <- tryRewrite(agg, filters, d)
       } yield out
-      rewritten.getOrElse(agg)
+      lazy val joinRewritten = for {
+        (lp, rp, pairs, filters) <- imageJoined(agg.child)
+        d <- synchronized(joinRegistry.toSeq).find(j =>
+          (j.leftPaths() == lp && j.rightPaths() == rp && j.keyPairs == pairs) ||
+            (j.leftPaths() == rp && j.rightPaths() == lp &&
+              j.keyPairs == pairs.map(_.swap)))
+        out <- tryRewrite(agg, filters, d.inner)
+      } yield out
+      rewritten.orElse(joinRewritten).getOrElse(agg)
+  }
+
+  /** The aggregate's child decomposed as ONE inner equi-join of two
+    * base images: (left paths, right paths, equi pairs as
+    * (leftName, rightName), filters from above the join and both
+    * sides, inferred join-key IsNotNulls dropped).
+    */
+  private def imageJoined(plan: LogicalPlan)
+      : Option[(Set[String], Set[String], Set[(String, String)], Seq[Expression])] =
+    plan match {
+      case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
+        imageJoined(child)
+      case Filter(cond, child) =>
+        imageJoined(child).map { case (l, r, p, cs) => (l, r, p, cond +: cs) }
+      case Join(left, right, Inner, Some(cond), _) =>
+        for {
+          (lp, lf) <- imageFiltered(left) if lp.nonEmpty
+          (rp, rf) <- imageFiltered(right) if rp.nonEmpty
+          pairs <- equiPairs(cond, left.outputSet, right.outputSet)
+        } yield {
+          val keyNames = pairs.flatMap(p => Seq(p._1, p._2))
+          // split pushed compound conditions so an inferred join-key
+          // IsNotNull buried inside an And can be discarded alone
+          val kept = (lf ++ rf).flatMap(conjuncts).filterNot {
+            case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+            case _ => false
+          }
+          (lp, rp, pairs, kept)
+        }
+      case _ => None
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** The join condition as pure equi pairs oriented (left, right);
+    * any other conjunct disqualifies.
+    */
+  private def equiPairs(cond: Expression, left: AttributeSet, right: AttributeSet)
+      : Option[Set[(String, String)]] = {
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (left.contains(a) && right.contains(b)) Some((a.name, b.name))
+        else if (left.contains(b) && right.contains(a)) Some((b.name, a.name))
+        else None
+      case _ => None
+    }
+    if (pairs.exists(_.isEmpty)) None else Some(pairs.flatten.toSet)
   }
 
   private def tryRewrite(agg: Aggregate, filters: Seq[Expression],
