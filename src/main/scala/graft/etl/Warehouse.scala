@@ -75,31 +75,71 @@ class Warehouse(val spark: SparkSession, val root: String,
 
   /** Read the committed image of a table (partition columns dropped —
     * the declared schema is the contract; also robust to all-empty data
-    * dirs, where inference would fail).
+    * dirs, where inference would fail). Outstanding deletion vectors
+    * are applied (see [[Txn.deleteVectored]]).
     */
-  def read(table: String): DataFrame =
-    readDirs(table, catalog().getOrElse(table, Nil))
-
-  private[etl] def readDirs(table: String, dirs: Seq[String]): DataFrame = {
-    val schema = schemas(table)
-    if (dirs.isEmpty) emptyDf(table)
-    else if (bucketSpec.contains(table) && dirs.length == 1)
-      // single-dir bucketed table (the dim steady state — overwrites
-      // always leave exactly one dir): read through the bucketed
-      // registration so the scan carries HashPartitioning(key, n) and
-      // key-joins/aggregations need no dim-side Exchange
-      readBucketedDir(table, dirs.head)
-        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
-    else if (!partitionSpec.contains(table))
-      spark.read.schema(schema).parquet(dirs: _*)
-    else
-      // partitioned roots must be discovered one by one — a multi-path
-      // scan would try to unify partition structure across roots and
-      // fail with CONFLICTING_DIRECTORY_STRUCTURES
-      dirs.map(d => spark.read.schema(schema).parquet(d)
-          .select(schema.fieldNames.toIndexedSeq.map(col): _*))
-        .reduce(_ unionByName _)
+  def read(table: String): DataFrame = {
+    val cat = catalog()
+    readDirs(table, cat.getOrElse(table, Nil),
+      cat.getOrElse(Warehouse.dvKey(table), Nil))
   }
+
+  private[etl] def readDirs(table: String, dirs: Seq[String],
+                            dvDirs: Seq[String] = Nil): DataFrame = {
+    val schema = schemas(table)
+    val fields = schema.fieldNames.toIndexedSeq
+    if (dirs.isEmpty) return emptyDf(table)
+    if (dvDirs.isEmpty) {
+      if (bucketSpec.contains(table) && dirs.length == 1)
+        // single-dir bucketed table (the dim steady state — overwrites
+        // always leave exactly one dir): read through the bucketed
+        // registration so the scan carries HashPartitioning(key, n) and
+        // key-joins/aggregations need no dim-side Exchange
+        readBucketedDir(table, dirs.head).select(fields.map(col): _*)
+      else if (!partitionSpec.contains(table))
+        spark.read.schema(schema).parquet(dirs: _*)
+      else
+        // partitioned roots must be discovered one by one — a multi-path
+        // scan would try to unify partition structure across roots and
+        // fail with CONFLICTING_DIRECTORY_STRUCTURES
+        dirs.map(d => spark.read.schema(schema).parquet(d)
+            .select(fields.map(col): _*))
+          .reduce(_ unionByName _)
+    } else {
+      // DELETION VECTORS outstanding: read each flavor with the file
+      // provenance columns, anti-join the (file name, row position)
+      // tombstone set, then project back to the declared schema. The DV
+      // side is delete-sized, so it BROADCASTS — and a broadcast
+      // left-anti preserves the streamed side's outputPartitioning,
+      // which keeps the bucketed dim scan's HashPartitioning (the
+      // zero-Exchange merge property survives logical deletes).
+      val meta = Seq(col("_metadata.file_name").as(Warehouse.DvFile),
+        col("_metadata.row_index").as(Warehouse.DvPos))
+      val base =
+        if (bucketSpec.contains(table) && dirs.length == 1)
+          readBucketedDir(table, dirs.head).select(fields.map(col) ++ meta: _*)
+        else if (!partitionSpec.contains(table))
+          spark.read.schema(schema).parquet(dirs: _*).select(fields.map(col) ++ meta: _*)
+        else
+          dirs.map(d => spark.read.schema(schema).parquet(d)
+              .select(fields.map(col) ++ meta: _*))
+            .reduce(_ unionByName _)
+      applyDv(base, dvDirs).select(fields.map(col): _*)
+    }
+  }
+
+  /** Anti-join `base` (which must carry [[Warehouse.DvFile]]/
+    * [[Warehouse.DvPos]]) against the tombstones in `dvDirs`.
+    */
+  private[etl] def applyDv(base: DataFrame, dvDirs: Seq[String]): DataFrame = {
+    val dv = org.apache.spark.sql.functions.broadcast(readDvDirs(dvDirs))
+    base.join(dv, Seq(Warehouse.DvFile, Warehouse.DvPos), "left_anti")
+  }
+
+  private[etl] def readDvDirs(dvDirs: Seq[String]): DataFrame =
+    if (dvDirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Warehouse.dvSchema)
+    else spark.read.schema(Warehouse.dvSchema).parquet(dvDirs: _*)
 
   /** Read keeping the physical partition column (when the table has one)
     * so date filters prune at the directory level —
