@@ -62,15 +62,22 @@ object Bench {
   private def calibrate(spark: SparkSession, partitions: Int): Double = {
     val t0 = System.nanoTime()
     // ~134M xxhash64 evaluations, fully codegen'd, zero I/O: a pure
-    // CPU yardstick with the same shape every invocation.
+    // CPU yardstick with the same shape every invocation. Each term is
+    // bounded (|h % 1e6| < 1e6) before the sum — summing raw 64-bit
+    // hashes overflows Long under ANSI mode.
     spark.range(0L, 1L << 27, 1L, partitions)
-      .selectExpr("xxhash64(id, id + 1) as h")
+      .selectExpr("xxhash64(id, id + 1) % 1000000 as h")
       .selectExpr("sum(h)")
       .head()
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def jnum(v: Double): String = f"$v%.3f"
+  // explicit ROOT locale: the `f` interpolator uses the JVM default
+  // locale, and a comma-decimal locale would emit invalid JSON
+  private def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def j2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,6 +90,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -122,7 +130,7 @@ object Bench {
     // full artifact → file (the 2000-char harness tail can't hold a
     // 130-query map; BENCH_DETAIL.json is the complete record)
     val detail = results.map { case (k, v) =>
-      "\"" + k + "\":{\"min\":" + jnum(v.min) + ",\"spread\":" + f"${v.max / v.min}%.2f" +
+      "\"" + k + "\":{\"min\":" + jnum(v.min) + ",\"spread\":" + j2(v.max / v.min) +
         ",\"runs\":[" + v.map(jnum).mkString(",") + "]}"
     }.mkString(",")
     val fullJson =

@@ -4,8 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, to_date}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{broadcast, col, to_date}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
@@ -106,35 +106,63 @@ class Warehouse(val spark: SparkSession, val root: String,
             .select(fields.map(col): _*))
           .reduce(_ unionByName _)
     } else {
-      // DELETION VECTORS outstanding: read each flavor with the file
-      // provenance columns, anti-join the (file name, row position)
-      // tombstone set, then project back to the declared schema. The DV
-      // side is delete-sized, so it BROADCASTS — and a broadcast
-      // left-anti preserves the streamed side's outputPartitioning,
-      // which keeps the bucketed dim scan's HashPartitioning (the
-      // zero-Exchange merge property survives logical deletes).
-      val meta = Seq(col("_metadata.file_name").as(Warehouse.DvFile),
-        col("_metadata.row_index").as(Warehouse.DvPos))
-      val base =
-        if (bucketSpec.contains(table) && dirs.length == 1)
-          readBucketedDir(table, dirs.head).select(fields.map(col) ++ meta: _*)
-        else if (!partitionSpec.contains(table))
-          spark.read.schema(schema).parquet(dirs: _*).select(fields.map(col) ++ meta: _*)
-        else
-          dirs.map(d => spark.read.schema(schema).parquet(d)
-              .select(fields.map(col) ++ meta: _*))
-            .reduce(_ unionByName _)
-      applyDv(base, dvDirs).select(fields.map(col): _*)
+      // DELETION VECTORS outstanding: read with the row-provenance
+      // columns, anti-join the (file path, row position) tombstone
+      // set, then project back to the declared schema. The DV side is
+      // delete-sized, so it BROADCASTS — and a broadcast left-anti
+      // preserves the streamed side's outputPartitioning, which keeps
+      // the bucketed dim scan's HashPartitioning (the zero-Exchange
+      // merge property survives logical deletes).
+      applyDv(readWithProvenance(table, dirs), dvDirs)
+        .select(fields.map(col): _*)
     }
+  }
+
+  /** Read `table`'s dirs with the row-provenance columns
+    * ([[Warehouse.DvFile]] = FULL file path, [[Warehouse.DvPos]] = row
+    * position within the file) riding after the declared columns — the
+    * identity a deletion-vector tombstone names. Full path, not
+    * basename: basenames repeat across dirs (hard-linked bucket
+    * carry-over, shallow clones share whole dirs), so a basename key
+    * could suppress rows in a DIFFERENT dir's same-named file.
+    */
+  private[etl] def readWithProvenance(table: String, dirs: Seq[String]): DataFrame = {
+    val schema = schemas(table)
+    val fields = schema.fieldNames.toIndexedSeq
+    val meta = Seq(col("_metadata.file_path").as(Warehouse.DvFile),
+      col("_metadata.row_index").as(Warehouse.DvPos))
+    if (bucketSpec.contains(table) && dirs.length == 1)
+      readBucketedDir(table, dirs.head).select(fields.map(col) ++ meta: _*)
+    else if (!partitionSpec.contains(table))
+      spark.read.schema(schema).parquet(dirs: _*).select(fields.map(col) ++ meta: _*)
+    else
+      dirs.map(d => spark.read.schema(schema).parquet(d)
+          .select(fields.map(col) ++ meta: _*))
+        .reduce(_ unionByName _)
   }
 
   /** Anti-join `base` (which must carry [[Warehouse.DvFile]]/
     * [[Warehouse.DvPos]]) against the tombstones in `dvDirs`.
     */
   private[etl] def applyDv(base: DataFrame, dvDirs: Seq[String]): DataFrame = {
-    val dv = org.apache.spark.sql.functions.broadcast(readDvDirs(dvDirs))
+    val dv = broadcast(readDvDirs(dvDirs))
     base.join(dv, Seq(Warehouse.DvFile, Warehouse.DvPos), "left_anti")
   }
+
+  /** Apply tombstones to an arbitrary scan that already carries the
+    * [[provCols]] provenance columns (callers attach them per
+    * UNDERLYING scan — the hidden `_metadata` struct is not resolvable
+    * after a union), dropping the provenance afterwards. No-op with no
+    * DV dirs.
+    */
+  private[etl] def applyDvTo(df: DataFrame, dvDirs: Seq[String]): DataFrame =
+    if (dvDirs.isEmpty) df
+    else applyDv(df, dvDirs).drop(Warehouse.DvFile, Warehouse.DvPos)
+
+  /** The provenance columns for a single file-source scan. */
+  private[etl] def provCols: Seq[Column] =
+    Seq(col("_metadata.file_path").as(Warehouse.DvFile),
+      col("_metadata.row_index").as(Warehouse.DvPos))
 
   private[etl] def readDvDirs(dvDirs: Seq[String]): DataFrame =
     if (dvDirs.isEmpty)
@@ -146,9 +174,14 @@ class Warehouse(val spark: SparkSession, val root: String,
     * `PartitionFilters: [trans_dt = ...]` in explain.
     */
   def readRaw(table: String, dirsIn: Seq[String] = Nil): DataFrame = {
-    val dirs = if (dirsIn.nonEmpty) dirsIn else catalog().getOrElse(table, Nil)
+    val cat = catalog()
+    val dirs = if (dirsIn.nonEmpty) dirsIn else cat.getOrElse(table, Nil)
+    val dv = cat.getOrElse(Warehouse.dvKey(table), Nil)
     if (dirs.isEmpty) emptyDf(table)
-    else dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    else if (dv.isEmpty) dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    else applyDvTo(
+      dirs.map(d => spark.read.parquet(d).select(col("*") +: provCols: _*))
+        .reduce(_ unionByName _), dv)
   }
 
   def begin(): Txn = new Txn(this)
@@ -167,8 +200,12 @@ class Warehouse(val spark: SparkSession, val root: String,
     * (Re-compacting an already-bucketed dir is a harmless rewrite.)
     */
   def compact(table: String): Unit = {
-    val dirs = catalog().getOrElse(table, Nil)
-    if (dirs.length > 1) {
+    val cat = catalog()
+    val dirs = cat.getOrElse(table, Nil)
+    val dv = cat.getOrElse(Warehouse.dvKey(table), Nil)
+    if (dirs.length > 1 || (dv.nonEmpty && dirs.nonEmpty)) {
+      // txn.read applies outstanding deletion vectors, so the rewrite
+      // MATERIALIZES them; overwrite() clears the table's DV entry
       val txn = begin()
       txn.overwrite(table, txn.read(table))
       txn.commit()
@@ -197,12 +234,15 @@ class Warehouse(val spark: SparkSession, val root: String,
                       files: Int, bits: Int = 16): Unit = {
     require(!bucketSpec.contains(table) && !partitionSpec.contains(table),
       s"z-order compaction applies to flat layouts; $table has a bucket/partition spec")
-    val old = catalog().getOrElse(table, Nil)
+    val cat0 = catalog()
+    val old = cat0.getOrElse(table, Nil)
     if (old.isEmpty) return
+    val dvOld = cat0.getOrElse(Warehouse.dvKey(table), Nil)
     val dir = newDataDir(table)
     val schema = schemas(table)
     graft.operators.Layout.writeZOrdered(
-      readDirs(table, old).select(schema.fieldNames.toIndexedSeq.map(col): _*),
+      readDirs(table, old, dvOld)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*),
       dir, aCol, bCol, files, bits)
     graft.sources.DataSkipping.writeSidecar(spark, dir)
     var attempts = 0
@@ -212,7 +252,12 @@ class Warehouse(val spark: SparkSession, val root: String,
       val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
                 else CatalogJson.parse(expected)
       val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
-      done = commitCatalogIf(expected, cat + (table -> (dir +: kept)))
+      // the rewrite covered ALL dirs as of cat0 with dvOld applied, so
+      // those DV dirs are consumed; tombstones added concurrently stay
+      // (single-maintenance-writer assumption, as documented above)
+      val keptDv = cat.getOrElse(Warehouse.dvKey(table), Nil).filterNot(dvOld.toSet)
+      done = commitCatalogIf(expected,
+        cat + (table -> (dir +: kept)) + (Warehouse.dvKey(table) -> keptDv))
       attempts += 1
     }
   }
@@ -243,7 +288,13 @@ class Warehouse(val spark: SparkSession, val root: String,
     val dirs = catalog().getOrElse(table, Nil)
     if (dirs.length > keep + 1) {
       val (old, _) = dirs.splitAt(dirs.length - keep)
-      val merged = writeDataDir(table, readDirs(table, old))
+      // outstanding DVs apply to the merge read, so tombstoned rows of
+      // the OLD dirs are materialized away; tombstones naming kept
+      // dirs' files stay live in the (unchanged) DV entry, and the
+      // now-dead tombstones naming merged files match nothing — they
+      // are dropped at the next full overwrite or DV compaction
+      val merged = writeDataDir(table,
+        readDirs(table, old, catalog().getOrElse(Warehouse.dvKey(table), Nil)))
       // re-read the catalog AFTER the (long) merge write and replace only
       // the `old` prefix — any dir another writer appended meanwhile
       // stays referenced instead of being silently dropped
@@ -293,7 +344,7 @@ class Warehouse(val spark: SparkSession, val root: String,
     removed
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[etl] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.foreach(deleteRecursively)
     Files.deleteIfExists(p)
@@ -351,18 +402,27 @@ class Warehouse(val spark: SparkSession, val root: String,
     * (sum their counters for table-level pruning numbers).
     */
   def readSkipping(table: String): (DataFrame, Seq[graft.sources.DataSkipping.StatsFileIndex]) = {
-    val dirs = catalog().getOrElse(table, Nil)
+    val cat = catalog()
+    val dirs = cat.getOrElse(table, Nil)
     if (dirs.isEmpty) return (emptyDf(table), Nil)
+    val dv = cat.getOrElse(Warehouse.dvKey(table), Nil)
     val schema = schemas(table)
+    // with DVs outstanding, provenance is attached per UNDERLYING scan
+    // (hidden `_metadata` does not survive a union) and the broadcast
+    // anti-join lands ON TOP of the skip-scan — pushed data predicates
+    // still reach the stats index below the join
+    def one(d: Seq[String]) = {
+      val (df, idx) = graft.sources.DataSkipping.readWithIndex(spark, schema, d)
+      (if (dv.isEmpty) df else df.select(col("*") +: provCols: _*), idx)
+    }
     if (!partitionSpec.contains(table)) {
-      val (df, idx) = graft.sources.DataSkipping.readWithIndex(spark, schema, dirs)
-      (df, Seq(idx))
+      val (df, idx) = one(dirs)
+      (applyDvTo(df, dv), Seq(idx))
     } else {
       // partitioned roots must be discovered one by one (the
       // CONFLICTING_DIRECTORY_STRUCTURES contract, as in readDirs)
-      val parts = dirs.map(d =>
-        graft.sources.DataSkipping.readWithIndex(spark, schema, Seq(d)))
-      (parts.map(_._1).reduce(_ unionByName _), parts.map(_._2))
+      val parts = dirs.map(d => one(Seq(d)))
+      (applyDvTo(parts.map(_._1).reduce(_ unionByName _), dv), parts.map(_._2))
     }
   }
 
@@ -430,22 +490,30 @@ class Warehouse(val spark: SparkSession, val root: String,
     * of every bucket NOT in `touched` from `fromDir` into `toDir`.
     * Bucket ids are parsed from Spark's bucketed file naming
     * (`part-…_<bucketId>.c000….parquet`), the same convention the
-    * bucketed scan uses.
+    * bucketed scan uses. The walk is RECURSIVE with relative paths
+    * preserved — a partitioned+bucketed table (the fact layout) keeps
+    * its files inside `dt=`-style subdirs, and a flat listing would
+    * silently carry nothing.
     */
   private[etl] def copyUntouchedBuckets(fromDir: String, toDir: String,
                                         touched: Set[Int]): Unit = {
     val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    val from = Paths.get(fromDir)
     Files.createDirectories(Paths.get(toDir))
-    Files.list(Paths.get(fromDir)).iterator().asScala.foreach { f =>
-      val fname = f.getFileName.toString
-      if (Files.isRegularFile(f) && fname.endsWith(".parquet")) fname match {
-        case bucketRe(b) if !touched.contains(b.toInt) =>
-          val dst = Paths.get(toDir, fname)
-          try Files.createLink(dst, f)
-          catch { case _: Exception => Files.copy(f, dst) }
-        case _ => ()
+    def walk(d: Path): Unit =
+      Files.list(d).iterator().asScala.foreach { f =>
+        val fname = f.getFileName.toString
+        if (Files.isDirectory(f)) walk(f)
+        else if (Files.isRegularFile(f) && fname.endsWith(".parquet")) fname match {
+          case bucketRe(b) if !touched.contains(b.toInt) =>
+            val dst = Paths.get(toDir).resolve(from.relativize(f))
+            Files.createDirectories(dst.getParent)
+            try Files.createLink(dst, f)
+            catch { case _: Exception => Files.copy(f, dst) }
+          case _ => ()
+        }
       }
-    }
+    walk(from)
   }
 
   private[etl] def commitCatalog(entries: Map[String, Seq[String]]): Unit = {
@@ -489,8 +557,11 @@ class Warehouse(val spark: SparkSession, val root: String,
     * that version reclaims its data dirs — the Delta/Iceberg retention
     * contract: history is free until storage is reclaimed.
     */
-  def readAsOf(table: String, version: Long): DataFrame =
-    readDirs(table, catalogAsOf(version).getOrElse(table, Nil))
+  def readAsOf(table: String, version: Long): DataFrame = {
+    val cat = catalogAsOf(version)
+    readDirs(table, cat.getOrElse(table, Nil),
+      cat.getOrElse(Warehouse.dvKey(table), Nil))
+  }
 
   /** RESTORE — roll the whole warehouse back to `version` AS A NEW
     * COMMIT (Delta's RESTORE semantics): the old catalog content is
@@ -523,7 +594,8 @@ class Warehouse(val spark: SparkSession, val root: String,
     require(schemas(dst) == schemas(src),
       s"clone destination '$dst' must share '$src' schema")
     val cat = catalog()
-    commitCatalog(cat + (dst -> cat.getOrElse(src, Nil)))
+    commitCatalog(cat + (dst -> cat.getOrElse(src, Nil)) +
+      (Warehouse.dvKey(dst) -> cat.getOrElse(Warehouse.dvKey(src), Nil)))
   }
 
   /** SNAPSHOT DIFF — CDC extraction between two committed versions:
@@ -558,6 +630,31 @@ class Warehouse(val spark: SparkSession, val root: String,
       .select(keys.map(col) :+ col("change_type") :+ col("before") :+ col("after"): _*)
   }
 
+  /** Merge a DV key's many delete-sized dirs into one (same CAS retry
+    * discipline as [[compactOldest]]). Dead tombstones — paths naming
+    * files no catalog references anymore — survive the merge as
+    * harmless non-matching rows; full overwrites clear them wholesale.
+    * Invoked by [[Txn.commit]] when a table's DV dir count crosses the
+    * auto-compact threshold.
+    */
+  private[etl] def compactDvKey(key: String): Unit = {
+    val dirs = catalog().getOrElse(key, Nil)
+    if (dirs.length > 1) {
+      val merged = newDataDir(key)
+      readDvDirs(dirs).distinct().write.parquet(merged)
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 5) {
+        val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
+        val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
+                  else CatalogJson.parse(expected)
+        val kept = cat.getOrElse(key, Nil).filterNot(dirs.toSet)
+        done = commitCatalogIf(expected, cat + (key -> (merged +: kept)))
+        attempts += 1
+      }
+    }
+  }
+
   /** Conditional catalog swap: only commit if the file still holds
     * `expected` (empty string = file absent). Returns false — without
     * writing — on mismatch, so callers can re-derive their update from
@@ -583,13 +680,19 @@ class Txn private[etl] (wh: Warehouse) {
   private var committed = false
 
   def read(table: String): DataFrame =
-    wh.readDirs(table, pending.getOrElse(table, snapshot.getOrElse(table, Nil)))
+    wh.readDirs(table, currentDirs(table), currentDvDirs(table))
 
   /** The data dirs this txn currently sees for `table` (pending write,
     * else committed snapshot).
     */
   private[etl] def currentDirs(table: String): Seq[String] =
     pending.getOrElse(table, snapshot.getOrElse(table, Nil))
+
+  /** The deletion-vector dirs this txn currently sees for `table`. */
+  private[etl] def currentDvDirs(table: String): Seq[String] = {
+    val k = Warehouse.dvKey(table)
+    pending.getOrElse(k, snapshot.getOrElse(k, Nil))
+  }
 
   /** Each of the table's data dirs as its own BUCKETED scan (declared
     * columns only — partition columns dropped, like [[read]]). A multi-
@@ -606,10 +709,15 @@ class Txn private[etl] (wh: Warehouse) {
 
   /** Replace the table image (staging truncate-and-load K1/K2, dim merge
     * result K4+K6+K7). Data lands in a fresh immutable dir; old dirs are
-    * retired at commit.
+    * retired at commit. Callers derive `df` from [[read]] (which
+    * applies outstanding deletion vectors), so the fresh image
+    * MATERIALIZES the deletes — the table's DV entry clears with the
+    * same commit.
     */
-  def overwrite(table: String, df: DataFrame): Unit =
+  def overwrite(table: String, df: DataFrame): Unit = {
     pending(table) = Seq(wh.writeDataDir(table, align(table, df)))
+    if (currentDvDirs(table).nonEmpty) pending(Warehouse.dvKey(table)) = Nil
+  }
 
   /** PARTIAL overwrite of a bucketed table: `touchedDf` must hold the
     * new image of exactly the buckets in `touched` (every row's
@@ -631,6 +739,46 @@ class Txn private[etl] (wh: Warehouse) {
     // refresh it so the skipping stats cover the whole dir again
     graft.sources.DataSkipping.writeSidecar(wh.spark, dir)
     pending(table) = Seq(dir)
+    remapDv(table, dir)
+  }
+
+  /** After a PARTIAL overwrite, outstanding tombstones split two ways:
+    * those naming rewritten (touched-bucket) files were materialized by
+    * the rewrite (the caller's frame derives from [[read]], DVs
+    * applied) and die with their files; those naming hard-linked files
+    * survive under a NEW full path — same basename, new dir. Remap the
+    * survivors by basename against the new dir's file set (basenames
+    * within one dir are unique — Spark part names carry a per-job UUID
+    * and hard links preserve the old name); anything unmatched is dead
+    * and drops out.
+    */
+  private def remapDv(table: String, newDir: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, substring_index}
+    val dvDirs = currentDvDirs(table)
+    if (dvDirs.isEmpty) return
+    // basename → new full path, derived from a scan of the new dir so
+    // the path STRING FORM matches what `_metadata.file_path` yields at
+    // read time exactly (it is a URI — a filesystem-listing path would
+    // silently never match). One row per file after the distinct.
+    val mapDf = wh.spark.read.schema(wh.schemas(table)).parquet(newDir)
+      .select(
+        substring_index(org.apache.spark.sql.functions.col("_metadata.file_path"), "/", -1)
+          .as("_graft_base"),
+        org.apache.spark.sql.functions.col("_metadata.file_path").as("_graft_path"))
+      .distinct()
+    val remapped = wh.readDvDirs(dvDirs)
+      .join(broadcast(mapDf),
+        substring_index(org.apache.spark.sql.functions.col(Warehouse.DvFile), "/", -1)
+          === org.apache.spark.sql.functions.col("_graft_base"))
+      .select(org.apache.spark.sql.functions.col("_graft_path").as(Warehouse.DvFile),
+        org.apache.spark.sql.functions.col(Warehouse.DvPos))
+    val dvDir = wh.newDataDir(Warehouse.dvKey(table))
+    remapped.write.parquet(dvDir)
+    val n = wh.spark.read.schema(Warehouse.dvSchema).parquet(dvDir).count()
+    if (n == 0L) {
+      wh.deleteRecursively(Paths.get(dvDir))
+      pending(Warehouse.dvKey(table)) = Nil
+    } else pending(Warehouse.dvKey(table)) = Seq(dvDir)
   }
 
   /** Targeted DELETE (GDPR erasure, bad-batch retraction): remove the
@@ -663,6 +811,39 @@ class Txn private[etl] (wh: Warehouse) {
       case _ =>
         overwrite(table, cur.filter(keep))
     }
+  }
+
+  /** LOGICAL delete — the O(deleted-rows) counterpart of
+    * [[deleteWhere]]: rows matching `predicate` (TRUE only — NULL
+    * keeps, SQL DELETE semantics) are tombstoned by (full file path,
+    * row position) into a delete-sized DV dir; NO data file is read
+    * back or rewritten beyond the one scan that finds the matches.
+    * Every read entry point ([[Warehouse.read]], [[Txn.read]], time
+    * travel, skip-scan, raw) applies the tombstones as a broadcast
+    * anti-join; compaction and the next overwrite MATERIALIZE them.
+    * The Delta/Iceberg merge-on-read trade: a 100 TB table absorbs a
+    * point delete at the cost of writing the tombstones, paying a
+    * delete-sized broadcast per read until maintenance folds it in.
+    * Already-tombstoned rows never re-tombstone (the scan applies
+    * outstanding DVs first), so repeated deletes stay delete-sized.
+    * Returns the number of rows tombstoned.
+    */
+  def deleteVectored(table: String, predicate: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce => cl, lit => l}
+    val dirs = currentDirs(table)
+    if (dirs.isEmpty) return 0L
+    val dvd = currentDvDirs(table)
+    val withProv = wh.readWithProvenance(table, dirs)
+    val alive = if (dvd.isEmpty) withProv else wh.applyDv(withProv, dvd)
+    val tomb = alive.filter(cl(predicate, l(false)))
+      .select(org.apache.spark.sql.functions.col(Warehouse.DvFile),
+        org.apache.spark.sql.functions.col(Warehouse.DvPos))
+    val dir = wh.newDataDir(Warehouse.dvKey(table))
+    tomb.write.parquet(dir)
+    val n = wh.spark.read.schema(Warehouse.dvSchema).parquet(dir).count()
+    if (n == 0L) wh.deleteRecursively(Paths.get(dir))   // match-less: no-op
+    else pending(Warehouse.dvKey(table)) = dvd :+ dir
+    n
   }
 
   /** Append a batch (facts K8, report rows K10). No existing file is
@@ -747,8 +928,10 @@ class Txn private[etl] (wh: Warehouse) {
     // maintenance problem (stale dir layout), never a commit failure
     pending.keys.foreach { t =>
       if (wh.catalog().getOrElse(t, Nil).length > wh.autoCompactThreshold)
-        try wh.compactOldest(t, keep = math.max(1, wh.autoCompactThreshold / 4))
-        catch {
+        try {
+          if (t.startsWith(Warehouse.DvPrefix)) wh.compactDvKey(t)
+          else wh.compactOldest(t, keep = math.max(1, wh.autoCompactThreshold / 4))
+        } catch {
           case e: Exception => System.err.println(
             s"[graft] post-commit compaction of '$t' failed (commit is durable): $e")
         }
@@ -780,6 +963,24 @@ object Warehouse {
       // declines (exactly the big-delta regime where it hurts most).
       // fact_blacklist stays unbucketed: dozens of rows, broadcast-sized.
       Map("fact_transactions" -> ("trans_id", 16))
+
+  /** DELETION VECTORS: a table's outstanding tombstones live in
+    * delete-sized parquet dirs under `data/_dv_<table>/` referenced by
+    * the catalog key `_dv_<table>` — the same snapshot/commit/vacuum
+    * machinery covers them (a DV becomes visible atomically with its
+    * txn's commit; vacuum reclaims retired DV dirs; time travel sees
+    * the DV set as of the version). Tombstone identity is the FULL
+    * file path plus row position — basenames repeat across dirs
+    * (hard-linked bucket carry-over, shallow clones), so a basename
+    * key could suppress rows in a different dir's same-named file.
+    */
+  private[etl] val DvPrefix = "_dv_"
+  private[etl] def dvKey(table: String): String = DvPrefix + table
+  private[etl] val DvFile = "_graft_dv_file"
+  private[etl] val DvPos = "_graft_dv_pos"
+  private[etl] val dvSchema: StructType = StructType(Seq(
+    StructField(DvFile, StringType, nullable = false),
+    StructField(DvPos, LongType, nullable = false)))
 
   /** Deterministic registration name for a bucketed data dir. */
   private[etl] def bucketedTableName(dir: String): String =

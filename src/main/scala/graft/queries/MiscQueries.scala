@@ -411,6 +411,74 @@ object MiscQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Classic TPC-H Q10 (returned-item reporting): which customers
+    // returned goods in a quarter — 3 dims broadcast into one fact
+    // scan, revenue summed in exact DECIMAL (the top-20 order must not
+    // depend on float summation order), top 20 via heap
+    "q_tpch_q10" -> ((s, dir) => {
+      val lo = lit("1997-01-01 00:00:00").cast(TimestampType)
+      val hi = lit("1997-04-01 00:00:00").cast(TimestampType)
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders")
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
+          .as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          col("rev_exact").cast(DoubleType).as("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }),
+
+    // Classic TPC-H Q17 (small-quantity-order revenue), widened to one
+    // row per brand: lineitems below 20% of their part's average
+    // quantity. The correlated scalar subquery decorrelates into one
+    // per-part aggregate joined back to the fact — and the float-free
+    // trick makes the threshold EXACT: qty < 0.2 * avg(qty)  ⇔
+    // 5 * qty * n < sum(qty) in DECIMAL, so no engine's division
+    // rounding can flip a boundary row (the libm-ulp lesson).
+    "q_tpch_q17" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val th = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_sum"),
+          count(lit(1)).as("qty_n"))
+      li.join(th, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity").cast(DecimalType(18, 2)) * lit(5) * col("qty_n")
+          < col("qty_sum"))
+        .join(Tables(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand")
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) / lit(7.0))
+          .cast(DoubleType).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+        .orderBy("p_brand")
+    }),
+
+    // Classic TPC-H Q18 (large-volume customers): orders whose total
+    // quantity exceeds the cutoff — the IN-subquery over a grouped
+    // HAVING becomes one aggregate + semi join; quantity compared in
+    // exact DECIMAL; top 100 via heap
+    "q_tpch_q18" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("b_qty"))
+        .filter(col("b_qty") > 200)
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("b_orderkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Incremental QUANTILES: a histogram view at (key × price bucket)
     // is a plain count MV — built on pre-1997 orders, refreshed with
     // the 1997+ delta (base never rescanned), p50/p90/p99 read out of
@@ -588,6 +656,31 @@ object MiscQueries {
           typo, orig, "l_id", "l_name", "r_id", "r_name", maxDist = 2,
           maxGramDf = Some(40))
         .orderBy("l_id", "r_id")
+    }),
+
+    // DELETION VECTORS under the hash gate: customer lands in a
+    // throwaway warehouse, a vectored delete tombstones ~10% of keys —
+    // REQUIRE'd to leave the data dir untouched (merge-on-read, no
+    // rewrite) — and the readback goes through the broadcast anti-join
+    // every entry point applies. The oracle recomputes the survivors
+    // from raw customer, so the tombstone identity (full file path +
+    // row position) and its application are what the hash certifies.
+    "q_dv_delete" -> ((s, dir) => {
+      import graft.etl.Warehouse
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-dv").toString,
+        Map("cust" -> c.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      val t0 = wh.begin(); t0.overwrite("cust", c); t0.commit()
+      val dataDir = wh.catalog()("cust").head
+      val t1 = wh.begin()
+      t1.deleteVectored("cust", col("c_custkey") % 10 === 3)
+      t1.commit()
+      require(wh.catalog()("cust").head == dataDir,
+        "vectored delete must not rewrite the data dir")
+      wh.read("cust").orderBy("c_custkey")
     }))
 
   /** Register a (l_returnflag, l_linestatus) MV over lineitem, run the
@@ -748,6 +841,11 @@ object MiscQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dv_delete" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 3
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
         |  count(*) - count(l_orderkey) AS n_nulls,
@@ -814,6 +912,52 @@ object MiscQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH th AS (
+        |  SELECT l_partkey AS t_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+        |    count(*) AS qty_n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE)
+        |    AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM lineitem
+        |JOIN th ON l_partkey = t_partkey
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q_mv_quantile" ->
       """WITH b AS (

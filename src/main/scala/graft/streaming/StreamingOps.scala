@@ -29,24 +29,42 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def eventsSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+  /** Streaming source over the events fixture, robust to the fixture's
+    * physical timestamp unit (generator versions have shipped BOTH
+    * TIMESTAMP(NANOS) — unreadable by the vectorized reader, so raw
+    * nanos-as-long truncated to micros, matching DuckDB's floor — and
+    * plain micro timestamps). One batch-side footer sniff picks the
+    * schema; the stream then reads every file uniformly.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanos = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == LongType
+    val raw = spark.readStream
+      .schema(eventsSchema(if (nanos) LongType
+        else org.apache.spark.sql.types.TimestampType))
+      .option("pathGlobFilter", "events.parquet") // the sf dir holds all tables
+      .parquet(dir)
+    // `div` = integral division; `/` would go through DOUBLE and lose
+    // precision above 2^53 (epoch-ns values are ~1.7e18)
+    if (nanos) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** The shared streaming plan: file source → 1-hour tumbling windowed
     * counts/sums per event type, 1-hour watermark.
     */
   private def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // the sf dir holds all tables
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -130,12 +148,7 @@ object StreamingOps {
     */
   def clickPurchaseStreamJoin(spark: SparkSession, dir: String,
                               statePartitions: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(spark, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -178,12 +191,7 @@ object StreamingOps {
     */
   def streamingDedupKeys(spark: SparkSession, dir: String,
                          statePartitions: Int = 4): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val deduped = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"), col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type")

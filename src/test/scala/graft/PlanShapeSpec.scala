@@ -21,7 +21,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
       "shipdate filter not pushed to scan")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
-      "l_extendedprice:double,l_shipdate:timestamp_ntz>"),
+      "l_extendedprice:double,l_shipdate:timestamp>"),
       "scan reads more columns than the projection needs")
   }
 

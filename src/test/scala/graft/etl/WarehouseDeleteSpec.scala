@@ -82,6 +82,51 @@ class WarehouseDeleteSpec extends AnyFunSuite {
     assert(wh.catalog()("dim_clients") == dirBefore, "no-match delete must write nothing")
   }
 
+  test("partitioned+bucketed delete carries untouched buckets across dt= subdirs") {
+    // the fact layout: date partitions × key-hash buckets. The carry-over
+    // walk must preserve files INSIDE partition subdirs — a flat listing
+    // would silently drop every untouched-bucket row (data loss).
+    import spark.implicits._
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("ts", "timestamp").add("v", "string")
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-del-part").toString,
+      schemas = Map("t" -> schema),
+      partitionSpec = Map("t" -> ("dt", to_date(col("ts")))),
+      bucketSpec = Map("t" -> ("id", 4)))
+    val rows = (1L to 40L).map(i =>
+      (i, Timestamp.valueOf(s"2021-03-0${(i % 3) + 1} 10:00:00"), s"v$i"))
+    val t0 = wh.begin()
+    t0.overwrite("t", rows.toDF("id", "ts", "v"))
+    t0.commit()
+    val oldDir = wh.catalog()("t").head
+    def allFiles(dir: String): Map[String, Path] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(p => Paths.get(dir).relativize(p).toString -> p).toMap
+    val oldFiles = allFiles(oldDir)
+    assert(oldFiles.keys.exists(_.contains("dt=")), "fixture must be partitioned")
+
+    val t1 = wh.begin()
+    t1.deleteWhere("t", col("id") === 17L)
+    t1.commit()
+
+    val got = wh.read("t").select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 40L).toSet - 17L, "exactly id=17 must be gone")
+
+    val newDir = wh.catalog()("t").head
+    val newFiles = allFiles(newDir)
+    val bucket17 = spark.range(1).select(pmod(hash(lit(17L)), lit(4))).head.getInt(0)
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def bucketOf(name: String): Int =
+      name.split('/').last match { case bucketRe(b) => b.toInt }
+    val carried = oldFiles.filter { case (rel, _) => bucketOf(rel) != bucket17 }
+    assert(carried.nonEmpty, "expected untouched bucket files across partitions")
+    carried.foreach { case (rel, p) =>
+      assert(newFiles.contains(rel), s"untouched $rel missing from new dir")
+      assert(Files.mismatch(p, newFiles(rel)) == -1L, s"$rel not byte-identical")
+    }
+  }
+
   test("unbucketed table falls back to a filtered overwrite") {
     val wh = new Warehouse(spark, Files.createTempDirectory("wh-del3").toString)
     import spark.implicits._

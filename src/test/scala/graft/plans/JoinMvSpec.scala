@@ -76,8 +76,9 @@ class JoinMvSpec extends AnyFunSuite {
       val q = direct(wh).groupBy("pri").agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
       assert(baseDirs(wh).intersect(scanned(q)).isEmpty,
         s"routed plan must not scan base tables: ${scanned(q)}")
-      val want = Map("p0" -> (30L, 1395L), "p1" -> (30L, 1305L), "p2" -> (30L, 1395L))
+      val want = Map("p0" -> (30L, 1365L), "p1" -> (30L, 1395L), "p2" -> (30L, 1335L))
       val got = q.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, "routed answer must equal the hand-computed aggregate")
       val check = direct(wh).groupBy("pri")
         .agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
       assert(got == check.collect().map(r =>
@@ -98,7 +99,7 @@ class JoinMvSpec extends AnyFunSuite {
       // key filter routes too
       val q4 = direct(wh).filter(col("pri") === "p1").agg(sum(col("qty")).as("s"))
       assert(baseDirs(wh).intersect(scanned(q4)).isEmpty)
-      assert(q4.collect().head.getLong(0) == 1305L)
+      assert(q4.collect().head.getLong(0) == 1395L)
     }
   }
 
