@@ -674,7 +674,7 @@ class Warehouse(val spark: SparkSession, val root: String,
   * writes; nothing becomes visible to other readers until `commit()`
   * swaps the catalog (K11).
   */
-class Txn private[etl] (wh: Warehouse) {
+class Txn private[etl] (private[etl] val wh: Warehouse) {
   private val snapshot: Map[String, Seq[String]] = wh.catalog()
   private val pending = mutable.LinkedHashMap[String, Seq[String]]()
   private var committed = false

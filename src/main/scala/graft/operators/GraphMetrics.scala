@@ -19,11 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
+  /** Canonical edge list, CACHED: every consumer self-joins it (two
+    * branches for degrees, three for triangles), and without the cache
+    * each branch re-executes the whole upstream pair-generation
+    * pipeline — for an LSH similarity graph that is the full
+    * signature+band+verify computation, multiplied by the join arity.
+    * The edge list itself is pairs-sized (tiny next to the corpus);
+    * `cache()` blocks are reclaimable via `spark.catalog.clearCache`.
+    */
   private def oriented(pairs: DataFrame): DataFrame =
     pairs.select(
       least(col("doc_a"), col("doc_b")).as("a"),
       greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .cache()
 
   /** Per-node degree over the undirected edge set. */
   def degrees(pairs: DataFrame): DataFrame = {
@@ -60,7 +69,11 @@ object GraphMetrics {
     */
   def trianglesByDegree(pairs: DataFrame): DataFrame = {
     val e = oriented(pairs)
-    val d = degrees(pairs)
+    // degrees from the SAME cached edge list (degrees(pairs) would
+    // build — and cache — a second identical copy)
+    val d = e.select(col("a").as("doc_id"))
+      .unionAll(e.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
     val withDeg = e
       .join(d.select(col("doc_id").as("a"), col("degree").as("da")), Seq("a"))
       .join(d.select(col("doc_id").as("b"), col("degree").as("db")), Seq("b"))
@@ -68,10 +81,19 @@ object GraphMetrics {
     // head's rank so the wedge join can order its two heads
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // cached: three consumers (two wedge sides + the closing probe)
+    // would otherwise re-execute the degree-attach joins — re-reading
+    // and re-broadcasting the degree map per consumer at scale. The
+    // residual bench-scale cost of this variant is per-stage scheduling
+    // latency (2 attach joins + 1 aggregation more than id-orientation,
+    // all broadcast, measured ~3 s on 835 edges locally) — fixed cost
+    // that amortizes at scale, where the arboricity-bounded fan-out is
+    // what matters.
     val dir = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .cache()
     val e1 = dir.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val e2 = dir.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
     val wedges = e1.join(e2, Seq("u"))

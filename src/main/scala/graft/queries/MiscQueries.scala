@@ -681,6 +681,39 @@ object MiscQueries {
       require(wh.catalog()("cust").head == dataDir,
         "vectored delete must not rewrite the data dir")
       wh.read("cust").orderBy("c_custkey")
+    }),
+
+    // Generic MERGE INTO under the hash gate: ordered matched clauses
+    // (conditional DELETE, then UPDATE), insert-with-override, driven
+    // through the BUCKET-PRUNED path (REQUIRE'd) against a throwaway
+    // bucketed warehouse. The oracle reconstructs the clause dispatch
+    // relationally, so clause ordering, the delete filter, and the
+    // bucket-pruned rewrite's content all sit under the hash.
+    "q_merge_into" -> ((s, dir) => {
+      import graft.etl.{Merge, Warehouse}
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-merge").toString,
+        Map("cust" -> c.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      val t0 = wh.begin(); t0.overwrite("cust", c); t0.commit()
+      val src = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_mktsegment"))
+        .unionAll(c.filter(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+            col("c_acctbal"), col("c_mktsegment")))
+      val t1 = wh.begin()
+      val touched = Merge.into(t1, "cust", src, Seq("c_custkey"),
+        whenMatched = Seq(
+          Merge.Delete(condition = Some(col("t.c_mktsegment") === "BUILDING")),
+          Merge.Update(Map("c_acctbal" -> col("s.c_acctbal")))),
+        whenNotMatched = Seq(
+          Merge.Insert(set = Map("c_mktsegment" -> lit("NEW")))))
+      t1.commit()
+      require(touched >= 0, "expected the bucket-pruned merge path")
+      wh.read("cust").orderBy("c_custkey")
     }))
 
   /** Register a (l_returnflag, l_linestatus) MV over lineitem, run the
@@ -845,6 +878,19 @@ object MiscQueries {
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 <> 3
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_merge_into" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 3 = 0 AND c_mktsegment = 'BUILDING')
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal, 'NEW'
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |) ORDER BY c_custkey""".stripMargin,
 
     "q_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,

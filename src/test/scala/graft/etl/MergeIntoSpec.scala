@@ -1,0 +1,156 @@
+package graft.etl
+
+import java.nio.file.{Files, Path, Paths}
+import graft.TestSpark
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Generic MERGE INTO (`etl.Merge`): Delta-style clause semantics
+  * (ordered WHEN MATCHED / NOT MATCHED / NOT MATCHED BY SOURCE with
+  * conditions), ambiguous-source rejection, and the bucket-pruned
+  * rewrite against the warehouse's bucketed layout.
+  */
+class MergeIntoSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = new StructType()
+    .add("id", "long").add("v", "string").add("n", "long")
+
+  private def freshWh(prefix: String, buckets: Int = 4): Warehouse = {
+    val wh = new Warehouse(spark, Files.createTempDirectory(prefix).toString,
+      schemas = Map("t" -> schema), partitionSpec = Map.empty,
+      bucketSpec = if (buckets > 0) Map("t" -> ("id", buckets)) else Map.empty)
+    val t = wh.begin()
+    t.overwrite("t", (1L to 12L).map(i => (i, s"v$i", i * 10)).toDF("id", "v", "n"))
+    t.commit()
+    wh
+  }
+
+  private def rows(wh: Warehouse): Map[Long, (String, Long)] =
+    wh.read("t").collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("ordered clauses: conditional update, delete, insert, by-source delete") {
+    val wh = freshWh("merge-sem", buckets = 0)
+    // source: ids 10..15 — 10 gets n+=1 (first clause), 11 deleted
+    // (cond n >= 110), 12 updated; 13..15 inserted with stamped v
+    val src = (10L to 15L).map(i => (i, s"s$i", i)).toDF("id", "v", "n")
+    val txn = wh.begin()
+    val ret = Merge.into(txn, "t", src, Seq("id"),
+      whenMatched = Seq(
+        Merge.Update(Map("n" -> (col("t.n") + 1)),
+          condition = Some(col("t.id") === 10L)),
+        Merge.Delete(condition = Some(col("t.n") === 110L)),
+        Merge.UpdateAll()),
+      whenNotMatched = Seq(
+        Merge.Insert(set = Map("v" -> concat(lit("new_"), col("s.v"))))),
+      whenNotMatchedBySource = Seq(
+        Merge.Delete(condition = Some(col("t.id") <= 2L))))
+    txn.commit()
+    assert(ret == -1, "BY SOURCE clause must force the full path")
+    val got = rows(wh)
+    assert(got(10L) == ("v10", 101L), "first matching clause wins")
+    assert(!got.contains(11L), "conditional matched delete")
+    assert(got(12L) == ("s12", 12L), "UpdateAll fallthrough")
+    assert(got(13L) == ("new_s13", 13L) && got(15L) == ("new_s15", 15L),
+      "insert with override")
+    assert(!got.contains(1L) && !got.contains(2L), "by-source conditional delete")
+    assert(got(3L) == ("v3", 30L), "by-source fallthrough keeps")
+    assert(got.keySet == ((3L to 10L).toSet ++ Set(12L, 13L, 14L, 15L)))
+  }
+
+  test("matched rows with no firing condition keep their target values") {
+    val wh = freshWh("merge-keep", buckets = 0)
+    val src = Seq((5L, "s5", 5L)).toDF("id", "v", "n")
+    val txn = wh.begin()
+    Merge.into(txn, "t", src, Seq("id"),
+      whenMatched = Seq(Merge.Delete(condition = Some(lit(false)))))
+    txn.commit()
+    assert(rows(wh)(5L) == ("v5", 50L))
+    assert(rows(wh).size == 12)
+  }
+
+  test("bucket-pruned merge rewrites only source-key buckets; rest hard-link") {
+    val wh = freshWh("merge-bkt")
+    val oldDir = wh.catalog()("t").head
+    def files(dir: String): Map[String, Path] =
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> p).toMap
+    val oldFiles = files(oldDir)
+
+    val src = Seq((7L, "x7", 700L), (100L, "x100", 1L)).toDF("id", "v", "n")
+    val touchedBuckets = Seq(7L, 100L).map(i =>
+      spark.range(1).select(pmod(hash(lit(i)), lit(4))).head.getInt(0)).toSet
+    val txn = wh.begin()
+    val ret = Merge.into(txn, "t", src, Seq("id"),
+      whenMatched = Seq(Merge.UpdateAll()),
+      whenNotMatched = Seq(Merge.Insert()))
+    txn.commit()
+    assert(ret == touchedBuckets.size, "return = touched bucket count")
+    assert(rows(wh)(7L) == ("x7", 700L) && rows(wh)(100L) == ("x100", 1L))
+    assert(rows(wh).size == 13)
+
+    val newFiles = files(wh.catalog()("t").head)
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def bucketOf(name: String): Int = name match { case bucketRe(b) => b.toInt }
+    val carried = newFiles.filter { case (name, _) => oldFiles.contains(name) }
+    assert(carried.nonEmpty)
+    carried.foreach { case (name, p) =>
+      assert(!touchedBuckets.contains(bucketOf(name)))
+      assert(Files.mismatch(p, oldFiles(name)) == -1L, s"$name not byte-identical")
+    }
+  }
+
+  test("bucketed merge plans with zero target-side Exchange") {
+    val wh = freshWh("merge-plan")
+    val src = Seq((7L, "x7", 700L)).toDF("id", "v", "n")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = Merge(wh.read("t"), src, Seq("id"),
+        schema.fieldNames.toIndexedSeq,
+        Seq(Merge.UpdateAll()), Seq(Merge.Insert()), Nil)
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"target must stay a bucketed scan:\n$plan")
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"expected ONE exchange (source side only):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ambiguous source and key-updating SET reject") {
+    val wh = freshWh("merge-rej", buckets = 0)
+    val txn = wh.begin()
+    val dup = Seq((5L, "a", 1L), (5L, "b", 2L)).toDF("id", "v", "n")
+    assertThrows[IllegalArgumentException] {
+      Merge.into(txn, "t", dup, Seq("id"), whenMatched = Seq(Merge.UpdateAll()))
+    }
+    val src = Seq((5L, "a", 1L)).toDF("id", "v", "n")
+    assertThrows[IllegalArgumentException] {
+      Merge.into(txn, "t", src, Seq("id"),
+        whenMatched = Seq(Merge.Update(Map("id" -> lit(99L)))))
+    }
+  }
+
+  test("MERGE expresses SCD1: update-if-changed + insert + by-source delete") {
+    val wh = freshWh("merge-scd1", buckets = 0)
+    // snapshot: 1..10 minus 4, with 6 changed; 20 new
+    val snap = ((1L to 10L).filter(_ != 4L).map(i =>
+        (i, if (i == 6L) "CHANGED" else s"v$i", i * 10)) :+ (20L, "v20", 200L))
+      .toDF("id", "v", "n")
+    val expected = Scd1.merge(wh.read("t"), snap, Seq("id"), Seq("v", "n"))
+      .collect().map(_.toSeq).toSet
+    val txn = wh.begin()
+    Merge.into(txn, "t", snap, Seq("id"),
+      whenMatched = Seq(Merge.UpdateAll(
+        condition = Some(!(col("t.v") <=> col("s.v")) || !(col("t.n") <=> col("s.n"))))),
+      whenNotMatched = Seq(Merge.Insert()),
+      whenNotMatchedBySource = Seq(Merge.Delete()))
+    txn.commit()
+    assert(wh.read("t").collect().map(_.toSeq).toSet == expected)
+  }
+}
