@@ -24,7 +24,8 @@ object PlanDump {
         "q_funnel", "q_cohort", "q_twap", "q_regression",
         "q_window_range", "mm_imagehash", "q_scd2_changes", "q_mv_approx",
         "q_linkage", "q_skip_scan", "q_privacy", "q_anonymize",
-        "dedup_triangles")
+        "dedup_triangles", "dedup_triangles_deg",
+        "q_tpch_q10", "q_tpch_q17", "q_tpch_q18")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -880,4 +880,31 @@ object TextAnalysis {
         col("sum_q").cast("double") / col("n_bigrams").cast("double")
           / lit(1000000.0))
   }
+
+  /** One round of BPE vocabulary learning: corpus-weighted adjacent
+    * character-pair counts over the normalized word vocabulary, top-k.
+    * The tokenizer-training primitive (Sennrich et al. 2016 — the merge
+    * choice IS argmax of this table; iterating it with re-segmentation
+    * is the full trainer, each round the same shape).
+    *
+    * Scale shape: the only corpus-sized stage is the word-frequency
+    * aggregation (partial-combining); pair explosion runs over the
+    * DISTINCT vocabulary — ~√corpus in practice — weighted by stored
+    * frequency, and the top-k is a TakeOrdered heap, never a global
+    * sort.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String = "text",
+                    k: Int = 50): DataFrame = {
+    val pieces = filter(split(lower(col(textCol)), "[^a-z0-9]+"), p => p =!= "")
+    val vocab = docs.select(explode(pieces).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
 }

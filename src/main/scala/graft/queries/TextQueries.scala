@@ -115,6 +115,12 @@ object TextQueries {
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")),
 
+    // One BPE merge round: corpus-weighted adjacent char-pair counts
+    // over the word vocabulary, top-50 — the tokenizer-training
+    // primitive. Pair explosion runs over DISTINCT words only.
+    "text_bpe" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables(s, dir, "documents"))),
+
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -696,6 +702,19 @@ object TextQueries {
         |    p -> (length(p) + 3) // 4)) AS BIGINT) AS n_subwords,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe" ->
+      """WITH wrd AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), p -> p <> '')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, count(*) AS freq FROM wrd GROUP BY 1),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |  FROM v, unnest(range(1, length(w))) AS t(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (

@@ -200,4 +200,24 @@ class CurationOpsSpec extends AnyFunSuite {
     val got = rerank.map(_.getAs[Long]("hit_id")).toSeq
     assert(got == brute, s"rerank $got != brute $brute")
   }
+
+  // ---- BPE pair counts ----
+
+  test("bpePairCounts: corpus-weighted adjacent char pairs, vocab-side explode") {
+    // "ab ab cd" + "ab xx" -> freqs: ab=3, cd=1, xx=1
+    // pairs: ab->3, cd->1, xx->1
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab, XX")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 3L, "cd" -> 1L, "xx" -> 1L), s"got $got")
+    // overlapping pairs inside one word, weighted by word frequency
+    val docs2 = Seq((1L, "aaa aaa bc")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpePairCounts(docs2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("aa" -> 4L, "bc" -> 1L), s"got $got2")
+    // k truncates by (count desc, pair asc)
+    val top1 = TextAnalysis.bpePairCounts(docs, k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("ab"))
+  }
 }
