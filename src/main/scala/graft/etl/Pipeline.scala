@@ -194,17 +194,29 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
     * the plan-shape spec can gate the runtime plan directly.
     */
   private[etl] def freshFactRows(txn: Txn, fact: String, stg: String,
-                                 id: String): DataFrame = {
-    val stgDf = txn.read(stg)
-    val bloom = graft.operators.BloomJoin.keyFilter(stgDf, id)
+                                 id: String): DataFrame =
+    Pipeline.freshAgainstTable(txn, fact, txn.read(stg), id)
+}
+
+object Pipeline {
+  /** The rows of `batch` whose `id` is NOT already in `fact` — the K8
+    * dedup plan, reusable against any incoming frame (nightly staging
+    * or a streaming micro-batch): a batch-sized Bloom filter prunes
+    * each fact dir's id scan BELOW the anti-join, and the anti-joins
+    * chain PER DIR so a bucketed fact contributes zero fact-side
+    * Exchange.
+    */
+  private[graft] def freshAgainstTable(txn: Txn, fact: String,
+                                       batch: DataFrame, id: String): DataFrame = {
+    val bloom = graft.operators.BloomJoin.keyFilter(batch, id)
     def pruned(part: DataFrame): DataFrame = {
       val keys = part.select(col(id)).filter(col(id).isNotNull)
       bloom.fold(keys)(b => keys.filter(b.mightContain(col(id))))
     }
     val factParts =
-      if (wh.bucketSpec.contains(fact)) txn.readBucketedParts(fact)
+      if (txn.wh.bucketSpec.contains(fact)) txn.readBucketedParts(fact)
       else Seq(txn.read(fact))
-    factParts.foldLeft(stgDf) { (acc, part) =>
+    factParts.foldLeft(batch) { (acc, part) =>
       acc.join(pruned(part), Seq(id), "left_anti")
     }
   }

@@ -533,6 +533,60 @@ object StreamingOps {
     * and replay skips — or neither did, and replay re-applies.
     * `metaTable` schema: a single `last_batch` BIGINT row.
     */
+  /** STREAMING INGESTION into the transactional warehouse — the
+    * continuous form of the nightly K8 fact append. Each micro-batch
+    * lands as ONE atomic catalog swap containing: in-batch exact dedup
+    * on the id (deterministic first row per key, so replayed batches
+    * compact identically regardless of partition order),
+    * the against-table dedup (the K8 plan: batch-sized Bloom filter
+    * pruning each fact dir's id scan below PER-DIR chained anti-joins —
+    * a bucketed fact contributes zero fact-side Exchange), the append,
+    * and the batch-id ledger.
+    *
+    * Exactly-once effect over at-least-once `foreachBatch`: a
+    * redelivered batch (id ≤ ledger) skips atomically, and a torn run
+    * either committed append+ledger together or neither — the same
+    * argument as [[streamingMvRefresh]]. The id-level anti-join
+    * additionally makes even a LOST-ledger replay idempotent (rows
+    * already appended are filtered out), so the ledger is belt AND the
+    * dedup braces. `metaTable` schema: single `last_batch` BIGINT.
+    *
+    * Scale shape: per batch, one Bloom build over the batch (bounded),
+    * per-dir pruned anti-joins (no full fact scan — the Bloom prunes at
+    * the id column), one delta-sized write, O(1) commit. Runs unchanged
+    * as a continuous job discovering daily drops at 100 TB.
+    */
+  def streamingFactIngest(spark: SparkSession, wh: graft.etl.Warehouse,
+                          sourceDir: String, srcSchema: StructType,
+                          table: String, id: String, metaTable: String,
+                          checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.schema(srcSchema).parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val txn = wh.begin()
+        val appliedRow = txn.read(metaTable).agg(max(col("last_batch"))).head()
+        val applied = if (appliedRow.isNullAt(0)) -1L else appliedRow.getLong(0)
+        if (batchId > applied) {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col(id))
+            .orderBy(batch.columns.filter(_ != id).map(c => col(c).asc_nulls_last)
+              .toIndexedSeq: _*)
+          val compacted = batch.filter(col(id).isNotNull)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          txn.append(table,
+            graft.etl.Pipeline.freshAgainstTable(txn, table, compacted, id))
+          import spark.implicits._
+          txn.overwrite(metaTable, Seq(batchId).toDF("last_batch"))
+          txn.commit()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def streamingMvRefresh(spark: SparkSession, wh: graft.etl.Warehouse,
                          sourceDir: String, srcSchema: StructType,
                          viewTable: String, metaTable: String,
