@@ -714,6 +714,35 @@ object MiscQueries {
       t1.commit()
       require(touched >= 0, "expected the bucket-pruned merge path")
       wh.read("cust").orderBy("c_custkey")
+    }),
+
+    // Streaming ingestion end-to-end under the hash gate: the events
+    // stream lands in a bucketed fact table via per-batch atomic
+    // append+ledger commits (in-batch dedup, Bloom-pruned against-table
+    // anti-join), then the stream is driven AGAIN with a fresh
+    // checkpoint — the redelivery every at-least-once source will
+    // eventually produce. The oracle is plain events, so any duplicate
+    // or loss from either run breaks the hash.
+    "q_stream_ingest" -> ((s, dir) => {
+      import graft.etl.Warehouse
+      import graft.streaming.StreamingOps
+      val ev = Tables(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val metaSchema = new org.apache.spark.sql.types.StructType()
+        .add("last_batch", "long")
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-ing").toString,
+        Map("fact" -> ev.schema, "ing_meta" -> metaSchema),
+        partitionSpec = Map.empty,
+        bucketSpec = Map("fact" -> ("event_id", 8)))
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-ing-src").toString
+      ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
+      def run(): Unit = StreamingOps.streamingFactIngest(s, wh, srcDir,
+        ev.schema, "fact", "event_id", "ing_meta",
+        java.nio.file.Files.createTempDirectory("graft-ing-ckpt").toString)
+        .awaitTermination()
+      run(); run() // second run = full redelivery (fresh checkpoint)
+      wh.read("fact").orderBy("event_id")
     }))
 
   /** Register a (l_returnflag, l_linestatus) MV over lineitem, run the
@@ -878,6 +907,10 @@ object MiscQueries {
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 <> 3
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_stream_ingest" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_merge_into" ->
       """SELECT * FROM (

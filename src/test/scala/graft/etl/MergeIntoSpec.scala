@@ -136,6 +136,31 @@ class MergeIntoSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-pruned merge over outstanding deletion vectors keeps the delete") {
+    val wh = freshWh("merge-dv")
+    // pick a victim and an update key living in DIFFERENT buckets, so
+    // the victim's tombstone must survive the hard-link remap
+    def bucketOf(i: Long): Int =
+      spark.range(1).select(pmod(hash(lit(i)), lit(4))).head.getInt(0)
+    val victim = 3L
+    val updated = (1L to 12L).find(i => i != victim && bucketOf(i) != bucketOf(victim)).get
+
+    val t0 = wh.begin()
+    assert(t0.deleteVectored("t", col("id") === victim) == 1L)
+    t0.commit()
+
+    val src = Seq((updated, "upd", 999L)).toDF("id", "v", "n")
+    val t1 = wh.begin()
+    val ret = Merge.into(t1, "t", src, Seq("id"),
+      whenMatched = Seq(Merge.UpdateAll()))
+    t1.commit()
+    assert(ret == 1, "single-key merge must touch one bucket")
+    val got = rows(wh)
+    assert(!got.contains(victim), "vector-deleted row must stay deleted")
+    assert(got(updated) == ("upd", 999L))
+    assert(got.size == 11)
+  }
+
   test("MERGE expresses SCD1: update-if-changed + insert + by-source delete") {
     val wh = freshWh("merge-scd1", buckets = 0)
     // snapshot: 1..10 minus 4, with 6 changed; 20 new
