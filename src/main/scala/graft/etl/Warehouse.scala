@@ -786,30 +786,56 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
     * rows where the predicate is NULL (SQL DELETE semantics: only
     * TRUE deletes).
     *
-    * For a bucketed single-dir table this costs what it deletes, not
-    * what the table holds: one scan finds the buckets containing
-    * matching rows (driver result bounded by the bucket count), both
-    * the rewrite and its input prune to those buckets, and every other
-    * bucket's files hard-link into the new dir byte-identically — the
-    * 100 TB erasure request rewrites a handful of buckets. A match-less
-    * predicate writes nothing. Unbucketed (or multi-dir) tables fall
-    * back to a filtered full overwrite.
+    * On the bucketed layout this costs what it deletes, not what the
+    * table holds — for ANY dir count: per dir, one scan finds the
+    * buckets containing matching rows (driver result bounded by the
+    * bucket count per dir), the rewrite and its input prune to those
+    * buckets, untouched buckets hard-link byte-identically — and a dir
+    * with NO matching row keeps its catalog entry verbatim, moving
+    * zero bytes. A 100 TB append-only fact absorbs an erasure request
+    * at the cost of the few (dir × bucket) cells the victim rows live
+    * in. A match-less predicate writes nothing at all.
+    *
+    * Unbucketed tables — and bucketed tables carrying outstanding
+    * deletion vectors, where the per-dir carry-over can't hold
+    * tombstone identity across multiple rewritten dirs — fall back to
+    * a filtered full overwrite (which also MATERIALIZES the DVs).
     */
   def deleteWhere(table: String, predicate: Column): Unit = {
     import org.apache.spark.sql.functions.{coalesce => cl, hash, lit => l, not, pmod}
-    val cur = read(table)
     val keep = not(cl(predicate, l(false)))
+    def touchedIn(df: DataFrame, key: String, n: Int): Array[Int] =
+      df.filter(predicate)
+        .select(pmod(hash(org.apache.spark.sql.functions.col(key)), l(n)).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
     wh.bucketSpec.get(table) match {
       case Some((key, n)) if currentDirs(table).length == 1 =>
-        val touched = cur.filter(predicate)
-          .select(pmod(hash(org.apache.spark.sql.functions.col(key)), l(n)).as("b"))
-          .distinct().collect().map(_.getInt(0)).sorted
+        val cur = read(table)
+        val touched = touchedIn(cur, key, n)
         if (touched.nonEmpty) {
           val inT = Scd1.inBuckets(Seq(key), n, touched.toIndexedSeq)
           overwriteBuckets(table, cur.filter(inT && keep), touched.toIndexedSeq)
         } // no matches: the table is already exact — write nothing
+      case Some((key, n)) if currentDvDirs(table).isEmpty =>
+        // multi-dir (the append-only fact shape): replace ONLY dirs
+        // holding matching rows, each rewritten bucket-pruned
+        val fields = wh.schemas(table).fieldNames.toIndexedSeq
+        val newDirs = currentDirs(table).map { d =>
+          val part = wh.readBucketedDir(table, d)
+            .select(fields.map(org.apache.spark.sql.functions.col): _*)
+          val touched = touchedIn(part, key, n)
+          if (touched.isEmpty) d // untouched dir: zero bytes move
+          else {
+            val inT = Scd1.inBuckets(Seq(key), n, touched.toIndexedSeq)
+            val dir = wh.writeDataDir(table, align(table, part.filter(inT && keep)))
+            wh.copyUntouchedBuckets(d, dir, touched.toSet)
+            graft.sources.DataSkipping.writeSidecar(wh.spark, dir)
+            dir
+          }
+        }
+        if (newDirs != currentDirs(table)) pending(table) = newDirs
       case _ =>
-        overwrite(table, cur.filter(keep))
+        overwrite(table, read(table).filter(keep))
     }
   }
 

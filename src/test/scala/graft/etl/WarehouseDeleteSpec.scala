@@ -127,6 +127,54 @@ class WarehouseDeleteSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-dir bucketed delete replaces only dirs holding matches, bucket-pruned") {
+    import spark.implicits._
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "string")
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-del-multi").toString,
+      schemas = Map("t" -> schema), partitionSpec = Map.empty,
+      bucketSpec = Map("t" -> ("id", 4)))
+    // three append dirs with disjoint id ranges
+    for (base <- Seq(0L, 100L, 200L)) {
+      val t = wh.begin()
+      t.append("t", (base + 1 to base + 20).map(i => (i, s"v$i")).toDF("id", "v"))
+      t.commit()
+    }
+    val dirs0 = wh.catalog()("t")
+    assert(dirs0.length == 3)
+
+    // victim lives in the middle dir only
+    val t1 = wh.begin()
+    t1.deleteWhere("t", col("id") === 107L)
+    t1.commit()
+    val dirs1 = wh.catalog()("t")
+    assert(dirs1.length == 3)
+    assert(dirs1(0) == dirs0(0) && dirs1(2) == dirs0(2),
+      "match-less dirs must keep their catalog entries verbatim")
+    assert(dirs1(1) != dirs0(1), "the matching dir must be replaced")
+    val got = wh.read("t").select("id").collect().map(_.getLong(0)).toSet
+    assert(got == ((1L to 20L) ++ (101L to 120L) ++ (201L to 220L)).toSet - 107L)
+
+    // within the replaced dir, untouched buckets carried byte-identically
+    val bucket107 = spark.range(1).select(pmod(hash(lit(107L)), lit(4))).head.getInt(0)
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def bucketOf(name: String): Int = name match { case bucketRe(b) => b.toInt }
+    val oldFiles = parquetFiles(dirs0(1))
+    val newFiles = parquetFiles(dirs1(1))
+    val carried = newFiles.filter { case (name, _) => oldFiles.contains(name) }
+    assert(carried.nonEmpty, "untouched buckets must hard-link")
+    carried.foreach { case (name, p) =>
+      assert(bucketOf(name) != bucket107)
+      assert(Files.mismatch(p, oldFiles(name)) == -1L, s"$name not byte-identical")
+    }
+
+    // no-match delete: catalog does not move at all
+    val t2 = wh.begin()
+    t2.deleteWhere("t", col("id") === 9999L)
+    t2.commit()
+    assert(wh.catalog()("t") == dirs1, "no-match delete must write nothing")
+  }
+
   test("unbucketed table falls back to a filtered overwrite") {
     val wh = new Warehouse(spark, Files.createTempDirectory("wh-del3").toString)
     import spark.implicits._
