@@ -716,6 +716,30 @@ object MiscQueries {
       wh.read("cust").orderBy("c_custkey")
     }),
 
+    // Deletion vectors × TIME TRAVEL under the hash gate: after a
+    // vectored delete commits, the PRE-delete version must read whole
+    // (its catalog carries no DV entry) while the current version reads
+    // the survivors — both images emitted, version-tagged, from the
+    // same warehouse. Certifies the DV set is part of the snapshot, not
+    // session state.
+    "q_dv_asof" -> ((s, dir) => {
+      import graft.etl.Warehouse
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-dvtt").toString,
+        Map("cust" -> c.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      val t0 = wh.begin(); t0.overwrite("cust", c); t0.commit()
+      val v1 = wh.versions().last
+      val t1 = wh.begin()
+      t1.deleteVectored("cust", col("c_custkey") % 10 === 3)
+      t1.commit()
+      wh.readAsOf("cust", v1).withColumn("ver", lit("v1"))
+        .unionAll(wh.read("cust").withColumn("ver", lit("v2")))
+        .orderBy("ver", "c_custkey")
+    }),
+
     // Streaming ingestion end-to-end under the hash gate: the events
     // stream lands in a bucketed fact table via per-batch atomic
     // append+ledger commits (in-batch dedup, Bloom-pruned against-table
@@ -907,6 +931,14 @@ object MiscQueries {
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 10 <> 3
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_dv_asof" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'v1' AS ver
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'v2'
+        |FROM customer WHERE c_custkey % 10 <> 3
+        |ORDER BY ver, c_custkey""".stripMargin,
 
     "q_stream_ingest" ->
       """SELECT event_id, user_id, event_type, value
