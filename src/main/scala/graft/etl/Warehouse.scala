@@ -234,31 +234,46 @@ class Warehouse(val spark: SparkSession, val root: String,
                       files: Int, bits: Int = 16): Unit = {
     require(!bucketSpec.contains(table) && !partitionSpec.contains(table),
       s"z-order compaction applies to flat layouts; $table has a bucket/partition spec")
-    val cat0 = catalog()
-    val old = cat0.getOrElse(table, Nil)
-    if (old.isEmpty) return
-    val dvOld = cat0.getOrElse(Warehouse.dvKey(table), Nil)
-    val dir = newDataDir(table)
-    val schema = schemas(table)
-    graft.operators.Layout.writeZOrdered(
-      readDirs(table, old, dvOld)
-        .select(schema.fieldNames.toIndexedSeq.map(col): _*),
-      dir, aCol, bCol, files, bits)
-    graft.sources.DataSkipping.writeSidecar(spark, dir)
-    var attempts = 0
-    var done = false
-    while (!done && attempts < 5) {
-      val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
-      val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
-                else CatalogJson.parse(expected)
-      val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
-      // the rewrite covered ALL dirs as of cat0 with dvOld applied, so
-      // those DV dirs are consumed; tombstones added concurrently stay
-      // (single-maintenance-writer assumption, as documented above)
-      val keptDv = cat.getOrElse(Warehouse.dvKey(table), Nil).filterNot(dvOld.toSet)
-      done = commitCatalogIf(expected,
-        cat + (table -> (dir +: kept)) + (Warehouse.dvKey(table) -> keptDv))
-      attempts += 1
+    var rounds = 0
+    var committed = false
+    // outer loop: a concurrent deleteVectored during the rewrite means
+    // tombstones exist that name files this commit would retire — they
+    // cannot be folded in post-hoc, so the stale dir is abandoned (a
+    // safe no-op; vacuum reclaims it) and the REWRITE re-runs against
+    // the current DV set. Vectored deletes are normal writers (GDPR
+    // erasure), not the single 'maintenance' writer — losing them
+    // would silently resurrect deleted rows.
+    while (!committed && rounds < 3) {
+      val cat0 = catalog()
+      val old = cat0.getOrElse(table, Nil)
+      if (old.isEmpty) return
+      val dvOld = cat0.getOrElse(Warehouse.dvKey(table), Nil)
+      val dir = newDataDir(table)
+      val schema = schemas(table)
+      graft.operators.Layout.writeZOrdered(
+        readDirs(table, old, dvOld)
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*),
+        dir, aCol, bCol, files, bits)
+      graft.sources.DataSkipping.writeSidecar(spark, dir)
+      compactionBarrier()
+      var attempts = 0
+      var stale = false
+      while (!committed && !stale && attempts < 5) {
+        val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
+        val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
+                  else CatalogJson.parse(expected)
+        if (cat.getOrElse(Warehouse.dvKey(table), Nil) != dvOld) stale = true
+        else {
+          val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
+          // the rewrite covered ALL dirs as of cat0 with dvOld applied,
+          // so the DV entry (unchanged since cat0 — checked above) is
+          // consumed by this commit
+          committed = commitCatalogIf(expected,
+            cat + (table -> (dir +: kept)) + (Warehouse.dvKey(table) -> Nil))
+          attempts += 1
+        }
+      }
+      rounds += 1
     }
   }
 
@@ -285,29 +300,44 @@ class Warehouse(val spark: SparkSession, val root: String,
     * lock service.
     */
   def compactOldest(table: String, keep: Int = 16): Unit = {
-    val dirs = catalog().getOrElse(table, Nil)
-    if (dirs.length > keep + 1) {
+    var rounds = 0
+    var committed = false
+    // outer loop mirrors [[compactZOrdered]]: a vectored delete that
+    // lands DURING the merge write may tombstone rows of the very dirs
+    // being merged — the merge read applied only the DV set it started
+    // from, so committing would resurrect those rows. Detected via the
+    // DV entry in the CAS; the stale merged dir is abandoned (vacuumed
+    // later) and the merge re-runs against the current DV set.
+    while (!committed && rounds < 3) {
+      val cat0 = catalog()
+      val dirs = cat0.getOrElse(table, Nil)
+      if (dirs.length <= keep + 1) return
+      val dv0 = cat0.getOrElse(Warehouse.dvKey(table), Nil)
       val (old, _) = dirs.splitAt(dirs.length - keep)
       // outstanding DVs apply to the merge read, so tombstoned rows of
       // the OLD dirs are materialized away; tombstones naming kept
       // dirs' files stay live in the (unchanged) DV entry, and the
       // now-dead tombstones naming merged files match nothing — they
       // are dropped at the next full overwrite or DV compaction
-      val merged = writeDataDir(table,
-        readDirs(table, old, catalog().getOrElse(Warehouse.dvKey(table), Nil)))
+      val merged = writeDataDir(table, readDirs(table, old, dv0))
+      compactionBarrier()
       // re-read the catalog AFTER the (long) merge write and replace only
       // the `old` prefix — any dir another writer appended meanwhile
       // stays referenced instead of being silently dropped
       var attempts = 0
-      var done = false
-      while (!done && attempts < 5) {
+      var stale = false
+      while (!committed && !stale && attempts < 5) {
         val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
         val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
                   else CatalogJson.parse(expected)
-        val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
-        done = commitCatalogIf(expected, cat + (table -> (merged +: kept)))
-        attempts += 1
+        if (cat.getOrElse(Warehouse.dvKey(table), Nil) != dv0) stale = true
+        else {
+          val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
+          committed = commitCatalogIf(expected, cat + (table -> (merged +: kept)))
+          attempts += 1
+        }
       }
+      rounds += 1
       // on persistent contention the merge is abandoned, never half-applied
     }
   }
@@ -662,6 +692,12 @@ class Warehouse(val spark: SparkSession, val root: String,
     * atomic step (no OS-level file CAS exists); the residual window is
     * microseconds vs the seconds-long merge writes it guards against.
     */
+  /** Test seam: invoked between a compaction's (long) rewrite and its
+    * CAS loop — the exact window where a concurrent writer's commit
+    * races the maintenance job. Production no-op.
+    */
+  protected def compactionBarrier(): Unit = ()
+
   private[etl] def commitCatalogIf(expected: String,
                                    entries: Map[String, Seq[String]]): Boolean = {
     val current = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
@@ -739,37 +775,44 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
     // refresh it so the skipping stats cover the whole dir again
     graft.sources.DataSkipping.writeSidecar(wh.spark, dir)
     pending(table) = Seq(dir)
-    remapDv(table, dir)
+    remapDv(table, current.head, dir)
   }
 
   /** After a PARTIAL overwrite, outstanding tombstones split two ways:
     * those naming rewritten (touched-bucket) files were materialized by
     * the rewrite (the caller's frame derives from [[read]], DVs
     * applied) and die with their files; those naming hard-linked files
-    * survive under a NEW full path — same basename, new dir. Remap the
-    * survivors by basename against the new dir's file set (basenames
-    * within one dir are unique — Spark part names carry a per-job UUID
-    * and hard links preserve the old name); anything unmatched is dead
-    * and drops out.
+    * survive under a NEW full path — same dir-RELATIVE path, new dir.
+    * Remap the survivors by the path BELOW the (unique, UUID-named) dir
+    * segment, NOT the basename: Spark writes the SAME part-file
+    * basename into every partition subdir a task touches, so on a
+    * partitioned+bucketed layout a basename key would fan one tombstone
+    * out to sibling partitions' same-named files — tombstoning the same
+    * row position in the WRONG files. The relative path is unique
+    * within a dir and hard links preserve it
+    * ([[Warehouse.copyUntouchedBuckets]] resolves destinations via
+    * `relativize`); anything unmatched was rewritten and drops out.
     */
-  private def remapDv(table: String, newDir: String): Unit = {
+  private def remapDv(table: String, oldDir: String, newDir: String): Unit = {
     import org.apache.spark.sql.functions.{broadcast, substring_index}
     val dvDirs = currentDvDirs(table)
     if (dvDirs.isEmpty) return
-    // basename → new full path, derived from a scan of the new dir so
-    // the path STRING FORM matches what `_metadata.file_path` yields at
-    // read time exactly (it is a URI — a filesystem-listing path would
-    // silently never match). One row per file after the distinct.
+    val oldSeg = "/" + Paths.get(oldDir).getFileName.toString + "/"
+    val newSeg = "/" + Paths.get(newDir).getFileName.toString + "/"
+    // relative path → new full path, derived from a scan of the new dir
+    // so the path STRING FORM matches what `_metadata.file_path` yields
+    // at read time exactly (it is a URI — a filesystem-listing path
+    // would silently never match). One row per file after the distinct.
     val mapDf = wh.spark.read.schema(wh.schemas(table)).parquet(newDir)
       .select(
-        substring_index(org.apache.spark.sql.functions.col("_metadata.file_path"), "/", -1)
-          .as("_graft_base"),
+        substring_index(org.apache.spark.sql.functions.col("_metadata.file_path"), newSeg, -1)
+          .as("_graft_rel"),
         org.apache.spark.sql.functions.col("_metadata.file_path").as("_graft_path"))
       .distinct()
     val remapped = wh.readDvDirs(dvDirs)
       .join(broadcast(mapDf),
-        substring_index(org.apache.spark.sql.functions.col(Warehouse.DvFile), "/", -1)
-          === org.apache.spark.sql.functions.col("_graft_base"))
+        substring_index(org.apache.spark.sql.functions.col(Warehouse.DvFile), oldSeg, -1)
+          === org.apache.spark.sql.functions.col("_graft_rel"))
       .select(org.apache.spark.sql.functions.col("_graft_path").as(Warehouse.DvFile),
         org.apache.spark.sql.functions.col(Warehouse.DvPos))
     val dvDir = wh.newDataDir(Warehouse.dvKey(table))

@@ -19,20 +19,47 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
-  /** Canonical edge list, CACHED: every consumer self-joins it (two
-    * branches for degrees, three for triangles), and without the cache
-    * each branch re-executes the whole upstream pair-generation
-    * pipeline — for an LSH similarity graph that is the full
-    * signature+band+verify computation, multiplied by the join arity.
-    * The edge list itself is pairs-sized (tiny next to the corpus);
-    * `cache()` blocks are reclaimable via `spark.catalog.clearCache`.
+  /** Rotating registry of the frames this object has cached. Metrics
+    * return LAZY frames, so an in-function unpersist-after-action is
+    * impossible — but unbounded `cache()` accumulation in a long-lived
+    * session is a real leak. Bound: each metric invocation caches at
+    * most 2 frames (edge list + directed list); the registry keeps the
+    * newest [[MaxLiveCaches]] and unpersists older ones as new calls
+    * arrive, so the CURRENT call's consumer always finds its blocks
+    * while prior calls' blocks are reclaimed. Unpersisting a frame a
+    * straggler still holds is safe — the lazy plan just recomputes.
+    * [[releaseCaches]] drains everything explicitly.
+    */
+  private val MaxLiveCaches = 4
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def cached(df: DataFrame): DataFrame = {
+    while (live.size >= MaxLiveCaches)
+      Option(live.poll()).foreach(_.unpersist(blocking = false))
+    df.cache()
+    live.add(df)
+    df
+  }
+
+  /** Unpersist every frame this object still has cached. */
+  def releaseCaches(): Unit = {
+    var df = live.poll()
+    while (df != null) { df.unpersist(blocking = false); df = live.poll() }
+  }
+
+  /** Canonical edge list, CACHED (via [[cached]]): every consumer
+    * self-joins it (two branches for degrees, three for triangles), and
+    * without the cache each branch re-executes the whole upstream
+    * pair-generation pipeline — for an LSH similarity graph that is the
+    * full signature+band+verify computation, multiplied by the join
+    * arity. The edge list itself is pairs-sized (tiny next to the
+    * corpus).
     */
   private def oriented(pairs: DataFrame): DataFrame =
-    pairs.select(
+    cached(pairs.select(
       least(col("doc_a"), col("doc_b")).as("a"),
       greatest(col("doc_a"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .cache()
+      .filter(col("a") =!= col("b")).distinct())
 
   /** Per-node degree over the undirected edge set. */
   def degrees(pairs: DataFrame): DataFrame = {
@@ -89,11 +116,10 @@ object GraphMetrics {
     // all broadcast, measured ~3 s on 835 edges locally) — fixed cost
     // that amortizes at scale, where the arboricity-bounded fan-out is
     // what matters.
-    val dir = withDeg.select(
+    val dir = cached(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
-      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-      .cache()
+      when(aFirst, col("db")).otherwise(col("da")).as("dv")))
     val e1 = dir.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val e2 = dir.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
     val wedges = e1.join(e2, Seq("u"))

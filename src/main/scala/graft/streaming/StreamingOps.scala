@@ -543,13 +543,19 @@ object StreamingOps {
     * a bucketed fact contributes zero fact-side Exchange), the append,
     * and the batch-id ledger.
     *
-    * Exactly-once effect over at-least-once `foreachBatch`: a
-    * redelivered batch (id ≤ ledger) skips atomically, and a torn run
+    * Exactly-once effect over at-least-once `foreachBatch`: a torn run
     * either committed append+ledger together or neither — the same
-    * argument as [[streamingMvRefresh]]. The id-level anti-join
-    * additionally makes even a LOST-ledger replay idempotent (rows
-    * already appended are filtered out), so the ledger is belt AND the
-    * dedup braces. `metaTable` schema: single `last_batch` BIGINT.
+    * argument as [[streamingMvRefresh]]. A batch at or below the ledger
+    * is NOT skipped wholesale: batch ids restart at 0 after a
+    * checkpoint reset, so "id ≤ ledger" conflates a redelivered batch
+    * (nothing new — the id anti-join would append zero rows) with a
+    * FRESH batch under a reset checkpoint (new files that a skip would
+    * silently drop). Both run the same dedup path; the id-level
+    * anti-join is what makes redelivery idempotent (already-appended
+    * rows filter out), the ledger never regresses, and a ledger-ahead
+    * batch only commits when it actually found fresh rows. The ledger
+    * is thus a fast-forward marker, the dedup is the correctness.
+    * `metaTable` schema: single `last_batch` BIGINT.
     *
     * Scale shape: per batch, one Bloom build over the batch (bounded),
     * per-dir pruned anti-joins (no full fact scan — the Bloom prunes at
@@ -567,18 +573,23 @@ object StreamingOps {
         val txn = wh.begin()
         val appliedRow = txn.read(metaTable).agg(max(col("last_batch"))).head()
         val applied = if (appliedRow.isNullAt(0)) -1L else appliedRow.getLong(0)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(id))
+          .orderBy(batch.columns.filter(_ != id).map(c => col(c).asc_nulls_last)
+            .toIndexedSeq: _*)
+        val compacted = batch.filter(col(id).isNotNull)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val fresh = graft.etl.Pipeline.freshAgainstTable(txn, table, compacted, id)
         if (batchId > applied) {
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(col(id))
-            .orderBy(batch.columns.filter(_ != id).map(c => col(c).asc_nulls_last)
-              .toIndexedSeq: _*)
-          val compacted = batch.filter(col(id).isNotNull)
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn")
-          txn.append(table,
-            graft.etl.Pipeline.freshAgainstTable(txn, table, compacted, id))
+          txn.append(table, fresh)
           import spark.implicits._
           txn.overwrite(metaTable, Seq(batchId).toDF("last_batch"))
+          txn.commit()
+        } else if (!fresh.isEmpty) {
+          // ledger-ahead batch (checkpoint reset): new rows still land,
+          // the ledger keeps its high-water mark
+          txn.append(table, fresh)
           txn.commit()
         }
       }

@@ -154,6 +154,63 @@ class DeletionVectorSpec extends AnyFunSuite {
       .select("phone").head().getString(0) == "+7 999")
   }
 
+  test("remap keys on dir-relative path: partitioned+bucketed tables don't fan tombstones to sibling partitions") {
+    // Spark's bucketed writer emits the SAME part-file basename into
+    // every dt= subdir a task touches (name = split + job UUID + bucket
+    // id — no partition component). A basename-keyed remap would fan
+    // one tombstone out to every same-named sibling file, deleting the
+    // same row POSITION in other partitions. The remap must key on the
+    // dir-RELATIVE path instead.
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "string").add("ts", "timestamp")
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-dv-part").toString,
+      schemas = Map("t" -> schema),
+      partitionSpec = Map("t" -> ("dt", to_date(col("ts")))),
+      bucketSpec = Map("t" -> ("id", 2)))
+    import spark.implicits._
+    val d1 = Timestamp.valueOf("2021-01-01 10:00:00")
+    val d2 = Timestamp.valueOf("2021-01-02 10:00:00")
+    val rows = for { i <- 1L to 8L; (d, tag) <- Seq((d1, "d1"), (d2, "d2")) }
+      yield (i, s"a$i-$tag", d)
+    val t0 = wh.begin()
+    t0.overwrite("t", rows.toDF("id", "v", "ts"))
+    t0.commit()
+
+    // precondition: the layout really repeats basenames across dt= dirs
+    val dataDir = wh.catalog()("t").head
+    val byBase = Files.walk(Paths.get(dataDir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getFileName.toString)
+    assume(byBase.values.exists(_.length > 1),
+      "test requires same-basename files in sibling partitions")
+
+    // victim: id=1's d1 row only (id=1's bucket stays untouched below)
+    val nBuckets = 2
+    val b1 = spark.range(1).select(pmod(hash(lit(1L)), lit(nBuckets))).head().getInt(0)
+    val t1 = wh.begin()
+    assert(t1.deleteVectored("t", col("id") === 1L && col("v") === "a1-d1") == 1L)
+    t1.commit()
+
+    // partial overwrite touching ONLY the other bucket
+    val other = (0 until nBuckets).filter(_ != b1)
+    val txn = wh.begin()
+    val inT = Scd1.inBuckets(Seq("id"), nBuckets, other.toIndexedSeq)
+    txn.overwriteBuckets("t",
+      txn.read("t").filter(inT).withColumn("v", concat(col("v"), lit("!"))),
+      other.toIndexedSeq)
+    txn.commit()
+
+    val got = wh.read("t").select("v").collect().map(_.getString(0)).toSet
+    assert(!got.contains("a1-d1"), "hard-linked file must keep its tombstone")
+    assert(got.contains("a1-d2"),
+      "same position in the sibling partition's same-basename file must SURVIVE")
+    assert(got.size == 15, s"exactly one row deleted, got ${got.size}: $got")
+    val untouched = (1L to 8L).filter(i =>
+      spark.range(1).select(pmod(hash(lit(i)), lit(nBuckets))).head().getInt(0) == b1)
+    untouched.foreach { i =>
+      if (i != 1L) assert(got.contains(s"a$i-d1") && got.contains(s"a$i-d2")) }
+  }
+
   test("full overwrite and compact materialize DVs and clear the DV entry") {
     val wh = freshWh("wh-dv-compact")
     val t0 = wh.begin()

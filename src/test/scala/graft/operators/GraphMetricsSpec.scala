@@ -55,4 +55,21 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(d == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L,
       6L -> 1L, 7L -> 1L))
   }
+
+  test("repeated calls don't accumulate cached storage; releaseCaches drains") {
+    GraphMetrics.releaseCaches()
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    val base = persisted
+    // 10 invocations, each caching 1-2 frames — the rotating registry
+    // must bound live cache entries regardless of call count
+    (1 to 10).foreach { _ =>
+      GraphMetrics.trianglesByDegree(pairs).count()
+      GraphMetrics.degrees(pairs).count()
+    }
+    assert(persisted - base <= 4,
+      s"cached frames must stay bounded, got ${persisted - base} new persistent RDDs")
+    GraphMetrics.releaseCaches()
+    assert(persisted <= base, "releaseCaches must drain every tracked frame")
+  }
 }

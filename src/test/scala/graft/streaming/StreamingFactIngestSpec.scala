@@ -62,10 +62,24 @@ class StreamingFactIngestSpec extends AnyFunSuite {
     run(ckpt)
     assert(wh.catalog() == cat, "no-input replay must not commit")
 
-    // a FRESH checkpoint redelivers everything as batch 0: the ledger
-    // (0 <= last applied) skips it atomically
+    // a FRESH checkpoint redelivers everything as batch 0: the id
+    // anti-join finds nothing fresh, so nothing commits
+    val catBefore = wh.catalog()
     run(Files.createTempDirectory("ing-ckpt2").toString)
     assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L, "t3" -> 30L))
+    assert(wh.catalog() == catBefore, "pure redelivery must not commit")
+
+    // CHECKPOINT RESET with genuinely NEW data: batch ids restart at 0
+    // (≤ the ledger's high-water mark) but the batch carries a new file
+    // — a wholesale batch-id skip would silently DROP t4. The dedup
+    // path must still run: t4 lands, t1 does not duplicate, and the
+    // ledger never regresses.
+    drop(Seq(("t4", 40L), ("t1", 777L)).toDF("trans_id", "amount"), srcDir, "b3")
+    run(Files.createTempDirectory("ing-ckpt2b").toString)
+    assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L, "t3" -> 30L, "t4" -> 40L),
+      "checkpoint reset must not drop new data, nor duplicate old rows")
+    assert(wh.read("ing_meta").agg(max(col("last_batch"))).head().getLong(0) >= 0L,
+      "ledger must keep its high-water mark")
 
     // ledger LOST (meta reset) + fresh checkpoint: the id anti-join
     // still filters every already-ingested row — append-path dedup is
@@ -75,7 +89,7 @@ class StreamingFactIngestSpec extends AnyFunSuite {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metaSchema))
     t.commit()
     run(Files.createTempDirectory("ing-ckpt3").toString)
-    assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L, "t3" -> 30L),
+    assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L, "t3" -> 30L, "t4" -> 40L),
       "lost ledger replay must not duplicate rows")
   }
 }
