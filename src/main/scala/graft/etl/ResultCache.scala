@@ -71,14 +71,25 @@ object ResultCache {
       Files.exists(dir.resolve("data").resolve("_SUCCESS"))
   }
 
+  /** Entry cap for [[through]]'s default: a long-lived serving process
+    * re-keying on every commit would otherwise grow `_cache/`
+    * unboundedly ([[prune]] only reclaims entries whose SOURCE dirs
+    * retired — distinct queries over live dirs accumulate forever).
+    */
+  val DefaultMaxEntries = 256
+
   /** Run `df` through the cache of `wh`: return the stored result when
     * the same canonical plan over the same scanned paths was already
     * evaluated, else evaluate, store, and read back. Build the frame
     * from CURRENT reads (`wh.read(...)`) right before calling — a
     * frame captured before a commit reads the old dirs, which is
-    * exactly what its key says it reads.
+    * exactly what its key says it reads. Past `maxEntries` the
+    * least-recently-USED entries are evicted at store time (recency =
+    * last hit or store, tracked per entry), so the cache footprint is
+    * bounded for any query mix.
     */
-  def through(wh: Warehouse, df: DataFrame): DataFrame = {
+  def through(wh: Warehouse, df: DataFrame,
+              maxEntries: Int = DefaultMaxEntries): DataFrame = {
     if (!deterministic(df)) return df
     val text = canonical(df).toString
     val dir = entryDir(wh, df)
@@ -89,8 +100,30 @@ object ResultCache {
       Files.write(dir.resolve("plan.txt"), text.getBytes(StandardCharsets.UTF_8))
       Files.write(dir.resolve("paths.txt"),
         scannedPaths(df).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      evictOver(wh, maxEntries)
     }
+    touch(dir)
     wh.spark.read.schema(df.schema).parquet(dataDir.toString)
+  }
+
+  private def touch(dir: Path): Unit =
+    try Files.setLastModifiedTime(dir,
+      java.nio.file.attribute.FileTime.from(java.time.Instant.now()))
+    catch { case _: java.io.IOException => () }
+
+  /** Delete least-recently-used entries beyond `maxEntries` (recency =
+    * the entry dir's mtime, refreshed by [[touch]] on every hit/store;
+    * name-tiebroken for determinism).
+    */
+  private def evictOver(wh: Warehouse, maxEntries: Int): Unit = {
+    val root = Paths.get(wh.root, "_cache")
+    if (!Files.exists(root)) return
+    val entries = Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq
+      .map(d => (Files.getLastModifiedTime(d).toMillis, d.getFileName.toString, d))
+      .sortBy { case (t, n, _) => (t, n) }
+    if (entries.length > maxEntries)
+      entries.dropRight(maxEntries).foreach { case (_, _, d) => deleteRecursively(d) }
   }
 
   /** True iff [[through]] would hit for this frame right now (test and

@@ -960,9 +960,23 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
         if (r.getLong(1) > before) bad += s"${r.getString(0)}=${r.getLong(1) - before}"
       }
     }
-    if (bad.nonEmpty)
+    if (bad.nonEmpty) {
+      // diagnostic sample, HARD-BOUNDED by limit(): a fully-violating
+      // 100 TB batch collects a handful of rows to the driver, never
+      // the batch — the limit sits in the PLAN, upstream of collect
+      val rowRules = rules.collect {
+        case r @ (_: DataQuality.NotNull | _: DataQuality.Check) => r }
+      val sample = if (rowRules.isEmpty) Array.empty[String] else
+        DataQuality.quarantine(aligned, rowRules)
+          .filter(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("failed_rules")) > 0)
+          .limit(Txn.ViolationSampleRows)
+          .collect().map(_.toString)
       throw new IllegalArgumentException(
-        s"append to '$table' rejected by constraints: ${bad.mkString(", ")}")
+        s"append to '$table' rejected by constraints: ${bad.mkString(", ")}" +
+          (if (sample.isEmpty) ""
+           else s"; sample rows (up to ${Txn.ViolationSampleRows}): ${sample.mkString("; ")}"))
+    }
     append(table, aligned)
   }
 
@@ -988,10 +1002,54 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
     * any written table whose dir count crossed the warehouse's
     * auto-compact threshold gets its oldest dirs merged (amortized
     * maintenance — runs of ordinary length never pay it).
+    *
+    * CONCURRENT WRITERS: the swap is a CAS-retry MERGE over the
+    * current committed catalog — `cat ++ pending`, not
+    * `snapshot ++ pending` — so two transactions committing DISJOINT
+    * table sets both survive in any interleaving (the later commit
+    * carries the earlier one's entries forward instead of resetting
+    * them to its own begin-snapshot). A commit whose pending keys were
+    * moved by another writer since `begin()` fails LOUDLY
+    * (`ConcurrentModificationException`) rather than silently
+    * clobbering — first-committer-wins OCC, the Delta/Iceberg
+    * discipline. Conflict detection is per GUARD SET, not per pending
+    * key alone: a table and its deletion-vector entry guard each
+    * other, because a vectored delete names (file, position) pairs of
+    * the data dirs it saw — committing an overwrite over a concurrent
+    * delete (or vice versa) would silently resurrect the deleted rows
+    * even though the two txns touched different catalog KEYS.
+    * Cross-table read-write skew remains accepted (snapshot-isolation
+    * class, not serializable), same as every file-format OCC.
     */
   def commit(): Unit = {
     require(!committed, "transaction already committed")
-    wh.commitCatalog(snapshot ++ pending.toMap)
+    val guarded: Set[String] = pending.keys.flatMap { k =>
+      if (k.startsWith(Warehouse.DvPrefix))
+        Seq(k, k.stripPrefix(Warehouse.DvPrefix))
+      else Seq(k, Warehouse.dvKey(k))
+    }.toSet
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 8) {
+      val expected =
+        if (Files.exists(Paths.get(wh.root, "_catalog.json")))
+          Files.readString(Paths.get(wh.root, "_catalog.json"))
+        else ""
+      val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
+                else CatalogJson.parse(expected)
+      val conflicts = guarded.filter(k =>
+        cat.getOrElse(k, Nil) != snapshot.getOrElse(k, Nil))
+      if (conflicts.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: ${conflicts.toSeq.sorted.mkString(", ")} " +
+            "moved since this transaction began (first committer wins; " +
+            "retry the transaction from a fresh begin())")
+      done = wh.commitCatalogIf(expected, cat ++ pending.toMap)
+      attempts += 1
+    }
+    if (!done)
+      throw new java.util.ConcurrentModificationException(
+        "commit contention: catalog kept moving under unrelated commits; retry")
     committed = true
     // the commit above is durable at this point: a compaction failure is a
     // maintenance problem (stale dir layout), never a commit failure
@@ -1006,6 +1064,13 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
         }
     }
   }
+}
+
+object Txn {
+  /** Max violating rows surfaced in a constraint-rejection message —
+    * the driver-side bound on [[Txn.appendChecked]] diagnostics.
+    */
+  val ViolationSampleRows = 5
 }
 
 object Warehouse {

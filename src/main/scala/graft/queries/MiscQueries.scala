@@ -286,14 +286,25 @@ object MiscQueries {
 
     // The routine-monitoring profile: approx_count_distinct folds the
     // distinct branch into the codegen'd scalar pass — no Expand, fully
-    // partial-combining. HLL estimates aren't engine-portable, so this
-    // entry has no DuckDB oracle (rows-only check); the exact-profile
-    // twin above carries the hash gate for everything else.
-    "q_profile_approx" -> ((s, dir) =>
-      graft.operators.Profiler.profileApprox(Tables(s, dir, "lineitem"),
-          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
-            "l_linestatus", "l_shipdate"))
-        .orderBy("col_name")),
+    // partial-combining. Raw HLL estimates aren't engine-portable, so
+    // the gate-able form emits the EXACT stats plus a bounded-relative-
+    // error boolean over the estimate (deterministic for fixed data, so
+    // it hashes; DuckDB reproduces it as literal true) — the estimate
+    // machinery stays exercised AND under the hash gate.
+    "q_profile_approx" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      val li = Tables(s, dir, "lineitem")
+      val approx = graft.operators.Profiler.profileApprox(li, cols, rsd = 0.02)
+        .select(col("col_name"), col("n_distinct").as("nd_approx"))
+      graft.operators.Profiler.profile(li, cols)
+        .join(approx, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"),
+          (abs(col("nd_approx").cast("double") - col("n_distinct"))
+            / col("n_distinct") <= lit(0.05)).as("approx_ok"))
+        .orderBy("col_name")
+    }),
 
     // Incremental MV maintenance: build the aggregate on pre-1997
     // lineitem, refresh with the 1997+ delta — the base is never
@@ -319,9 +330,13 @@ object MiscQueries {
 
     // MV with a DISTINCT-COUNT measure: the HLL-sketch column rides the
     // same delta-sized build/merge algebra as the exact sums (register
-    // max is algebraic); estimates read out at the view boundary. No
-    // DuckDB oracle — its HLL is a different sketch; the merge-
-    // invariance and small-cardinality exactness are spec-gated.
+    // max is algebraic); estimates read out at the view boundary.
+    // DuckDB's HLL is a different sketch, so the gate-able output is
+    // the exact distinct plus a bounded-relative-error boolean over the
+    // sketch estimate (deterministic for fixed data → hashable; the
+    // oracle reproduces it as literal true). The build→refresh→read
+    // sketch path stays fully exercised: a broken merge flips the
+    // boolean and the hash.
     "q_mv_approx" -> ((s, dir) => {
       import MaterializedAgg._
       val ev = Tables(s, dir, "events")
@@ -331,7 +346,14 @@ object MiscQueries {
         Measure("approx_users", col("user_id"), ApproxDistinct))
       val cut = lit("2024-03-01 00:00:00").cast(TimestampType)
       val mv = aggregate(ev.filter(col("ts") < cut), keys, ms)
-      readView(refresh(mv, ev.filter(col("ts") >= cut), keys, ms), keys, ms)
+      val view = readView(refresh(mv, ev.filter(col("ts") >= cut), keys, ms),
+        keys, ms)
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+      view.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("n_users"),
+          (abs(col("approx_users").cast("double") - col("n_users"))
+            / col("n_users") <= lit(0.05)).as("approx_ok"))
         .orderBy("event_type")
     }),
 
@@ -476,6 +498,62 @@ object MiscQueries {
         .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
           .cast(DoubleType).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q4 SHAPE (order-priority checking): orders in a quarter
+    // having at least one problem line — the correlated EXISTS
+    // decorrelates into a LEFT SEMI join on the order key (this schema
+    // has no commit/receipt dates, so "problem line" is the returned
+    // flag). The semi join keeps the probe side at one row per order
+    // regardless of how many lines match — no fan-out, then a
+    // tiny-cardinality aggregate.
+    "q_tpch_q4" -> ((s, dir) => {
+      val lo = lit("1997-01-01 00:00:00").cast(TimestampType)
+      val hi = lit("1997-04-01 00:00:00").cast(TimestampType)
+      Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+            .select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q21 SHAPE (suppliers who kept orders waiting): the classic
+    // EXISTS + NOT EXISTS correlated pair with MULTI-CONDITION
+    // self-joins — l2/l3 correlate on the order key AND a supplier
+    // inequality, so they cannot collapse to a plain key semi join.
+    // Decorrelation: EXISTS → LEFT SEMI with the compound condition,
+    // NOT EXISTS → LEFT ANTI with the compound condition, both over the
+    // same (bucketable) l_orderkey shuffle key; the inequality rides as
+    // a join residual, never a fan-out. Supplier+nation broadcast.
+    "q_tpch_q21" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val late = li.filter(col("l_returnflag") === "R")
+      val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+      val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
+      late
+        .join(Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+          col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+          col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables(s, dir, "supplier")
+            .join(broadcast(Tables(s, dir, "nation")
+                .filter(col("n_name") === "NATION_9")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("s_suppkey", "s_name")),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     }),
 
@@ -991,6 +1069,46 @@ object MiscQueries {
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
 
+    "q_profile_approx" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(l_orderkey) AS n_nulls,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_s,
+        |  true AS approx_ok FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+        |  count(DISTINCT l_linenumber),
+        |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
+        |  true FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |  count(DISTINCT l_quantity),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR),
+        |  true FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag),
+        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR),
+        |  true FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+        |  count(DISTINCT l_linestatus),
+        |  CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR),
+        |  true FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |  count(DISTINCT l_shipdate),
+        |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+        |  true FROM lineitem
+        |ORDER BY col_name""".stripMargin,
+
+    "q_mv_approx" ->
+      """SELECT event_type, count(*) AS n_rows,
+        | count(DISTINCT user_id) AS n_users, true AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_mv_refresh" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1069,6 +1187,31 @@ object MiscQueries {
         |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q_mv_quantile" ->
       """WITH b AS (

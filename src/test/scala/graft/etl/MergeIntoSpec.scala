@@ -161,6 +161,47 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(got.size == 11)
   }
 
+  test("merge with tombstones in BOTH touched and untouched buckets: touched materialize, untouched remap") {
+    val wh = freshWh("merge-dv2")
+    def bucketOf(i: Long): Int =
+      spark.range(1).select(pmod(hash(lit(i)), lit(4))).head.getInt(0)
+    // updated key; touched-bucket victim shares its bucket (the rewrite
+    // MATERIALIZES its tombstone); untouched-bucket victim lives
+    // elsewhere (its tombstone survives via the hard-link REMAP)
+    val updated = 5L
+    val vTouched = (1L to 12L)
+      .find(i => i != updated && bucketOf(i) == bucketOf(updated)).get
+    val vUntouched = (1L to 12L).find(i => bucketOf(i) != bucketOf(updated)).get
+
+    val t0 = wh.begin()
+    assert(t0.deleteVectored("t",
+      col("id") === vTouched || col("id") === vUntouched) == 2L)
+    t0.commit()
+
+    val t1 = wh.begin()
+    val ret = Merge.into(t1, "t", Seq((updated, "upd", 999L)).toDF("id", "v", "n"),
+      Seq("id"), whenMatched = Seq(Merge.UpdateAll()))
+    t1.commit()
+    assert(ret == 1)
+    val got = rows(wh)
+    assert(!got.contains(vTouched), "touched-bucket tombstone must materialize")
+    assert(!got.contains(vUntouched), "untouched-bucket tombstone must survive the remap")
+    assert(got(updated) == ("upd", 999L))
+    assert(got.size == 10, s"12 keys - 2 deletes = 10, got ${got.size}")
+
+    // and the NEXT merge over the remapped DV still holds the line
+    val t2 = wh.begin()
+    Merge.into(t2, "t", Seq((vUntouched, "back", 1L)).toDF("id", "v", "n"),
+      Seq("id"),
+      whenMatched = Seq(Merge.UpdateAll()),
+      whenNotMatched = Seq(Merge.Insert()))
+    t2.commit()
+    val got2 = rows(wh)
+    assert(got2(vUntouched) == ("back", 1L),
+      "NOT MATCHED insert must resurrect the key explicitly (tombstone applied, then insert)")
+    assert(got2.size == 11)
+  }
+
   test("MERGE expresses SCD1: update-if-changed + insert + by-source delete") {
     val wh = freshWh("merge-scd1", buckets = 0)
     // snapshot: 1..10 minus 4, with 6 changed; 20 new

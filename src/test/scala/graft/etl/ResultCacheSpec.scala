@@ -123,6 +123,32 @@ class ResultCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("entry cap evicts least-recently-used; a touched entry survives") {
+    val wh = freshWh()
+    load(wh, "t", Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    def qn(n: Int) = wh.read("t").filter(col("v") <= n.toLong)
+      .groupBy("g").agg(sum(col("v")).as("s"))
+    def entries = {
+      val root = java.nio.file.Paths.get(wh.root, "_cache")
+      if (!Files.exists(root)) 0
+      else { import scala.jdk.CollectionConverters._
+        Files.list(root).iterator().asScala.size }
+    }
+    // fill to the cap of 3 (mtime-granularity guard between stores)
+    (1 to 3).foreach { i => ResultCache.through(wh, qn(i), maxEntries = 3).collect()
+      Thread.sleep(15) }
+    assert(entries == 3)
+    // touch entry 1 (a HIT refreshes recency), then overflow the cap:
+    // the LRU victim must be entry 2, not the just-touched entry 1
+    ResultCache.through(wh, qn(1), maxEntries = 3).collect()
+    Thread.sleep(15)
+    ResultCache.through(wh, qn(4), maxEntries = 3).collect()
+    assert(entries == 3, "cap must hold after overflow")
+    assert(ResultCache.wouldHit(wh, qn(1)), "recently-hit entry must survive eviction")
+    assert(!ResultCache.wouldHit(wh, qn(2)), "LRU entry must be the victim")
+    assert(ResultCache.wouldHit(wh, qn(4)))
+  }
+
   test("empty results cache and read back with schema intact") {
     val wh = freshWh()
     load(wh, "t", Seq(("a", 1L)))

@@ -70,6 +70,25 @@ class WarehouseConstraintsSpec extends AnyFunSuite {
     assert(wh.read("t").count() == 1)
   }
 
+  test("rejection diagnostics stay driver-bounded: sample truncates at the cap") {
+    val wh = freshWh()
+    // 10,000 violating rows — the message must carry AT MOST
+    // Txn.ViolationSampleRows of them (the limit sits in the plan,
+    // upstream of the collect; a fully-violating 100 TB batch costs
+    // the driver a handful of rows)
+    val big = spark.range(10000)
+      .select(col("id"), col("id").as("ref"), lit(-1.0).as("amt"))
+    val e = intercept[IllegalArgumentException](
+      wh.begin().appendChecked("t", big, rules))
+    assert(e.getMessage.contains("amt_non_negative=10000"))
+    assert(e.getMessage.contains(s"sample rows (up to ${Txn.ViolationSampleRows})"))
+    // each sampled row renders as [id,ref,amt,...failed_rules...]
+    val sampled = "\\[[-0-9]+,[0-9]+,-1\\.0".r
+      .findAllIn(e.getMessage).length
+    assert(sampled > 0 && sampled <= Txn.ViolationSampleRows,
+      s"sample must truncate at ${Txn.ViolationSampleRows}, rendered $sampled rows:\n${e.getMessage}")
+  }
+
   test("schema evolution: a column added to the declared schema reads as null from old dirs") {
     val root = Files.createTempDirectory("whevo").toString
     val v1 = Map("t" -> StructType(Seq(StructField("id", LongType),

@@ -92,4 +92,45 @@ class StreamingFactIngestSpec extends AnyFunSuite {
     assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L, "t3" -> 30L, "t4" -> 40L),
       "lost ledger replay must not duplicate rows")
   }
+
+  test("torn batch — crash between append and commit — replays exactly-once") {
+    val wh = new Warehouse(spark, Files.createTempDirectory("wh-torn").toString,
+      Map("fact" -> srcSchema, "ing_meta" -> metaSchema),
+      partitionSpec = Map.empty,
+      bucketSpec = Map("fact" -> ("trans_id", 4)))
+    val srcDir = Files.createTempDirectory("torn-src").toString
+    drop(Seq(("t1", 10L), ("t2", 20L)).toDF("trans_id", "amount"), srcDir, "b1")
+
+    // simulate the crash WINDOW the ledger+dedup double guard covers:
+    // the batch body ran txn.append (data dir ON DISK) but died before
+    // txn.commit — the dir exists, the catalog never references it
+    val torn = wh.begin()
+    torn.append("fact", graft.etl.Pipeline.freshAgainstTable(torn, "fact",
+      spark.read.schema(srcSchema).parquet(srcDir), "trans_id"))
+    // (no commit — the process is gone)
+    assert(wh.read("fact").count() == 0, "uncommitted append must be invisible")
+
+    // restart: the stream redelivers the same files as a fresh batch
+    StreamingOps.streamingFactIngest(spark, wh, srcDir, srcSchema,
+      "fact", "trans_id", "ing_meta",
+      Files.createTempDirectory("torn-ckpt").toString).awaitTermination()
+    assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L), "exactly-once after the torn run")
+
+    // the torn attempt's orphan dir is unreferenced -> vacuum reclaims it
+    assert(wh.vacuum() >= 1, "torn append's dir must be vacuumable")
+    assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L))
+
+    // and a SECOND crash-replay over the now-committed table adds nothing
+    drop(Seq(("t1", 10L), ("t3", 30L)).toDF("trans_id", "amount"), srcDir, "b2")
+    val torn2 = wh.begin()
+    torn2.append("fact", graft.etl.Pipeline.freshAgainstTable(torn2, "fact",
+      spark.read.schema(srcSchema).parquet(srcDir), "trans_id"))
+    // crash again; then the stream replays EVERYTHING from a reset
+    // checkpoint (ids restart at 0, ledger is ahead): only t3 lands
+    StreamingOps.streamingFactIngest(spark, wh, srcDir, srcSchema,
+      "fact", "trans_id", "ing_meta",
+      Files.createTempDirectory("torn-ckpt2").toString).awaitTermination()
+    assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L, "t3" -> 30L),
+      "second torn run + checkpoint reset must stay exactly-once")
+  }
 }
