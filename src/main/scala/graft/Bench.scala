@@ -120,7 +120,13 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples(name) :+ sec
+        // stderr progress line per sample (stdout stays reserved for the
+        // end-of-run artifact): long sf1 runs need live attribution —
+        // which query a 10-minute stage belongs to must not require a
+        // jstack correlation exercise
+        System.err.println(s"[bench-run] $name ${jnum(sec)}s")
       }
     }
     val results = ordered.map { case (name, _) => name -> samples(name) }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, MiscQueries, RefQueries, SimilarityQueries, StatsQueries, TextQueries}
+import graft.queries.{CoreQueries, MiscQueries, RefQueries, SimilarityQueries, StatsQueries, TextQueries, TpchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,6 +18,7 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (MiscQueries.queries, MiscQueries.oracles),
       (StatsQueries.queries, StatsQueries.oracles),
+      (TpchQueries.queries, TpchQueries.oracles),
       (RefQueries.queries, RefQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

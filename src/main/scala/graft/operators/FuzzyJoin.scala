@@ -60,13 +60,29 @@ object FuzzyJoin {
           .filter(col("df") <= cap).select("g")
         (lg.join(keep, Seq("g")), rg.join(keep, Seq("g")))
     }
+    // The verify stage is CPU-bound (levenshtein per candidate), but its
+    // rows are NARROW (two ids) — AQE's byte-based coalescing would pack
+    // the whole candidate set into one or two post-shuffle partitions and
+    // serialize minutes of edit-distance work onto one core (measured at
+    // sf1: one 400 s task while 31 cores idled). The dedup exchange is
+    // therefore a USER repartition pinned to the session's parallelism —
+    // AQE never coalesces those — and dropDuplicates reuses its
+    // partitioning, so the pin costs no extra shuffle vs distinct().
+    val n = left.sparkSession.sparkContext.defaultParallelism
     val cand = lk.join(rk, Seq("g"))
-      .select(col(leftId), col(rightId)).distinct()
+      .repartition(n, col(leftId), col(rightId))
+      .dropDuplicates(leftId, rightId)
+      .select(col(leftId), col(rightId))
     cand
       .join(left.select(leftId, leftCol), Seq(leftId))
       .join(right.select(rightId, rightCol), Seq(rightId))
-      .withColumn("dist", levenshtein(col(leftCol), col(rightCol)).cast(LongType))
-      .filter(col("dist") <= maxDist)
+      // 3-arg banded levenshtein: with the threshold the kernel computes
+      // only the |2·maxDist+1|-wide diagonal band and early-exits to -1
+      // the moment the distance provably exceeds it — O(len·maxDist)
+      // instead of O(len²) per candidate pair.
+      .withColumn("dist",
+        levenshtein(col(leftCol), col(rightCol), maxDist).cast(LongType))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col(leftId), col(rightId), col("dist"))
   }
 }

@@ -173,6 +173,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), "sufficient statistics must not Expand")
   }
 
+  test("eighth-wave TPC-H family: joins stay equi-keyed, dims broadcast") {
+    // q_tpch_q22 is excluded from the NLJ check: its scalar-average
+    // threshold is a deliberate broadcast single-row cross join
+    for (name <- Seq("q_tpch_q1", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q9", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+        "q_tpch_q19")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
+    }
+    assert(!plan("q_tpch_q22").contains("CartesianProduct"),
+      "q_tpch_q22's scalar threshold must broadcast, not cartesian")
+    for (name <- Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q14",
+        "q_tpch_q19"))
+      assert(plan(name).contains("BroadcastHashJoin"), s"$name should broadcast dims")
+  }
+
+  test("q_tpch_q6: every predicate reaches the parquet scan; one agg pair") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"scan predicates not pushed:\n${p.take(1200)}")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"discount/quantity/date bounds missing from PushedFilters:\n${p.take(1200)}")
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      "want one partial/final HashAggregate pair")
+  }
+
+  test("q_tpch_q1: all eight aggregates in ONE partial/final pass") {
+    val p = plan("q_tpch_q1")
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      s"want one partial/final HashAggregate pair:\n${p.take(1500)}")
+    assert(!p.contains("Expand"), "the agg surface must not Expand")
+  }
+
   test("imageAHash: partition-wise decode, no shuffle") {
     import org.apache.spark.sql.functions.col
     // the registered query adds an output orderBy for the oracle dump;
