@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -9,12 +10,15 @@ import org.apache.spark.sql.types.LongType
   * matching, near-identical label merging) that exact equi joins can't
   * express and an all-pairs `levenshtein` cross join can't survive.
   *
-  * Shape: character-TRIGRAM blocking, then the exact edit distance on
-  * candidates only — the n-gram analogue of the MinHash band join in
-  * [[Dedup]]. Each side explodes to its DISTINCT trigrams (map-side,
-  * one row per (id, gram)), candidates are the pairs sharing ≥1 gram
-  * (one hash join on the gram), and only candidates pay the O(|a|·|b|)
-  * `levenshtein` (codegen'd Catalyst expression, no UDF).
+  * Shape: character-TRIGRAM blocking with PREFIX FILTERING, then the
+  * exact edit distance on candidates only — the n-gram analogue of the
+  * MinHash band join in [[Dedup]]. Each side explodes to its DISTINCT
+  * trigrams (map-side, one row per (id, gram)), each string indexes
+  * only its 3·maxDist+1 rarest grams (global df order — the AllPairs/
+  * Ed-Join prefix principle, lossless for edit distance), candidates
+  * are the pairs colliding on an indexed gram (one hash join), and
+  * only candidates pay the banded `levenshtein` (codegen'd Catalyst
+  * expression, no UDF).
   *
   * Recall: two strings within edit distance d share a trigram whenever
   * min-length ≥ 3(d+1) + 2 (each edit can destroy at most 3 grams —
@@ -31,8 +35,13 @@ import org.apache.spark.sql.types.LongType
   */
 object FuzzyJoin {
 
+  /** (id, string, gram) rows — the string RIDES ALONG so the verify can
+    * run map-side inside the gram-join stage with no join-back of the
+    * base tables (gram rows are short-string-wide; the carried column
+    * costs ~20 bytes and saves two candidate-volume joins).
+    */
   private def grams(df: DataFrame, id: String, c: String): DataFrame =
-    df.select(col(id), explode(array_distinct(expr(
+    df.select(col(id), col(c), explode(array_distinct(expr(
       s"transform(sequence(1, greatest(length($c) - 2, 1)), i -> substring($c, i, 3))")))
       .as("g"))
 
@@ -51,7 +60,30 @@ object FuzzyJoin {
     val lg = grams(left.select(leftId, leftCol), leftId, leftCol)
     val rg = grams(right.select(rightId, rightCol), rightId, rightCol)
     val (lk, rk) = maxGramDf match {
-      case None => (lg, rg)
+      case None =>
+        // PREFIX FILTERING (AllPairs/Ed-Join): index only each string's
+        // 3·maxDist+1 RAREST grams under a global (df, gram) order.
+        // Edit distance ≤ d destroys at most 3 gram types per edit, so
+        // |G(a)∩G(b)| ≥ max(|G(a)|,|G(b)|) − 3d — and by the prefix
+        // principle two sets with that overlap must collide inside
+        // their (3d+1)-prefixes. Exactness-preserving, and it is what
+        // keeps the uncapped path alive under LOW-ENTROPY keys: names
+        // sharing a hot constant prefix ("Supplier#000…") degenerate to
+        // an all-pairs join when ANY shared gram blocks (measured at
+        // sf1: 10⁸ candidates, 272 s), but their rarest grams are the
+        // distinguishing digit tails, so candidates collapse to the
+        // near-duplicates. The capped path below stays gram-complete
+        // instead: its contract ("pairs sharing ≥1 sub-cap gram survive
+        // exactly") is strictly wider than the prefix guarantee.
+        val gramDf = lg.select(col("g")).unionAll(rg.select(col("g")))
+          .groupBy("g").agg(count(lit(1)).as("df"))
+        def pfx(side: DataFrame, id: String, c: String): DataFrame =
+          side.join(gramDf, Seq("g"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col(id)).orderBy(col("df"), col("g"))))
+            .filter(col("rk") <= 3 * maxDist + 1)
+            .select(col(id), col(c), col("g"))
+        (pfx(lg, leftId, leftCol), pfx(rg, rightId, rightCol))
       case Some(cap) =>
         // one tiny aggregate over the gram lists; the keep-set joins
         // back as a broadcast-sized filter (gram space ≪ corpus)
@@ -60,22 +92,32 @@ object FuzzyJoin {
           .filter(col("df") <= cap).select("g")
         (lg.join(keep, Seq("g")), rg.join(keep, Seq("g")))
     }
-    // The verify stage is CPU-bound (levenshtein per candidate), but its
-    // rows are NARROW (two ids) — AQE's byte-based coalescing would pack
-    // the whole candidate set into one or two post-shuffle partitions and
-    // serialize minutes of edit-distance work onto one core (measured at
-    // sf1: one 400 s task while 31 cores idled). The dedup exchange is
-    // therefore a USER repartition pinned to the session's parallelism —
-    // AQE never coalesces those — and dropDuplicates reuses its
-    // partitioning, so the pin costs no extra shuffle vs distinct().
+    // SHUFFLE ∝ INPUTS + MATCHES, NEVER ∝ CANDIDATES. Deduplicating the
+    // candidate pairs before the verify would shuffle the full candidate
+    // volume (measured at sf1: ~10⁸ narrow rows — and AQE's byte-based
+    // coalescing then packed them into one partition, serializing
+    // minutes of edit distance onto one core while 31 idled). Instead
+    // the verify runs MAP-SIDE inside the gram-join stage: the strings
+    // ride the gram rows, the banded levenshtein evaluates on each
+    // collision as it is produced (a pair re-verifies once per shared
+    // indexed gram — bounded by the 3d+1 prefix — trading ≤7 cheap
+    // banded evaluations for a candidate-volume exchange), and only the
+    // MATCHES cross the dedup shuffle. The probe side is repartitioned
+    // ROUND-ROBIN up-front: a USER repartition (never AQE-coalesced)
+    // that spreads the verify across every core — the parent is often a
+    // single parquet file — at gram-row cost only. Deliberately NOT
+    // keyed on g: a hot gram hashed to one partition would serialize
+    // its whole collision block; round-robin + a broadcast build side
+    // spreads a hot gram's probes evenly, and when the build side
+    // outgrows broadcast the sort-merge fallback's g-skew is AQE
+    // skew-join territory (OptimizeSkewedJoin splits the partition).
+    // BOTH sides carry the pin: the planner is free to broadcast either
+    // side, and the verify's parallelism is the STREAM side's partition
+    // count — pinning only one side leaves a 1-partition stream when
+    // the planner happens to broadcast the pinned one (measured: the
+    // whole verify serialized onto one core that way).
     val n = left.sparkSession.sparkContext.defaultParallelism
-    val cand = lk.join(rk, Seq("g"))
-      .repartition(n, col(leftId), col(rightId))
-      .dropDuplicates(leftId, rightId)
-      .select(col(leftId), col(rightId))
-    cand
-      .join(left.select(leftId, leftCol), Seq(leftId))
-      .join(right.select(rightId, rightCol), Seq(rightId))
+    lk.repartition(n).join(rk.repartition(n), Seq("g"))
       // 3-arg banded levenshtein: with the threshold the kernel computes
       // only the |2·maxDist+1|-wide diagonal band and early-exits to -1
       // the moment the distance provably exceeds it — O(len·maxDist)
@@ -84,5 +126,6 @@ object FuzzyJoin {
         levenshtein(col(leftCol), col(rightCol), maxDist).cast(LongType))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col(leftId), col(rightId), col("dist"))
+      .dropDuplicates(leftId, rightId)
   }
 }
