@@ -190,15 +190,40 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan(name).contains("BroadcastHashJoin"), s"$name should broadcast dims")
   }
 
+  test("partsupp family (Q2/Q11/Q16/Q20): equi-keyed joins; scalar thresholds broadcast") {
+    // q_tpch_q11 is excluded from the NLJ check: its total-value
+    // threshold is a deliberate broadcast single-row cross join (the
+    // Q22 pattern)
+    for (name <- Seq("q_tpch_q2", "q_tpch_q16", "q_tpch_q20")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
+    }
+    assert(!plan("q_tpch_q11").contains("CartesianProduct"),
+      "q_tpch_q11's scalar threshold must broadcast, not cartesian")
+    // Q20's correlated quantity aggregate joins on BOTH correlate keys
+    assert(plan("q_tpch_q20").contains("BroadcastHashJoin") ||
+      plan("q_tpch_q20").contains("SortMergeJoin"),
+      "q_tpch_q20 lost its equi joins")
+    // Q16's NOT IN must be an anti join, not a filter subquery rescan
+    assert(plan("q_tpch_q16").contains("LeftAnti"),
+      "q_tpch_q16's NOT IN should plan as a left anti join")
+  }
+
   test("q_tpch_q6: every predicate reaches the parquet scan; one agg pair") {
-    val p = plan("q_tpch_q6")
+    // formatted mode: simple toString truncates the scan's PushedFilters
+    // metadata at 100 chars, hiding the bounds this gate checks for
+    val p = SparkEntry.queries("q_tpch_q6")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
       s"scan predicates not pushed:\n${p.take(1200)}")
     assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
       p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
       p.contains("LessThan(l_quantity,24.0)"),
       s"discount/quantity/date bounds missing from PushedFilters:\n${p.take(1200)}")
-    assert("HashAggregate".r.findAllIn(p).length == 2,
+    // the agg-pair count uses the plain tree: formatted mode lists every
+    // node twice (tree + detail section)
+    assert("HashAggregate".r.findAllIn(plan("q_tpch_q6")).length == 2,
       "want one partial/final HashAggregate pair")
   }
 
