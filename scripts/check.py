@@ -8,15 +8,26 @@ runs the matching SQL from `oracle_sql.json` in DuckDB over the same
 testdata parquet tables, then compares: column names (sorted), row count,
 and a hash of the sorted values (floats canonicalized via repr).
 """
-import duckdb, glob, json, os, sys, hashlib
+import duckdb, glob, json, os, sys, hashlib, time
 import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional trailing args = query-name subset (resume after a crash /
+# re-check a fix without replaying 150 green queries)
+ONLY = set(sys.argv[3:])
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# big-SF runs: the heavyweight relational oracles (IVF assignment via a
+# dimension-index join) build >RAM intermediates — give DuckDB a real
+# temp dir and a bounded memory ceiling instead of the cwd default
+if os.environ.get("DUCKDB_TMP"):
+    os.makedirs(os.environ["DUCKDB_TMP"], exist_ok=True)
+    con.execute(f"SET temp_directory='{os.environ['DUCKDB_TMP']}'")
+if os.environ.get("DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
 for t in TABLES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
@@ -40,8 +51,13 @@ def h(df: pd.DataFrame) -> str:
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 names = sorted(d for d in os.listdir(OUT)
                if os.path.isdir(os.path.join(OUT, d)))
+if ONLY:
+    unknown = ONLY - set(names)
+    assert not unknown, f"unknown queries: {sorted(unknown)}"
+    names = [n for n in names if n in ONLY]
 fails = 0
 for name in names:
+    t0 = time.time()
     files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no parquet output"); fails += 1; continue
@@ -64,6 +80,6 @@ for name in names:
         print(f"FAIL {name}: hash mismatch; sample diff:\n"
               f"{diff.head(5) if diff is not None else '(shape ok, values differ)'}")
         fails += 1; continue
-    print(f"PASS {name} ({len(gc)} rows)")
+    print(f"PASS {name} ({len(gc)} rows, {time.time() - t0:.1f}s)", flush=True)
 print(f"\n{len(names) - fails}/{len(names)} pass")
 sys.exit(1 if fails else 0)

@@ -28,13 +28,27 @@ object SimilarityQueries {
       |  UNION ALL
       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 29 = 0)""".stripMargin
 
-  /** Flattened quantized view + norms, the shared oracle scaffold. */
+  /** Quantized oracle scaffold: `qv` keeps each vector as a BIGINT list
+    * (dot products via `list_dot_product` — the per-dimension-join
+    * formulation materialized |A|·|B|·dims rows and spilled DuckDB over
+    * the sf1 disk; the list form computes the same exact integer dots
+    * vectorized, row count |A|·|B|); `flat` unnests it for the few
+    * oracles that genuinely need per-dimension rows (hyperplane
+    * projections, centroid means). All products and partial sums stay
+    * below 2^53 (|q| ≤ 1e6, 64 dims → |dot| ≤ 6.4e13), so DuckDB's
+    * DOUBLE list arithmetic is integer-exact and hash-identical to the
+    * BIGINT sums it replaces.
+    */
   private def flatSql(src: String) =
-    s"""flat AS (
-       |  SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q,
-       |         generate_subscripts(embedding, 1) AS i
+    s"""qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
        |  FROM $src),
-       |norms AS (SELECT vec_id, sum(q * q) AS nrm FROM flat GROUP BY 1)""".stripMargin
+       |flat AS (
+       |  SELECT vec_id, unnest(qv) AS q, generate_subscripts(qv, 1) AS i
+       |  FROM qv),
+       |norms AS (SELECT vec_id, list_dot_product(qv, qv) AS nrm FROM qv)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "ann_brute" -> ((s, dir) =>
@@ -109,12 +123,11 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "ann_brute" ->
       s"""WITH ${flatSql("embeddings")},
-         |qf AS (SELECT * FROM flat WHERE vec_id % 50 = 0),
+         |qf AS (SELECT * FROM qv WHERE vec_id % 50 = 0),
          |dots AS (
-         |  SELECT qf.vec_id AS query_id, a.vec_id AS hit_id, sum(qf.q * a.q) AS dot
-         |  FROM qf JOIN flat a USING (i)
-         |  WHERE qf.vec_id <> a.vec_id
-         |  GROUP BY 1, 2),
+         |  SELECT qf.vec_id AS query_id, a.vec_id AS hit_id,
+         |    list_dot_product(qf.qv, a.qv) AS dot
+         |  FROM qf JOIN qv a ON qf.vec_id <> a.vec_id),
          |scored AS (
          |  SELECT d.query_id, d.hit_id,
          |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) AS cosine
@@ -129,7 +142,7 @@ object SimilarityQueries {
 
     "ann_ivf" ->
       s"""WITH ${flatSql("embeddings")},
-         |cents AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 50 = 7),
+         |cents AS (SELECT vec_id AS cent_id, qv FROM qv WHERE vec_id % 50 = 7),
          |cnorm AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 50 = 7),
          |$ivfTailSql
          |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
@@ -137,12 +150,12 @@ object SimilarityQueries {
 
     "ann_ivf_learned" ->
       s"""WITH ${flatSql("embeddings")},
-         |cents0 AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 50 = 7),
+         |cents0 AS (SELECT vec_id AS cent_id, qv FROM qv WHERE vec_id % 50 = 7),
          |cnorm0 AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 50 = 7),
          |-- Lloyd iteration 1: cosine assignment to the seed codebook
          |adots0 AS (
-         |  SELECT f.vec_id, c.cent_id, sum(f.q * c.q) AS dot
-         |  FROM flat f JOIN cents0 c USING (i) GROUP BY 1, 2),
+         |  SELECT f.vec_id, c.cent_id, list_dot_product(f.qv, c.qv) AS dot
+         |  FROM qv f CROSS JOIN cents0 c),
          |assigned0 AS (
          |  SELECT vec_id, cent_id AS bucket FROM (
          |    SELECT a.vec_id, a.cent_id,
@@ -153,12 +166,15 @@ object SimilarityQueries {
          |                  JOIN cnorm0 cn ON cn.cent_id = a.cent_id)
          |  WHERE r = 1),
          |-- learned codebook: element-wise floor-mean of each bucket
-         |cents AS (
+         |-- (per-dimension by necessity, reassembled into list form)
+         |cents_dim AS (
          |  SELECT a.bucket AS cent_id, f.i,
          |    CAST(floor(CAST(sum(f.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
          |  FROM assigned0 a JOIN flat f ON f.vec_id = a.vec_id
          |  GROUP BY 1, 2),
-         |cnorm AS (SELECT cent_id, sum(q * q) AS nrm FROM cents GROUP BY 1),
+         |cents AS (SELECT cent_id, list(q ORDER BY i) AS qv
+         |  FROM cents_dim GROUP BY 1),
+         |cnorm AS (SELECT cent_id, list_dot_product(qv, qv) AS nrm FROM cents),
          |$ivfTailSql
          |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
@@ -219,15 +235,12 @@ object SimilarityQueries {
          |    list_transform(embedding,
          |      x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / amax) AS BIGINT)) AS qv
          |  FROM a8 WHERE amax > 0),
-         |flat8 AS (
-         |  SELECT vec_id, unnest(qv) AS q8, generate_subscripts(qv, 1) AS i FROM q8v),
-         |n8 AS (SELECT vec_id, sum(q8 * q8) AS n8 FROM flat8 GROUP BY 1),
-         |qf8 AS (SELECT * FROM flat8 WHERE vec_id % 50 = 0),
+         |n8 AS (SELECT vec_id, list_dot_product(qv, qv) AS n8 FROM q8v),
+         |qf8 AS (SELECT * FROM q8v WHERE vec_id % 50 = 0),
          |dots8 AS (
-         |  SELECT qf8.vec_id AS query_id, c.vec_id AS hit_id, sum(qf8.q8 * c.q8) AS dot
-         |  FROM qf8 JOIN flat8 c USING (i)
-         |  WHERE qf8.vec_id <> c.vec_id
-         |  GROUP BY 1, 2),
+         |  SELECT qf8.vec_id AS query_id, c.vec_id AS hit_id,
+         |    list_dot_product(qf8.qv, c.qv) AS dot
+         |  FROM qf8 JOIN q8v c ON qf8.vec_id <> c.vec_id),
          |coarse AS (
          |  SELECT query_id, hit_id FROM (
          |    SELECT d.query_id, d.hit_id,
@@ -238,11 +251,10 @@ object SimilarityQueries {
          |                 JOIN n8 na ON na.vec_id = d.hit_id)
          |  WHERE r8 <= 20),
          |rdots AS (
-         |  SELECT c.query_id, c.hit_id, sum(fq.q * fa.q) AS dot
+         |  SELECT c.query_id, c.hit_id, list_dot_product(fq.qv, fa.qv) AS dot
          |  FROM coarse c
-         |  JOIN flat fq ON fq.vec_id = c.query_id
-         |  JOIN flat fa ON fa.vec_id = c.hit_id AND fa.i = fq.i
-         |  GROUP BY 1, 2),
+         |  JOIN qv fq ON fq.vec_id = c.query_id
+         |  JOIN qv fa ON fa.vec_id = c.hit_id),
          |ranked AS (
          |  SELECT r.query_id, r.hit_id,
          |    CAST(r.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) AS cosine,
@@ -266,11 +278,11 @@ object SimilarityQueries {
     "dedup_semantic" ->
       s"""WITH $augSql,
          |${flatSql("emb")},
-         |cents0 AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 50 = 7),
+         |cents0 AS (SELECT vec_id AS cent_id, qv FROM qv WHERE vec_id % 50 = 7),
          |cnorm0 AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 50 = 7),
          |adots0 AS (
-         |  SELECT f.vec_id, c.cent_id, sum(f.q * c.q) AS dot
-         |  FROM flat f JOIN cents0 c USING (i) GROUP BY 1, 2),
+         |  SELECT f.vec_id, c.cent_id, list_dot_product(f.qv, c.qv) AS dot
+         |  FROM qv f CROSS JOIN cents0 c),
          |assigned0 AS (
          |  SELECT vec_id, cent_id AS bucket FROM (
          |    SELECT a.vec_id, a.cent_id,
@@ -280,15 +292,17 @@ object SimilarityQueries {
          |    FROM adots0 a JOIN norms n ON n.vec_id = a.vec_id
          |                  JOIN cnorm0 cn ON cn.cent_id = a.cent_id)
          |  WHERE r = 1),
-         |cents AS (
+         |cents_dim AS (
          |  SELECT a.bucket AS cent_id, f.i,
          |    CAST(floor(CAST(sum(f.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
          |  FROM assigned0 a JOIN flat f ON f.vec_id = a.vec_id
          |  GROUP BY 1, 2),
-         |cnorm AS (SELECT cent_id, sum(q * q) AS nrm FROM cents GROUP BY 1),
+         |cents AS (SELECT cent_id, list(q ORDER BY i) AS qv
+         |  FROM cents_dim GROUP BY 1),
+         |cnorm AS (SELECT cent_id, list_dot_product(qv, qv) AS nrm FROM cents),
          |adots AS (
-         |  SELECT f.vec_id, c.cent_id, sum(f.q * c.q) AS dot
-         |  FROM flat f JOIN cents c USING (i) GROUP BY 1, 2),
+         |  SELECT f.vec_id, c.cent_id, list_dot_product(f.qv, c.qv) AS dot
+         |  FROM qv f CROSS JOIN cents c),
          |assigned AS (
          |  SELECT vec_id, cent_id AS bucket FROM (
          |    SELECT a.vec_id, a.cent_id,
@@ -321,11 +335,10 @@ object SimilarityQueries {
          |  WHERE a.vec_id % 29 = 0 AND a.vec_id < 100000
          |    AND NOT (b.vec_id % 29 = 0 AND b.vec_id < 100000)),
          |cdot AS (
-         |  SELECT c.bench_id, c.vec_id, sum(fa.q * fb.q) AS dot
+         |  SELECT c.bench_id, c.vec_id, list_dot_product(fa.qv, fb.qv) AS dot
          |  FROM cand c
-         |  JOIN flat fa ON fa.vec_id = c.bench_id
-         |  JOIN flat fb ON fb.vec_id = c.vec_id AND fb.i = fa.i
-         |  GROUP BY 1, 2)
+         |  JOIN qv fa ON fa.vec_id = c.bench_id
+         |  JOIN qv fb ON fb.vec_id = c.vec_id)
          |SELECT d.bench_id, d.vec_id,
          |  CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE)) / sqrt(CAST(nb.nrm AS DOUBLE)) AS cosine
          |FROM cdot d JOIN norms na ON na.vec_id = d.bench_id
@@ -342,8 +355,8 @@ object SimilarityQueries {
   private def ivfTailSql: String =
     """-- assignment: nearest centroid per vector
       |adots AS (
-      |  SELECT f.vec_id, c.cent_id, sum(f.q * c.q) AS dot
-      |  FROM flat f JOIN cents c USING (i) GROUP BY 1, 2),
+      |  SELECT f.vec_id, c.cent_id, list_dot_product(f.qv, c.qv) AS dot
+      |  FROM qv f CROSS JOIN cents c),
       |assigned AS (
       |  SELECT vec_id, cent_id AS bucket FROM (
       |    SELECT a.vec_id, a.cent_id,
@@ -370,11 +383,10 @@ object SimilarityQueries {
       |  FROM probes p JOIN assigned s ON s.bucket = p.bucket
       |  WHERE s.vec_id <> p.query_id),
       |dots AS (
-      |  SELECT pr.query_id, pr.hit_id, sum(fq.q * fa.q) AS dot
+      |  SELECT pr.query_id, pr.hit_id, list_dot_product(fq.qv, fa.qv) AS dot
       |  FROM pairs pr
-      |  JOIN flat fq ON fq.vec_id = pr.query_id
-      |  JOIN flat fa ON fa.vec_id = pr.hit_id AND fa.i = fq.i
-      |  GROUP BY 1, 2),
+      |  JOIN qv fq ON fq.vec_id = pr.query_id
+      |  JOIN qv fa ON fa.vec_id = pr.hit_id),
       |ranked AS (
       |  SELECT d.query_id, d.hit_id,
       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE)) / sqrt(CAST(na.nrm AS DOUBLE)) AS cosine,
@@ -392,20 +404,20 @@ object SimilarityQueries {
     * and dedup_semantic2 (whose `flat` comes from the augmented corpus).
     */
   private def assign2Sql: String =
-    """cf AS (SELECT vec_id AS cent_id, q, i FROM flat WHERE vec_id % 25 = 7),
+    """cf AS (SELECT vec_id AS cent_id, qv FROM qv WHERE vec_id % 25 = 7),
       |cfn AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 25 = 7),
-      |co AS (SELECT vec_id AS co_id, q, i FROM flat WHERE vec_id % 100 = 3),
+      |co AS (SELECT vec_id AS co_id, qv FROM qv WHERE vec_id % 100 = 3),
       |con AS (SELECT vec_id AS co_id, nrm FROM norms WHERE vec_id % 100 = 3),
-      |f2cd AS (SELECT cf.cent_id, co.co_id, sum(cf.q * co.q) AS dot
-      |         FROM cf JOIN co USING (i) GROUP BY 1, 2),
+      |f2cd AS (SELECT cf.cent_id, co.co_id, list_dot_product(cf.qv, co.qv) AS dot
+      |         FROM cf CROSS JOIN co),
       |f2c AS (SELECT cent_id, co_id FROM (
       |  SELECT d.cent_id, d.co_id, row_number() OVER (PARTITION BY d.cent_id ORDER BY
       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
       |    d.co_id) AS r
       |  FROM f2cd d JOIN cfn n ON n.cent_id = d.cent_id
       |              JOIN con cn ON cn.co_id = d.co_id) WHERE r = 1),
-      |v2cd AS (SELECT f.vec_id, co.co_id, sum(f.q * co.q) AS dot
-      |         FROM flat f JOIN co USING (i) GROUP BY 1, 2),
+      |v2cd AS (SELECT f.vec_id, co.co_id, list_dot_product(f.qv, co.qv) AS dot
+      |         FROM qv f CROSS JOIN co),
       |v2c AS (SELECT vec_id, co_id FROM (
       |  SELECT d.vec_id, d.co_id, row_number() OVER (PARTITION BY d.vec_id ORDER BY
       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
@@ -413,10 +425,9 @@ object SimilarityQueries {
       |  FROM v2cd d JOIN norms n ON n.vec_id = d.vec_id
       |              JOIN con cn ON cn.co_id = d.co_id) WHERE r <= 2),
       |cand AS (SELECT v.vec_id, f.cent_id FROM v2c v JOIN f2c f USING (co_id)),
-      |cd AS (SELECT c.vec_id, c.cent_id, sum(fv.q * fc.q) AS dot
-      |       FROM cand c JOIN flat fv ON fv.vec_id = c.vec_id
-      |       JOIN cf fc ON fc.cent_id = c.cent_id AND fc.i = fv.i
-      |       GROUP BY 1, 2),
+      |cd AS (SELECT c.vec_id, c.cent_id, list_dot_product(fv.qv, fc.qv) AS dot
+      |       FROM cand c JOIN qv fv ON fv.vec_id = c.vec_id
+      |       JOIN cf fc ON fc.cent_id = c.cent_id),
       |assigned AS (
       |  SELECT vec_id, bucket FROM (
       |    SELECT d.vec_id, d.cent_id AS bucket,
@@ -436,11 +447,10 @@ object SimilarityQueries {
       |  FROM assigned a JOIN assigned b
       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
       |pdots AS (
-      |  SELECT p.vec_a, p.vec_b, sum(fa.q * fb.q) AS dot
+      |  SELECT p.vec_a, p.vec_b, list_dot_product(fa.qv, fb.qv) AS dot
       |  FROM cpairs p
-      |  JOIN flat fa ON fa.vec_id = p.vec_a
-      |  JOIN flat fb ON fb.vec_id = p.vec_b AND fb.i = fa.i
-      |  GROUP BY 1, 2),
+      |  JOIN qv fa ON fa.vec_id = p.vec_a
+      |  JOIN qv fb ON fb.vec_id = p.vec_b),
       |dups AS (
       |  SELECT DISTINCT d.vec_b AS vec_id
       |  FROM pdots d JOIN norms na ON na.vec_id = d.vec_a
@@ -476,11 +486,11 @@ object SimilarityQueries {
       |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id
       |  GROUP BY 1, 2),
       |cdot AS (
-      |  SELECT c.vec_a, c.vec_b, c.bands_shared, sum(fa.q * fb.q) AS dot
+      |  SELECT c.vec_a, c.vec_b, c.bands_shared,
+      |    list_dot_product(fa.qv, fb.qv) AS dot
       |  FROM cand c
-      |  JOIN flat fa ON fa.vec_id = c.vec_a
-      |  JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
-      |  GROUP BY 1, 2, 3),
+      |  JOIN qv fa ON fa.vec_id = c.vec_a
+      |  JOIN qv fb ON fb.vec_id = c.vec_b),
       |scored AS (
       |  SELECT d.vec_a, d.vec_b, d.bands_shared,
       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE)) / sqrt(CAST(nb.nrm AS DOUBLE)) AS cosine
