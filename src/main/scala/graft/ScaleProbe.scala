@@ -37,6 +37,24 @@ object ScaleProbe {
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
   }
 
+  /** The q_fuzzy_join workload (supplier typos matched to originals) at
+    * a chosen gram length — the fixed-alphabet lever: 10-digit name
+    * tails yield only 10^q distinct digit q-grams, so q must grow with
+    * log(corpus) to hold candidate density.
+    */
+  private def fuzzy(s: SparkSession, dir: String, gramLen: Int): DataFrame = {
+    val sup = Tables(s, dir, "supplier")
+    val typo = sup.select(col("s_suppkey").as("l_id"),
+      when(col("s_suppkey") % 3 === 0,
+        expr("""concat(substring(s_name, 1, CAST(s_suppkey % 10 AS INT)),
+                       substring(s_name, CAST(s_suppkey % 10 AS INT) + 2, 100))"""))
+        .otherwise(col("s_name")).as("l_name"))
+    val orig = sup.select(col("s_suppkey").as("r_id"), col("s_name").as("r_name"))
+    graft.operators.FuzzyJoin.trigramBlocked(
+      typo, orig, "l_id", "l_name", "r_id", "r_name", maxDist = 2,
+      maxGramDf = None, gramLen = gramLen)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/testdata/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -83,7 +101,9 @@ object ScaleProbe {
           threshold = 0.9, lloydIters = 1)),
       "dedup_semantic_fixedk" -> (() =>
         Similarity.semanticDedup(embAug(spark, dir), col("vec_id") % 500 === 7,
-          threshold = 0.9, lloydIters = 1)))
+          threshold = 0.9, lloydIters = 1)),
+      "fuzzy_gram3" -> (() => fuzzy(spark, dir, gramLen = 3)),
+      "fuzzy_gram4" -> (() => fuzzy(spark, dir, gramLen = 4)))
 
     val out = probes.map { case (name, fn) =>
       val secs = (1 to 2).map { _ =>

@@ -20,18 +20,35 @@ import org.apache.spark.sql.types.LongType
   * only candidates pay the banded `levenshtein` (codegen'd Catalyst
   * expression, no UDF).
   *
-  * Recall: two strings within edit distance d share a trigram whenever
-  * min-length ≥ 3(d+1) + 2 (each edit can destroy at most 3 grams —
-  * pigeonhole), so for names ≥ 11 chars at d ≤ 2 the blocking is
-  * lossless; shorter strings fall back to their whole text as the gram.
-  * At 100 TB the known hazard is gram-frequency skew (a gram shared by
-  * every row degenerates to a self-join): `maxGramDf` drops STOP-GRAMS
-  * (grams above a document-frequency cap) from both sides — the same
-  * cap-the-bucket trade as the LSH family. Candidates shrink from the
-  * head of the gram-frequency distribution; a true pair is lost only
-  * if EVERY shared gram is a stop-gram, and the pigeonhole bound
-  * weakens by one destroyed-gram budget per dropped SHARED gram —
-  * pairs sharing ≥ 1 sub-cap gram survive exactly (spec-asserted).
+  * Recall: two strings within edit distance d share a q-gram whenever
+  * min-length ≥ q(d+1) + q−1 (each edit can destroy at most q grams —
+  * pigeonhole; 11 chars at q=3, d ≤ 2), so for long-enough strings the
+  * blocking is lossless; shorter strings fall back to their whole text
+  * as the gram. At 100 TB the known hazard is gram-frequency skew (a
+  * gram shared by every row degenerates to a self-join): `maxGramDf`
+  * drops STOP-GRAMS (grams above a document-frequency cap) from both
+  * sides — the same cap-the-bucket trade as the LSH family. Candidates
+  * shrink from the head of the gram-frequency distribution; a true
+  * pair is lost only if EVERY shared gram is a stop-gram, and the
+  * pigeonhole bound weakens by one destroyed-gram budget per dropped
+  * SHARED gram — pairs sharing ≥ 1 sub-cap gram survive exactly
+  * (spec-asserted).
+  *
+  * `gramLen` is the OTHER scale lever: on low-entropy keys the gram
+  * ALPHABET itself saturates — digit tails yield only 10^q distinct
+  * digit q-grams, so with n strings each gram's df grows ~n/10^q and
+  * CANDIDATES grow ~n²/10^q regardless of blocking discipline; raising
+  * q decimal-decimates candidate density at the cost of a
+  * proportionally longer min-length for the lossless bound (q grows
+  * with log n, exactly like the LSH family's bandBits). It only pays
+  * when candidates ≫ matches, though: measured at sf1 (10k suppliers,
+  * zero-padded tails) the workload is MATCH-bound — near-consecutive
+  * ids genuinely sit within edit distance 2, so the true output is
+  * 3.9M pairs (×19.6 vs sf0.1) and runtime 21.5 s (×16.3, SUB-linear
+  * per match — the shuffle-∝-matches design holding), while q=4 runs
+  * ~1.6× SLOWER than q=3 because each surviving pair re-verifies once
+  * per shared indexed gram and the q·d+1 prefix indexes 9 grams
+  * instead of 7. Identical match sets q=3 vs q=4 are spec-asserted.
   */
 object FuzzyJoin {
 
@@ -40,9 +57,9 @@ object FuzzyJoin {
     * base tables (gram rows are short-string-wide; the carried column
     * costs ~20 bytes and saves two candidate-volume joins).
     */
-  private def grams(df: DataFrame, id: String, c: String): DataFrame =
+  private def grams(df: DataFrame, id: String, c: String, q: Int): DataFrame =
     df.select(col(id), col(c), explode(array_distinct(expr(
-      s"transform(sequence(1, greatest(length($c) - 2, 1)), i -> substring($c, i, 3))")))
+      s"transform(sequence(1, greatest(length($c) - ${q - 1}, 1)), i -> substring($c, i, $q))")))
       .as("g"))
 
   /** All (leftId, rightId, dist) pairs with edit distance ≤ `maxDist`
@@ -54,11 +71,13 @@ object FuzzyJoin {
                      leftId: String, leftCol: String,
                      rightId: String, rightCol: String,
                      maxDist: Int,
-                     maxGramDf: Option[Int] = None): DataFrame = {
+                     maxGramDf: Option[Int] = None,
+                     gramLen: Int = 3): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
     require(maxGramDf.forall(_ >= 1), "maxGramDf must be positive")
-    val lg = grams(left.select(leftId, leftCol), leftId, leftCol)
-    val rg = grams(right.select(rightId, rightCol), rightId, rightCol)
+    require(gramLen >= 2, "gramLen must be at least 2")
+    val lg = grams(left.select(leftId, leftCol), leftId, leftCol, gramLen)
+    val rg = grams(right.select(rightId, rightCol), rightId, rightCol, gramLen)
     val (lk, rk) = maxGramDf match {
       case None =>
         // PREFIX FILTERING (AllPairs/Ed-Join): index only each string's
@@ -81,7 +100,7 @@ object FuzzyJoin {
           side.join(gramDf, Seq("g"))
             .withColumn("rk", row_number().over(
               Window.partitionBy(col(id)).orderBy(col("df"), col("g"))))
-            .filter(col("rk") <= 3 * maxDist + 1)
+            .filter(col("rk") <= gramLen * maxDist + 1)
             .select(col(id), col(c), col("g"))
         (pfx(lg, leftId, leftCol), pfx(rg, rightId, rightCol))
       case Some(cap) =>

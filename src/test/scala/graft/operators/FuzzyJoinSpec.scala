@@ -66,6 +66,27 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(starved == 0, s"cap=1 should starve all candidates, got $starved")
   }
 
+  test("gramLen=4 reproduces the trigram matches on long keys (the fixed-alphabet lever)") {
+    // the q_fuzzy_join geometry: zero-padded numeric tails (a 10-symbol
+    // gram alphabet) with a deterministic one-char deletion on %3 keys.
+    // Names are 18 chars — past the q=4 lossless bound q(d+1)+q−1 = 15
+    // — so the 4-gram blocking must find the IDENTICAL match set while
+    // decimating per-gram df tenfold at scale.
+    val names = (1L to 120L).map(i => (i, f"Supplier#$i%09d"))
+    val left = names.map { case (i, n) =>
+      (i, if (i % 3 == 0) n.patch((i % 10).toInt, "", 1) else n)
+    }.toDF("l_id", "l_name")
+    val right = names.toDF("r_id", "r_name")
+    def run(q: Int) = FuzzyJoin.trigramBlocked(left, right,
+        "l_id", "l_name", "r_id", "r_name", maxDist = 2, gramLen = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val g3 = run(3)
+    val g4 = run(4)
+    assert(g3 == g4, s"4-gram blocking must match trigram results; only in g3: ${g3 -- g4}, only in g4: ${g4 -- g3}")
+    assert((1L to 120L).forall(i => g4.exists(p => p._1 == i && p._2 == i)),
+      "every typo'd name still matches its original")
+  }
+
   test("pigeonhole recall: every single-char deletion of a long name is found") {
     val base = "supplier-depot-nine-42"
     val left = (0 until base.length)
