@@ -59,7 +59,7 @@ object MiscQueries {
             " 'l_discount', CAST(l_discount AS DECIMAL(18,4))," +
             " 'l_tax', CAST(l_tax AS DECIMAL(18,4))) AS (metric, v)"))
         .groupBy("metric")
-        .agg(sum(col("v")).cast(DoubleType).as("total"))
+        .agg(sum(col("v")).cast(DecimalType(38, 4)).as("total"))
         .orderBy("metric")),
 
     // Ordered funnel: users reaching view -> click -> purchase, each
@@ -127,7 +127,7 @@ object MiscQueries {
       Tables(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
@@ -239,7 +239,7 @@ object MiscQueries {
       Tables(s, dir, "lineitem").createOrReplaceTempView("li_gs")
       s.sql(
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
           |FROM li_gs
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
@@ -323,7 +323,7 @@ object MiscQueries {
       val mv = aggregate(li.filter(col("l_shipdate") < cut), keys, ms)
       refresh(mv, li.filter(col("l_shipdate") >= cut), keys, ms)
         .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
-          col("sum_qty").cast(DoubleType).as("sum_qty"),
+          col("sum_qty").cast(DecimalType(38, 2)).as("sum_qty"),
           col("min_ship"), col("max_ship"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -404,7 +404,7 @@ object MiscQueries {
         .groupBy("o_orderkey", "o_orderdate")
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
-          .cast(DoubleType).as("revenue"))
+          .cast(DecimalType(38, 4)).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -429,7 +429,7 @@ object MiscQueries {
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
-          .cast(DoubleType).as("revenue"))
+          .cast(DecimalType(38, 4)).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -454,7 +454,7 @@ object MiscQueries {
         .orderBy(col("rev_exact").desc, col("c_custkey"))
         .limit(20)
         .select(col("c_custkey"), col("c_name"),
-          col("rev_exact").cast(DoubleType).as("revenue"),
+          col("rev_exact").cast(DecimalType(38, 4)).as("revenue"),
           col("c_acctbal"), col("n_name"))
     }),
 
@@ -1111,14 +1111,14 @@ object MiscQueries {
 
     "q_mv_refresh" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT o_orderkey, o_orderdate,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -1130,7 +1130,7 @@ object MiscQueries {
     "q_tpch_q5" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -1145,7 +1145,7 @@ object MiscQueries {
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
         | c_acctbal, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -1477,7 +1477,7 @@ object MiscQueries {
         | SELECT 'l_discount', CAST(l_discount AS DECIMAL(30,4)) FROM lineitem
         | UNION ALL
         | SELECT 'l_tax', CAST(l_tax AS DECIMAL(30,4)) FROM lineitem)
-        |SELECT metric, CAST(sum(v) AS DOUBLE) AS total
+        |SELECT metric, CAST(sum(v) AS DECIMAL(38,4)) AS total
         |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
 
     // mirrors EventAnalytics.funnel: running-min chain per stage over
@@ -1603,7 +1603,7 @@ object MiscQueries {
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -1709,7 +1709,7 @@ object MiscQueries {
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
