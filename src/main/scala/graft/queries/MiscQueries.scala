@@ -122,6 +122,57 @@ object MiscQueries {
           get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
         .orderBy("event_id")),
 
+    // ORC source/sink roundtrip: the second columnar lake format (built
+    // into spark-sql — predicate pushdown, column pruning and
+    // vectorized reads all apply as with parquet). The fact slice is
+    // written to ORC, read back, and aggregated; the oracle recomputes
+    // the aggregate from the parquet base table, so the hash gate
+    // verifies the roundtrip preserved every value exactly. DECIMAL
+    // and TIMESTAMP survive with their logical types — the lossy
+    // surprises live in the CSV/XLSX family, not here.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-orc")
+        .toString + "/lineitem_orc"
+      Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Line-delimited JSON source/sink roundtrip (the interchange format
+    // every ingestion pipeline meets). Written from the events slice
+    // and read back under an EXPLICIT schema — schema inference over
+    // JSON is a full extra pass at 100 TB and type-unstable (a column
+    // of integral samples infers LONG even if doubles appear later),
+    // so production readers pin the schema; the roundtrip is then
+    // hash-gated against the parquet-derived oracle.
+    "q_json_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-json")
+        .toString + "/events_json"
+      Tables(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(out)
+      s.read.schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 6)))
+            .cast(DecimalType(38, 6)).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // OLAP rollup (hierarchical subtotals + grand total)
     "q_rollup" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -1462,6 +1513,20 @@ object MiscQueries {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the roundtrip oracles recompute from the PARQUET base tables —
+    // a value changed by the ORC/JSON write+read flips the hash
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n_rows,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_listagg" ->
       """SELECT user_id,
