@@ -13,13 +13,16 @@ planted by the queries themselves via docsAug, so the base corpus must
 be ~iid, exactly like the driver's); embeddings are fresh iid unit
 vectors like the originals. Seed fixed; output under /tmp/testdata/sf1.
 
-Usage: python3 scripts/gen_sf1.py [outDir]
+Usage: python3 scripts/gen_sf1.py [outDir] [reps]
+
+`reps` (default 10) is the replication factor over sf0.1 — reps=30
+builds an sf3 for second-decade scaling probes.
 """
 import duckdb, os, random, sys, collections
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata/sf1"
-REPS = 10
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 K_CUST, K_SUPP, K_PART, K_ORD = 15000, 1000, 20000, 150000
 K_EVENT, K_USER = 100000, 1500
 
@@ -35,7 +38,7 @@ def write(name, sql):
 def src(name):
     return f"read_parquet('{SRC}/{name}.parquet')"
 
-reps = "(SELECT unnest(range(10)) AS rep)"
+reps = f"(SELECT unnest(range({REPS})) AS rep)"
 
 # fixed-size dims: verbatim
 write("region", f"SELECT * FROM {src('region')}")
