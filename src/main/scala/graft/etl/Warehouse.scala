@@ -262,9 +262,15 @@ class Warehouse(val spark: SparkSession, val root: String,
         val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
         val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
                   else CatalogJson.parse(expected)
-        if (cat.getOrElse(Warehouse.dvKey(table), Nil) != dvOld) stale = true
+        val curDirs = cat.getOrElse(table, Nil)
+        // stale if the DV entry moved OR any merged dir left the
+        // catalog: an overwrite/deleteWhere rewrite committed during
+        // the merge REPLACES dirs, and filterNot would silently fold
+        // the pre-overwrite rows back in (resurrection + double count)
+        if (cat.getOrElse(Warehouse.dvKey(table), Nil) != dvOld ||
+            !old.forall(curDirs.contains)) stale = true
         else {
-          val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
+          val kept = curDirs.filterNot(old.toSet)
           // the rewrite covered ALL dirs as of cat0 with dvOld applied,
           // so the DV entry (unchanged since cat0 — checked above) is
           // consumed by this commit
@@ -330,9 +336,15 @@ class Warehouse(val spark: SparkSession, val root: String,
         val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
         val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
                   else CatalogJson.parse(expected)
-        if (cat.getOrElse(Warehouse.dvKey(table), Nil) != dv0) stale = true
+        val curDirs = cat.getOrElse(table, Nil)
+        // same staleness rule as [[compactZOrdered]]: a concurrent
+        // overwrite RETIRES dirs — if any merged-away dir is gone from
+        // the catalog, committing `merged` would resurrect its
+        // (replaced) rows alongside the overwrite's image
+        if (cat.getOrElse(Warehouse.dvKey(table), Nil) != dv0 ||
+            !old.forall(curDirs.contains)) stale = true
         else {
-          val kept = cat.getOrElse(table, Nil).filterNot(old.toSet)
+          val kept = curDirs.filterNot(old.toSet)
           committed = commitCatalogIf(expected, cat + (table -> (merged +: kept)))
           attempts += 1
         }

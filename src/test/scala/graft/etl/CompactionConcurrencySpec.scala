@@ -79,6 +79,53 @@ class CompactionConcurrencySpec extends AnyFunSuite {
       "the re-run rewrite materializes the tombstones — DV entry consumed")
   }
 
+  test("compactOldest abandons when a concurrent OVERWRITE retires the merged dirs") {
+    // the non-DV staleness case: an overwrite (or deleteWhere full
+    // rewrite) REPLACES the table's dirs during the merge write. The
+    // former filterNot-only logic would have committed the merged dir
+    // alongside the overwrite's image — resurrecting every replaced row
+    // and double-counting the table. Any merged-away dir missing from
+    // the re-read catalog must abandon the compaction instead.
+    import spark.implicits._
+    val wh = new BarrierWarehouse(
+      Files.createTempDirectory("wh-cc-ovw").toString, Map("t" -> schemaT))({ w =>
+      val t = w.begin()
+      t.overwrite("t", Seq((100L, "fresh")).toDF("id", "v"))
+      t.commit()
+    })
+    (1L to 6L).foreach { i =>
+      val t = wh.begin()
+      t.append("t", Seq((i, s"a$i")).toDF("id", "v"))
+      t.commit()
+    }
+    wh.compactOldest("t", keep = 2)
+    assert(wh.fired == 1, "the concurrent overwrite must have fired inside the race window")
+    val got = wh.read("t").select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(100L),
+      s"pre-overwrite rows must NOT resurrect from the abandoned merge dir: $got")
+    assert(wh.catalog()("t").length == 1, "only the overwrite image stays referenced")
+  }
+
+  test("compactOldest still commits across a concurrent APPEND (append-tolerance kept)") {
+    import spark.implicits._
+    val wh = new BarrierWarehouse(
+      Files.createTempDirectory("wh-cc-app").toString, Map("t" -> schemaT))({ w =>
+      val t = w.begin()
+      t.append("t", Seq((7L, "a7")).toDF("id", "v"))
+      t.commit()
+    })
+    (1L to 6L).foreach { i =>
+      val t = wh.begin()
+      t.append("t", Seq((i, s"a$i")).toDF("id", "v"))
+      t.commit()
+    }
+    wh.compactOldest("t", keep = 2)
+    assert(wh.fired == 1)
+    assert(wh.read("t").select("id").collect().map(_.getLong(0)).toSet == (1L to 7L).toSet,
+      "appended dir survives AND the merge lands")
+    assert(wh.catalog()("t").length == 4, "1 merged + 2 kept + 1 appended")
+  }
+
   test("without contention both compactions commit first pass (no behavior change)") {
     import spark.implicits._
     val wh = new BarrierWarehouse(
