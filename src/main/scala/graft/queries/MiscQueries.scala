@@ -352,8 +352,10 @@ object MiscQueries {
         .join(approx, Seq("col_name"))
         .select(col("col_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_s"), col("max_s"),
+          // 10% = 5 sigma at rsd 0.02: far above any plausible estimate
+          // tail on regenerated data, far below any broken-merge error
           (abs(col("nd_approx").cast("double") - col("n_distinct"))
-            / col("n_distinct") <= lit(0.05)).as("approx_ok"))
+            / col("n_distinct") <= lit(0.10)).as("approx_ok"))
         .orderBy("col_name")
     }),
 
@@ -403,8 +405,10 @@ object MiscQueries {
         .agg(count_distinct(col("user_id")).as("n_users"))
       view.join(exact, Seq("event_type"))
         .select(col("event_type"), col("n_rows"), col("n_users"),
+          // 10% ~ 6 sigma for the lgK=12 DataSketches HLL (~1.6% rse):
+          // regeneration-proof, still flips on any real merge defect
           (abs(col("approx_users").cast("double") - col("n_users"))
-            / col("n_users") <= lit(0.05)).as("approx_ok"))
+            / col("n_users") <= lit(0.10)).as("approx_ok"))
         .orderBy("event_type")
     }),
 
