@@ -586,11 +586,20 @@ object StreamingOps {
           import spark.implicits._
           txn.overwrite(metaTable, Seq(batchId).toDF("last_batch"))
           txn.commit()
-        } else if (!fresh.isEmpty) {
+        } else {
           // ledger-ahead batch (checkpoint reset): new rows still land,
-          // the ledger keeps its high-water mark
-          txn.append(table, fresh)
-          txn.commit()
+          // the ledger keeps its high-water mark. The dedup frame
+          // (Bloom build + per-dir anti-joins) is persisted so the
+          // emptiness probe and the append share ONE evaluation —
+          // recovery batches on a large fact would otherwise pay the
+          // most expensive stage of the pipeline twice
+          fresh.persist()
+          try {
+            if (!fresh.isEmpty) {
+              txn.append(table, fresh)
+              txn.commit()
+            }
+          } finally fresh.unpersist()
         }
       }
       .option("checkpointLocation", checkpointDir)
