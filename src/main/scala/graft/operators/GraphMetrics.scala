@@ -34,10 +34,27 @@ object GraphMetrics {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
   private def cached(df: DataFrame): DataFrame = {
-    while (live.size >= MaxLiveCaches)
-      Option(live.poll()).foreach(_.unpersist(blocking = false))
     df.cache()
     live.add(df)
+    while (live.size > MaxLiveCaches)
+      Option(live.poll()).foreach { old =>
+        // Spark's CacheManager is keyed by CANONICALIZED plan, so two
+        // metric calls over the same pairs share ONE cache entry —
+        // unpersisting the older twin would also drop the entry the
+        // newer (possibly mid-consumption) frame depends on. Evict only
+        // when no queued frame is plan-equal; the shared entry is then
+        // reclaimed when its last twin rotates out. The bound still
+        // holds: distinct cached PLANS never exceed MaxLiveCaches.
+        val oldPlan = old.queryExecution.analyzed.canonicalized
+        val twinLive = {
+          val it = live.iterator()
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().queryExecution.analyzed.canonicalized == oldPlan
+          found
+        }
+        if (!twinLive) old.unpersist(blocking = false)
+      }
     df
   }
 

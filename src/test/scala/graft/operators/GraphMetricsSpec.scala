@@ -56,6 +56,29 @@ class GraphMetricsSpec extends AnyFunSuite {
       6L -> 1L, 7L -> 1L))
   }
 
+  test("rotating out a plan-equal twin keeps the shared cache entry live") {
+    // Spark's CacheManager keys on the canonicalized plan, so
+    // degrees(pairs) and trianglesByDegree(pairs) share ONE cache
+    // entry for the oriented edge list. When distinct later calls
+    // rotate the OLDER twin out of the registry, the shared entry must
+    // survive — unpersisting it would silently drop the cache the
+    // newer call still depends on.
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    GraphMetrics.releaseCaches()
+    GraphMetrics.degrees(pairs).count()
+    GraphMetrics.trianglesByDegree(pairs).count() // plan-equal twin (+ dir frame)
+    (1 to 2).foreach { k =>
+      GraphMetrics.degrees(
+        Seq((10L * k, 20L * k), (20L * k, 30L * k)).toDF("doc_a", "doc_b")).count()
+    }
+    val probe = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
+        greatest(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    assert(probe.storageLevel.useMemory,
+      "the oriented edge list must stay cached while a plan-equal frame is registered")
+    GraphMetrics.releaseCaches()
+  }
+
   test("repeated calls don't accumulate cached storage; releaseCaches drains") {
     GraphMetrics.releaseCaches()
     val sc = spark.sparkContext
