@@ -78,6 +78,19 @@ object ResultCache {
     */
   val DefaultMaxEntries = 256
 
+  /** Eviction grace: entries touched (stored or hit) within this window
+    * are never LRU-evicted, even over the cap. [[through]] hands back a
+    * LAZY frame over the entry's parquet; without the grace, a burst of
+    * distinct queries could delete the files BEFORE the caller's
+    * action runs them, failing the scan mid-flight. The cap can
+    * transiently overshoot by the burst arriving inside one window —
+    * bounded, and reclaimed at the next store past the window. A
+    * consumer that parks an unconsumed cached frame LONGER than the
+    * grace and then races an eviction re-runs its query — the
+    * documented contract for lazily-held results.
+    */
+  val DefaultEvictionGraceMs: Long = 10L * 60 * 1000
+
   /** Run `df` through the cache of `wh`: return the stored result when
     * the same canonical plan over the same scanned paths was already
     * evaluated, else evaluate, store, and read back. Build the frame
@@ -89,7 +102,8 @@ object ResultCache {
     * bounded for any query mix.
     */
   def through(wh: Warehouse, df: DataFrame,
-              maxEntries: Int = DefaultMaxEntries): DataFrame = {
+              maxEntries: Int = DefaultMaxEntries,
+              evictionGraceMs: Long = DefaultEvictionGraceMs): DataFrame = {
     if (!deterministic(df)) return df
     val text = canonical(df).toString
     val dir = entryDir(wh, df)
@@ -100,7 +114,7 @@ object ResultCache {
       Files.write(dir.resolve("plan.txt"), text.getBytes(StandardCharsets.UTF_8))
       Files.write(dir.resolve("paths.txt"),
         scannedPaths(df).mkString("\n").getBytes(StandardCharsets.UTF_8))
-      evictOver(wh, maxEntries)
+      evictOver(wh, maxEntries, evictionGraceMs)
     }
     touch(dir)
     wh.spark.read.schema(df.schema).parquet(dataDir.toString)
@@ -115,15 +129,18 @@ object ResultCache {
     * the entry dir's mtime, refreshed by [[touch]] on every hit/store;
     * name-tiebroken for determinism).
     */
-  private def evictOver(wh: Warehouse, maxEntries: Int): Unit = {
+  private def evictOver(wh: Warehouse, maxEntries: Int, graceMs: Long): Unit = {
     val root = Paths.get(wh.root, "_cache")
     if (!Files.exists(root)) return
     val entries = Files.list(root).iterator().asScala
       .filter(Files.isDirectory(_)).toSeq
       .map(d => (Files.getLastModifiedTime(d).toMillis, d.getFileName.toString, d))
       .sortBy { case (t, n, _) => (t, n) }
+    val cutoff = System.currentTimeMillis() - graceMs
     if (entries.length > maxEntries)
-      entries.dropRight(maxEntries).foreach { case (_, _, d) => deleteRecursively(d) }
+      entries.dropRight(maxEntries)
+        .filter { case (t, _, _) => t < cutoff }  // inside-grace entries survive
+        .foreach { case (_, _, d) => deleteRecursively(d) }
   }
 
   /** True iff [[through]] would hit for this frame right now (test and

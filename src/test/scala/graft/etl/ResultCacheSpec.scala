@@ -134,19 +134,38 @@ class ResultCacheSpec extends AnyFunSuite {
       else { import scala.jdk.CollectionConverters._
         Files.list(root).iterator().asScala.size }
     }
-    // fill to the cap of 3 (mtime-granularity guard between stores)
-    (1 to 3).foreach { i => ResultCache.through(wh, qn(i), maxEntries = 3).collect()
+    // fill to the cap of 3 (mtime-granularity guard between stores);
+    // grace = 0 isolates the pure LRU policy from the safety window
+    (1 to 3).foreach { i =>
+      ResultCache.through(wh, qn(i), maxEntries = 3, evictionGraceMs = 0L).collect()
       Thread.sleep(15) }
     assert(entries == 3)
     // touch entry 1 (a HIT refreshes recency), then overflow the cap:
     // the LRU victim must be entry 2, not the just-touched entry 1
-    ResultCache.through(wh, qn(1), maxEntries = 3).collect()
+    ResultCache.through(wh, qn(1), maxEntries = 3, evictionGraceMs = 0L).collect()
     Thread.sleep(15)
-    ResultCache.through(wh, qn(4), maxEntries = 3).collect()
+    ResultCache.through(wh, qn(4), maxEntries = 3, evictionGraceMs = 0L).collect()
     assert(entries == 3, "cap must hold after overflow")
     assert(ResultCache.wouldHit(wh, qn(1)), "recently-hit entry must survive eviction")
     assert(!ResultCache.wouldHit(wh, qn(2)), "LRU entry must be the victim")
     assert(ResultCache.wouldHit(wh, qn(4)))
+  }
+
+  test("eviction grace: an over-cap burst never deletes files under an unconsumed lazy frame") {
+    val wh = freshWh()
+    load(wh, "t", Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    def qn(n: Int) = wh.read("t").filter(col("v") <= n.toLong)
+      .groupBy("g").agg(sum(col("v")).as("s"))
+    // store entry 1 and HOLD the returned frame lazily (no action yet)
+    val held = ResultCache.through(wh, qn(1), maxEntries = 2)
+    Thread.sleep(15)
+    // burst past the cap: with the default grace every entry is fresh,
+    // so nothing is evicted and the held frame's files stay on disk
+    (2 to 4).foreach { i =>
+      ResultCache.through(wh, qn(i), maxEntries = 2).collect(); Thread.sleep(15) }
+    assert(held.collect().nonEmpty,
+      "the lazily-held cached result must still evaluate after the burst")
+    assert(ResultCache.wouldHit(wh, qn(1)))
   }
 
   test("empty results cache and read back with schema intact") {
