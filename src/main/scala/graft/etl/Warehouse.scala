@@ -73,6 +73,16 @@ class Warehouse(val spark: SparkSession, val root: String,
     if (!Files.exists(catalogPath)) Map.empty
     else CatalogJson.parse(Files.readString(catalogPath))
 
+  /** Raw catalog file content ("" = absent) — the CAS token every
+    * read-modify-retry loop compares through [[commitCatalogIf]]; one
+    * definition of the absent-file convention instead of four.
+    */
+  private[etl] def readCatalogRaw(): String =
+    if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
+
+  private[etl] def parseCatalogRaw(raw: String): Map[String, Seq[String]] =
+    if (raw.isEmpty) Map.empty else CatalogJson.parse(raw)
+
   /** Read the committed image of a table (partition columns dropped —
     * the declared schema is the contract; also robust to all-empty data
     * dirs, where inference would fail). Outstanding deletion vectors
@@ -259,9 +269,8 @@ class Warehouse(val spark: SparkSession, val root: String,
       var attempts = 0
       var stale = false
       while (!committed && !stale && attempts < 5) {
-        val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
-        val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
-                  else CatalogJson.parse(expected)
+        val expected = readCatalogRaw()
+        val cat = parseCatalogRaw(expected)
         val curDirs = cat.getOrElse(table, Nil)
         // stale if the DV entry moved OR any merged dir left the
         // catalog: an overwrite/deleteWhere rewrite committed during
@@ -333,9 +342,8 @@ class Warehouse(val spark: SparkSession, val root: String,
       var attempts = 0
       var stale = false
       while (!committed && !stale && attempts < 5) {
-        val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
-        val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
-                  else CatalogJson.parse(expected)
+        val expected = readCatalogRaw()
+        val cat = parseCatalogRaw(expected)
         val curDirs = cat.getOrElse(table, Nil)
         // same staleness rule as [[compactZOrdered]]: a concurrent
         // overwrite RETIRES dirs — if any merged-away dir is gone from
@@ -687,9 +695,8 @@ class Warehouse(val spark: SparkSession, val root: String,
       var attempts = 0
       var done = false
       while (!done && attempts < 5) {
-        val expected = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
-        val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
-                  else CatalogJson.parse(expected)
+        val expected = readCatalogRaw()
+        val cat = parseCatalogRaw(expected)
         val kept = cat.getOrElse(key, Nil).filterNot(dirs.toSet)
         done = commitCatalogIf(expected, cat + (key -> (merged +: kept)))
         attempts += 1
@@ -712,7 +719,7 @@ class Warehouse(val spark: SparkSession, val root: String,
 
   private[etl] def commitCatalogIf(expected: String,
                                    entries: Map[String, Seq[String]]): Boolean = {
-    val current = if (Files.exists(catalogPath)) Files.readString(catalogPath) else ""
+    val current = readCatalogRaw()
     if (current != expected) false
     else { commitCatalog(entries); true }
   }
@@ -1043,12 +1050,8 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
     var attempts = 0
     var done = false
     while (!done && attempts < 8) {
-      val expected =
-        if (Files.exists(Paths.get(wh.root, "_catalog.json")))
-          Files.readString(Paths.get(wh.root, "_catalog.json"))
-        else ""
-      val cat = if (expected.isEmpty) Map.empty[String, Seq[String]]
-                else CatalogJson.parse(expected)
+      val expected = wh.readCatalogRaw()
+      val cat = wh.parseCatalogRaw(expected)
       val conflicts = guarded.filter(k =>
         cat.getOrElse(k, Nil) != snapshot.getOrElse(k, Nil))
       if (conflicts.nonEmpty)
