@@ -370,7 +370,8 @@ class Warehouse(val spark: SparkSession, val root: String,
     * keeps today's behavior: only current data survives, time travel
     * resets. Returns the number of data dirs removed.
     */
-  def vacuum(retainVersions: Int = 0): Int = {
+  def vacuum(retainVersions: Int = 0,
+             graceMs: Long = Warehouse.DefaultVacuumGraceMs): Int = {
     val vfs = versionFiles()
     val keptVersions = vfs.takeRight(math.max(1, retainVersions + 1))
     vfs.dropRight(math.max(1, retainVersions + 1))
@@ -379,12 +380,21 @@ class Warehouse(val spark: SparkSession, val root: String,
         keptVersions.flatMap { case (v, _) => catalogAsOf(v).values.flatten })
       .map(Paths.get(_).toAbsolutePath.toString).toSet
     val dataRoot = Paths.get(root, "data")
+    // GRACE: an unreferenced dir younger than `graceMs` may belong to an
+    // IN-FLIGHT transaction or compaction — its writer has materialized
+    // the files but not yet swapped the catalog, and liveness computed
+    // from committed catalogs alone cannot see it. Deleting it would let
+    // the writer commit a pointer to vanished paths (permanent table
+    // corruption, no error at commit time). Retired-dir reclamation is
+    // only deferred by one grace window.
+    val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     if (Files.exists(dataRoot)) {
       Files.list(dataRoot).iterator().asScala.foreach { tableDir =>
         if (Files.isDirectory(tableDir))
           Files.list(tableDir).iterator().asScala.foreach { d =>
-            if (Files.isDirectory(d) && !live.contains(d.toAbsolutePath.toString)) {
+            if (Files.isDirectory(d) && !live.contains(d.toAbsolutePath.toString) &&
+                Files.getLastModifiedTime(d).toMillis < cutoff) {
               deleteRecursively(d); removed += 1
               spark.sql(s"DROP TABLE IF EXISTS `${Warehouse.bucketedTableName(d.toString)}`")
             }
@@ -575,7 +585,14 @@ class Warehouse(val spark: SparkSession, val root: String,
     // shares the documented single-maintenance-writer assumption).
     // Version files are metadata-sized; vacuum() prunes them.
     Files.createDirectories(versionsDir)
-    Files.write(versionsDir.resolve(f"v${nextVersion()}%08d.json"), bytes)
+    // tmp + ATOMIC_MOVE like the pointer itself: the tolerant regex
+    // parser would accept a TORN version file as a partial catalog, and
+    // vacuum computes liveness from retained versions — a half-written
+    // snapshot must never be observable
+    val vtmp = Paths.get(root, s"_version.${UUID.randomUUID()}.tmp")
+    Files.write(vtmp, bytes)
+    Files.move(vtmp, versionsDir.resolve(f"v${nextVersion()}%08d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
     val tmp = Paths.get(root, s"_catalog.${UUID.randomUUID()}.tmp")
     Files.write(tmp, bytes)
     Files.move(tmp, catalogPath, StandardCopyOption.ATOMIC_MOVE,
@@ -643,9 +660,21 @@ class Warehouse(val spark: SparkSession, val root: String,
       s"clone destination '$dst' must be registered in schemas")
     require(schemas(dst) == schemas(src),
       s"clone destination '$dst' must share '$src' schema")
-    val cat = catalog()
-    commitCatalog(cat + (dst -> cat.getOrElse(src, Nil)) +
-      (Warehouse.dvKey(dst) -> cat.getOrElse(Warehouse.dvKey(src), Nil)))
+    // CAS-retry like every other mutator: a blind read-modify-write
+    // would silently clobber a commit that lands between catalog() and
+    // the swap, resetting that writer's tables to pre-commit dirs
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 8) {
+      val expected = readCatalogRaw()
+      val cat = parseCatalogRaw(expected)
+      done = commitCatalogIf(expected,
+        cat + (dst -> cat.getOrElse(src, Nil)) +
+          (Warehouse.dvKey(dst) -> cat.getOrElse(Warehouse.dvKey(src), Nil)))
+      attempts += 1
+    }
+    if (!done) throw new java.util.ConcurrentModificationException(
+      s"cloneTable($src, $dst): catalog kept moving; retry")
   }
 
   /** SNAPSHOT DIFF — CDC extraction between two committed versions:
@@ -1089,6 +1118,11 @@ object Txn {
 }
 
 object Warehouse {
+  /** Default [[Warehouse.vacuum]] grace: unreferenced dirs younger than
+    * this may be an in-flight writer's not-yet-committed output.
+    */
+  val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
+
   /** Default physical partitioning: fact tables by event date. Dims and
     * staging stay unpartitioned (full-snapshot semantics).
     */

@@ -225,7 +225,7 @@ class DeletionVectorSpec extends AnyFunSuite {
       "materialized delete must hold after compaction")
     assert(ids(wh.read("dim_clients")).size == 39)
     // vacuum reclaims the retired DV dirs along with retired data dirs
-    assert(wh.vacuum() > 0)
+    assert(wh.vacuum(graceMs = 0L) > 0)
     assert(!ids(wh.read("dim_clients")).contains("C009"))
   }
 

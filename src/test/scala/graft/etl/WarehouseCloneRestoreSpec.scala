@@ -58,7 +58,7 @@ class WarehouseCloneRestoreSpec extends AnyFunSuite {
 
     // vacuum counts references across tables: the original shared dir is
     // still referenced by the clone, so it survives the source overwrite
-    wh.vacuum()
+    wh.vacuum(graceMs = 0L)
     assert(schemaVals(wh.read("meta_clone")) == Seq("base", "clone-only"))
     assert(wh.catalog()("meta_clone").forall(d => Files.exists(Paths.get(d))))
   }

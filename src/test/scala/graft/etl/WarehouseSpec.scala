@@ -55,7 +55,12 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read("meta").collect().map(_.getString(0)).toSeq == Seq("keep"),
       "uncommitted overwrite must stay invisible")
     assert(wh.read("rep_fraud").count() == 0)
-    assert(wh.vacuum() == 2, "both orphaned dirs reclaimed")
+    // the DEFAULT grace protects these same dirs: they are fresh, so an
+    // in-flight writer about to commit them must not lose them — vacuum
+    // skips anything younger than the window
+    assert(wh.vacuum() == 0,
+      "default grace must keep freshly-written unreferenced dirs (in-flight writers)")
+    assert(wh.vacuum(graceMs = 0L) == 2, "both orphaned dirs reclaimed")
     // committed state still reads fine after the cleanup
     assert(wh.read("meta").head().getString(0) == "keep")
   }
@@ -80,7 +85,7 @@ class WarehouseSpec extends AnyFunSuite {
       (1 to 7).map(i => s"s$i"))
     // the newest dir was referenced, not rewritten
     assert(dirs.last != lastBefore) // dir 7 is newer than the pre-append tail
-    assert(wh.vacuum() == 6) // the six merged dirs were retired
+    assert(wh.vacuum(graceMs = 0L) == 6) // the six merged dirs were retired
   }
 
   test("overwrite retires dirs; vacuum reclaims them") {
@@ -93,7 +98,7 @@ class WarehouseSpec extends AnyFunSuite {
     t2.overwrite("meta", Seq(("c", "d", None: Option[java.sql.Timestamp]))
       .toDF("schema_name", "table_name", "max_update_dt"))
     t2.commit()
-    assert(wh.vacuum() == 1) // the first meta dir was orphaned
+    assert(wh.vacuum(graceMs = 0L) == 1) // the first meta dir was orphaned
     assert(wh.read("meta").head.getString(0) == "c") // survivor intact
   }
 
@@ -136,7 +141,7 @@ class WarehouseSpec extends AnyFunSuite {
     wh.compact("meta")
     assert(wh.catalog()("meta").length == 1)
     assert(wh.read("meta").collect().map(_.toSeq).toSet == before)
-    assert(wh.vacuum() == 3) // the three retired append dirs
+    assert(wh.vacuum(graceMs = 0L) == 3) // the three retired append dirs
   }
 
   test("positional schema-fit renames and casts incoming columns") {

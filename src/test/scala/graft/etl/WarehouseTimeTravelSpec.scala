@@ -38,13 +38,13 @@ class WarehouseTimeTravelSpec extends AnyFunSuite {
     val t3 = wh.begin(); t3.overwrite("meta", metaRow("v3")); t3.commit()
 
     // keep one historical version: v2 survives, v1 reclaims
-    wh.vacuum(retainVersions = 1)
+    wh.vacuum(retainVersions = 1, graceMs = 0L)
     assert(wh.versions() == Seq(2L, 3L))
     assert(wh.readAsOf("meta", 2L).collect().map(_.getString(0)).toSeq == Seq("v2"))
     intercept[IllegalArgumentException](wh.readAsOf("meta", 1L))
 
     // default vacuum: only the current image survives
-    wh.vacuum()
+    wh.vacuum(graceMs = 0L)
     assert(wh.versions() == Seq(3L))
     intercept[IllegalArgumentException](wh.readAsOf("meta", 2L))
     assert(wh.read("meta").collect().map(_.getString(0)).toSeq == Seq("v3"))
@@ -90,10 +90,10 @@ class WarehouseTimeTravelSpec extends AnyFunSuite {
     val oldDirs = wh.catalog()("meta")
     val t2 = wh.begin(); t2.overwrite("meta", metaRow("new")); t2.commit()
 
-    wh.vacuum(retainVersions = 1) // v1 retained → its dirs must survive
+    wh.vacuum(retainVersions = 1, graceMs = 0L) // v1 retained → its dirs must survive
     assert(oldDirs.forall(d => Files.exists(java.nio.file.Paths.get(d))),
       "dirs of a retained version must not be reclaimed")
-    val removed = wh.vacuum() // drop history → old dirs now reclaimable
+    val removed = wh.vacuum(graceMs = 0L) // drop history → old dirs now reclaimable
     assert(removed >= 1, s"expected the v1 dir reclaimed, removed=$removed")
     assert(oldDirs.forall(d => !Files.exists(java.nio.file.Paths.get(d))))
   }

@@ -117,7 +117,7 @@ class StreamingFactIngestSpec extends AnyFunSuite {
     assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L), "exactly-once after the torn run")
 
     // the torn attempt's orphan dir is unreferenced -> vacuum reclaims it
-    assert(wh.vacuum() >= 1, "torn append's dir must be vacuumable")
+    assert(wh.vacuum(graceMs = 0L) >= 1, "torn append's dir must be vacuumable")
     assert(rows(wh) == Map("t1" -> 10L, "t2" -> 20L))
 
     // and a SECOND crash-replay over the now-committed table adds nothing
