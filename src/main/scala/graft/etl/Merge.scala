@@ -75,6 +75,16 @@ object Merge {
     }
     require(!updatedCols.exists(keys.contains),
       "UPDATE SET may not modify a merge key column")
+    // same identity rule for INSERT overrides: an inserted row whose key
+    // differs from its source key lands in a bucket the pruned rewrite
+    // never touched — two files in one bucket, breaking the
+    // one-file-per-bucket contract later bucket-pruned merges trust
+    val insertedCols = whenNotMatched.flatMap {
+      case Insert(set, _) => set.keys
+      case _ => Nil
+    }
+    require(!insertedCols.exists(keys.contains),
+      "INSERT set may not override a merge key column (the key comes from the source row)")
 
     // reject ambiguous sources: >1 source row per key makes WHEN MATCHED
     // order-dependent (one aggregate over the delta-sized source)

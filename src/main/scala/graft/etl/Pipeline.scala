@@ -110,7 +110,13 @@ class Pipeline(spark: SparkSession, wh: Warehouse,
         if (deltaMode) Scd1.mergeAuditIncremental(d, s, keys, cmp, ts)
         else Scd1.mergeAudit(d, s, keys, cmp, ts)
       wh.bucketSpec.get(dim) match {
-        case Some((_, n)) if txn.currentDirs(dim).length == 1 =>
+        // guard as in Merge.into/Scd2: pruning is only sound when the
+        // merge key IS the bucket key (default Schemas wiring always
+        // satisfies this; a custom Warehouse with a mismatched
+        // bucketSpec falls back to the full overwrite instead of
+        // pruning in the wrong hash space)
+        case Some((bucketKey, n)) if keys == Seq(bucketKey) &&
+            txn.currentDirs(dim).length == 1 =>
           val touched = Scd1.changedKeyBuckets(dimDf, stgDf, keys, cmp, n,
             deletesVisible = !deltaMode)
           if (touched.nonEmpty) {

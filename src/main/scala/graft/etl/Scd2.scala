@@ -45,9 +45,23 @@ object Scd2 {
       .withColumn("valid_to", lit(null).cast("timestamp"))
       .withColumn("is_current", lit(true))
 
+  /** A snapshot with two rows for one key would fan the full-outer
+    * join out and write two open versions — silently breaking the
+    * at-most-one-is_current invariant every asOf/point-in-time join
+    * relies on. Same delta-sized aggregate guard as [[Merge.into]];
+    * fails loudly instead.
+    */
+  private def requireUniqueKeys(snapshot: DataFrame, keys: Seq[String]): Unit = {
+    val dup = snapshot.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      s"SCD2 snapshot has multiple rows for one key of (${keys.mkString(", ")})")
+  }
+
   /** Merge a full snapshot taken at `asOf` into the history. */
   def merge(history: DataFrame, snapshot: DataFrame, keys: Seq[String],
             compareCols: Seq[String], asOf: java.sql.Timestamp): DataFrame = {
+    requireUniqueKeys(snapshot, keys)
     val attrs = keys ++ compareCols
     val closed = history.filter(!col("is_current"))
       .select((attrs ++ auditCols).map(col): _*)
@@ -154,6 +168,7 @@ object Scd2 {
                      compareCols: Seq[String],
                      asOf: java.sql.Timestamp): Unit = {
     val attrs = keys ++ compareCols
+    requireUniqueKeys(snapshot, keys)
     val txn = wh.begin()
     val snapC = snapshot.select(attrs.map(col): _*)
 
@@ -180,7 +195,14 @@ object Scd2 {
     }
 
     wh.bucketSpec.get(currentTable) match {
-      case Some((_, n)) if txn.currentDirs(currentTable).length == 1 =>
+      // the pruned path is sound only when the MERGE key is exactly the
+      // table's bucket key: touched buckets are computed from
+      // hash(keys), the carried-over files encode hash(bucketKey) — in
+      // different hash spaces a changed row would be BOTH carried over
+      // (old version) and rewritten (new version). Same guard as
+      // Merge.into; any other key set takes the full-overwrite path.
+      case Some((bucketKey, n)) if keys == Seq(bucketKey) &&
+          txn.currentDirs(currentTable).length == 1 =>
         val cur = txn.read(currentTable)
         val touched = Scd1.changedKeyBuckets(cur, snapC, keys, compareCols, n,
           deletesVisible = true)

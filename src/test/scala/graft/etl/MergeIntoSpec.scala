@@ -134,6 +134,12 @@ class MergeIntoSpec extends AnyFunSuite {
       Merge.into(txn, "t", src, Seq("id"),
         whenMatched = Seq(Merge.Update(Map("id" -> lit(99L)))))
     }
+    // INSERT overriding the key is the same identity violation: the row
+    // would land in a bucket the pruned rewrite never touched
+    assertThrows[IllegalArgumentException] {
+      Merge.into(txn, "t", src, Seq("id"),
+        whenNotMatched = Seq(Merge.Insert(Map("id" -> lit(99L)))))
+    }
   }
 
   test("bucket-pruned merge over outstanding deletion vectors keeps the delete") {

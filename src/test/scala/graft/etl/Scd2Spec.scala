@@ -91,6 +91,17 @@ class Scd2Spec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("duplicate snapshot keys are rejected loudly, not historized twice") {
+    // two rows for k2 would fan the full-outer join out and open TWO
+    // is_current versions — the invariant every asOf join depends on
+    val h1 = Scd2.initial(snap(Seq(("k1", Some("x"), Some(1)))), Seq("k"), Seq("a", "b"), t1)
+    val dup = snap(Seq(("k2", Some("y"), Some(2)), ("k2", Some("z"), Some(3))))
+    val ex = intercept[IllegalArgumentException] {
+      Scd2.merge(h1, dup, Seq("k"), Seq("a", "b"), t2).collect()
+    }
+    assert(ex.getMessage.contains("multiple rows"), ex.getMessage)
+  }
+
   test("asOf: point-in-time lookup uses half-open intervals") {
     val h = run3Days()
     // At t2 exactly: k2's old row (valid_to = t2) is already superseded.
