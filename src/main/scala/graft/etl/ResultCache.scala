@@ -132,7 +132,7 @@ object ResultCache {
   private def evictOver(wh: Warehouse, maxEntries: Int, graceMs: Long): Unit = {
     val root = Paths.get(wh.root, "_cache")
     if (!Files.exists(root)) return
-    val entries = Files.list(root).iterator().asScala
+    val entries = listDir(root).iterator
       .filter(Files.isDirectory(_)).toSeq
       .map(d => (Files.getLastModifiedTime(d).toMillis, d.getFileName.toString, d))
       .sortBy { case (t, n, _) => (t, n) }
@@ -158,7 +158,7 @@ object ResultCache {
     val root = Paths.get(wh.root, "_cache")
     if (!Files.exists(root)) return 0
     val live = wh.catalog().values.flatten.toSet
-    val stale = Files.list(root).iterator().asScala.filter { d =>
+    val stale = listDir(root).iterator.filter { d =>
       val pf = d.resolve("paths.txt")
       !Files.exists(pf) ||
         new String(Files.readAllBytes(pf), StandardCharsets.UTF_8)
@@ -173,9 +173,16 @@ object ResultCache {
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
 
+  // fd-safe listing: Files.list keeps an fd open until closed
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try { import scala.jdk.CollectionConverters._; st.iterator().asScala.toSeq }
+    finally st.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

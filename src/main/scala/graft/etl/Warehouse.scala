@@ -68,6 +68,16 @@ class Warehouse(val spark: SparkSession, val root: String,
   def emptyDf(table: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemas(table))
 
+  /** Snapshot a directory listing, CLOSING the underlying stream —
+    * `Files.list` holds an open fd until closed, and the recursive
+    * walks here (vacuum over thousands of retired dirs) would otherwise
+    * leak one fd per directory visited until GC.
+    */
+  private[etl] def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toSeq finally st.close()
+  }
+
   /** Committed catalog: table → data dirs, in append order. */
   def catalog(): Map[String, Seq[String]] =
     if (!Files.exists(catalogPath)) Map.empty
@@ -390,9 +400,9 @@ class Warehouse(val spark: SparkSession, val root: String,
     val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
     if (Files.exists(dataRoot)) {
-      Files.list(dataRoot).iterator().asScala.foreach { tableDir =>
+      listDir(dataRoot).foreach { tableDir =>
         if (Files.isDirectory(tableDir))
-          Files.list(tableDir).iterator().asScala.foreach { d =>
+          listDir(tableDir).foreach { d =>
             if (Files.isDirectory(d) && !live.contains(d.toAbsolutePath.toString) &&
                 Files.getLastModifiedTime(d).toMillis < cutoff) {
               deleteRecursively(d); removed += 1
@@ -406,7 +416,7 @@ class Warehouse(val spark: SparkSession, val root: String,
 
   private[etl] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
@@ -561,7 +571,7 @@ class Warehouse(val spark: SparkSession, val root: String,
     val from = Paths.get(fromDir)
     Files.createDirectories(Paths.get(toDir))
     def walk(d: Path): Unit =
-      Files.list(d).iterator().asScala.foreach { f =>
+      listDir(d).foreach { f =>
         val fname = f.getFileName.toString
         if (Files.isDirectory(f)) walk(f)
         else if (Files.isRegularFile(f) && fname.endsWith(".parquet")) fname match {
@@ -601,7 +611,7 @@ class Warehouse(val spark: SparkSession, val root: String,
 
   private def versionFiles(): Seq[(Long, Path)] =
     if (!Files.exists(versionsDir)) Nil
-    else Files.list(versionsDir).iterator().asScala
+    else listDir(versionsDir).iterator
       .filter(p => p.getFileName.toString.matches("v\\d{8}\\.json"))
       .map(p => p.getFileName.toString.drop(1).take(8).toLong -> p)
       .toSeq.sortBy(_._1)

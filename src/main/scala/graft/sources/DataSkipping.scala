@@ -175,8 +175,10 @@ object DataSkipping {
   def collectStats(spark: SparkSession, dir: String): Seq[FileStats] = {
     val root = JPaths.get(dir)
     if (!JFiles.isDirectory(root)) return Nil
-    def walk(d: java.nio.file.Path): Seq[FileStats] =
-      JFiles.list(d).iterator().asScala.toSeq.flatMap { p =>
+    def walk(d: java.nio.file.Path): Seq[FileStats] = {
+      val st = JFiles.list(d)
+      val children = try st.iterator().asScala.toSeq finally st.close()
+      children.flatMap { p =>
         val n = p.getFileName.toString
         if (n.startsWith("_") || n.startsWith(".")) Nil
         else if (JFiles.isDirectory(p)) walk(p)
@@ -185,6 +187,7 @@ object DataSkipping {
             .copy(name = root.relativize(p).toString))
         else Nil
       }
+    }
     walk(root)
   }
 

@@ -131,13 +131,14 @@ object DropFolder {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) return Nil
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(p).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
+    val st = java.nio.file.Files.list(p)
+    val files = try st.iterator().asScala.toSeq finally st.close()
+    files.filter(java.nio.file.Files.isRegularFile(_))
       .flatMap { f =>
         val name = f.getFileName.toString
         route(name).map(k => DropFile(f, k, fileDate(name)))
       }
-      .toSeq.sortBy(_.path.getFileName.toString)
+      .sortBy(_.path.getFileName.toString)
   }
 
   /** `archive/<name-without-ext>.backup`, created on demand. */
