@@ -183,11 +183,14 @@ object Scd2 {
       val isInsert = col("d.__dexists").isNull
       val isDelete = col("s.__sexists").isNull
       val isChange = !isInsert && !isDelete && Scd1.anyChanged(compareCols)
-      val newCurrent = joined.filter(isInsert || isChange)
-        .select(attrs.map(c => col(s"s.$c").as(c)) :+ lit(asOf).as("valid_from"): _*)
-        .unionAll(joined.filter(!isInsert && !isDelete && !isChange)
-          .select(attrs.map(c => col(s"d.$c").as(c)) :+
-            col("d.valid_from").as("valid_from"): _*))
+      // one CONDITIONAL projection instead of a two-branch union — the
+      // union form executed the full-outer join once per branch (plus
+      // once for newlyClosed = 3× the dominant join cost per load)
+      val takeNew = isInsert || isChange
+      val newCurrent = joined.filter(!isDelete)
+        .select(attrs.map(c =>
+            when(takeNew, col(s"s.$c")).otherwise(col(s"d.$c")).as(c)) :+
+          when(takeNew, lit(asOf)).otherwise(col("d.valid_from")).as("valid_from"): _*)
       val newlyClosed = joined.filter(isDelete || isChange)
         .select(attrs.map(c => col(s"d.$c").as(c)) ++
           Seq(col("d.valid_from").as("valid_from"), lit(asOf).as("valid_to")): _*)
@@ -208,9 +211,17 @@ object Scd2 {
           deletesVisible = true)
         if (touched.nonEmpty) {
           val inT = Scd1.inBuckets(keys, n, touched.toIndexedSeq)
-          val (newCur, closed) = branches(cur.filter(inT), snapC.filter(inT))
-          txn.overwriteBuckets(currentTable, newCur, touched.toIndexedSeq)
-          txn.append(closedTable, closed)
+          // persist the touched-bucket-sized inputs: the current-slice
+          // overwrite and the closed append are two Spark actions over
+          // the same join, and without the cache each re-reads and
+          // re-filters both sides
+          val curT = cur.filter(inT).persist()
+          val snapT = snapC.filter(inT).persist()
+          try {
+            val (newCur, closed) = branches(curT, snapT)
+            txn.overwriteBuckets(currentTable, newCur, touched.toIndexedSeq)
+            txn.append(closedTable, closed)
+          } finally { curT.unpersist(); snapT.unpersist() }
         } // else: nothing changed — the history is already exact
       case _ =>
         val (newCur, closed) = branches(txn.read(currentTable), snapC)
