@@ -280,6 +280,13 @@ object Scd2 {
       col(s"h.valid_from") <= col(s"f.$factTs") &&
       (col(s"h.valid_to").isNull || col(s"h.valid_to") > col(s"f.$factTs"))
     val dimCols = history.columns.filterNot(dimKeys.contains)
+    // a shared non-key name would emit TWO identically-named output
+    // columns — every later select by name fails AMBIGUOUS_REFERENCE,
+    // and a positional align() would misassign silently. Reject loudly;
+    // the caller renames one side (or prefixes like changesBetween).
+    val clash = facts.columns.toSet.intersect(dimCols.toSet)
+    require(clash.isEmpty,
+      s"fact and dim history share non-key column name(s): ${clash.toSeq.sorted.mkString(", ")} — rename before the point-in-time join")
     f.join(h, on, "left")
       .select(facts.columns.map(c => col(s"f.$c").as(c)) ++
         dimCols.map(c => col(s"h.$c").as(c)): _*)
