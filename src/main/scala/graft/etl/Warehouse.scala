@@ -1000,23 +1000,26 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
       DataQuality.audit(aligned, rowAndFk)
         .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
         .collect().foreach(r => bad += s"${r.getString(0)}=${r.getLong(1)}")
-    // batch-internal + batch-vs-table uniqueness: audit the batch
-    // unioned with the current image projected to the unique columns
+    // batch-internal + batch-vs-table uniqueness, ONE pass per rule: a
+    // source flag rides the union, so the same grouped aggregate yields
+    // the violation count WITH the batch (over cnt) and WITHOUT it
+    // (over the old-rows count) — the former two-job form scanned the
+    // table image twice per rule. Pre-existing table duplicates are not
+    // this batch's fault: reject only when the batch ADDS violations.
     rules.collect { case u: DataQuality.Unique => u }.foreach { u =>
-      val existing = read(table).select(u.columns.map(
-        org.apache.spark.sql.functions.col): _*)
-      val n = DataQuality.audit(
-          aligned.select(u.columns.map(org.apache.spark.sql.functions.col): _*)
-            .unionAll(existing), Seq(u))
-        .filter(org.apache.spark.sql.functions.col("n_violations") > 0)
-        .collect()
-      // pre-existing table duplicates are not this batch's fault: only
-      // reject when the batch ADDS violations over the table's own count
-      val before = DataQuality.audit(existing, Seq(u))
-        .collect().headOption.map(_.getLong(1)).getOrElse(0L)
-      n.foreach { r =>
-        if (r.getLong(1) > before) bad += s"${r.getString(0)}=${r.getLong(1) - before}"
-      }
+      import org.apache.spark.sql.functions._
+      val ucols = u.columns.map(col)
+      val flagged = aligned.select(ucols: _*).withColumn("__new", lit(1L))
+        .unionAll(read(table).select(ucols: _*).withColumn("__new", lit(0L)))
+      val r = flagged.groupBy(ucols: _*)
+        .agg(count(lit(1)).as("cnt"),
+          sum(lit(1L) - col("__new")).as("old"))
+        .agg(
+          coalesce(sum(greatest(col("cnt") - 1, lit(0L))), lit(0L)).as("after"),
+          coalesce(sum(greatest(col("old") - 1, lit(0L))), lit(0L)).as("before"))
+        .head()
+      val added = r.getLong(0) - r.getLong(1)
+      if (added > 0) bad += s"${u.name}=$added"
     }
     if (bad.nonEmpty) {
       // diagnostic sample, HARD-BOUNDED by limit(): a fully-violating
