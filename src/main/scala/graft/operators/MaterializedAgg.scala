@@ -113,10 +113,15 @@ object MaterializedAgg {
 
   /** Order-preserving bucketization: `v` floored to its `width`-wide
     * bucket's lower edge. The resolution/size lever: buckets per key =
-    * value range / width.
+    * value range / width. Computed as `v − ((v mod w) + w) mod w` (the
+    * floor-mod identity) rather than `floor(v/w)·w` through DOUBLE:
+    * the double route rounds integral values above 2^53 (epoch-nanos
+    * magnitudes) before bucketizing, so a value just under a bucket
+    * edge could land in the neighbor bucket — mod arithmetic stays in
+    * the column's own type and is exact for integral inputs.
     */
   def bucketize(v: Column, width: Long): Column =
-    (floor(v.cast("double") / width) * width).cast("long")
+    (v - ((v % width) + width) % width).cast("long")
 
   /** Declare the histogram view: a count per (keys × bucket of
     * `valueCol`). Refresh with [[refresh]] over the SAME compound key —
@@ -142,7 +147,13 @@ object MaterializedAgg {
       .withColumn("cum", sum(col("n")).over(cum))
       .withColumn("total", sum(col("n")).over(tot))
     val outs = qs.map { q =>
-      min(when(col("cum") >= ceil(lit(q) * col("total")), col("bucket")))
+      // rank = ceil(q·total) in EXACT decimal: the double product can
+      // land one ulp above an integral value (0.07·100 = 7.000…001 in
+      // IEEE) and ceil then overshoots the rank by one. The literal is
+      // built from the double's shortest decimal form — the "0.07" the
+      // caller wrote — so decimal·long is exact and ceil is too.
+      val qDec = new java.math.BigDecimal(java.lang.Double.toString(q))
+      min(when(col("cum") >= ceil(lit(qDec) * col("total")), col("bucket")))
         .as(s"p${math.round(q * 100)}")
     }
     c.groupBy(keys.map(col): _*).agg(outs.head, outs.tail: _*)

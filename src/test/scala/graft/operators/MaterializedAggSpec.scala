@@ -102,6 +102,29 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(q("b") == ((5L, 5L, 10L)))
   }
 
+  test("quantile rank and bucket edges are exact where doubles are not") {
+    import MaterializedAgg._
+    import org.apache.spark.sql.functions.col
+    // ceil(0.07 * 100) is 8 in IEEE double (7.000000000000001); the
+    // decimal rank arithmetic must return the true rank-7 bucket
+    val base = (1L to 100L).map(v => ("k", v)).toDF("g", "v")
+    val view = quantileView(base, Seq("g"), "v", width = 1L)
+    val q = readQuantiles(view, Seq("g"), Seq(0.07)).collect().head
+    assert(q.getLong(1) == 7L,
+      s"rank ceil(0.07*100) must be 7, got bucket ${q.getLong(1)}")
+    // epoch-nanos magnitude: 1.7e18 is far past double's 2^53 integer
+    // range, where the old floor(v/w)*w-through-double path could shift
+    // values across bucket edges
+    val big = 1700000000000000003L
+    val width = 1000000L
+    val edges = Seq(big, big - 3L, big + (width - 4L)) // same bucket
+      .map(v => ("k", v)).toDF("g", "v")
+      .select(bucketize(col("v"), width).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(edges == Set((big / width) * width),
+      s"integral bucketization must be exact above 2^53: $edges")
+  }
+
   private def rowsOf(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
 }
