@@ -66,6 +66,17 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
+  /** Marks aggregates this rule itself emitted (including a delta view's
+    * full-recompute FALLBACK, whose shape matches the registry by
+    * construction — same base paths, same keys/measures). Without the
+    * tag, the extraOptimizations batch (FixedPoint) re-rewrites that
+    * fallback into a FRESH provider plan on every iteration — the plans
+    * are canonically equal but instance-distinct, so the batch never
+    * converges and burns maxIterations on no-op rewrites.
+    */
+  private val RoutedTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.mv.routed")
+
   /** (outName, kind, input column name or None for count(*)).
     * Kinds: `count` (input None = count(*), Some = non-null count of
     * that column), `sum`, `min`, `max`, `hll` (a DataSketches HLL
@@ -152,7 +163,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     */
   final case class JoinMvDef(leftPaths: () => Set[String],
                              rightPaths: () => Set[String],
-                             keyPairs: Set[(String, String)], inner: MvDef)
+                             keyPairs: Set[(String, String)], inner: MvDef,
+                             ambiguousNames: Set[String] = Set.empty)
 
   private val joinRegistry = new scala.collection.mutable.ArrayBuffer[JoinMvDef]
 
@@ -168,12 +180,21 @@ object MvRewrite extends Rule[LogicalPlan] {
                             joinKeys: Seq[(String, String)], mvTable: String,
                             keys: Seq[String], measures: Seq[MeasureSig])
       : Unit = synchronized {
+    // names living in BOTH base schemas (beyond self-named equi pairs,
+    // whose two sides are equal by the join) are AMBIGUOUS under the
+    // rule's name-keyed mapping — captured from the DECLARED schemas at
+    // registration, because by rule time column pruning may have
+    // removed the unused twin from the plan and hidden the ambiguity
+    val ambiguous = wh.schemas(leftTable).fieldNames.toSet
+      .intersect(wh.schemas(rightTable).fieldNames.toSet)
+      .filterNot(n => joinKeys.contains((n, n)))
     joinRegistry += JoinMvDef(
       () => rootPaths(wh.read(leftTable).queryExecution.analyzed),
       () => rootPaths(wh.read(rightTable).queryExecution.analyzed),
       joinKeys.toSet,
       MvDef(() => Set.empty,
-        () => wh.read(mvTable).queryExecution.analyzed, keys, measures))
+        () => wh.read(mvTable).queryExecution.analyzed, keys, measures),
+      ambiguous)
   }
 
   def clear(): Unit = synchronized { registry.clear(); joinRegistry.clear() }
@@ -226,21 +247,40 @@ object MvRewrite extends Rule[LogicalPlan] {
       .canonicalized
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case agg: Aggregate =>
+    case agg: Aggregate if agg.getTagValue(RoutedTag).isEmpty =>
       val rewritten = for {
         (paths, filters) <- imageFiltered(agg.child) if paths.nonEmpty
         d <- synchronized(registry.toSeq).find(_.basePaths() == paths)
         out <- tryRewrite(agg, filters, d)
       } yield out
       lazy val joinRewritten = for {
-        (lp, rp, pairs, filters) <- imageJoined(agg.child)
+        (lp, rp, pairs, ambiguous, filters) <- imageJoined(agg.child)
+        // a name present on BOTH join sides without being an equi pair
+        // is ambiguous under the rule's name-keyed mapping: a filter or
+        // aggregate over it could bind to the OTHER side's values in
+        // the view. Disqualify rather than guess — missed rewrite, never
+        // a wrong one. (Equi-pair names are exempt: the join equality
+        // makes both sides' values identical.)
+        if ambiguous.isEmpty ||
+          (agg.references.map(_.name).toSet ++
+            filters.flatMap(_.references.map(_.name))).intersect(ambiguous).isEmpty
         d <- synchronized(joinRegistry.toSeq).find(j =>
           (j.leftPaths() == lp && j.rightPaths() == rp && j.keyPairs == pairs) ||
             (j.leftPaths() == rp && j.rightPaths() == lp &&
               j.keyPairs == pairs.map(_.swap)))
+        // registration-time ambiguity: names in BOTH base SCHEMAS (the
+        // plan-side check above can be blinded by column pruning)
+        if (agg.references.map(_.name).toSet ++
+          filters.flatMap(_.references.map(_.name)))
+          .intersect(d.ambiguousNames).isEmpty
         out <- tryRewrite(agg, filters, d.inner)
       } yield out
-      rewritten.orElse(joinRewritten).getOrElse(agg)
+      rewritten.orElse(joinRewritten)
+        .map { out =>
+          out.foreach { case a: Aggregate => a.setTagValue(RoutedTag, ()); case _ => () }
+          out
+        }
+        .getOrElse(agg)
   }
 
   /** The aggregate's child decomposed as ONE inner equi-join of two
@@ -249,26 +289,40 @@ object MvRewrite extends Rule[LogicalPlan] {
     * sides, inferred join-key IsNotNulls dropped).
     */
   private def imageJoined(plan: LogicalPlan)
-      : Option[(Set[String], Set[String], Set[(String, String)], Seq[Expression])] =
+      : Option[(Set[String], Set[String], Set[(String, String)], Set[String], Seq[Expression])] =
     plan match {
       case Project(exprs, child) if exprs.forall(_.isInstanceOf[Attribute]) =>
         imageJoined(child)
       case Filter(cond, child) =>
-        imageJoined(child).map { case (l, r, p, cs) => (l, r, p, cond +: cs) }
+        imageJoined(child).map { case (l, r, p, amb, cs) => (l, r, p, amb, cond +: cs) }
       case Join(left, right, Inner, Some(cond), _) =>
         for {
           (lp, lf) <- imageFiltered(left) if lp.nonEmpty
           (rp, rf) <- imageFiltered(right) if rp.nonEmpty
           pairs <- equiPairs(cond, left.outputSet, right.outputSet)
         } yield {
-          val keyNames = pairs.flatMap(p => Seq(p._1, p._2))
+          // the join-key ATTRIBUTES (not names): an inferred IsNotNull
+          // must only be discarded for the key attribute itself — a
+          // same-named NON-key column's IsNotNull is a genuine user
+          // predicate the inner join does not imply
+          val keyAttrs = conjuncts(cond).flatMap {
+            case EqualTo(a: AttributeReference, b: AttributeReference) => Seq(a, b)
+            case _ => Nil
+          }
+          // names living on BOTH sides that are NOT an equi pair of
+          // themselves — the name-keyed mapping downstream cannot tell
+          // the two columns apart (see apply's disqualifier)
+          val ambiguous = left.output.map(_.name).toSet
+            .intersect(right.output.map(_.name).toSet)
+            .filterNot(n => pairs.contains((n, n)))
           // split pushed compound conditions so an inferred join-key
           // IsNotNull buried inside an And can be discarded alone
           val kept = (lf ++ rf).flatMap(conjuncts).filterNot {
-            case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+            case IsNotNull(a: AttributeReference) =>
+              keyAttrs.exists(_.semanticEquals(a))
             case _ => false
           }
-          (lp, rp, pairs, kept)
+          (lp, rp, pairs, ambiguous, kept)
         }
       case _ => None
     }

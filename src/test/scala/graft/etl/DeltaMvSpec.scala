@@ -114,6 +114,30 @@ class DeltaMvSpec extends AnyFunSuite {
     }
   }
 
+  test("routing converges: re-applying the rule to its own output is a no-op") {
+    // pre-refresh, currentImage FALLS BACK to a full recompute whose
+    // shape matches the registry by construction (same base paths, same
+    // keys/measures). Without the routed tag, every FixedPoint iteration
+    // of the extraOptimizations batch re-rewrote that fallback into a
+    // FRESH provider plan (canonically equal, instance-distinct), so the
+    // batch never converged and burned maxIterations per query.
+    val wh = freshWh()
+    append(wh, Seq(("a", 1L), ("b", 2L)))
+    MvRewrite.registerWarehouseDelta(wh, "t", "mv", keys,
+      Seq(MvRewrite.MeasureSig("n", "count", None),
+        MvRewrite.MeasureSig("s", "sum", Some("v"))), measures)
+    try {
+      val q = wh.read("t").groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val p0 = q.queryExecution.optimizedPlan // rule NOT registered here
+      val p1 = MvRewrite(p0)
+      assert(!p1.fastEquals(p0), "the covered aggregate must route")
+      val p2 = MvRewrite(p1)
+      assert(p2.fastEquals(p1),
+        "the rule's own output must be a fixpoint, not a fresh rewrite")
+    } finally MvRewrite.clear()
+  }
+
   test("retired coverage falls back to recompute, then refresh rebuilds") {
     val wh = freshWh()
     append(wh, Seq(("a", 1L), ("b", 10L)))

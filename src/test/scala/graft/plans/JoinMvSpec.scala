@@ -125,4 +125,45 @@ class JoinMvSpec extends AnyFunSuite {
       assert(baseDirs(wh).intersect(scanned(w3)).nonEmpty, "must not route")
     }
   }
+
+  test("a name on BOTH join sides disqualifies name-keyed routing (never mis-binds)") {
+    // both tables carry a 'tag' column; the registered view is keyed on
+    // the LEFT side's values. A query grouping by the RIGHT side's tag
+    // resolves to the same NAME — name-keyed mapping would bind it to
+    // the view's left-derived key and return wrong groups. The
+    // ambiguity must disqualify the rewrite entirely.
+    val oS = StructType(Seq(StructField("ok", LongType),
+      StructField("pri", StringType), StructField("tag", StringType)))
+    val lS = StructType(Seq(StructField("lok", LongType),
+      StructField("qty", LongType), StructField("tag", StringType)))
+    val mvS = StructType(Seq(StructField("tag", StringType),
+      StructField("n", LongType), StructField("s", LongType)))
+    val wh = new Warehouse(spark, Files.createTempDirectory("joinmv-amb").toString,
+      Map("o" -> oS, "l" -> lS, "mv" -> mvS),
+      partitionSpec = Map.empty, bucketSpec = Map.empty)
+    val orders = (1L to 30L).map(i => (i, s"p${i % 3}",
+      if (i % 2 == 0) "x" else "y")).toDF("ok", "pri", "tag")
+    val lines = (1L to 90L).map(i => (i % 30 + 1, i, "z")).toDF("lok", "qty", "tag")
+    val t = wh.begin()
+    t.append("o", orders); t.append("l", lines)
+    t.overwrite("mv", MaterializedAgg.aggregate(
+      orders.join(lines.select("lok", "qty"), col("ok") === col("lok")),
+      Seq("tag"), ms))
+    t.commit()
+    MvRewrite.registerWarehouseJoin(wh, "o", "l", Seq(("ok", "lok")), "mv",
+      Seq("tag"), sigs)
+    withRule {
+      val l = wh.read("l")
+      val q = wh.read("o").join(l, col("ok") === col("lok"))
+        .groupBy(l("tag")).agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
+      assert(baseDirs2(wh).intersect(scanned(q)).nonEmpty,
+        "ambiguous shared name must not route")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("z" -> 90L),
+        s"grouping by the right side's tag must see the right side's values: $got")
+    }
+  }
+
+  private def baseDirs2(wh: Warehouse): Set[String] =
+    (wh.catalog()("o") ++ wh.catalog()("l")).toSet
 }
