@@ -44,6 +44,15 @@ object StreamingOps {
     * nanos-as-long truncated to micros, matching DuckDB's floor — and
     * plain micro timestamps). One batch-side footer sniff picks the
     * schema; the stream then reads every file uniformly.
+    *
+    * SIDE EFFECT: `spark.sql.legacy.parquet.nanosAsLong` is set on the
+    * SESSION and stays set — it must hold for the stream's whole
+    * lifetime (micro-batches read files long after this function
+    * returns), so it cannot be try/finally-restored here. Any later
+    * batch read of a DIFFERENT nanos-timestamp parquet in the same
+    * session will surface those columns as BIGINT nanos; `graft.Tables`
+    * sets the same flag for its own reads, so inside this engine the
+    * behavior is uniform.
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -517,22 +526,6 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))
   }
 
-  /** STREAMING upkeep of an aggregate materialized view: each
-    * micro-batch refreshes the warehouse-stored view with just that
-    * batch ([[graft.operators.MaterializedAgg.refresh]]) — the
-    * continuous form of the delta-sized MV refresh, with the base
-    * stream never rescanned.
-    *
-    * `foreachBatch` is at-least-once, and an aggregate refresh (unlike
-    * the SCD1 merge) is NOT naturally idempotent — re-applying a batch
-    * double-counts. Exactly-once effect therefore comes from the
-    * documented foreachBatch pattern: the last applied batch id is
-    * committed in `metaTable` IN THE SAME warehouse transaction as the
-    * view, so a redelivered batch (id ≤ stored) is skipped atomically.
-    * A torn run can't diverge: either the (view, meta) pair committed —
-    * and replay skips — or neither did, and replay re-applies.
-    * `metaTable` schema: a single `last_batch` BIGINT row.
-    */
   /** STREAMING INGESTION into the transactional warehouse — the
     * continuous form of the nightly K8 fact append. Each micro-batch
     * lands as ONE atomic catalog swap containing: in-batch exact dedup
@@ -607,6 +600,33 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING upkeep of an aggregate materialized view: each
+    * micro-batch refreshes the warehouse-stored view with just that
+    * batch ([[graft.operators.MaterializedAgg.refresh]]) — the
+    * continuous form of the delta-sized MV refresh, with the base
+    * stream never rescanned.
+    *
+    * `foreachBatch` is at-least-once, and an aggregate refresh (unlike
+    * the SCD1 merge) is NOT naturally idempotent — re-applying a batch
+    * double-counts. Exactly-once effect therefore comes from the
+    * documented foreachBatch pattern: the last applied batch id is
+    * committed in `metaTable` IN THE SAME warehouse transaction as the
+    * view, so a redelivered batch (id ≤ stored) is skipped atomically.
+    * A torn run can't diverge: either the (view, meta) pair committed —
+    * and replay skips — or neither did, and replay re-applies.
+    * `metaTable` schema: a single `last_batch` BIGINT row.
+    *
+    * STABLE-CHECKPOINT REQUIREMENT: unlike [[streamingFactIngest]]
+    * (whose id-level anti-join makes redelivered ROWS idempotent, so a
+    * checkpoint reset only costs a re-dedup), an aggregate refresh has
+    * no row identity to dedup on — "batch id ≤ ledger" is the ONLY
+    * guard. After a checkpoint reset, batch ids restart at 0 and fresh
+    * source files arriving in those low-numbered batches are skipped
+    * (a warning is logged); re-applying instead would double-count
+    * every replayed row. Recovery from a reset is therefore: rebuild
+    * the view and the meta table together (one transaction), then
+    * restart the stream.
+    */
   def streamingMvRefresh(spark: SparkSession, wh: graft.etl.Warehouse,
                          sourceDir: String, srcSchema: StructType,
                          viewTable: String, metaTable: String,
@@ -621,6 +641,13 @@ object StreamingOps {
         val txn = wh.begin()
         val appliedRow = txn.read(metaTable).agg(max(col("last_batch"))).head()
         val applied = if (appliedRow.isNullAt(0)) -1L else appliedRow.getLong(0)
+        if (batchId <= applied)
+          // see the scaladoc's stable-checkpoint requirement: this skip
+          // is exact for REDELIVERED batches and lossy after a
+          // checkpoint reset — make the conflation visible
+          System.err.println(
+            s"[streamingMvRefresh] skipping batch $batchId (ledger at $applied); " +
+              "if the checkpoint was reset, rebuild the view+meta pair")
         if (batchId > applied) {
           // `prepare` derives view-grain columns the raw stream lacks
           // (e.g. the value bucket of an incremental QUANTILE view) —
