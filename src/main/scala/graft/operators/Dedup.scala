@@ -603,14 +603,23 @@ object Dedup {
     * gate). End-to-end honest: a planted pair lost to banding OR to the
     * verify threshold both count as missed.
     */
-  def nearDupRecallReport(found: DataFrame, planted: DataFrame): DataFrame =
-    planted
-      .join(found.select(col("doc_a"), col("doc_b"), lit(1L).as("hit")),
+  def nearDupRecallReport(found: DataFrame, planted: DataFrame): DataFrame = {
+    // orient BOTH sides (a < b): every pass emits canonical pairs, but
+    // nothing requires the PLANTED list to — an unoriented (b, a) entry
+    // would count as missed forever and silently deflate recall
+    def orient(df: DataFrame) = df.withColumn("__a",
+        least(col("doc_a"), col("doc_b")))
+      .withColumn("doc_b", greatest(col("doc_a"), col("doc_b")))
+      .withColumn("doc_a", col("__a")).drop("__a")
+    orient(planted)
+      .join(orient(found).select("doc_a", "doc_b").distinct()
+          .withColumn("hit", lit(1L)),
         Seq("doc_a", "doc_b"), "left_outer")
       .groupBy("kind")
       .agg(count(lit(1)).as("n_planted"),
         sum(coalesce(col("hit"), lit(0L))).as("n_found"))
       .withColumn("recall_bp", expr("(10000 * n_found) div n_planted"))
+  }
 
   /** Connected components over near-dup pairs: every node gets
     * `cluster_id` = the smallest doc id transitively reachable through

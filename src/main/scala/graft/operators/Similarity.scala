@@ -36,8 +36,18 @@ object Similarity {
     embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nrm", qdot(col("q"), col("q")))
 
+  /** Zero-norm guard: a vector whose components all sit in [0, 1e-6)
+    * quantizes to the all-zero array (nrm = 0), and under Spark 4's
+    * default ANSI mode a double division by zero THROWS — one degenerate
+    * embedding (a failed upstream embedding call) would kill the whole
+    * job. Cosine against a zero vector is defined here as 0.0 (no
+    * similarity — never a near-dup, never a top-k hit at any positive
+    * threshold), which is also what every oracle computes for data
+    * without such vectors (none exist in the fixtures).
+    */
   private def cosine(dot: Column, na: Column, nb: Column): Column =
-    dot.cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
+    when(na <= 0 || nb <= 0, lit(0.0))
+      .otherwise(dot.cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double")))
 
   /** Brute-force cosine top-k: every `queryPred` vector against the whole
     * corpus (minus itself). Output: (query_id, hit_id, cosine, rnk).
@@ -438,6 +448,10 @@ object Similarity {
                      overscan: Int = 4): DataFrame = {
     val qv8 = transform(col("v"), x =>
       floor((x.cast("double") * lit(127.0)) / col("amax")).cast("long"))
+    // cached like the sibling operators' quantized corpora: this frame
+    // feeds FOUR branches of one action (coarse scan, int8 queries,
+    // full-precision rerank, full-precision queries) — uncached, each
+    // branch re-runs the scan + amax + quantize + norm work
     val corpus = embeddings
       .select(col("vec_id"), col("embedding").as("v"), quantize(col("embedding")).as("q"))
       .withColumn("amax", array_max(transform(col("v"), x => abs(x.cast("double")))))
@@ -445,6 +459,7 @@ object Similarity {
       .withColumn("q8", qv8)
       .select(col("vec_id"), col("q8"), qdot(col("q8"), col("q8")).as("n8"),
         col("q"), qdot(col("q"), col("q")).as("nrm"))
+      .cache()
     val queries8 = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("q8").as("qq8"), col("n8").as("qn8"))
     // coarse pass touches ONLY int8 columns (column pruning keeps the
