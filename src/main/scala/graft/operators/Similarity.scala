@@ -270,8 +270,16 @@ object Similarity {
       .withColumn("fcos", cosine(qdot(col("cq"), col("oq")), col("cn"), col("on")))
       .withColumn("r", row_number().over(fw)).filter(col("r") === 1)
       .select(col("co_id"), col("cent_id"), col("cq"), col("cn"))
+    // vectors probe only REGISTERED coarse buckets (those holding at
+    // least one fine centroid): ranking over the raw coarse codebook
+    // could spend all nprobe probes on EMPTY buckets, and the fine join
+    // below would then emit NO row for that vector — silently violating
+    // the one-row-per-vector contract (a dropped vector is neither
+    // marked duplicate nor kept by SemDeDup)
+    val registered = fineRouted.select("co_id").distinct()
+    val probeable = coarse.join(registered, Seq("co_id"), "left_semi")
     val vw = Window.partitionBy("vec_id").orderBy(col("vcos").desc, col("co_id"))
-    val probes = corpus.join(broadcast(coarse), lit(true))
+    val probes = corpus.join(broadcast(probeable), lit(true))
       .withColumn("vcos", cosine(qdot(col("q"), col("oq")), col("nrm"), col("on")))
       .withColumn("r", row_number().over(vw)).filter(col("r") <= nprobeCoarse)
       .select(col("vec_id"), col("q"), col("nrm"), col("co_id"))

@@ -416,8 +416,10 @@ object SimilarityQueries {
       |    d.co_id) AS r
       |  FROM f2cd d JOIN cfn n ON n.cent_id = d.cent_id
       |              JOIN con cn ON cn.co_id = d.co_id) WHERE r = 1),
+      |coreg AS (SELECT co_id, qv FROM co
+      |          WHERE co_id IN (SELECT co_id FROM f2c)),
       |v2cd AS (SELECT f.vec_id, co.co_id, list_dot_product(f.qv, co.qv) AS dot
-      |         FROM qv f CROSS JOIN co),
+      |         FROM qv f CROSS JOIN coreg co),
       |v2c AS (SELECT vec_id, co_id FROM (
       |  SELECT d.vec_id, d.co_id, row_number() OVER (PARTITION BY d.vec_id ORDER BY
       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) / sqrt(CAST(cn.nrm AS DOUBLE)) DESC,
