@@ -193,6 +193,20 @@ object Dedup {
     * anchor; the per-pair verify still applies). The cap bounds every
     * bucket's output linearly in its size.
     */
+  /** Poly-family LSH band strings over an (id, m0..m7) signature row:
+    * `bandSize` adjacent families concatenated with ':'. ONE definition
+    * — the incremental path's correctness depends on producing
+    * bit-identical band strings to the full-corpus paths, so the
+    * builder must never be copy-edited per call site.
+    */
+  private def polyBandCols(bandSize: Int): Seq[Column] = {
+    require(8 % bandSize == 0, "bandSize must divide 8")
+    (0 until 8 / bandSize).map { b =>
+      concat_ws(":", (b * bandSize until (b + 1) * bandSize)
+        .map(j => col(s"m$j").cast("string")): _*)
+    }
+  }
+
   def cappedPairs(rows0: DataFrame, bucketCols: Seq[String], maxBucket: Int,
                   idCol: String = "doc_id"): DataFrame = {
     // ONE exchange on the bucket key does all the bucket-local work:
@@ -303,12 +317,8 @@ object Dedup {
       .select(col(idCol), QCharGrams.minhashCol(col("t"), n).as("mh"))
       .select(col(idCol) +:
         (0 until 8).map(j => element_at(col("mh"), j + 1).as(s"m$j")): _*)
-    val bandCols = (0 until 8 / bandSize).map { b =>
-      concat_ws(":", (b * bandSize until (b + 1) * bandSize)
-        .map(j => col(s"m$j").cast("string")): _*)
-    }
     val bands = sig.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band")))
+      posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band")))
     val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket).cache()
     // per-CANDIDATE-doc sorted gram sets, kept as arrays: the verify is
     // then one scalar merge-intersect per pair (QSortedIntersectCount) —
@@ -406,12 +416,8 @@ object Dedup {
       .select(col(idCol), QWordGrams.polySigCol(col("t"), n).as("ms"))
       .select(col(idCol) +:
         (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
-    val bandCols = (0 until 8 / bandSize).map { b =>
-      concat_ws(":", (b * bandSize until (b + 1) * bandSize)
-        .map(j => col(s"m$j").cast("string")): _*)
-    }
     val bands = sig.select(col(idCol),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band")))
+      posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band")))
     val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket, idCol).cache()
     val docHashes = candDocSets(cand, base,
       QWordGrams.polyHashesCol(col("t"), n), idCol)
@@ -536,12 +542,8 @@ object Dedup {
     val base = prep(existing).unionAll(prep(incoming))
     val sig = store.withColumn("is_new", lit(false)).unionByName(
       signatureStore(incoming, n, textCol, idCol).withColumn("is_new", lit(true)))
-    val bandCols = (0 until 8 / bandSize).map { b =>
-      concat_ws(":", (b * bandSize until (b + 1) * bandSize)
-        .map(j => col(s"m$j").cast("string")): _*)
-    }
     val bands = sig.select(col(idCol), col("is_new"),
-      posexplode(array(bandCols: _*)).as(Seq("band_id", "band")))
+      posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band")))
     // one exchange on the bucket key: size + anchor(id, flag) per row
     // (at scale these stats are maintained in the store, not recomputed)
     val w = Window.partitionBy("band_id", "band")
