@@ -354,14 +354,28 @@ object Dedup {
                                  threshold: Double): DataFrame = {
     val j = col("n_inter").cast("double") /
       (col("na") + col("nb") - col("n_inter")).cast("double")
+    arrayIntersectVerify(cand, docHashes, j, "jaccard", threshold)
+  }
+
+  /** Shared verify scaffold for set-similarity scores computed off the
+    * candidate pair's sorted hash arrays: join both sides' arrays,
+    * merge-intersect once ([[graft.functions.QSortedIntersect]]), score
+    * with the caller's expression over (n_inter, na, nb), threshold.
+    * One definition — Jaccard and containment differ ONLY in the
+    * denominator, and the join/intersect scaffolding must not drift
+    * between them.
+    */
+  private def arrayIntersectVerify(cand: DataFrame, docHashes: DataFrame,
+                                   score: Column, scoreName: String,
+                                   threshold: Double): DataFrame = {
     cand
       .join(docHashes.select(col(docHashes.columns.head).as("doc_a"), col("hs").as("ha"),
         size(col("hs")).cast("long").as("na")), Seq("doc_a"))
       .join(docHashes.select(col(docHashes.columns.head).as("doc_b"), col("hs").as("hb"),
         size(col("hs")).cast("long").as("nb")), Seq("doc_b"))
       .withColumn("n_inter", graft.functions.QSortedIntersect.col(col("ha"), col("hb")))
-      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), score.as(scoreName))
+      .filter(col(scoreName) >= threshold)
   }
 
   /** Word-n-gram near-dup pipeline on the NATIVE
@@ -460,14 +474,7 @@ object Dedup {
       QWordGrams.polyHashesCol(col("t"), n), idCol)
     val overlap = col("n_inter").cast("double") /
       least(col("na"), col("nb")).cast("double")
-    cand
-      .join(docHashes.select(col(idCol).as("doc_a"), col("hs").as("ha"),
-        size(col("hs")).cast("long").as("na")), Seq("doc_a"))
-      .join(docHashes.select(col(idCol).as("doc_b"), col("hs").as("hb"),
-        size(col("hs")).cast("long").as("nb")), Seq("doc_b"))
-      .withColumn("n_inter", graft.functions.QSortedIntersect.col(col("ha"), col("hb")))
-      .select(col("doc_a"), col("doc_b"), overlap.as("overlap"))
-      .filter(col("overlap") >= threshold)
+    arrayIntersectVerify(cand, docHashes, overlap, "overlap", threshold)
   }
 
   /** INCREMENTAL near-dup — the production ingestion shape: a batch of
