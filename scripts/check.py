@@ -7,8 +7,17 @@ Reads every `<verifyOutDir>/<name>/` parquet written by `graft.Verify`,
 runs the matching SQL from `oracle_sql.json` in DuckDB over the same
 testdata parquet tables, then compares: column names (sorted), row count,
 and a hash of the sorted values (floats canonicalized via repr).
+
+Dtype fidelity (the round-8 lesson): the ENGINE side is read with
+pyarrow/pandas — NOT through DuckDB — because that is what the driver
+does. The asymmetry matters: a DECIMAL(38,s) parquet column surfaces as
+Decimal objects under pyarrow (str keeps trailing zeros) but as float64
+under DuckDB's .df() (repr drops them), so reading both sides through
+DuckDB masked exactly the mismatch that turned 18 driver rows red in
+round 8. With this reader split, a decimal-typed engine output fails
+HERE first.
 """
-import duckdb, glob, json, os, sys, hashlib, time
+import datetime, duckdb, glob, json, os, sys, hashlib, time
 import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -39,6 +48,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             return "<null>"
         if isinstance(v, float):
             return repr(v)
+        # DATE columns: pyarrow yields datetime.date ("2024-01-01"),
+        # DuckDB datetime64 ("2024-01-01 00:00:00") — and the r8 driver
+        # artifact shows date-output queries hash-GREEN, so the driver
+        # normalizes this (unlike decimals). Render dates the
+        # timestamp way to match.
+        if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+            return f"{v} 00:00:00"
         return str(v)
     s = df.apply(lambda col: col.map(cell))
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
@@ -61,8 +77,9 @@ for name in names:
     files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no parquet output"); fails += 1; continue
-    got = con.execute(
-        f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+    # engine side via pyarrow (decimal→Decimal, like the driver), oracle
+    # side via DuckDB .df() (decimal→float64) — deliberately asymmetric
+    got = pd.read_parquet(f"{OUT}/{name}", engine="pyarrow")
     if name not in oracle:
         print(f"SKIP {name}: no oracle ({len(got)} rows)"); continue
     try:

@@ -24,9 +24,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Output-convention guard (round-8 lesson): the external
+        // comparator reads engine parquet with pyarrow (decimal128 →
+        // Decimal objects) but oracles through DuckDB's .df() (→
+        // float64), so a DECIMAL output column can never hash-match
+        // even when values are bit-identical. Exact results must leave
+        // as STRING (or DOUBLE when <16 significant digits).
+        val decCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(decCols.isEmpty,
+          s"decimal output columns [${decCols.mkString(", ")}] — cast to STRING " +
+            "(TpchQueries.outStr) or DOUBLE; raw decimals fail the driver hash gate")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -59,7 +59,7 @@ object MiscQueries {
             " 'l_discount', CAST(l_discount AS DECIMAL(18,4))," +
             " 'l_tax', CAST(l_tax AS DECIMAL(18,4))) AS (metric, v)"))
         .groupBy("metric")
-        .agg(sum(col("v")).cast(DecimalType(38, 4)).as("total"))
+        .agg(sum(col("v")).cast(DecimalType(38, 4)).cast(StringType).as("total"))
         .orderBy("metric")),
 
     // Ordered funnel: users reaching view -> click -> purchase, each
@@ -140,7 +140,7 @@ object MiscQueries {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_qty"),
+            .cast(DecimalType(38, 2)).cast(StringType).as("sum_qty"),
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship"))
         .orderBy("l_returnflag")
@@ -169,7 +169,7 @@ object MiscQueries {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("user_id")).as("n_users"),
           sum(col("value").cast(DecimalType(18, 6)))
-            .cast(DecimalType(38, 6)).as("sum_value"))
+            .cast(DecimalType(38, 6)).cast(StringType).as("sum_value"))
         .orderBy("event_type")
     }),
 
@@ -178,7 +178,8 @@ object MiscQueries {
       Tables(s, dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast(StringType).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
@@ -290,7 +291,7 @@ object MiscQueries {
       Tables(s, dir, "lineitem").createOrReplaceTempView("li_gs")
       s.sql(
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+          |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS STRING) AS qty
           |FROM li_gs
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
@@ -376,7 +377,7 @@ object MiscQueries {
       val mv = aggregate(li.filter(col("l_shipdate") < cut), keys, ms)
       refresh(mv, li.filter(col("l_shipdate") >= cut), keys, ms)
         .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
-          col("sum_qty").cast(DecimalType(38, 2)).as("sum_qty"),
+          col("sum_qty").cast(DecimalType(38, 2)).cast(StringType).as("sum_qty"),
           col("min_ship"), col("max_ship"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -459,9 +460,11 @@ object MiscQueries {
         .groupBy("o_orderkey", "o_orderdate")
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
-          .cast(DecimalType(38, 4)).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
+          .cast(DecimalType(38, 4)).as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("o_orderkey"))
         .limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("rev_exact").cast(StringType).as("revenue"))
     }),
 
     // Classic TPC-H Q5 (local supplier volume): the 6-way join with
@@ -484,8 +487,9 @@ object MiscQueries {
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2)))
-          .cast(DecimalType(38, 4)).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+          .cast(DecimalType(38, 4)).as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("n_name"))
+        .select(col("n_name"), col("rev_exact").cast(StringType).as("revenue"))
     }),
 
     // Classic TPC-H Q10 (returned-item reporting): which customers
@@ -509,7 +513,7 @@ object MiscQueries {
         .orderBy(col("rev_exact").desc, col("c_custkey"))
         .limit(20)
         .select(col("c_custkey"), col("c_name"),
-          col("rev_exact").cast(DecimalType(38, 4)).as("revenue"),
+          col("rev_exact").cast(DecimalType(38, 4)).cast(StringType).as("revenue"),
           col("c_acctbal"), col("n_name"))
     }),
 
@@ -1166,26 +1170,29 @@ object MiscQueries {
 
     "q_mv_refresh" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT o_orderkey, o_orderdate,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1997-06-01'
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
-        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+        |GROUP BY 1, 2
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -1195,12 +1202,14 @@ object MiscQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+        |GROUP BY 1
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) DESC, n_name""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
         | c_acctbal, n_name
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -1522,14 +1531,14 @@ object MiscQueries {
     // a value changed by the ORC/JSON write+read flips the hash
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n_rows,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
         | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_json_roundtrip" ->
       """SELECT event_type, count(*) AS n_rows,
         | count(DISTINCT user_id) AS n_users,
-        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_listagg" ->
@@ -1546,7 +1555,7 @@ object MiscQueries {
         | SELECT 'l_discount', CAST(l_discount AS DECIMAL(30,4)) FROM lineitem
         | UNION ALL
         | SELECT 'l_tax', CAST(l_tax AS DECIMAL(30,4)) FROM lineitem)
-        |SELECT metric, CAST(sum(v) AS DECIMAL(38,4)) AS total
+        |SELECT metric, CAST(CAST(sum(v) AS DECIMAL(38,4)) AS VARCHAR) AS total
         |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
 
     // mirrors EventAnalytics.funnel: running-min chain per stage over
@@ -1672,7 +1681,7 @@ object MiscQueries {
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -1778,7 +1787,7 @@ object MiscQueries {
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,

@@ -32,16 +32,27 @@ object TpchQueries {
   private val D42 = DecimalType(4, 2)
   private val D182 = DecimalType(18, 2)
 
-  /** Output type for large exact sums. A lineitem-wide scale-6 sum has
-    * 16-17 significant digits at sf1 — past DOUBLE's 15.95 — so casting
-    * it to DOUBLE makes the result depend on WHICH engine performs the
-    * decimal→double rounding (Spark's java.math correctly-rounded
-    * conversion vs DuckDB's int128·10^-s multiply differ by 1 ulp on
-    * ~half the inexact values; q_tpch_q1.sum_charge flipped exactly
-    * this way at sf1). Emitting the exact DECIMAL instead pushes the
-    * one lossy conversion into the comparator, which applies the SAME
-    * conversion to both sides. */
+  /** Output convention for large exact sums. A lineitem-wide scale-6
+    * sum has 16-17 significant digits at sf1 — past DOUBLE's 15.95 — so
+    * casting it to DOUBLE makes the result depend on WHICH engine
+    * performs the decimal→double rounding (Spark's java.math
+    * correctly-rounded conversion vs DuckDB's int128·10^-s multiply
+    * differ by 1 ulp on ~half the inexact values; q_tpch_q1.sum_charge
+    * flipped exactly this way at sf1). Emitting raw DECIMAL(38,s)
+    * instead (round 8) broke the external comparator the OTHER way: it
+    * reads the engine's parquet with pyarrow (decimal128 → Decimal
+    * objects, str keeps trailing zeros) but the oracle through DuckDB's
+    * .df() (→ float64, repr drops them), so bit-identical values never
+    * hash-matched. The scale-proof convention is STRING: both engines
+    * render a DECIMAL(38,s) as the same plain fixed-scale text
+    * ("3652441.185600"), exact at any SF and identical under any
+    * comparator dtype path. Decimal arithmetic stays internal; only
+    * the OUTPUT column is text. Oracles mirror with
+    * CAST(CAST(… AS DECIMAL(38,s)) AS VARCHAR). */
   private val D386 = DecimalType(38, 6)
+
+  /** The exact-sum output cast: exact decimal, rendered as text. */
+  private def outStr(c: Column): Column = c.cast(D386).cast(StringType)
 
   /** l_extendedprice · (1 − l_discount) in exact decimal, scale 4. */
   private def rev: Column =
@@ -61,11 +72,11 @@ object TpchQueries {
         .filter(col("l_shipdate") <= ts("2000-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(D122)).cast(D386).as("sum_qty"),
-          sum(col("l_extendedprice").cast(D122)).cast(D386).as("sum_base_price"),
-          sum(rev).cast(D386).as("sum_disc_price"),
-          sum(rev * (lit(1.0) + col("l_tax")).cast(D42))
-            .cast(D386).as("sum_charge"),
+          outStr(sum(col("l_quantity").cast(D122))).as("sum_qty"),
+          outStr(sum(col("l_extendedprice").cast(D122))).as("sum_base_price"),
+          outStr(sum(rev)).as("sum_disc_price"),
+          outStr(sum(rev * (lit(1.0) + col("l_tax")).cast(D42)))
+            .as("sum_charge"),
           (sum(col("l_quantity").cast(D122)).cast(DoubleType) / count(lit(1)))
             .as("avg_qty"),
           (sum(col("l_extendedprice").cast(D122)).cast(DoubleType) / count(lit(1)))
@@ -87,8 +98,8 @@ object TpchQueries {
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
         .agg(
-          sum(col("l_extendedprice").cast(D122) * col("l_discount").cast(D42))
-            .cast(D386).as("revenue"),
+          outStr(sum(col("l_extendedprice").cast(D122) * col("l_discount").cast(D42)))
+            .as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -119,7 +130,7 @@ object TpchQueries {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(sum(rev).cast(D386).as("revenue"))
+        .agg(outStr(sum(rev)).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
@@ -154,7 +165,7 @@ object TpchQueries {
           (sum(when(col("supp_nation") === "NATION_2", rev)
               .otherwise(lit(0).cast(D122))).cast(DoubleType) /
             sum(rev).cast(DoubleType)).as("mkt_share"),
-          sum(rev).cast(D386).as("total_volume"))
+          outStr(sum(rev)).as("total_volume"))
         .orderBy("o_year")
     }),
 
@@ -179,7 +190,7 @@ object TpchQueries {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).as("o_year"))
-        .agg(sum(profit).cast(D386).as("sum_profit"))
+        .agg(outStr(sum(profit)).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
@@ -252,7 +263,7 @@ object TpchQueries {
         .join(Tables(s, dir, "supplier"),
           col("s_suppkey") === col("supplier_no"))
         .select(col("s_suppkey"), col("s_name"),
-          col("total_exact").cast(D386).as("total_revenue"))
+          outStr(col("total_exact")).as("total_revenue"))
         .orderBy("s_suppkey")
     }),
 
@@ -271,7 +282,7 @@ object TpchQueries {
       Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "part").select("p_partkey", "p_brand", "p_size"),
           col("l_partkey") === col("p_partkey") && band)
-        .agg(sum(rev).cast(D386).as("revenue"),
+        .agg(outStr(sum(rev)).as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -298,7 +309,7 @@ object TpchQueries {
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey").as("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
-          sum(col("c_acctbal").cast(D182)).cast(D386).as("totacctbal"))
+          outStr(sum(col("c_acctbal").cast(D182))).as("totacctbal"))
         .orderBy("cntrycode")
     }),
 
@@ -375,9 +386,9 @@ object TpchQueries {
       byPart.crossJoin(broadcast(total))
         .filter(col("part_value").cast(DoubleType) * col("n_parts") >
           col("total_value").cast(DoubleType) * lit(1.25))
+        .orderBy(col("part_value").desc, col("ps_partkey"))
         .select(col("ps_partkey"),
-          col("part_value").cast(D386).as("value"))
-        .orderBy(col("value").desc, col("ps_partkey"))
+          outStr(col("part_value")).as("value"))
     }),
 
     // Q16 supplier-count by part description: NOT-IN exclusion (LEFT
@@ -490,11 +501,12 @@ object TpchQueries {
         |tot AS (SELECT sum(val) AS total_value,
         |  count(DISTINCT ps_partkey) AS n_parts FROM v),
         |bp AS (SELECT ps_partkey, sum(val) AS part_value FROM v GROUP BY 1)
-        |SELECT ps_partkey, CAST(part_value AS DECIMAL(38,6)) AS value
+        |SELECT ps_partkey,
+        |  CAST(CAST(part_value AS DECIMAL(38,6)) AS VARCHAR) AS value
         |FROM bp, tot
         |WHERE CAST(part_value AS DOUBLE) * n_parts
         |    > CAST(total_value AS DOUBLE) * 1.25
-        |ORDER BY value DESC, ps_partkey""".stripMargin),
+        |ORDER BY part_value DESC, ps_partkey""".stripMargin),
 
     "q_tpch_q16" -> (PsCte +
       """
@@ -536,13 +548,13 @@ object TpchQueries {
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_disc_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |   * CAST(1.0 - l_discount AS DECIMAL(4,2))
-        |   * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_charge,
+        |   * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
         | CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -553,8 +565,8 @@ object TpchQueries {
 
     "q_tpch_q6" ->
       """SELECT
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |   * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS revenue,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -565,8 +577,8 @@ object TpchQueries {
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(year(l_shipdate) AS INT) AS l_year,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS revenue
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -587,8 +599,8 @@ object TpchQueries {
         |     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
         |   / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |       * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS mkt_share,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS total_volume
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS VARCHAR) AS total_volume
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
         |JOIN orders ON l_orderkey = o_orderkey
@@ -603,11 +615,11 @@ object TpchQueries {
 
     "q_tpch_q9" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |     * CAST(1.0 - l_discount AS DECIMAL(4,2))
         |   - CAST(p_retailprice AS DECIMAL(12,2))
         |     * CAST(l_quantity AS DECIMAL(12,2))
-        |     * CAST(0.5 AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS sum_profit
+        |     * CAST(0.5 AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
         |JOIN orders ON l_orderkey = o_orderkey
@@ -663,7 +675,7 @@ object TpchQueries {
         |    AND l_shipdate < TIMESTAMP '1997-04-01'
         |  GROUP BY 1)
         |SELECT s_suppkey, s_name,
-        |  CAST(total_exact AS DECIMAL(38,6)) AS total_revenue
+        |  CAST(CAST(total_exact AS DECIMAL(38,6)) AS VARCHAR) AS total_revenue
         |FROM revenue
         |JOIN supplier ON s_suppkey = supplier_no
         |WHERE total_exact = (SELECT max(total_exact) FROM revenue)
@@ -671,8 +683,8 @@ object TpchQueries {
 
     "q_tpch_q19" ->
       """SELECT
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS revenue,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -690,7 +702,7 @@ object TpchQueries {
         |  FROM customer
         |  WHERE c_acctbal > 0 AND c_nationkey IN (0, 5, 10, 15))
         |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS totacctbal
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR) AS totacctbal
         |FROM customer, pos
         |WHERE c_nationkey IN (0, 5, 10, 15)
         |  AND CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > bal_sum
