@@ -16,13 +16,16 @@ import scala.jdk.CollectionConverters._
   * (~1.5M rows, padded to realistic row width): the same ~1% churn
   * merges twice — once through the partial path, once as a full-dim
   * overwrite — and the JSON line reports seconds and NEWLY WRITTEN
-  * bytes for each. The interesting number at 100 TB is the byte ratio:
-  * with 64 buckets and 1% daily churn essentially every bucket contains
-  * SOME changed key, so the write shrinks only ~0-30% at this bucket
-  * count — the probe also runs a 1024-bucket layout, where the same
-  * churn leaves most buckets untouched, to show the knob that makes the
-  * ratio approach the churn rate. (Bucket count is a per-table layout
-  * choice: a 100 TB dim runs thousands of buckets, not 64.)
+  * bytes for each, across a churn spectrum. The governing law: with
+  * `c` uniformly-hashed changed keys and `B` buckets, the expected
+  * rewrite fraction is `1 − exp(−c/B)` ≈ `c/B` for `c ≪ B`. So the
+  * pruning pays exactly where the reference pipeline lives — nightly
+  * runs whose delta is small against the dim (a zero-change run writes
+  * NOTHING; a ~100-key delta rewrites ~`100/B` of the bytes) — while
+  * uniform 1%%-of-1.5M churn saturates every bucket at any practical
+  * `B` and honestly degenerates to a full rewrite plus link overhead.
+  * At a 100 TB dim the same law holds with B in the thousands: the
+  * knob to size is B vs the EXPECTED daily delta, not the dim.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/tmp/testdata/sf1 runMain graft.DimMergeProbe
   */
@@ -54,20 +57,27 @@ object DimMergeProbe {
       rpad(concat_ws("|", col("o_orderkey"), col("o_custkey"),
         col("o_totalprice")), 160, "x").as("payload"),
       lit(ts0).as("create_dt"),
-      lit(null).cast(TimestampType).as("update_dt"))
+      lit(null).cast(TimestampType).as("update_dt"),
+      lit(ts0).as("processed_dt"))
 
-  /** Day-2 snapshot: ~1% updates (payload flip), 0.1% deletes, 0.1%
-    * inserts — the reference pipeline's realistic nightly churn shape.
+  /** Day-2 snapshot (no processed_dt — mergeAudit stamps it).
+    * `updMod`/`delMod` set the churn scale: updates hit
+    * `id % updMod == 7`, deletes `id % delMod == 3`, inserts
+    * `delMod`-spaced fresh keys. `updMod == 0` means NO churn at all —
+    * the snapshot equals the dim image (the skip-write fast path).
     */
-  private def snapshot(s: SparkSession, dir: String): DataFrame = {
-    val base = seed(s, dir).filter(col("id") % 1000 =!= 3)
+  private def snapshot(s: SparkSession, dir: String,
+                       updMod: Int, delMod: Int): DataFrame = {
+    val base0 = seed(s, dir).drop("processed_dt")
+    if (updMod == 0) return base0
+    val base = base0.filter(col("id") % delMod =!= 3)
     val churned = base.withColumn("payload",
-        when(col("id") % 100 === 7, concat(lit("UPD|"), col("payload")))
+        when(col("id") % updMod === 7, concat(lit("UPD|"), col("payload")))
           .otherwise(col("payload")))
       .withColumn("update_dt",
-        when(col("id") % 100 === 7, lit(ts1)).otherwise(col("update_dt")))
+        when(col("id") % updMod === 7, lit(ts1)).otherwise(col("update_dt")))
     val inserts = Tables(s, dir, "orders")
-      .filter(col("o_orderkey") % 1000 === 5)
+      .filter(col("o_orderkey") % delMod === 5)
       .select((col("o_orderkey") + lit(1000000000L)).as("id"),
         col("o_orderstatus").as("status"),
         col("o_orderpriority").as("priority"),
@@ -90,11 +100,14 @@ object DimMergeProbe {
 
   private def dirBytes(dir: String): Long = parquetFiles(dir).map(Files.size).sum
 
-  /** One (bucketCount → measurements) cell: seed, churn, merge both
-    * ways, report seconds + new bytes.
+  /** One (bucketCount × churn) cell: seed, churn, merge both ways,
+    * report seconds + NEWLY WRITTEN bytes. The partial path mirrors
+    * Pipeline exactly, including the `touched.isEmpty → no write` fast
+    * path a zero-change run takes.
     */
-  private def run(spark: SparkSession, dir: String, nBuckets: Int): String = {
-    val snap = snapshot(spark, dir)
+  private def run(spark: SparkSession, dir: String, nBuckets: Int,
+                  churn: String, updMod: Int, delMod: Int): String = {
+    val snap = snapshot(spark, dir, updMod, delMod)
 
     // ---- partial path
     val rootP = Files.createTempDirectory(s"dmp-part-$nBuckets").toString
@@ -109,16 +122,20 @@ object DimMergeProbe {
     val txn = whP.begin()
     val touched = Scd1.changedKeyBuckets(txn.read(Dim), snap, keys, cmp,
       nBuckets, deletesVisible = true)
-    val inT = Scd1.inBuckets(keys, nBuckets, touched.toIndexedSeq)
-    txn.overwriteBuckets(Dim,
-      Scd1.mergeAudit(txn.read(Dim).filter(inT), snap.filter(inT), keys, cmp, ts1),
-      touched.toIndexedSeq)
+    if (touched.nonEmpty) {
+      val inT = Scd1.inBuckets(keys, nBuckets, touched.toIndexedSeq)
+      txn.overwriteBuckets(Dim,
+        Scd1.mergeAudit(txn.read(Dim).filter(inT), snap.filter(inT), keys, cmp, ts1),
+        touched.toIndexedSeq)
+    }
     txn.commit()
     val partialSecs = (System.nanoTime() - tP0) / 1e9
     val newDir = whP.catalog()(Dim).head
-    val newBytes = parquetFiles(newDir)
-      .filterNot(f => oldNames.contains(f.getFileName.toString))
-      .map(Files.size).sum
+    val newBytes =
+      if (newDir == oldDir) 0L
+      else parquetFiles(newDir)
+        .filterNot(f => oldNames.contains(f.getFileName.toString))
+        .map(Files.size).sum
     val nRows = whP.read(Dim).count()
 
     // ---- full-overwrite path (fresh root, same seed + churn)
@@ -140,7 +157,8 @@ object DimMergeProbe {
       "partial and full merges disagree on row count")
 
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    s"""{"buckets":$nBuckets,"rows":$nRows,"touched":${touched.length},""" +
+    s"""{"churn":"$churn","buckets":$nBuckets,"rows":$nRows,""" +
+      s""""touched":${touched.length},""" +
       s""""partial_secs":${f(partialSecs)},"partial_new_bytes":$newBytes,""" +
       s""""full_secs":${f(fullSecs)},"full_bytes":$fullBytes,""" +
       s""""bytes_ratio":${f(newBytes.toDouble / fullBytes)}}"""
@@ -158,7 +176,16 @@ object DimMergeProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val cells = Seq(64, 1024).map(n => run(spark, dir, n))
+    // churn spectrum at sf1 (1.5M-row dim): zero-change run (the skip
+    // path), a delta-sized run (~100 changed keys — the reference's
+    // nightly shape), and uniform 1% churn (15k keys — saturates every
+    // bucket at any practical count; the honest upper bound).
+    val cells = Seq(
+      ("none", 1024, 0, 0),
+      ("delta100", 64, 15000, 150000),
+      ("delta100", 1024, 15000, 150000),
+      ("pct1", 1024, 100, 1000)
+    ).map { case (churn, n, u, d) => run(spark, dir, n, churn, u, d) }
     println(s"""{"probe":"dim_merge_buckets","sf":"$dir","cells":[${cells.mkString(",")}]}""")
     spark.stop()
   }

@@ -132,7 +132,7 @@ class MvRouterNegativeSpec extends AnyFunSuite {
       "distinct aggregate" -> (() =>
         f.groupBy("g").agg(countDistinct(col("v")).as("n"))),
       "filtered aggregate (FILTER clause)" -> (() =>
-        f.groupBy("g").agg(count(lit(1)).filter(col("v") > 3.0).as("n"))),
+        f.groupBy("g").agg(expr("count(*) FILTER (WHERE v > 3.0)").as("n"))),
       "composite expression over aggregates" -> (() =>
         f.groupBy("g").agg((sum(col("v")) + count(lit(1))).as("sn"))),
       "unregistered measure (max)" -> (() =>
