@@ -91,6 +91,22 @@ object ResultCache {
     */
   val DefaultEvictionGraceMs: Long = 10L * 60 * 1000
 
+  /** HARD entry ceiling (vs `maxEntries`, the soft LRU target): the
+    * eviction grace makes the soft cap advisory — a burst of distinct
+    * deterministic queries inside one grace window stores entries the
+    * LRU pass may not delete yet. At `hardMaxEntries` [[through]] stops
+    * STORING and hands the caller its own (uncached) frame instead:
+    * correctness unchanged, the burst just doesn't cache, and `_cache/`
+    * on disk is bounded by the hard cap in every window.
+    */
+  val DefaultHardMaxEntries: Int = DefaultMaxEntries * 2
+
+  private def entryCount(wh: Warehouse): Int = {
+    val root = Paths.get(wh.root, "_cache")
+    if (!Files.exists(root)) 0
+    else listDir(root).count(Files.isDirectory(_))
+  }
+
   /** Run `df` through the cache of `wh`: return the stored result when
     * the same canonical plan over the same scanned paths was already
     * evaluated, else evaluate, store, and read back. Build the frame
@@ -98,17 +114,26 @@ object ResultCache {
     * frame captured before a commit reads the old dirs, which is
     * exactly what its key says it reads. Past `maxEntries` the
     * least-recently-USED entries are evicted at store time (recency =
-    * last hit or store, tracked per entry), so the cache footprint is
-    * bounded for any query mix.
+    * last hit or store, tracked per entry); at `hardMaxEntries` new
+    * results BYPASS the store entirely (uncached passthrough), so the
+    * on-disk footprint is bounded even when the grace window protects
+    * every LRU candidate.
     */
   def through(wh: Warehouse, df: DataFrame,
               maxEntries: Int = DefaultMaxEntries,
-              evictionGraceMs: Long = DefaultEvictionGraceMs): DataFrame = {
+              evictionGraceMs: Long = DefaultEvictionGraceMs,
+              hardMaxEntries: Int = DefaultHardMaxEntries): DataFrame = {
     if (!deterministic(df)) return df
     val text = canonical(df).toString
     val dir = entryDir(wh, df)
     val dataDir = dir.resolve("data")
     if (!isHit(dir, text)) {
+      if (entryCount(wh) >= hardMaxEntries) {
+        // grace-protected entries have pinned the disk at the hard cap:
+        // serve this one uncached rather than grow further
+        evictOver(wh, maxEntries, evictionGraceMs)
+        return df
+      }
       df.write.mode("overwrite").parquet(dataDir.toString)
       Files.createDirectories(dir)
       Files.write(dir.resolve("plan.txt"), text.getBytes(StandardCharsets.UTF_8))

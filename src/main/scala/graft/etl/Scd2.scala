@@ -48,20 +48,35 @@ object Scd2 {
   /** A snapshot with two rows for one key would fan the full-outer
     * join out and write two open versions — silently breaking the
     * at-most-one-is_current invariant every asOf/point-in-time join
-    * relies on. Same delta-sized aggregate guard as [[Merge.into]];
-    * fails loudly instead.
+    * relies on.
+    *
+    * The guard rides the LOAD'S OWN execution instead of a separate
+    * groupBy job (round-8 advice: the old eager check re-shuffled the
+    * snapshot once per load purely for validation): a window count
+    * partitioned on the merge keys — the SAME hash partitioning the
+    * merge join needs, so the snapshot still crosses the wire once —
+    * feeds an `assert_true` filter that fails the job loudly on the
+    * first duplicate key, naming it. Zero extra Spark jobs, zero extra
+    * exchanges; the check costs one in-partition sort it shares with
+    * the SMJ. Fails at ACTION time (the merge's own), not at plan
+    * build — callers see the error on the load that would have
+    * corrupted history, with the offending key in the message.
     */
-  private def requireUniqueKeys(snapshot: DataFrame, keys: Seq[String]): Unit = {
-    val dup = snapshot.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dup == 0L,
-      s"SCD2 snapshot has multiple rows for one key of (${keys.mkString(", ")})")
+  private def guardUniqueKeys(snapshot: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    snapshot
+      .withColumn("__kcnt", count(lit(1)).over(w))
+      .filter(assert_true(col("__kcnt") <= 1,
+        concat(lit(s"SCD2 snapshot has multiple rows for one key of " +
+            s"(${keys.mkString(", ")}): "),
+          concat_ws("|", keys.map(k => col(k).cast("string")): _*))).isNull)
+      .drop("__kcnt")
   }
 
   /** Merge a full snapshot taken at `asOf` into the history. */
-  def merge(history: DataFrame, snapshot: DataFrame, keys: Seq[String],
+  def merge(history: DataFrame, snapshotIn: DataFrame, keys: Seq[String],
             compareCols: Seq[String], asOf: java.sql.Timestamp): DataFrame = {
-    requireUniqueKeys(snapshot, keys)
+    val snapshot = guardUniqueKeys(snapshotIn, keys)
     val attrs = keys ++ compareCols
     val closed = history.filter(!col("is_current"))
       .select((attrs ++ auditCols).map(col): _*)
@@ -168,9 +183,8 @@ object Scd2 {
                      compareCols: Seq[String],
                      asOf: java.sql.Timestamp): Unit = {
     val attrs = keys ++ compareCols
-    requireUniqueKeys(snapshot, keys)
     val txn = wh.begin()
-    val snapC = snapshot.select(attrs.map(col): _*)
+    val snapC = guardUniqueKeys(snapshot.select(attrs.map(col): _*), keys)
 
     // (newCurrent, newlyClosed) from one full-outer join of the (possibly
     // bucket-pruned) current slice against the snapshot. The join is

@@ -168,6 +168,36 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(ResultCache.wouldHit(wh, qn(1)))
   }
 
+  test("hard cap: a grace-pinned burst stops storing instead of growing the disk") {
+    val wh = freshWh()
+    load(wh, "t", Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    def qn(n: Int) = wh.read("t").filter(col("v") <= n.toLong)
+      .groupBy("g").agg(sum(col("v")).as("s"))
+    def entries = {
+      val root = java.nio.file.Paths.get(wh.root, "_cache")
+      if (!Files.exists(root)) 0
+      else { import scala.jdk.CollectionConverters._
+        Files.list(root).iterator().asScala.size }
+    }
+    // soft cap 2, hard cap 4, default grace: every entry in the burst is
+    // inside the grace window, so LRU cannot evict — the hard cap must
+    // stop the disk growth instead
+    (1 to 8).foreach { i =>
+      val out = ResultCache.through(wh, qn(i), maxEntries = 2,
+        hardMaxEntries = 4)
+      // passthrough or cached, the ANSWER is always right
+      assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+        qn(i).collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+        s"burst query $i must return correct rows regardless of caching")
+      Thread.sleep(15)
+    }
+    assert(entries == 4, s"hard cap must bound _cache at 4 entries, got $entries")
+    // the first 4 stored and still hit; the rest were served uncached
+    assert(ResultCache.wouldHit(wh, qn(1)) && ResultCache.wouldHit(wh, qn(4)))
+    assert(!ResultCache.wouldHit(wh, qn(5)) && !ResultCache.wouldHit(wh, qn(8)),
+      "past the hard cap results must not have been stored")
+  }
+
   test("empty results cache and read back with schema intact") {
     val wh = freshWh()
     load(wh, "t", Seq(("a", 1L)))

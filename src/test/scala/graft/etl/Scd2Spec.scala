@@ -96,10 +96,35 @@ class Scd2Spec extends AnyFunSuite {
     // is_current versions — the invariant every asOf join depends on
     val h1 = Scd2.initial(snap(Seq(("k1", Some("x"), Some(1)))), Seq("k"), Seq("a", "b"), t1)
     val dup = snap(Seq(("k2", Some("y"), Some(2)), ("k2", Some("z"), Some(3))))
-    val ex = intercept[IllegalArgumentException] {
+    // the guard rides the merge's own execution (no separate validation
+    // job), so the failure surfaces from the ACTION, wrapped by Spark
+    val ex = intercept[Exception] {
       Scd2.merge(h1, dup, Seq("k"), Seq("a", "b"), t2).collect()
     }
-    assert(ex.getMessage.contains("multiple rows"), ex.getMessage)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("multiple rows")),
+      s"expected the duplicate-key message in: ${messages(ex)}")
+    assert(messages(ex).exists(_.contains("k2")),
+      s"the offending key must be named: ${messages(ex)}")
+  }
+
+  test("unique-key guard adds no extra snapshot exchange (rides the merge shuffle)") {
+    // the round-8 advice fix: validation used to be its own groupBy job
+    // (a second full shuffle of the snapshot per load). Inline, the
+    // window count partitions on the same keys the join shuffles on, so
+    // the plan carries exactly ONE exchange per input side.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val h = Scd2.initial(snap(Seq(("k1", Some("x"), Some(1)))), Seq("k"), Seq("a", "b"), t1)
+      val m = Scd2.merge(h, snap(Seq(("k1", Some("x"), Some(1)),
+        ("k2", Some("y"), Some(2)))), Seq("k"), Seq("a", "b"), t2)
+      val plan = m.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 2,
+        s"guard must reuse the merge's shuffle, found $exchanges exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("asOf: point-in-time lookup uses half-open intervals") {
