@@ -152,9 +152,12 @@ object DimMergeProbe {
     val fullSecs = (System.nanoTime() - tF0) / 1e9
     val fullBytes = dirBytes(whF.catalog()(Dim).head)
 
-    // content identity: the partial path must produce the full merge
-    require(whP.read(Dim).count() == whF.read(Dim).count(),
-      "partial and full merges disagree on row count")
+    // content identity: the partial path must produce the full merge —
+    // FULL symmetric-difference compare (a stale carried-over payload
+    // would keep cardinality identical; a count check proves nothing)
+    require(whP.read(Dim).exceptAll(whF.read(Dim)).isEmpty &&
+      whF.read(Dim).exceptAll(whP.read(Dim)).isEmpty,
+      "partial and full merges disagree on content")
 
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     s"""{"churn":"$churn","buckets":$nBuckets,"rows":$nRows,""" +

@@ -31,9 +31,19 @@ object Verify {
         // Decimal objects) but oracles through DuckDB's .df() (→
         // float64), so a DECIMAL output column can never hash-match
         // even when values are bit-identical. Exact results must leave
-        // as STRING (or DOUBLE when <16 significant digits).
+        // as STRING (or DOUBLE when <16 significant digits). The check
+        // recurses: a decimal nested in an array/struct/map column hits
+        // the same comparator asymmetry as a top-level one.
+        import org.apache.spark.sql.types._
+        def hasDecimal(dt: DataType): Boolean = dt match {
+          case _: DecimalType => true
+          case a: ArrayType => hasDecimal(a.elementType)
+          case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+          case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+          case _ => false
+        }
         val decCols = df.schema.fields.collect {
-          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+          case f if hasDecimal(f.dataType) => f.name
         }
         require(decCols.isEmpty,
           s"decimal output columns [${decCols.mkString(", ")}] — cast to STRING " +
@@ -41,6 +51,18 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must not leave a PREVIOUS run's output behind:
+        // when iterating into a reused outDir, a stale parquet would
+        // make check.py compare old (possibly green) results and mask
+        // the failure — delete so the comparator sees "no output".
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val st = java.nio.file.Files.list(p)
+            try st.forEach(rm(_)) finally st.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(Paths.get(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -128,7 +128,13 @@ object ResultCache {
     val dir = entryDir(wh, df)
     val dataDir = dir.resolve("data")
     if (!isHit(dir, text)) {
-      if (entryCount(wh) >= hardMaxEntries) {
+      // effective ceiling scales with the caller's soft cap (a caller
+      // passing maxEntries >= the default hard cap must not freeze the
+      // cache), and an ALREADY-EXISTING entry dir (plan-hash-collision
+      // takeover, or a crashed store without _SUCCESS) is always
+      // rewritable — replacing it grows nothing.
+      val ceiling = math.max(hardMaxEntries, 2 * maxEntries)
+      if (!Files.exists(dir) && entryCount(wh) >= ceiling) {
         // grace-protected entries have pinned the disk at the hard cap:
         // serve this one uncached rather than grow further
         evictOver(wh, maxEntries, evictionGraceMs)

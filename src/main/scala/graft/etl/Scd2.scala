@@ -61,6 +61,18 @@ object Scd2 {
     * the SMJ. Fails at ACTION time (the merge's own), not at plan
     * build — callers see the error on the load that would have
     * corrupted history, with the offending key in the message.
+    *
+    * Action-time tradeoffs, accepted deliberately: (a) in the BUCKETED
+    * `mergeWarehouse` path the first action over the guarded snapshot
+    * is `changedKeyBuckets`' detection collect, which runs BEFORE any
+    * write — duplicates abort with zero side effects; (b) in the
+    * non-bucketed path the failure lands inside the staging write, and
+    * the partially-written (uncommitted, unreferenced) dir is exactly
+    * the orphan class `vacuum` reclaims after its grace window — the
+    * catalog never sees it; (c) `merge()` returns a LAZY frame, so a
+    * caller that builds but never executes it defers the check to
+    * whatever action finally runs the plan — the guard travels with
+    * the frame.
     */
   private def guardUniqueKeys(snapshot: DataFrame, keys: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
