@@ -4,6 +4,30 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Output-convention guard (round-8 lesson, generalized round 9): the
+    * external comparator reads engine parquet with pyarrow but oracles
+    * through DuckDB's .df(), and the two readers only canonicalize the
+    * SAME way for the dtype families that have been driver-green in
+    * past rounds: STRING, INT/BIGINT, DOUBLE, BOOLEAN, DATE, TIMESTAMP.
+    * Anything else is unproven against the gate — DECIMAL is *proven
+    * hostile* (pyarrow Decimal objects vs DuckDB float64, 18 red rows
+    * in round 8), and float32 / binary / nested arrays would each
+    * gamble a round to find out. Exact wide sums leave as fixed-scale
+    * STRING (TpchQueries.outStr) with a CAST(… AS VARCHAR) oracle.
+    * Returns the offending `name: type` strings (empty = safe).
+    */
+  def driverUnsafeColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val allowed: Set[DataType] =
+      Set(StringType, IntegerType, LongType, DoubleType, BooleanType,
+        DateType, TimestampType)
+    schema.fields.collect {
+      case f if !allowed.contains(f.dataType) =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing args = query-name subset (local iteration; the
@@ -26,28 +50,12 @@ object Verify {
     selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        // Output-convention guard (round-8 lesson): the external
-        // comparator reads engine parquet with pyarrow (decimal128 →
-        // Decimal objects) but oracles through DuckDB's .df() (→
-        // float64), so a DECIMAL output column can never hash-match
-        // even when values are bit-identical. Exact results must leave
-        // as STRING (or DOUBLE when <16 significant digits). The check
-        // recurses: a decimal nested in an array/struct/map column hits
-        // the same comparator asymmetry as a top-level one.
-        import org.apache.spark.sql.types._
-        def hasDecimal(dt: DataType): Boolean = dt match {
-          case _: DecimalType => true
-          case a: ArrayType => hasDecimal(a.elementType)
-          case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
-          case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
-          case _ => false
-        }
-        val decCols = df.schema.fields.collect {
-          case f if hasDecimal(f.dataType) => f.name
-        }
-        require(decCols.isEmpty,
-          s"decimal output columns [${decCols.mkString(", ")}] — cast to STRING " +
-            "(TpchQueries.outStr) or DOUBLE; raw decimals fail the driver hash gate")
+        val badCols = driverUnsafeColumns(df.schema)
+        require(badCols.isEmpty,
+          s"output columns outside the driver-proven dtype allow-list " +
+            s"[${badCols.mkString(", ")}] — decimals fail the driver hash " +
+            "gate (round 8); other families are unproven. Cast to STRING " +
+            "(exact) or DOUBLE/BIGINT before returning.")
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

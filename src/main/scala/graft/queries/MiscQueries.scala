@@ -40,6 +40,60 @@ object MiscQueries {
       StreamingOps.sessionize(Tables(s, dir, "events"), gapMinutes = 30)
         .orderBy("event_id")),
 
+    // NATIVE session windows: `session_window(ts, gap)` in a streaming
+    // aggregation — the state store merges each user's events into
+    // dynamic sessions and append mode emits a session once the
+    // watermark passes its end (0-delay watermark ⇒ every session
+    // closed by the stream's max event time; open sessions stay in
+    // state — see StreamingOps.sessionWindowStats for the contract)
+    "q_stream_session" -> ((s, dir) =>
+      StreamingOps.sessionWindowStats(s, dir, gapMinutes = 30)
+        .orderBy("user_id", "session_start")),
+
+    // Bucketed co-located join: both sides land bucketed+sorted by the
+    // join key (the write-once partitioning a 100 TB fact table pays
+    // instead of a shuffle per join); the join itself then plans with
+    // ZERO Exchange nodes — require()d on the executed plan, with the
+    // broadcast path disabled so the assertion can't pass vacuously on
+    // the small side. Materializes driver-side (group-cardinality rows)
+    // so the bucket tables can be dropped before returning.
+    "q_bucket_join" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // setup sits INSIDE the try: a failure mid-write must still drop
+      // the qbj database, or the next run's IF NOT EXISTS would reuse a
+      // stale registration pointing at a dead temp LOCATION
+      try {
+        // a dedicated database with an explicit temp LOCATION:
+        // saveAsTable must not depend on the session's default
+        // warehouse dir (= the harness's cwd, not guaranteed writable)
+        val loc = java.nio.file.Files.createTempDirectory("graft-qbj").toString
+        s.sql(s"CREATE DATABASE IF NOT EXISTS qbj LOCATION '$loc'")
+        Bucketing.writeBucketed(li, "qbj.lineitem_b", "l_orderkey", 8)
+        Bucketing.writeBucketed(ord, "qbj.orders_b", "l_orderkey", 8)
+        val joined = Bucketing.colocatedJoin(s, "qbj.lineitem_b",
+          "qbj.orders_b", "l_orderkey")
+        require(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+          "bucketed join must not shuffle either side")
+        val out = joined.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+                (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+              .cast(DecimalType(38, 6)).cast(StringType).as("revenue"))
+          .orderBy("o_orderstatus")
+        s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        s.sql("DROP DATABASE IF EXISTS qbj CASCADE")
+      }
+    }),
+
     // String aggregation: deterministic listagg (sorted distinct set,
     // joined) — the report-formatting aggregate SQL calls string_agg
     "q_listagg" -> ((s, dir) =>
@@ -877,6 +931,63 @@ object MiscQueries {
         .orderBy("ver", "c_custkey")
     }),
 
+    // Change-data-feed read between two committed versions: v2 deletes
+    // custkey%10==3, bumps acctbal for %7==0, and inserts key-shifted
+    // copies of %13==0 — the diff classifies each key as insert /
+    // delete / update_pre+update_post from ONE full-outer key join
+    // over the two time-travel reads (see etl.ChangeFeed). The oracle
+    // recomputes both images and the same classification relationally.
+    "q_table_diff" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = cdfV2(c)
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-cdf").toString,
+        Map("cust" -> c.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      val t0 = wh.begin(); t0.overwrite("cust", c); t0.commit()
+      val vA = wh.versions().last
+      val t1 = wh.begin(); t1.overwrite("cust", v2); t1.commit()
+      val vB = wh.versions().last
+      ChangeFeed.tableChanges(wh, "cust", vA, vB, Seq("c_custkey"))
+        .orderBy("c_custkey", "change_type")
+    }),
+
+    // The CDF CONSUMER pattern: maintain a downstream aggregate from
+    // the change feed instead of re-scanning the snapshot — the pre/
+    // post pair subtracts the old contribution and adds the new one
+    // (exact: DECIMAL sums), inserts add, deletes subtract; a segment
+    // move nets out naturally (pre row debits the old segment, post row
+    // credits the new). The oracle recomputes the aggregate DIRECTLY
+    // from the v2 image, so the hash gate certifies base ⊕ delta ==
+    // recompute — the whole point of a change feed at 100 TB.
+    "q_cdf_apply" -> ((s, dir) => {
+      import graft.etl.ChangeFeed
+      val D = DecimalType(18, 2)
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val changes = ChangeFeed.diff(c, cdfV2(c), Seq("c_custkey"))
+      val sign = when(col("change_type").isin("insert", "update_post"),
+        lit(1)).otherwise(lit(-1))
+      val base = c.groupBy("c_mktsegment").agg(
+        count(lit(1)).as("dn"),
+        sum(col("c_acctbal").cast(D)).cast(DecimalType(38, 2)).as("db"))
+      val delta = changes.groupBy("c_mktsegment").agg(
+        sum(sign).as("dn"),
+        sum(col("c_acctbal").cast(D) * sign).cast(DecimalType(38, 2)).as("db"))
+      base.unionByName(delta)
+        .groupBy("c_mktsegment")
+        .agg(sum(col("dn")).cast(LongType).as("n_cust"),
+          sum(col("db")).cast(DecimalType(38, 2)).cast(StringType)
+            .as("total_bal"))
+        // a segment whose every customer was deleted nets to an
+        // n_cust=0 row here but has NO group in the direct recompute —
+        // drop it to match the recompute semantics
+        .filter(col("n_cust") =!= 0)
+        .orderBy("c_mktsegment")
+    }),
+
     // Streaming ingestion end-to-end under the hash gate: the events
     // stream lands in a bucketed fact table via per-batch atomic
     // append+ledger commits (in-batch dedup, Bloom-pruned against-table
@@ -1029,6 +1140,32 @@ object MiscQueries {
     }
   }
 
+  /** The CDF test mutation, shared by `q_table_diff` and `q_cdf_apply`
+    * (their oracles' `v2` CTEs mirror it): delete custkey%10==3, bump
+    * acctbal +100 for %7==0, insert key-shifted copies of %13==0. One
+    * definition — the apply query's hash certification is only
+    * meaningful against the SAME change set the diff query exhibits.
+    */
+  private def cdfV2(c: DataFrame): DataFrame =
+    c.filter(col("c_custkey") % 10 =!= 3)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      .unionAll(c.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L))
+
+  /** The oracle-side mirror of [[cdfV2]], as a WITH-clause body. */
+  private val cdfV2Sql: String =
+    """v2 AS (
+      |  SELECT c_custkey, c_name,
+      |    c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END
+      |      AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 <> 3
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_name, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 13 = 0)""".stripMargin
+
   private def mvRouted(s: SparkSession, dir: String)
                       (q: DataFrame => DataFrame): DataFrame = {
     import MaterializedAgg._
@@ -1076,6 +1213,40 @@ object MiscQueries {
         |SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'v2'
         |FROM customer WHERE c_custkey % 10 <> 3
         |ORDER BY ver, c_custkey""".stripMargin,
+
+    "q_table_diff" ->
+      s"""WITH v1 AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |$cdfV2Sql,
+        |j AS (
+        |  SELECT coalesce(v1.c_custkey, v2.c_custkey) AS k,
+        |    v1.c_custkey IS NOT NULL AS op, v2.c_custkey IS NOT NULL AS np,
+        |    v1.c_name AS on1, v1.c_acctbal AS ob, v1.c_mktsegment AS om,
+        |    v2.c_name AS nn, v2.c_acctbal AS nb, v2.c_mktsegment AS nm
+        |  FROM v1 FULL JOIN v2 ON v1.c_custkey = v2.c_custkey),
+        |c AS (
+        |  SELECT j.*,
+        |    (on1 IS DISTINCT FROM nn) OR (ob IS DISTINCT FROM nb)
+        |      OR (om IS DISTINCT FROM nm) AS chg
+        |  FROM j)
+        |SELECT 'insert' AS change_type, k AS c_custkey, nn AS c_name,
+        |  nb AS c_acctbal, nm AS c_mktsegment FROM c WHERE np AND NOT op
+        |UNION ALL
+        |SELECT 'delete', k, on1, ob, om FROM c WHERE op AND NOT np
+        |UNION ALL
+        |SELECT 'update_pre', k, on1, ob, om FROM c WHERE op AND np AND chg
+        |UNION ALL
+        |SELECT 'update_post', k, nn, nb, nm FROM c WHERE op AND np AND chg
+        |ORDER BY c_custkey, change_type""".stripMargin,
+
+    // direct recompute of the v2 aggregate — hash-certifies the
+    // engine's base ⊕ change-feed incremental maintenance
+    "q_cdf_apply" ->
+      s"""WITH $cdfV2Sql
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS VARCHAR) AS total_bal
+        |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_ingest" ->
       """SELECT event_id, user_id, event_type, value
@@ -1522,6 +1693,48 @@ object MiscQueries {
         |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |FROM g ORDER BY event_id""".stripMargin,
+
+    // mirrors sessionWindowStats: Spark's session_window coalesces
+    // per-event [ts, ts+gap) windows when they overlap OR touch, so a
+    // NEW session starts only when the inter-event gap strictly exceeds
+    // the gap duration (the same strict-> rule as q_sessionize), and
+    // append mode emits exactly the sessions whose end <= the final
+    // watermark — which Spark tracks at MILLISECOND granularity
+    // (EventTimeStats), so the emission cutoff is max event time
+    // truncated to the millisecond, not the raw microsecond value —
+    // all three edges pinned by StreamingSessionWindowSpec on crafted
+    // boundary data
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS us, value FROM events),
+        |g AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT make_timestamp(start_us) AS session_start,
+        |  make_timestamp(end_us) AS session_end,
+        |  user_id, n_events, sum_value
+        |FROM agg
+        |WHERE end_us <= (SELECT (max(us) // 1000) * 1000 FROM e)
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |   * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val

@@ -506,6 +506,58 @@ object StreamingOps {
       } else Iterator.empty
   }
 
+  /** NATIVE session-window streaming aggregation: Spark's
+    * `session_window(ts, gap)` merges each user's events into dynamic
+    * [first_ts, last_ts + gap) windows inside the streaming state
+    * store — the engine-managed form of the [[sessionize]] fold, and
+    * boundary-compatible with it: per-event windows coalesce when they
+    * overlap OR touch, so a new session starts only when the
+    * inter-event gap strictly EXCEEDS `gapMinutes` (the fold's strict
+    * `>`; pinned on crafted exactly-gap data in
+    * StreamingSessionWindowSpec). Append mode + watermark is the only
+    * supported shape for session windows, which gives the operator its
+    * streaming semantics: a session is EMITTED (and its state dropped)
+    * once the watermark reaches its end (`end <= watermark`), so with a
+    * 0-delay watermark an AvailableNow drain emits every session whose
+    * `last_ts + gap` is at or before the stream's max event time
+    * truncated to the MILLISECOND (Spark's EventTimeStats tracks event
+    * time in ms, so a session ending inside the final partial
+    * millisecond is held — also spec-pinned) — any session still
+    * inside the gap horizon at drain stays in state for the next run
+    * (exactly the [[hourlyEventStatsAppend]] contract,
+    * session-shaped). The emitted set is deterministic, so the oracle
+    * mirrors it with the batch gap-fold plus the same
+    * `end <= ms_floor(max_ts)` emission filter.
+    *
+    * Scale shape: state is one (user, open-session) entry per active
+    * user, partitioned by user hash; watermark bounds both state size
+    * and emission latency. `statePartitions` tracks user-key
+    * cardinality on a real cluster (see [[withStatePartitions]]).
+    */
+  def sessionWindowStats(spark: SparkSession, dir: String, gapMinutes: Int,
+                         statePartitions: Int = 8): DataFrame = {
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val q = eventsStream(spark, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_value"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("sum_value"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   /** Sessionization via stateful streaming: gaps > `gapMinutes` split a
     * user's events into sessions. Implemented with the batch-equivalent
     * window expression here (deterministic, oracle-checkable); the
