@@ -1,5 +1,6 @@
 package graft.etl
 
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -9,67 +10,83 @@ import org.apache.spark.sql.functions._
   * re-scanning snapshots (the Delta CDF / Iceberg changelog shape,
   * computed relationally from the warehouse's time-travel reads).
   *
-  * Emits one row per change with Delta's four-way classification:
-  * `insert` (key only in the new image, post-values), `delete` (key
-  * only in the old, pre-values), and an `update_pre`/`update_post`
-  * PAIR for keys present in both whose non-key columns differ
-  * null-safely — the pre/post pair is what lets a downstream
-  * aggregate subtract the old contribution and add the new one
-  * without touching the base table.
+  * ONE core join, two output shapes:
+  *  - [[diffStruct]] — one row per changed key with full
+  *    `before`/`after` value structs (`change_type ∈
+  *    {insert, delete, update}`) — the shape
+  *    [[Warehouse.diffVersions]] exposes;
+  *  - [[diff]] — Delta's row convention: `insert` and `delete` rows
+  *    carry the surviving image inline, an update emits an
+  *    `update_pre`/`update_post` PAIR — what lets a downstream
+  *    aggregate subtract the old contribution and add the new one
+  *    without touching the base table ([[graft.queries.MiscQueries]]
+  *    `q_cdf_apply`).
   *
-  * Scale shape: ONE full-outer hash join on the key (both sides
-  * shuffle on the key they are already bucketed by in the warehouse
-  * layout, so co-located dims join exchange-free), then a codegen'd
-  * per-row case array + explode — no second join, no window, and the
-  * output is churn-sized. At 100 TB the file-level pruning refinement
-  * is to diff only data dirs the two catalog versions do not share
-  * (the catalog names every dir immutably), feeding this same
-  * row-level diff just the changed files' rows.
+  * Scale shape: ONE full-outer hash join on the key (bucketed
+  * warehouse dims join exchange-free — both version reads carry the
+  * layout's HashPartitioning), then a codegen'd per-row case array +
+  * explode — no second join, no window, churn-sized output.
+  * [[tableChangesPruned]] adds the file-level refinement: immutable
+  * dirs + hard-linked bucket carry-over mean an UNCHANGED bucket is
+  * the SAME file (inode) in both versions, so the diff can skip it
+  * entirely and scan only rewritten buckets — cost ∝ churn, not table
+  * size.
   */
 object ChangeFeed {
 
-  /** Row-level diff of two same-schema images on `keys`. Output =
-    * `change_type` column followed by the input columns, one row per
-    * insert/delete and two (pre/post) per update.
-    */
-  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+  private def valueColsOf(oldDf: DataFrame, newDf: DataFrame,
+                          keys: Seq[String]): Seq[String] = {
     require(oldDf.schema == newDf.schema,
       s"diff requires identical schemas: ${oldDf.schema.simpleString} vs " +
         newDf.schema.simpleString)
     require(keys.nonEmpty && keys.forall(oldDf.columns.contains),
       s"keys ${keys.mkString(",")} must exist in the table")
-    val valCols = oldDf.columns.filterNot(keys.contains).toSeq
+    val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    require(valueCols.nonEmpty, "diff needs at least one non-key column")
+    valueCols
+  }
 
-    // presence markers, NOT value-null checks: a row whose every value
-    // column is null is still a present row
-    val o = oldDf.select(keys.map(col) ++
-      valCols.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__o_present"): _*)
-    val n = newDf.select(keys.map(col) ++
-      valCols.map(c => col(c).as(s"__n_$c")) :+ lit(true).as("__n_present"): _*)
-    val j = o.join(n, keys, "full_outer")
+  /** Struct-form diff: keys, `change_type`, full `before`/`after`
+    * structs (null on the absent side — after the full-outer join the
+    * whole struct is NULL exactly when the key is absent, so a present
+    * row whose every value column is null still reads as present).
+    */
+  def diffStruct(oldDf: DataFrame, newDf: DataFrame,
+                 keys: Seq[String]): DataFrame = {
+    val valueCols = valueColsOf(oldDf, newDf, keys)
+    def side(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+ struct(valueCols.map(col): _*).as(as): _*)
+    side(oldDf, "before").join(side(newDf, "after"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("before").isNull, "insert")
+          .when(col("after").isNull, "delete")
+          .when(not(col("before") <=> col("after")), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(keys.map(col) :+ col("change_type") :+ col("before") :+
+        col("after"): _*)
+  }
 
-    // null-safe: the absent side's marker is NULL after the full-outer
-    // join, and `null === true` is NULL (which when() treats as
-    // no-match) — `<=>` maps it to false
-    val oPresent = col("__o_present") <=> lit(true)
-    val nPresent = col("__n_present") <=> lit(true)
-    val changed = valCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
-      .reduceOption(_ || _).getOrElse(lit(false))
-
+  /** Row-form diff of two same-schema images on `keys`. Output =
+    * `change_type` column followed by the input columns, one row per
+    * insert/delete and two (pre/post) per update.
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = valueColsOf(oldDf, newDf, keys)
     def img(side: String, tpe: String): Column =
       struct(lit(tpe).as("change_type") +:
-        valCols.map(c => col(s"__${side}_$c").as(c)): _*)
-
-    // one pass: per joined row, the (0..2) applicable change records
+        valueCols.map(c => col(s"$side.$c").as(c)): _*)
+    // one pass over the struct diff: per row, the 1-2 applicable records
     val cases = array(
-      when(nPresent && !oPresent, img("n", "insert")),
-      when(oPresent && !nPresent, img("o", "delete")),
-      when(oPresent && nPresent && changed, img("o", "update_pre")),
-      when(oPresent && nPresent && changed, img("n", "update_post")))
-    j.select(keys.map(col) :+ explode(cases).as("__c"): _*)
+      when(col("change_type") === "insert", img("after", "insert")),
+      when(col("change_type") === "delete", img("before", "delete")),
+      when(col("change_type") === "update", img("before", "update_pre")),
+      when(col("change_type") === "update", img("after", "update_post")))
+    diffStruct(oldDf, newDf, keys)
+      .select(keys.map(col) :+ explode(cases).as("__c"): _*)
       .filter(col("__c").isNotNull)
       .select(col("__c.change_type") +: keys.map(col) ++:
-        valCols.map(c => col(s"__c.$c").as(c)): _*)
+        valueCols.map(c => col(s"__c.$c").as(c)): _*)
   }
 
   /** The time-travel form: diff `table` between two committed catalog
@@ -79,4 +96,60 @@ object ChangeFeed {
   def tableChanges(wh: Warehouse, table: String, fromVersion: Long,
                    toVersion: Long, keys: Seq[String]): DataFrame =
     diff(wh.readAsOf(table, fromVersion), wh.readAsOf(table, toVersion), keys)
+
+  /** [[tableChanges]] with FILE-LEVEL PRUNING: partial bucket rewrites
+    * (`overwriteBuckets` / bucketed `deleteWhere` / the SCD1 merge
+    * path) hard-link untouched bucket files into the new version's
+    * dir, so an unchanged bucket is the SAME inode on both sides.
+    * Those files are bit-identical — a key living only in them cannot
+    * have changed — so the diff needs to scan ONLY the files exactly
+    * one version has. A nightly merge touching `c` of `B` buckets
+    * diffs ~`c/B` of the dim regardless of dim size.
+    *
+    * Sound only where "one key ↔ one file per version" holds and no
+    * row is masked outside the data files; anything else falls back to
+    * the full [[tableChanges]] (same answer, full scan): the table
+    * must be bucketed by the (leading) key, unpartitioned, single-dir
+    * in BOTH versions, and carry no deletion vectors in either version
+    * (a DV tombstone changes rows without changing the file). The
+    * filesystem must expose file keys (inodes) — hard-link identity is
+    * what proves "same file".
+    */
+  def tableChangesPruned(wh: Warehouse, table: String, fromVersion: Long,
+                         toVersion: Long, keys: Seq[String]): DataFrame = {
+    val catA = wh.catalogAsOf(fromVersion)
+    val catB = wh.catalogAsOf(toVersion)
+    val dirsA = catA.getOrElse(table, Nil)
+    val dirsB = catB.getOrElse(table, Nil)
+    val noDvs = catA.getOrElse(Warehouse.dvKey(table), Nil).isEmpty &&
+      catB.getOrElse(Warehouse.dvKey(table), Nil).isEmpty
+    val bucketedByKey = wh.bucketSpec.get(table).exists(_._1 == keys.head)
+    val prunable = noDvs && bucketedByKey && !wh.partitionSpec.contains(table) &&
+      dirsA.length == 1 && dirsB.length == 1
+    if (!prunable)
+      return tableChanges(wh, table, fromVersion, toVersion, keys)
+
+    def dataFiles(dir: String): Seq[Path] =
+      wh.listDir(Paths.get(dir)).filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    def fileKey(p: Path): AnyRef =
+      Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        .fileKey()
+    val fa = dataFiles(dirsA.head)
+    val fb = dataFiles(dirsB.head)
+    val keysA = fa.map(fileKey)
+    val keysB = fb.map(fileKey)
+    if ((keysA ++ keysB).exists(_ == null)) // FS without stable file keys
+      return tableChanges(wh, table, fromVersion, toVersion, keys)
+    val setA = keysA.toSet
+    val setB = keysB.toSet
+    val onlyA = fa.zip(keysA).collect { case (p, k) if !setB(k) => p.toString }
+    val onlyB = fb.zip(keysB).collect { case (p, k) if !setA(k) => p.toString }
+    def rd(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty) wh.emptyDf(table)
+      else wh.spark.read.schema(wh.schemas(table)).parquet(paths: _*)
+    diff(rd(onlyA), rd(onlyB), keys)
+  }
 }

@@ -703,21 +703,9 @@ class Warehouse(val spark: SparkSession, val root: String,
     * struct equality (`<=>`), codegen'd.
     */
   def diffVersions(table: String, fromVersion: Long, toVersion: Long,
-                   keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{struct, when, not}
-    val valueCols = schemas(table).fieldNames.toIndexedSeq.filterNot(keys.contains)
-    def side(v: Long, as: String) =
-      readAsOf(table, v).select(keys.map(col) :+
-        struct(valueCols.map(col): _*).as(as): _*)
-    side(fromVersion, "before").join(side(toVersion, "after"), keys, "full_outer")
-      .withColumn("change_type",
-        when(col("before").isNull, "insert")
-          .when(col("after").isNull, "delete")
-          .when(not(col("before") <=> col("after")), "update")
-          .otherwise("unchanged"))
-      .filter(col("change_type") =!= "unchanged")
-      .select(keys.map(col) :+ col("change_type") :+ col("before") :+ col("after"): _*)
-  }
+                   keys: Seq[String]): DataFrame =
+    ChangeFeed.diffStruct(readAsOf(table, fromVersion),
+      readAsOf(table, toVersion), keys)
 
   /** Merge a DV key's many delete-sized dirs into one (same CAS retry
     * discipline as [[compactOldest]]). Dead tombstones — paths naming

@@ -61,6 +61,50 @@ class ChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("tableChangesPruned: skips hard-linked (unchanged) bucket files, " +
+      "same answer as the full diff, strictly fewer files scanned") {
+    val base = img((1L to 64L).map(i => (i, Some(s"n$i"), Some(i.toDouble))))
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-cdfprune").toString,
+      Map("t" -> base.schema), partitionSpec = Map.empty,
+      bucketSpec = Map("t" -> ("k", 8)))
+    val t0 = wh.begin(); t0.overwrite("t", base); t0.commit()
+    val vA = wh.versions().last
+
+    // churn: update k=5, delete k=7, insert k=900 — a few buckets touched
+    val snapshot = img((1L to 64L).filter(_ != 7L)
+      .map(i => (i, Some(s"n$i"), Some(if (i == 5L) 99.0 else i.toDouble)))
+      :+ ((900L, Some("n900"), Some(900.0))))
+    val touched = Scd1.changedKeyBuckets(wh.read("t"), snapshot, Seq("k"),
+      Seq("name", "bal"), nBuckets = 8, deletesVisible = true)
+    assert(touched.nonEmpty && touched.length < 8, "churn should touch a strict subset")
+    val t1 = wh.begin()
+    t1.overwriteBuckets("t",
+      snapshot.filter(Scd1.inBuckets(Seq("k"), 8, touched.toSeq)), touched.toSeq)
+    t1.commit()
+    val vB = wh.versions().last
+
+    val full = ChangeFeed.tableChanges(wh, "t", vA, vB, Seq("k"))
+    val pruned = ChangeFeed.tableChangesPruned(wh, "t", vA, vB, Seq("k"))
+    assert(pruned.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    assert(pruned.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("update_pre", 5L), ("update_post", 5L), ("delete", 7L), ("insert", 900L)))
+    val fullFiles = full.inputFiles.length
+    val prunedFiles = pruned.inputFiles.length
+    assert(prunedFiles < fullFiles,
+      s"pruning should scan fewer files: $prunedFiles vs $fullFiles")
+
+    // deletion vectors mask rows without changing files — the pruned
+    // path must fall back to the full diff and still see the delete
+    val t2 = wh.begin()
+    t2.deleteVectored("t", $"k" === 2L)
+    t2.commit()
+    val vC = wh.versions().last
+    val dvDiff = ChangeFeed.tableChangesPruned(wh, "t", vB, vC, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dvDiff == Set(("delete", 2L)))
+  }
+
   test("tableChanges diffs two committed versions via time travel") {
     val base = img(Seq((1L, Some("a"), Some(1.0)), (2L, Some("b"), Some(2.0))))
     val wh = new Warehouse(spark,
