@@ -89,6 +89,25 @@ object ChangeFeed {
         valueCols.map(c => col(s"__c.$c").as(c)): _*)
   }
 
+  /** The CONSUMER side: apply a [[diff]]-shaped change feed to the old
+    * image and get the new one — `applyChanges(old, diff(old, new))`
+    * reconstructs `new` exactly (ScalaCheck-pinned round trip). This
+    * is how a downstream copy stays in sync at churn cost: drop the
+    * keys the feed deletes or updates (one LEFT ANTI join — the
+    * delta side is churn-sized, so it broadcasts), then union the
+    * inserted/updated images verbatim.
+    */
+  def applyChanges(oldDf: DataFrame, changes: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val removed = changes
+      .filter(col("change_type").isin("delete", "update_pre"))
+      .select(keys.map(col): _*)
+    val added = changes
+      .filter(col("change_type").isin("insert", "update_post"))
+      .select(oldDf.columns.map(col).toIndexedSeq: _*)
+    oldDf.join(broadcast(removed), keys, "left_anti").unionByName(added)
+  }
+
   /** The time-travel form: diff `table` between two committed catalog
     * versions of `wh` (see `Warehouse.readAsOf` for the vacuum
     * retention caveat).
