@@ -1,63 +1,28 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths}
-import java.sql.Timestamp
+import java.nio.file.{Files, Paths}
+import java.util.Locale
 import graft.etl.{ChangeFeed, Scd1, Warehouse}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
-import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
 
 /** Scale evidence for the pruned change feed: after a delta-sized SCD1
   * merge on a bucketed dim, `ChangeFeed.tableChangesPruned` must read
   * ~`touched/B` of the dim's files while the full diff reads both
   * whole versions — same answer, churn-proportional cost. This main
-  * measures both paths on an sf1-sized dim (~1.5M rows, padded rows)
-  * and prints one JSON line for SCALING_r9.txt.
+  * measures both paths on an sf1-sized dim ([[DimFixture]], the same
+  * padded fixture DimMergeProbe runs on, so the two probes' `1 −
+  * exp(−c/B)` readings are comparable) and prints one JSON line for
+  * SCALING_r9.txt.
+  *
+  * Methodology: the change-set equality check (symmetric exceptAll)
+  * runs FIRST — it both proves the two paths agree and warms the page
+  * cache for BOTH file sets, so the timed counts that follow compare
+  * warm reads to warm reads instead of crediting whichever path runs
+  * second with the other's cache fill.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/tmp/testdata/sf1 runMain graft.CdcProbe
   */
 object CdcProbe {
-  private val Dim = "dim_cdc"
-  private val ts0 = Timestamp.valueOf("2021-03-01 00:00:00")
-  private val ts1 = Timestamp.valueOf("2021-03-02 00:00:00")
-
-  private val schema = StructType(Seq(
-    StructField("id", LongType),
-    StructField("status", StringType),
-    StructField("priority", StringType),
-    StructField("payload", StringType),
-    StructField("create_dt", TimestampType),
-    StructField("update_dt", TimestampType),
-    StructField("processed_dt", TimestampType)))
-
-  private val keys = Seq("id")
-  private val cmp = Seq("status", "priority", "payload")
-
-  private def seed(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "orders").select(
-      col("o_orderkey").as("id"),
-      col("o_orderstatus").as("status"),
-      col("o_orderpriority").as("priority"),
-      rpad(concat_ws("|", col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice")), 160, "x").as("payload"),
-      lit(ts0).as("create_dt"),
-      lit(null).cast(TimestampType).as("update_dt"),
-      lit(ts0).as("processed_dt"))
-
-  /** Delta-shaped day-2 snapshot; `updMod`/`delMod` set the churn scale
-    * (keys hash-spread over buckets, so touched ≈ B·(1−exp(−c/B)) —
-    * the DimMergeProbe law governs the prune ratio too).
-    */
-  private def snapshot(s: SparkSession, dir: String,
-                       updMod: Int, delMod: Int): DataFrame =
-    seed(s, dir).drop("processed_dt")
-      .filter(col("id") % delMod =!= 3)
-      .withColumn("payload",
-        when(col("id") % updMod === 7, concat(lit("UPD|"), col("payload")))
-          .otherwise(col("payload")))
-      .withColumn("update_dt",
-        when(col("id") % updMod === 7, lit(ts1)).otherwise(col("update_dt")))
 
   private def bytesOf(paths: Seq[String]): Long =
     paths.map(p => Files.size(Paths.get(p.stripPrefix("file:")))).sum
@@ -76,14 +41,15 @@ object CdcProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    import DimFixture.{Dim, cmp, keys, ts1}
     val root = Files.createTempDirectory("cdc-probe").toString
-    val wh = new Warehouse(spark, root, schemas = Map(Dim -> schema),
+    val wh = new Warehouse(spark, root, schemas = Map(Dim -> DimFixture.schema),
       partitionSpec = Map.empty, bucketSpec = Map(Dim -> ("id", nBuckets)))
     locally {
-      val t = wh.begin(); t.overwrite(Dim, seed(spark, dir)); t.commit()
+      val t = wh.begin(); t.overwrite(Dim, DimFixture.seed(spark, dir)); t.commit()
     }
     val vA = wh.versions().last
-    val snap = snapshot(spark, dir, updMod, delMod)
+    val snap = DimFixture.snapshot(spark, dir, updMod, delMod)
     val txn = wh.begin()
     val touched = Scd1.changedKeyBuckets(txn.read(Dim), snap, keys, cmp,
       nBuckets, deletesVisible = true)
@@ -94,23 +60,24 @@ object CdcProbe {
     txn.commit()
     val vB = wh.versions().last
 
+    val full = ChangeFeed.tableChanges(wh, Dim, vA, vB, keys)
+    val pruned = ChangeFeed.tableChangesPruned(wh, Dim, vA, vB, keys)
+    // equality first (honesty + warms both file sets for the timings)
+    val diffRows = pruned.exceptAll(full).count() + full.exceptAll(pruned).count()
+    require(diffRows == 0L, s"pruned and full diffs disagree on $diffRows rows")
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    val full = ChangeFeed.tableChanges(wh, Dim, vA, vB, keys)
-    val pruned = ChangeFeed.tableChangesPruned(wh, Dim, vA, vB, keys)
     val (nFull, sFull) = time(full.count())
     val (nPruned, sPruned) = time(pruned.count())
-    // honesty: identical change sets, not just equal counts
-    val diffRows = pruned.exceptAll(full).count() + full.exceptAll(pruned).count()
-    require(diffRows == 0L, s"pruned and full diffs disagree on $diffRows rows")
     val fFull = full.inputFiles
     val fPruned = pruned.inputFiles
+    def f2(d: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(d))
     println(s"""{"metric":"cdc_prune","buckets":$nBuckets,""" +
       s""""touched_buckets":${touched.length},"changes":$nFull,""" +
-      s""""changes_pruned":$nPruned,"full_secs":${f"$sFull%.2f"},""" +
-      s""""pruned_secs":${f"$sPruned%.2f"},""" +
+      s""""changes_pruned":$nPruned,"full_secs":${f2(sFull)},""" +
+      s""""pruned_secs":${f2(sPruned)},""" +
       s""""full_files":${fFull.length},"pruned_files":${fPruned.length},""" +
       s""""full_bytes":${bytesOf(fFull.toIndexedSeq)},""" +
       s""""pruned_bytes":${bytesOf(fPruned.toIndexedSeq)}}""")

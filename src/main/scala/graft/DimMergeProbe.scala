@@ -1,11 +1,8 @@
 package graft
 
 import java.nio.file.{Files, Path, Paths}
-import java.sql.Timestamp
 import graft.etl.{Scd1, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
 
 /** Scale evidence for SURVEY §4's one owned constraint: "avoid full-dim
@@ -30,62 +27,19 @@ import scala.jdk.CollectionConverters._
   * Usage: SPARK_GRAFT_SF_DIR=/tmp/testdata/sf1 runMain graft.DimMergeProbe
   */
 object DimMergeProbe {
-  private val Dim = "dim_big"
-  private val ts0 = Timestamp.valueOf("2021-03-01 00:00:00")
-  private val ts1 = Timestamp.valueOf("2021-03-02 00:00:00")
+  // fixture shared with CdcProbe — ONE definition (DimFixture)
+  private val Dim = DimFixture.Dim
+  private val ts1 = DimFixture.ts1
+  private val schema = DimFixture.schema
+  private val keys = DimFixture.keys
+  private val cmp = DimFixture.cmp
 
-  private val schema = StructType(Seq(
-    StructField("id", LongType),
-    StructField("status", StringType),
-    StructField("priority", StringType),
-    StructField("payload", StringType),
-    StructField("create_dt", TimestampType),
-    StructField("update_dt", TimestampType),
-    StructField("processed_dt", TimestampType)))
-
-  private val keys = Seq("id")
-  private val cmp = Seq("status", "priority", "payload")
-
-  /** The day-1 dim image from sf orders: one row per order, padded to
-    * ~190 B so bytes-written numbers mean something.
-    */
   private def seed(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "orders").select(
-      col("o_orderkey").as("id"),
-      col("o_orderstatus").as("status"),
-      col("o_orderpriority").as("priority"),
-      rpad(concat_ws("|", col("o_orderkey"), col("o_custkey"),
-        col("o_totalprice")), 160, "x").as("payload"),
-      lit(ts0).as("create_dt"),
-      lit(null).cast(TimestampType).as("update_dt"),
-      lit(ts0).as("processed_dt"))
+    DimFixture.seed(s, dir)
 
-  /** Day-2 snapshot (no processed_dt — mergeAudit stamps it).
-    * `updMod`/`delMod` set the churn scale: updates hit
-    * `id % updMod == 7`, deletes `id % delMod == 3`, inserts
-    * `delMod`-spaced fresh keys. `updMod == 0` means NO churn at all —
-    * the snapshot equals the dim image (the skip-write fast path).
-    */
   private def snapshot(s: SparkSession, dir: String,
-                       updMod: Int, delMod: Int): DataFrame = {
-    val base0 = seed(s, dir).drop("processed_dt")
-    if (updMod == 0) return base0
-    val base = base0.filter(col("id") % delMod =!= 3)
-    val churned = base.withColumn("payload",
-        when(col("id") % updMod === 7, concat(lit("UPD|"), col("payload")))
-          .otherwise(col("payload")))
-      .withColumn("update_dt",
-        when(col("id") % updMod === 7, lit(ts1)).otherwise(col("update_dt")))
-    val inserts = Tables(s, dir, "orders")
-      .filter(col("o_orderkey") % delMod === 5)
-      .select((col("o_orderkey") + lit(1000000000L)).as("id"),
-        col("o_orderstatus").as("status"),
-        col("o_orderpriority").as("priority"),
-        rpad(lit("NEW"), 160, "y").as("payload"),
-        lit(ts1).as("create_dt"),
-        lit(null).cast(TimestampType).as("update_dt"))
-    churned.unionByName(inserts)
-  }
+                       updMod: Int, delMod: Int): DataFrame =
+    DimFixture.snapshot(s, dir, updMod, delMod)
 
   /** Recursive parquet-file listing with the stream CLOSED (fd hygiene
     * at 1024-bucket dirs).

@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object ChangeFeed {
 
+  /** Column names the diff output (and its internals) claim for
+    * itself — a table carrying one of these would be silently
+    * clobbered by the classification projection, so refuse loudly.
+    */
+  private val reserved = Set("change_type", "before", "after", "__c")
+
   private def valueColsOf(oldDf: DataFrame, newDf: DataFrame,
                           keys: Seq[String]): Seq[String] = {
     require(oldDf.schema == newDf.schema,
@@ -41,21 +47,28 @@ object ChangeFeed {
         newDf.schema.simpleString)
     require(keys.nonEmpty && keys.forall(oldDf.columns.contains),
       s"keys ${keys.mkString(",")} must exist in the table")
-    val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
-    require(valueCols.nonEmpty, "diff needs at least one non-key column")
-    valueCols
+    val clash = oldDf.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"columns [${clash.mkString(", ")}] collide with the diff's output " +
+        "columns — rename them before diffing")
+    oldDf.columns.filterNot(keys.contains).toSeq
   }
 
   /** Struct-form diff: keys, `change_type`, full `before`/`after`
     * structs (null on the absent side — after the full-outer join the
     * whole struct is NULL exactly when the key is absent, so a present
     * row whose every value column is null still reads as present).
+    * A key-only table (no value columns — a membership/bridge set)
+    * diffs on presence alone: the structs carry a single `__present`
+    * marker field and the feed is pure insert/delete.
     */
   def diffStruct(oldDf: DataFrame, newDf: DataFrame,
                  keys: Seq[String]): DataFrame = {
     val valueCols = valueColsOf(oldDf, newDf, keys)
     def side(df: DataFrame, as: String) =
-      df.select(keys.map(col) :+ struct(valueCols.map(col): _*).as(as): _*)
+      df.select(keys.map(col) :+
+        (if (valueCols.isEmpty) struct(lit(true).as("__present"))
+         else struct(valueCols.map(col): _*)).as(as): _*)
     side(oldDf, "before").join(side(newDf, "after"), keys, "full_outer")
       .withColumn("change_type",
         when(col("before").isNull, "insert")
@@ -93,8 +106,10 @@ object ChangeFeed {
     * image and get the new one — `applyChanges(old, diff(old, new))`
     * reconstructs `new` exactly (ScalaCheck-pinned round trip). This
     * is how a downstream copy stays in sync at churn cost: drop the
-    * keys the feed deletes or updates (one LEFT ANTI join — the
-    * delta side is churn-sized, so it broadcasts), then union the
+    * keys the feed deletes or updates (one LEFT ANTI join — a
+    * churn-sized feed broadcasts by stats; a mass-churn feed, where
+    * most of the table turns over, rightly plans a shuffle anti-join
+    * instead, so no broadcast hint is forced here), then union the
     * inserted/updated images verbatim.
     */
   def applyChanges(oldDf: DataFrame, changes: DataFrame,
@@ -105,7 +120,7 @@ object ChangeFeed {
     val added = changes
       .filter(col("change_type").isin("insert", "update_post"))
       .select(oldDf.columns.map(col).toIndexedSeq: _*)
-    oldDf.join(broadcast(removed), keys, "left_anti").unionByName(added)
+    oldDf.join(removed, keys, "left_anti").unionByName(added)
   }
 
   /** The time-travel form: diff `table` between two committed catalog

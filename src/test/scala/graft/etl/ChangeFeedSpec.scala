@@ -51,7 +51,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(ChangeFeed.diff(old, nw, Seq("k")).isEmpty)
   }
 
-  test("mismatched schemas and bad keys are rejected") {
+  test("mismatched schemas, bad keys, and reserved column names are rejected") {
     val a = img(Seq((1L, Some("a"), Some(1.0))))
     intercept[IllegalArgumentException] {
       ChangeFeed.diff(a, a.withColumnRenamed("bal", "x"), Seq("k"))
@@ -59,6 +59,25 @@ class ChangeFeedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ChangeFeed.diff(a, a, Seq("nope"))
     }
+    // a column named like the diff's own output would be silently
+    // clobbered by the classification projection — refused loudly
+    val b = a.withColumnRenamed("bal", "change_type")
+    intercept[IllegalArgumentException] {
+      ChangeFeed.diff(b, b, Seq("k"))
+    }
+  }
+
+  test("key-only tables diff on presence: pure insert/delete feed") {
+    import spark.implicits._
+    val old = Seq(1L, 2L, 3L).toDF("k")
+    val nw = Seq(2L, 3L, 4L).toDF("k")
+    val out = ChangeFeed.diff(old, nw, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("delete", 1L), ("insert", 4L)))
+    val rebuilt = ChangeFeed.applyChanges(old,
+      ChangeFeed.diff(old, nw, Seq("k")), Seq("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rebuilt == Set(2L, 3L, 4L))
   }
 
   test("tableChangesPruned: skips hard-linked (unchanged) bucket files, " +
