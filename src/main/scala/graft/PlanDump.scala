@@ -25,7 +25,12 @@ object PlanDump {
         "q_window_range", "mm_imagehash", "q_scd2_changes", "q_mv_approx",
         "q_linkage", "q_skip_scan", "q_privacy", "q_anonymize",
         "dedup_triangles", "dedup_triangles_deg",
-        "q_tpch_q10", "q_tpch_q17", "q_tpch_q18")
+        "q_tpch_q10", "q_tpch_q17", "q_tpch_q18",
+        // round-9 continuation (q_bucket_join/q_stream_session
+        // materialize driver-side / via the memory sink, so their
+        // dumps are local scans — plan properties are asserted
+        // in-entry and in their specs instead)
+        "q_table_diff", "q_cdf_apply")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
