@@ -29,6 +29,15 @@ object MiscQueries {
       StreamingOps.clickPurchaseStreamJoin(s, dir)
         .orderBy("click_id", "purchase_id")),
 
+    // Stream-stream LEFT OUTER join: matches emit as they form; an
+    // unmatched click emits null-padded once the purchase-side
+    // watermark passes the click's own timestamp (ms-truncated min of
+    // the two sides' watermarks — edges pinned in
+    // StreamingOuterJoinSpec); unmatched purchases never emit
+    "q_stream_outer_join" -> ((s, dir) =>
+      StreamingOps.clickPurchaseStreamOuterJoin(s, dir)
+        .orderBy("click_id", "purchase_id")),
+
     // Streaming ingestion dedup: dropDuplicatesWithinWatermark over the
     // event stream; single-batch AvailableNow completion == batch DISTINCT
     "q_stream_dedup" -> ((s, dir) =>
@@ -1673,6 +1682,39 @@ object MiscQueries {
         |  ON c.user_id = p.p_user
         | AND p.purchase_us >= c.click_us - 3600000000
         | AND p.purchase_us <= c.click_us
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // mirrors clickPurchaseStreamOuterJoin: the batch left join plus the
+    // watermark gate on outer rows — a click emits null-padded iff its
+    // timestamp is strictly behind the min of the two sides'
+    // ms-truncated max event times (the final watermark; edges pinned
+    // in StreamingOuterJoinSpec)
+    "q_stream_outer_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS tus, value
+        |  FROM events),
+        |clicks AS (
+        |  SELECT event_id AS click_id, user_id, tus AS click_us
+        |  FROM ev WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user, tus AS purchase_us,
+        |    value AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase'),
+        |wm AS (SELECT least(
+        |  (SELECT (max(tus) // 1000) * 1000 FROM ev WHERE event_type = 'click'),
+        |  (SELECT (max(tus) // 1000) * 1000 FROM ev WHERE event_type = 'purchase')) AS w),
+        |j AS (
+        |  SELECT c.click_id, c.user_id, c.click_us,
+        |    p.purchase_id, p.purchase_us, p.purchase_value
+        |  FROM clicks c LEFT JOIN purch p
+        |    ON c.user_id = p.p_user
+        |   AND p.purchase_us >= c.click_us - 3600000000
+        |   AND p.purchase_us <= c.click_us)
+        |SELECT click_id, user_id, make_timestamp(click_us) AS click_ts,
+        |  purchase_id, make_timestamp(purchase_us) AS purchase_ts,
+        |  purchase_value
+        |FROM j
+        |WHERE purchase_id IS NOT NULL OR click_us < (SELECT w FROM wm)
         |ORDER BY click_id, purchase_id""".stripMargin,
 
     // the streaming dedup completes in one batch (single source file), so

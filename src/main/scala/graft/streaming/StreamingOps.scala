@@ -184,6 +184,51 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Stream-stream LEFT OUTER join with the same time-range condition
+    * as [[clickPurchaseStreamJoin]]: matches emit as they form; a
+    * click with NO qualifying purchase emits null-padded once the
+    * watermark proves no future purchase can match it. With the
+    * condition `purchase_ts <= click_ts`, a click is closed once the
+    * PURCHASE-side watermark passes its timestamp — under AvailableNow
+    * with 0-delay watermarks that is the min of the two sides' final
+    * max event times (each side's watermark derives from its own
+    * events, millisecond-truncated; exact emission boundary pinned in
+    * StreamingOuterJoinSpec on crafted data). Unmatched purchases are
+    * right-side rows of a left join: never emitted.
+    *
+    * Scale shape: state = in-horizon clicks + purchases per user hash
+    * partition, watermark-bounded on both sides; the outer emission is
+    * the state eviction itself, so there is no second pass.
+    */
+  def clickPurchaseStreamOuterJoin(spark: SparkSession, dir: String,
+                                   statePartitions: Int = 4): DataFrame = {
+    def src = eventsStream(spark, dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "0 seconds")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "0 seconds")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("purchase_ts") <= col("click_ts"), "leftOuter")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val q = joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+
   /** STREAMING DEDUP: first occurrence per (user_id, event_type) key,
     * with `dropDuplicatesWithinWatermark` state — the ingestion-side
     * exact dedup a training pipeline runs before anything else touches
