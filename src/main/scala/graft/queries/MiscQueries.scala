@@ -1688,7 +1688,10 @@ object MiscQueries {
     // watermark gate on outer rows — a click emits null-padded iff its
     // timestamp is strictly behind the min of the two sides'
     // ms-truncated max event times (the final watermark; edges pinned
-    // in StreamingOuterJoinSpec)
+    // in StreamingOuterJoinSpec). coalesce(…, 0): a side with ZERO
+    // events never advances its watermark in Spark (stays epoch 0), so
+    // the oracle must pin that side to 0 too — DuckDB's least() would
+    // otherwise IGNORE the NULL max and wrongly emit every outer row
     "q_stream_outer_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS tus, value
@@ -1701,8 +1704,8 @@ object MiscQueries {
         |    value AS purchase_value
         |  FROM ev WHERE event_type = 'purchase'),
         |wm AS (SELECT least(
-        |  (SELECT (max(tus) // 1000) * 1000 FROM ev WHERE event_type = 'click'),
-        |  (SELECT (max(tus) // 1000) * 1000 FROM ev WHERE event_type = 'purchase')) AS w),
+        |  coalesce((SELECT (max(tus) // 1000) * 1000 FROM ev WHERE event_type = 'click'), 0),
+        |  coalesce((SELECT (max(tus) // 1000) * 1000 FROM ev WHERE event_type = 'purchase'), 0)) AS w),
         |j AS (
         |  SELECT c.click_id, c.user_id, c.click_us,
         |    p.purchase_id, p.purchase_us, p.purchase_value

@@ -156,20 +156,30 @@ object StreamingOps {
     * which is what the DuckDB oracle checks.
     */
   def clickPurchaseStreamJoin(spark: SparkSession, dir: String,
-                              statePartitions: Int = 4): DataFrame = {
+                              statePartitions: Int = 4): DataFrame =
+    clickPurchaseJoin(spark, dir, "inner", "1 hour", statePartitions)
+
+  /** The shared click↔purchase stream-join plan — ONE definition of the
+    * source shapes and the time-range condition for the inner and
+    * left-outer entry points (they differ ONLY in join type and
+    * watermark delay; a condition edit here edits both).
+    */
+  private def clickPurchaseJoin(spark: SparkSession, dir: String,
+                                joinType: String, watermarkDelay: String,
+                                statePartitions: Int): DataFrame = {
     def src = eventsStream(spark, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
+      .withWatermark("click_ts", watermarkDelay)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"), col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", "1 hour")
+      .withWatermark("purchase_ts", watermarkDelay)
     val joined = clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
-        col("purchase_ts") <= col("click_ts"))
+        col("purchase_ts") <= col("click_ts"), joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
@@ -201,33 +211,8 @@ object StreamingOps {
     * the state eviction itself, so there is no second pass.
     */
   def clickPurchaseStreamOuterJoin(spark: SparkSession, dir: String,
-                                   statePartitions: Int = 4): DataFrame = {
-    def src = eventsStream(spark, dir)
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", "0 seconds")
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
-      .withWatermark("purchase_ts", "0 seconds")
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
-        col("purchase_ts") <= col("click_ts"), "leftOuter")
-      .select(col("click_id"), col("user_id"), col("click_ts"),
-        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
-    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, statePartitions) {
-      val q = joined.writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(name)
-  }
+                                   statePartitions: Int = 4): DataFrame =
+    clickPurchaseJoin(spark, dir, "leftOuter", "0 seconds", statePartitions)
 
   /** STREAMING DEDUP: first occurrence per (user_id, event_type) key,
     * with `dropDuplicatesWithinWatermark` state — the ingestion-side

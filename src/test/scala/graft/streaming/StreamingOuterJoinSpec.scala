@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.{Tables, TestSpark}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the left-outer stream-stream join's emission semantics on
@@ -20,32 +19,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingOuterJoinSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private val schema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  private def craftedDir(rows: Seq[(Long, Long, Long, String)]): String = {
-    val t0 = 1735689600000000L // 2025-01-01 00:00:00 UTC, micros
-    val dir = java.nio.file.Files.createTempDirectory("soj-events")
-    val stage = java.nio.file.Files.createTempDirectory("soj-stage").toString
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map { case (id, user, offUs, tpe) =>
-        org.apache.spark.sql.Row(id,
-          java.sql.Timestamp.from(java.time.Instant.EPOCH
-            .plus(java.time.Duration.ofNanos((t0 + offUs) * 1000))),
-          user, tpe, 1.0, "{}")
-      }, 1), schema)
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .findFirst().get()
-    java.nio.file.Files.move(part, dir.resolve("events.parquet"))
-    dir.toString
-  }
+  private def craftedDir(rows: Seq[(Long, Long, Long, String)]): String =
+    StreamFixtures.craftedEvents(spark, rows)
 
   test("outer emission: purchase-side watermark must pass the click's own " +
       "timestamp; matches emit regardless; unmatched purchases never emit") {
@@ -78,8 +53,12 @@ class StreamingOuterJoinSpec extends AnyFunSuite {
   test("fixture equivalence: streamed left-outer == batch left join + " +
       "watermark-gated outer rows") {
     val dir = "/root/testdata/sf0.001"
+    // multiset compare (sorted Seq, not Set): a duplicate emission —
+    // e.g. a matched click ALSO emitted null-padded at eviction —
+    // must fail, and a Set would collapse it
     val streamed = StreamingOps.clickPurchaseStreamOuterJoin(spark, dir)
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sorted(
+        Ordering.by((s: Seq[String]) => s.mkString("|")))
 
     val ev = Tables(spark, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
@@ -103,7 +82,8 @@ class StreamingOuterJoinSpec extends AnyFunSuite {
     val batch = joined
       .filter(col("purchase_id").isNotNull ||
         unix_micros(col("click_ts")) < wmUs)
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sorted(
+        Ordering.by((s: Seq[String]) => s.mkString("|")))
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }

@@ -27,34 +27,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSessionWindowSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private val schema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Write rows as a single FILE named events.parquet (the fixture
-    * layout eventsStream's pathGlobFilter expects). */
-  private def craftedDir(rows: Seq[(Long, Long, Long)]): String = {
-    val t0 = 1735689600000000L // 2025-01-01 00:00:00 UTC, micros
-    val dir = java.nio.file.Files.createTempDirectory("sess-events")
-    val stage = java.nio.file.Files.createTempDirectory("sess-stage").toString
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map { case (id, user, offUs) =>
-        org.apache.spark.sql.Row(id,
-          java.sql.Timestamp.from(java.time.Instant.EPOCH
-            .plus(java.time.Duration.ofNanos((t0 + offUs) * 1000))),
-          user, "click", 1.0, "{}")
-      }, 1), schema)
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .findFirst().get()
-    java.nio.file.Files.move(part, dir.resolve("events.parquet"))
-    dir.toString
-  }
+  private def craftedDir(rows: Seq[(Long, Long, Long)]): String =
+    StreamFixtures.craftedEvents(spark,
+      rows.map { case (id, user, offUs) => (id, user, offUs, "click") })
 
   test("gap boundary: an exactly-gap-after event merges (strict >); " +
       "emission boundary: end == watermark emits, open sessions hold") {
