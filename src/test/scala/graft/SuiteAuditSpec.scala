@@ -49,6 +49,15 @@ class SuiteAuditSpec extends AnyFunSuite {
     "text_sweep", "text_tempsample", "text_topterms" // cutoff/stats rows
   )
 
+  test("every query has an oracle (and no orphan oracles)") {
+    // a query without an oracleSql entry silently downgrades to the
+    // driver's weaker rows-only check; an oracle without a query is
+    // dead SQL — both are inventory drift
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
+      s"only in queries: ${(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted}; " +
+        s"only in oracles: ${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
+  }
+
   test("all queries: driver-safe output schema; no cartesian; BNLJ allow-listed") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
