@@ -568,17 +568,7 @@ object StreamingOps {
                          statePartitions: Int = 8): DataFrame = {
     val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
     withStatePartitions(spark, statePartitions) {
-      val q = eventsStream(spark, dir)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
-          col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
-            .as("sum_value"))
-        .select(col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"),
-          col("user_id"), col("n_events"), col("sum_value"))
-        .writeStream
+      val q = sessionAgg(spark, dir, gapMinutes).writeStream
         .format("memory").queryName(name)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
@@ -586,6 +576,54 @@ object StreamingOps {
       q.awaitTermination()
     }
     spark.table(name)
+  }
+
+  /** The shared session-window streaming plan behind the memory-sink
+    * oracle harness ([[sessionWindowStats]]) and the production parquet
+    * sink ([[sessionWindowStatsAppend]]).
+    */
+  private def sessionAgg(spark: SparkSession, dir: String,
+                         gapMinutes: Int): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Production sink for the session windows: append mode to a parquet
+    * directory with a durable checkpoint — a session is written exactly
+    * once, when the watermark passes its end; sessions still open at an
+    * AvailableNow drain stay in (checkpointed) state for the next run,
+    * exactly the [[hourlyEventStatsAppend]] contract. Returns the sink
+    * contents (explicit schema: a run emitting nothing writes no files,
+    * and inference on the empty sink would throw).
+    */
+  def sessionWindowStatsAppend(spark: SparkSession, dir: String,
+                               gapMinutes: Int, sinkDir: String,
+                               checkpointDir: String,
+                               statePartitions: Int = 8): DataFrame = {
+    withStatePartitions(spark, statePartitions) {
+      val q = sessionAgg(spark, dir, gapMinutes).writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val sinkSchema = StructType(Seq(
+      StructField("session_start", TimestampType),
+      StructField("session_end", TimestampType),
+      StructField("user_id", LongType),
+      StructField("n_events", LongType),
+      StructField("sum_value", DoubleType)))
+    spark.read.schema(sinkSchema).parquet(sinkDir)
   }
 
   /** Sessionization via stateful streaming: gaps > `gapMinutes` split a

@@ -70,6 +70,28 @@ class StreamingSessionWindowSpec extends AnyFunSuite {
     assert(out == Seq(1L), s"observed emitted users: $out")
   }
 
+  test("parquet append sink == memory sink; a second drain with the same " +
+      "checkpoint emits nothing new") {
+    val dir = "/root/testdata/sf0.001"
+    val sink = java.nio.file.Files.createTempDirectory("sess-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
+    val appended = StreamingOps
+      .sessionWindowStatsAppend(spark, dir, gapMinutes = 30, sink, ckpt)
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sorted(
+        Ordering.by((s: Seq[String]) => s.mkString("|")))
+    val memory = StreamingOps.sessionWindowStats(spark, dir, gapMinutes = 30)
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq.sorted(
+        Ordering.by((s: Seq[String]) => s.mkString("|")))
+    assert(appended.nonEmpty)
+    assert(appended == memory)
+    // exactly-once across drains: the checkpoint remembers both the
+    // processed file and the emitted state — a replay appends nothing
+    val again = StreamingOps
+      .sessionWindowStatsAppend(spark, dir, gapMinutes = 30, sink, ckpt)
+      .collect()
+    assert(again.length == appended.length)
+  }
+
   test("fixture equivalence: emitted sessions == batch gap-fold filtered " +
       "by end <= max event time") {
     val dir = "/root/testdata/sf0.001"
