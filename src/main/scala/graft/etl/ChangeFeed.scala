@@ -149,6 +149,78 @@ object ChangeFeed {
     * filesystem must expose file keys (inodes) — hard-link identity is
     * what proves "same file".
     */
+  /** Schema of the materialized change log for a table: the [[diff]]
+    * row-form columns (`change_type`, keys, value columns) plus the
+    * `_commit_version` the change belongs to — what a streaming
+    * consumer needs to replay transitions in order.
+    */
+  def logSchema(tableSchema: org.apache.spark.sql.types.StructType,
+                keys: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val byName = tableSchema.fields.map(f => f.name -> f).toMap
+    val keyFields = keys.map(byName(_))
+    val valueFields = tableSchema.fields.toSeq.filterNot(f => keys.contains(f.name))
+    StructType((StructField("change_type", StringType) +: keyFields) ++
+      valueFields :+ StructField("_commit_version", LongType))
+  }
+
+  /** Catch the APPEND-ONLY change log for `table` up to the newest
+    * committed version — the write-side of a streaming CDC tail (the
+    * Delta CDF shape: change rows are materialized once, near the
+    * commit, and every downstream consumer reads churn-sized parquet
+    * instead of re-diffing snapshots). Each catch-up appends, per
+    * version transition not yet logged, the [[tableChangesPruned]] rows
+    * stamped with `_commit_version` = the transition's target version.
+    *
+    * Contract and crash-safety:
+    *  - The log STARTS at the table's first committed version:
+    *    consumers seed from that image and fold transitions forward.
+    *  - Idempotence is anchored in the log itself — the high-water mark
+    *    is `max(_commit_version)` over the logged rows, so a crash
+    *    between the diff write and any bookkeeping cannot double-log a
+    *    transition (there is no separate bookkeeping to desync). The
+    *    one consequence: a ZERO-change transition leaves no rows, so it
+    *    is re-diffed (to an empty frame, pruned to zero files for
+    *    partial bucket rewrites) on every catch-up until a later
+    *    transition advances the mark — wasted planning, never wrong.
+    *  - Single log-writer assumed, same as the warehouse's maintenance
+    *    contract; concurrent COMMITS are fine (they only extend the
+    *    version list a later catch-up sees).
+    *  - Transitions are between successive RETAINED versions: if
+    *    `vacuum()` pruned intermediate versions before they were
+    *    logged, their net effect is folded into one coarser diff
+    *    (correct final image, lost intermediate granularity).
+    *
+    * Returns the versions newly logged by this call, ascending.
+    */
+  def materializeLog(wh: Warehouse, table: String, keys: Seq[String],
+                     logDir: String): Seq[Long] = {
+    require(!wh.schemas(table).fieldNames.contains("_commit_version"),
+      "table already carries _commit_version — rename it before logging")
+    val dir = Paths.get(logDir)
+    Files.createDirectories(dir)
+    val hasData = wh.listDir(dir).exists { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val schema = logSchema(wh.schemas(table), keys)
+    val logged: Long =
+      if (!hasData) Long.MinValue
+      else wh.spark.read.schema(schema).parquet(logDir)
+        .agg(max(col("_commit_version"))).head() match {
+          case r if r.isNullAt(0) => Long.MinValue
+          case r => r.getLong(0)
+        }
+    val vs = wh.versions()
+    val todo = vs.zip(vs.drop(1)).filter { case (_, to) => to > logged }
+    todo.map { case (from, to) =>
+      tableChangesPruned(wh, table, from, to, keys)
+        .withColumn("_commit_version", lit(to))
+        .write.mode("append").parquet(logDir)
+      to
+    }
+  }
+
   def tableChangesPruned(wh: Warehouse, table: String, fromVersion: Long,
                          toVersion: Long, keys: Seq[String]): DataFrame = {
     val catA = wh.catalogAsOf(fromVersion)

@@ -1024,6 +1024,86 @@ object MiscQueries {
         .awaitTermination()
       run(); run() // second run = full redelivery (fresh checkpoint)
       wh.read("fact").orderBy("event_id")
+    }),
+
+    // STREAMING CDC tail, consumer-harness form: three committed
+    // versions of the customer dim, the change log materialized once
+    // (ChangeFeed.materializeLog — churn-sized parquet, one batch of
+    // rows per transition), then a STREAMING aggregation over the log
+    // folds the feed into signed per-segment deltas; the result is
+    // base ⊕ deltas. The oracle recomputes the aggregate directly from
+    // the FINAL (v3) image, so the hash gate certifies the whole
+    // chain: commit-time log materialization, file-source tail,
+    // streaming delta algebra across TWO transitions.
+    "q_stream_cdf" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      val D = DecimalType(18, 2)
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = cdfV2(c)
+      val v3 = cdfV3(v2)
+      val wh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-scdf").toString,
+        Map("cust" -> c.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      Seq(c, v2, v3).foreach { img =>
+        val t = wh.begin(); t.overwrite("cust", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-scdf-log").toString
+      ChangeFeed.materializeLog(wh, "cust", Seq("c_custkey"), logDir)
+      val sign = when(col("change_type").isin("insert", "update_post"),
+        lit(1)).otherwise(lit(-1))
+      val deltas = StreamingOps.changeFeedDeltas(s, logDir,
+        ChangeFeed.logSchema(c.schema, Seq("c_custkey")),
+        Seq("c_mktsegment"),
+        Seq(sum(sign).as("dn"),
+          sum(col("c_acctbal").cast(D) * sign).cast(DecimalType(38, 2)).as("db")),
+        java.nio.file.Files.createTempDirectory("graft-scdf-ckpt").toString)
+      val base = c.groupBy("c_mktsegment").agg(
+        count(lit(1)).as("dn"),
+        sum(col("c_acctbal").cast(D)).cast(DecimalType(38, 2)).as("db"))
+      base.unionByName(deltas)
+        .groupBy("c_mktsegment")
+        .agg(sum(col("dn")).cast(LongType).as("n_cust"),
+          sum(col("db")).cast(DecimalType(38, 2)).cast(StringType)
+            .as("total_bal"))
+        .filter(col("n_cust") =!= 0)
+        .orderBy("c_mktsegment")
+    }),
+
+    // STREAMING CDC, production-replica form: the same 3-version
+    // source feeds StreamingOps.changeFeedReplica — per micro-batch,
+    // per logged version, one bucket-pruned MERGE into a SECOND
+    // warehouse seeded with the v1 image, all of a batch's versions in
+    // one atomic commit. Output is the replica's final image; the
+    // oracle recomputes that image from raw customer, so the hash
+    // certifies churn-cost streamed replication end to end.
+    "q_stream_replica" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = cdfV2(c)
+      val v3 = cdfV3(v2)
+      def mkWh(tag: String) = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory(tag).toString,
+        Map("cust" -> c.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      val src = mkWh("graft-srep-src")
+      Seq(c, v2, v3).foreach { img =>
+        val t = src.begin(); t.overwrite("cust", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-srep-log").toString
+      ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), logDir)
+      val replica = mkWh("graft-srep-dst")
+      val t0 = replica.begin(); t0.overwrite("cust", c); t0.commit()
+      StreamingOps.changeFeedReplica(s, replica, "cust", Seq("c_custkey"),
+        logDir,
+        java.nio.file.Files.createTempDirectory("graft-srep-ckpt").toString)
+      replica.read("cust").orderBy("c_custkey")
     }))
 
   /** Register a (l_returnflag, l_linestatus) MV over lineitem, run the
@@ -1175,6 +1255,35 @@ object MiscQueries {
       |  SELECT c_custkey + 10000000, c_name, c_acctbal, c_mktsegment
       |  FROM customer WHERE c_custkey % 13 = 0)""".stripMargin
 
+  /** A SECOND deterministic mutation, applied to the [[cdfV2]] image —
+    * what gives the streaming CDC queries a multi-transition log:
+    * delete custkey%11==5, debit acctbal 50 for %9==0, insert
+    * key-shifted copies of %17==0. Shared by `q_stream_cdf` and
+    * `q_stream_replica` (their oracles' `v3` CTEs mirror it).
+    */
+  private def cdfV3(v2: DataFrame): DataFrame =
+    v2.filter(col("c_custkey") % 11 =!= 5)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 9 === 0, col("c_acctbal") - 50.0)
+          .otherwise(col("c_acctbal")))
+      .unionAll(v2.filter(col("c_custkey") % 17 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L))
+
+  /** The oracle-side mirror of [[cdfV3]] (composes over [[cdfV2Sql]]'s
+    * `v2` CTE). `x + (-50.0)` equals `x - 50.0` exactly under IEEE-754,
+    * so the CASE-addition form matches the engine's subtraction.
+    */
+  private val cdfV3Sql: String =
+    """v3 AS (
+      |  SELECT c_custkey, c_name,
+      |    c_acctbal + CASE WHEN c_custkey % 9 = 0 THEN -50.0 ELSE 0.0 END
+      |      AS c_acctbal,
+      |    c_mktsegment
+      |  FROM v2 WHERE c_custkey % 11 <> 5
+      |  UNION ALL
+      |  SELECT c_custkey + 20000000, c_name, c_acctbal, c_mktsegment
+      |  FROM v2 WHERE c_custkey % 17 = 0)""".stripMargin
+
   private def mvRouted(s: SparkSession, dir: String)
                       (q: DataFrame => DataFrame): DataFrame = {
     import MaterializedAgg._
@@ -1260,6 +1369,24 @@ object MiscQueries {
     "q_stream_ingest" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // direct recompute of the FINAL (v3) aggregate — hash-certifies the
+    // streamed base ⊕ delta maintenance across two logged transitions
+    "q_stream_cdf" ->
+      s"""WITH $cdfV2Sql,
+        |$cdfV3Sql
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS VARCHAR) AS total_bal
+        |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // direct recompute of the FINAL (v3) image — hash-certifies the
+    // streamed merge-applied replica
+    "q_stream_replica" ->
+      s"""WITH $cdfV2Sql,
+        |$cdfV3Sql
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM v3 ORDER BY c_custkey""".stripMargin,
 
     "q_merge_into" ->
       """SELECT * FROM (
