@@ -124,6 +124,142 @@ object Scd2 {
     closed.unionAll(merged)
   }
 
+  /** Apply a CHURN-SIZED change-row frame — the [[ChangeFeed.diff]]
+    * row convention (`change_type` ∈ insert/update_pre/update_post/
+    * delete, keys, value columns) — to an SCD2 history at load time
+    * `asOf`. This is delta-driven historization: the consumer that
+    * turns a CDC feed (this engine's materialized change log, or any
+    * Debezium-shaped source) into a Type-2 dim WITHOUT reconstructing
+    * full snapshots. `update_pre` rows are dropped up front — the
+    * after-image carries everything the apply needs.
+    *
+    * Per change row against the current slice:
+    *  - insert/update_post, no current row  → open (asOf, NULL, true)
+    *  - insert/update_post, changed (null-safe) → close current at
+    *    asOf + open new
+    *  - insert/update_post, unchanged → current passes through —
+    *    REDELIVERY of an already-applied change is a no-op, which
+    *    makes an applied history a FIXPOINT of its own deltas
+    *  - delete, current row → close at asOf
+    *  - delete, no current row → nothing (already absent)
+    *  - keys the change frame never names pass through verbatim.
+    *
+    * Equivalence (spec-pinned): for d = diff(prev, next),
+    * `applyChanges(hist_prev, d, asOf) == merge(hist_prev, next,
+    * asOf)` row for row. The win is cost: [[merge]] joins the FULL
+    * snapshot against the current slice; this joins only the churn.
+    */
+  def applyChanges(history: DataFrame, changes: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String],
+                   asOf: java.sql.Timestamp): DataFrame = {
+    val attrs = keys ++ compareCols
+    val closed = history.filter(!col("is_current"))
+      .select((attrs ++ auditCols).map(col): _*)
+    val d = history.filter(col("is_current"))
+      .select((attrs ++ auditCols).map(col): _*)
+      .withColumn("__dexists", lit(1))
+      .alias("d")
+    val s = guardUniqueKeys(
+        changes.filter(col("change_type") =!= "update_pre"), keys)
+      .select(col("change_type") +: attrs.map(col): _*)
+      .withColumn("__sexists", lit(1))
+      .alias("s")
+    val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
+
+    val inChg = col("s.__sexists").isNotNull
+    val hasCur = col("d.__dexists").isNotNull
+    val isDelete = inChg && col("s.change_type") === "delete"
+    val isChange = inChg && !isDelete && hasCur && Scd1.anyChanged(compareCols)
+    val isInsert = inChg && !isDelete && !hasCur
+
+    def shape(side: String, from: Column, to: Column, cur: Column): Column =
+      struct(attrs.map(c => col(s"$side.$c").as(c)) ++ Seq(
+        from.as("valid_from"), to.as("valid_to"), cur.as("is_current")): _*)
+    val oldKept   = shape("d", col("d.valid_from"), col("d.valid_to"), col("d.is_current"))
+    val oldClosed = shape("d", col("d.valid_from"), lit(asOf), lit(false))
+    val newOpen   = shape("s", lit(asOf), lit(null).cast("timestamp"), lit(true))
+
+    // delete-of-absent-key contributes NOTHING: slice to a typed empty
+    // array and let explode (not explode_outer) drop the row
+    val rows = when(isInsert, array(newOpen))
+      .when(isDelete && hasCur, array(oldClosed))
+      .when(isDelete && !hasCur, slice(array(oldClosed), 1, 0))
+      .when(isChange, array(oldClosed, newOpen))
+      .otherwise(array(oldKept))
+    val merged = s.join(d, on, "full")
+      .select(explode(rows).as("r"))
+      .select((attrs ++ auditCols).map(c => col(s"r.$c").as(c)): _*)
+    closed.unionAll(merged)
+  }
+
+  /** [[applyChanges]] into the two-table warehouse layout (see
+    * [[mergeWarehouse]] for the layout contract), inside the CALLER'S
+    * transaction so a consumer can apply several versions atomically.
+    * The cost story improves on the snapshot merge twice over: the
+    * change frame is already churn-sized (no full-snapshot join), and
+    * with the current table bucketed on the merge key the touched
+    * buckets are read STRAIGHT off the change keys — no
+    * `changedKeyBuckets` detection join at all. A load rewrites
+    * ~touched/B of the current slice and appends only the rows it
+    * closes; an empty delta writes nothing.
+    */
+  def applyChangesWarehouse(txn: Txn, currentTable: String,
+                            closedTable: String, changes: DataFrame,
+                            keys: Seq[String], compareCols: Seq[String],
+                            asOf: java.sql.Timestamp): Unit = {
+    val attrs = keys ++ compareCols
+    val chg = guardUniqueKeys(
+        changes.filter(col("change_type") =!= "update_pre"), keys)
+      .select(col("change_type") +: attrs.map(col): _*)
+
+    def branches(cur: DataFrame, c: DataFrame): (DataFrame, DataFrame) = {
+      val d = cur.withColumn("__dexists", lit(1)).alias("d")
+      val s = c.withColumn("__sexists", lit(1)).alias("s")
+      val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
+      val joined = s.join(d, on, "full")
+      val inChg = col("s.__sexists").isNotNull
+      val hasCur = col("d.__dexists").isNotNull
+      val isDelete = inChg && col("s.change_type") === "delete"
+      val isChange = inChg && !isDelete && hasCur && Scd1.anyChanged(compareCols)
+      val isInsert = inChg && !isDelete && !hasCur
+      val takeNew = isInsert || isChange
+      val newCurrent = joined.filter(!isDelete)
+        .select(attrs.map(c0 =>
+            when(takeNew, col(s"s.$c0")).otherwise(col(s"d.$c0")).as(c0)) :+
+          when(takeNew, lit(asOf)).otherwise(col("d.valid_from")).as("valid_from"): _*)
+      val newlyClosed = joined.filter(hasCur && (isDelete || isChange))
+        .select(attrs.map(c0 => col(s"d.$c0").as(c0)) ++
+          Seq(col("d.valid_from").as("valid_from"), lit(asOf).as("valid_to")): _*)
+      (newCurrent, newlyClosed)
+    }
+
+    txn.wh.bucketSpec.get(currentTable) match {
+      // same soundness guard as mergeWarehouse/Merge.into: pruning is
+      // only valid when the merge key IS the bucket key
+      case Some((bucketKey, n)) if keys == Seq(bucketKey) &&
+          txn.currentDirs(currentTable).length == 1 =>
+        val chgP = chg.persist()
+        try {
+          val touched = chgP
+            .select(pmod(hash(keys.map(col): _*), lit(n)).as("b"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq // ≤ n
+          if (touched.nonEmpty) {
+            val inT = Scd1.inBuckets(keys, n, touched)
+            val curT = txn.read(currentTable).filter(inT).persist()
+            try {
+              val (newCur, closedRows) = branches(curT, chgP)
+              txn.overwriteBuckets(currentTable, newCur, touched)
+              txn.append(closedTable, closedRows)
+            } finally curT.unpersist()
+          } // empty delta: the history is already exact — write nothing
+        } finally chgP.unpersist()
+      case _ =>
+        val (newCur, closedRows) = branches(txn.read(currentTable), chg)
+        txn.overwrite(currentTable, newCur)
+        txn.append(closedTable, closedRows)
+    }
+  }
+
   /** Point-in-time lookup: the version of each key valid at `at` —
     * the query an SCD2 dim exists to answer (joins from facts use the
     * same interval predicate). Half-open intervals: [valid_from,

@@ -1104,6 +1104,55 @@ object MiscQueries {
         logDir,
         java.nio.file.Files.createTempDirectory("graft-srep-ckpt").toString)
       replica.read("cust").orderBy("c_custkey")
+    }),
+
+    // STREAMING CDC, historized form: the same 3-version source feeds
+    // StreamingOps.changeFeedScd2 — per logged version, one
+    // bucket-pruned delta-apply (Scd2.applyChangesWarehouse) into a
+    // two-table SCD2 history seeded from the v1 image, versions
+    // timestamped t1<t2<t3. The oracle recomputes the history as two
+    // full-snapshot SCD2 merges, so the hash certifies the
+    // delta-apply ≡ snapshot-merge equivalence riding the streamed
+    // change log end to end.
+    "q_stream_scd2" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Scd2, Warehouse}
+      import graft.streaming.StreamingOps
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = cdfV2(c)
+      val v3 = cdfV3(v2)
+      val src = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-s2-src").toString,
+        Map("cust" -> c.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      Seq(c, v2, v3).foreach { img =>
+        val t = src.begin(); t.overwrite("cust", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-s2-log").toString
+      ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), logDir)
+      val ts = (1 to 3).map(d =>
+        java.sql.Timestamp.valueOf(s"2024-01-0$d 00:00:00"))
+      val verTs: Map[Long, java.sql.Timestamp] =
+        src.versions().sorted.zip(ts).toMap
+      val curSchema = StructType(c.schema.fields :+
+        StructField("valid_from", TimestampType))
+      val cloSchema = StructType(curSchema.fields :+
+        StructField("valid_to", TimestampType))
+      val hist = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-s2-hist").toString,
+        Map("cur" -> curSchema, "clo" -> cloSchema),
+        partitionSpec = Map.empty,
+        bucketSpec = Map("cur" -> ("c_custkey", 8)))
+      val t0 = hist.begin()
+      t0.overwrite("cur", c.withColumn("valid_from", lit(ts.head)))
+      t0.commit()
+      StreamingOps.changeFeedScd2(s, hist, "cur", "clo", c.schema,
+        Seq("c_custkey"), Seq("c_name", "c_acctbal", "c_mktsegment"),
+        logDir, verTs,
+        java.nio.file.Files.createTempDirectory("graft-s2-ckpt").toString)
+      Scd2.readHistory(hist, "cur", "clo")
+        .orderBy("c_custkey", "valid_from")
     }))
 
   /** Register a (l_returnflag, l_linestatus) MV over lineitem, run the
@@ -1387,6 +1436,67 @@ object MiscQueries {
         |$cdfV3Sql
         |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
         |FROM v3 ORDER BY c_custkey""".stripMargin,
+
+    // direct recompute of the history as two full-snapshot SCD2 merges
+    // (v1⊕v2 at t2, then ⊕v3 at t3) — hash-certifies the streamed
+    // delta-apply path producing the identical Type-2 history
+    "q_stream_scd2" ->
+      s"""WITH $cdfV2Sql,
+        |$cdfV3Sql,
+        |v1 AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |j1 AS (
+        |  SELECT coalesce(s.c_custkey, d.c_custkey) AS k,
+        |    d.c_custkey IS NULL AS ins, s.c_custkey IS NULL AS del,
+        |    (d.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND (
+        |      s.c_name IS DISTINCT FROM d.c_name
+        |      OR s.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |      OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment)) AS chg,
+        |    s.c_name AS sn, s.c_acctbal AS sa, s.c_mktsegment AS sm,
+        |    d.c_name AS dn, d.c_acctbal AS da, d.c_mktsegment AS dm
+        |  FROM v2 s FULL JOIN v1 d ON s.c_custkey = d.c_custkey),
+        |h2closed AS (
+        |  SELECT k AS c_custkey, dn AS c_name, da AS c_acctbal,
+        |    dm AS c_mktsegment,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |    TIMESTAMP '2024-01-02 00:00:00' AS valid_to
+        |  FROM j1 WHERE del OR chg),
+        |cur2 AS (
+        |  SELECT k AS c_custkey, dn AS c_name, da AS c_acctbal,
+        |    dm AS c_mktsegment,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from
+        |  FROM j1 WHERE NOT ins AND NOT del AND NOT chg
+        |  UNION ALL
+        |  SELECT k, sn, sa, sm, TIMESTAMP '2024-01-02 00:00:00'
+        |  FROM j1 WHERE ins OR chg),
+        |j2 AS (
+        |  SELECT coalesce(s.c_custkey, d.c_custkey) AS k,
+        |    d.c_custkey IS NULL AS ins, s.c_custkey IS NULL AS del,
+        |    (d.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL AND (
+        |      s.c_name IS DISTINCT FROM d.c_name
+        |      OR s.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |      OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment)) AS chg,
+        |    s.c_name AS sn, s.c_acctbal AS sa, s.c_mktsegment AS sm,
+        |    d.c_name AS dn, d.c_acctbal AS da, d.c_mktsegment AS dm,
+        |    d.valid_from AS dvf
+        |  FROM v3 s FULL JOIN cur2 d ON s.c_custkey = d.c_custkey)
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |  valid_from, valid_to, is_current
+        |FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, valid_from,
+        |    valid_to, false AS is_current FROM h2closed
+        |  UNION ALL
+        |  SELECT k, dn, da, dm, dvf,
+        |    TIMESTAMP '2024-01-03 00:00:00', false
+        |  FROM j2 WHERE del OR chg
+        |  UNION ALL
+        |  SELECT k, dn, da, dm, dvf, CAST(NULL AS TIMESTAMP), true
+        |  FROM j2 WHERE NOT ins AND NOT del AND NOT chg
+        |  UNION ALL
+        |  SELECT k, sn, sa, sm, TIMESTAMP '2024-01-03 00:00:00',
+        |    CAST(NULL AS TIMESTAMP), true
+        |  FROM j2 WHERE ins OR chg)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "q_merge_into" ->
       """SELECT * FROM (

@@ -883,4 +883,71 @@ object StreamingOps {
       .start()
     q.awaitTermination()
   }
+
+  /** PRODUCTION CDC consumer #2: fold the change stream into an SCD2
+    * HISTORY — the replica keeps only the latest image; this keeps
+    * every version with its validity interval, maintained at churn
+    * cost via [[graft.etl.Scd2.applyChangesWarehouse]] (the current
+    * slice rewrites only the buckets the delta touches; closed
+    * versions are append-only). `asOfForVersion` maps each logged
+    * `_commit_version` to its load timestamp and MUST be strictly
+    * increasing in the version — the history's own timestamps then
+    * double as the applied-version high-water mark.
+    *
+    * Exactly-once EFFECT, but by a DIFFERENT argument than the
+    * replica's: SCD2 application is NOT convergent (re-applying an old
+    * delta onto a newer history would close and reopen rows), so
+    * instead each batch derives the high-water mark from the history
+    * itself — max(valid_from / valid_to) over both tables — and skips
+    * every version whose asOf is not beyond it. Redelivered batches
+    * and full checkpoint resets re-derive the mark and skip; a crash
+    * between the warehouse commit and the checkpoint ack redelivers a
+    * batch whose versions are all ≤ the mark (spec-pinned). The mark
+    * needs no side ledger because every applied transition stamps its
+    * asOf into the rows it opens or closes, and a zero-change
+    * transition leaves no stamp but is a no-op to reapply.
+    */
+  def changeFeedScd2(spark: SparkSession, wh: graft.etl.Warehouse,
+                     currentTable: String, closedTable: String,
+                     sourceSchema: StructType, keys: Seq[String],
+                     compareCols: Seq[String], logDir: String,
+                     asOfForVersion: Long => java.sql.Timestamp,
+                     checkpointDir: String): Unit = {
+    import graft.etl.{ChangeFeed, Scd2}
+    val logSch = ChangeFeed.logSchema(sourceSchema, keys)
+    val q = changeFeedStream(spark, logDir, logSch)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val versions = batch.select(col("_commit_version")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          if (versions.nonEmpty) {
+            val txn = wh.begin()
+            val hwm = txn.read(currentTable)
+              .agg(max(col("valid_from")).as("m"))
+              .unionAll(txn.read(closedTable)
+                .agg(max(col("valid_to")).as("m")))
+              .agg(max(col("m"))).head() match {
+                case r if r.isNullAt(0) => None
+                case r => Some(r.getTimestamp(0))
+              }
+            versions.foreach { v =>
+              val at = asOfForVersion(v)
+              if (hwm.forall(at.after)) {
+                Scd2.applyChangesWarehouse(txn, currentTable, closedTable,
+                  batch.filter(col("_commit_version") === v)
+                    .drop("_commit_version"),
+                  keys, compareCols, at)
+              }
+            }
+            txn.commit() // the batch's surviving versions land atomically
+          }
+        } finally batch.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -146,4 +146,83 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
       Files.createTempDirectory("cdf-ckpt2").toString)
     assert(same(replica.read("t"), v3))
   }
+
+  private val cmp = Seq("grp", "amount")
+  private val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+  private val t3 = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+
+  private def sameMs(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("applyChanges equals the snapshot merge and is a fixpoint under redelivery") {
+    import graft.etl.Scd2
+    val h1 = Scd2.initial(v1, keys, cmp, t1)
+    val d12 = ChangeFeed.diff(v1, v2, keys)
+    val d23 = ChangeFeed.diff(v2, v3, keys)
+
+    // the theorem the streamed consumer rides on: delta-apply of a
+    // correct diff == full-snapshot merge, row for row
+    val viaDelta2 = Scd2.applyChanges(h1, d12, keys, cmp, t2)
+    val viaMerge2 = Scd2.merge(h1, v2, keys, cmp, t2)
+    assert(sameMs(viaDelta2, viaMerge2))
+
+    // redelivery: re-applying an ALREADY-APPLIED delta at the same
+    // asOf changes nothing (upsert-unchanged keeps, delete-absent
+    // drops to the empty array) — an applied history is a fixpoint
+    assert(sameMs(Scd2.applyChanges(viaMerge2, d12, keys, cmp, t2), viaMerge2))
+
+    // and it chains across transitions
+    val viaDelta3 = Scd2.applyChanges(viaDelta2, d23, keys, cmp, t3)
+    assert(sameMs(viaDelta3, Scd2.merge(viaMerge2, v3, keys, cmp, t3)))
+  }
+
+  test("changeFeedScd2 folds the log into a warehouse history; replays converge") {
+    import graft.etl.Scd2
+    val src = mkWh()
+    val logDir = Files.createTempDirectory("cdf-log").toString
+    val ckpt = Files.createTempDirectory("cdf-ckpt").toString
+    commit(src, v1); commit(src, v2)
+    ChangeFeed.materializeLog(src, "t", keys, logDir)
+
+    val curSchema = StructType(schema.fields :+
+      StructField("valid_from", TimestampType))
+    val cloSchema = StructType(curSchema.fields :+
+      StructField("valid_to", TimestampType))
+    val hist = new Warehouse(spark,
+      Files.createTempDirectory("wh-scd2").toString,
+      Map("cur" -> curSchema, "clo" -> cloSchema),
+      partitionSpec = Map.empty, bucketSpec = Map("cur" -> ("id", 4)))
+    val t0 = hist.begin()
+    t0.overwrite("cur", v1.withColumn("valid_from", lit(t1)))
+    t0.commit()
+    // resolved at apply time, so it covers versions committed between
+    // drains (the source's version ids are opaque; order is the map)
+    val asOfFor = (v: Long) =>
+      Seq(t1, t2, t3)(src.versions().sorted.indexOf(v))
+
+    def drain(ck: String): Unit =
+      StreamingOps.changeFeedScd2(spark, hist, "cur", "clo", schema,
+        keys, cmp, logDir, asOfFor, ck)
+    def history: DataFrame = Scd2.readHistory(hist, "cur", "clo")
+
+    val ref2 = Scd2.merge(Scd2.initial(v1, keys, cmp, t1), v2, keys, cmp, t2)
+    drain(ckpt)
+    assert(sameMs(history, ref2))
+
+    // incremental drain on the SAME checkpoint: only the new
+    // transition applies
+    commit(src, v3)
+    ChangeFeed.materializeLog(src, "t", keys, logDir)
+    val ref3 = Scd2.merge(ref2, v3, keys, cmp, t3)
+    drain(ckpt)
+    assert(sameMs(history, ref3))
+
+    // checkpoint reset: the whole log redelivers in one batch — SCD2
+    // apply is NOT convergent, so this is the high-water-mark guard's
+    // test: every version's asOf is ≤ the history's own max stamp,
+    // all skip, the history is untouched
+    drain(Files.createTempDirectory("cdf-ckpt2").toString)
+    assert(sameMs(history, ref3))
+  }
 }
