@@ -221,6 +221,85 @@ object ChangeFeed {
     }
   }
 
+  /** Fold a MULTI-TRANSITION change frame (the [[materializeLog]]
+    * shape: [[diff]] rows + `_commit_version`) into the NET diff —
+    * exactly what [[diff]] would emit between the log-start image and
+    * the image after the last folded version. Per key, one groupBy
+    * picks the earliest before-carrier (`min` over (version, rank):
+    * an `update_pre`/`delete` row beats the same version's
+    * `update_post`) and the latest after-carrier (`max` prefers
+    * `update_post` over its paired `update_pre`), then classifies:
+    * absent→present = one `insert`, present→absent = one `delete`,
+    * present→present = an `update_pre`/`update_post` pair — or
+    * NOTHING when the value round-tripped (update-then-revert,
+    * delete-then-reinsert-same). Insert-then-delete vanishes too.
+    * Equivalence with the direct two-image diff is spec-pinned.
+    *
+    * Scale shape: one hash aggregation over the folded log slice —
+    * no join, no window sort; cost is log-slice-sized, output is
+    * net-churn-sized.
+    */
+  def netChanges(log: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = log.columns.toSeq.filterNot(c =>
+      keys.contains(c) || c == "change_type" || c == "_commit_version")
+    val preRank = when(col("change_type") === "update_post", 1).otherwise(0)
+    val postRank = when(col("change_type") === "update_pre", 0).otherwise(1)
+    val vals = struct(valueCols.map(col): _*)
+    val agg = log.groupBy(keys.map(col): _*).agg(
+      min(struct(col("_commit_version").as("ver"), preRank.as("r"),
+        col("change_type").as("t"), vals.as("v"))).as("first"),
+      max(struct(col("_commit_version").as("ver"), postRank.as("r"),
+        col("change_type").as("t"), vals.as("v"))).as("last"))
+    val beforeAbsent = col("first.t") === "insert"
+    val afterAbsent = col("last.t") === "delete"
+    val changed = !(col("first.v") <=> col("last.v"))
+    def rec(tpe: String, side: String): Column =
+      struct(lit(tpe).as("change_type") +:
+        valueCols.map(c => col(s"$side.v.$c").as(c)): _*)
+    val nothing = slice(array(rec("insert", "last")), 1, 0) // typed empty
+    val rows = when(beforeAbsent && afterAbsent, nothing)
+      .when(beforeAbsent, array(rec("insert", "last")))
+      .when(afterAbsent, array(rec("delete", "first")))
+      .when(changed, array(rec("update_pre", "first"),
+        rec("update_post", "last")))
+      .otherwise(nothing)
+    agg.select(keys.map(col) :+ explode(rows).as("__c"): _*)
+      .select(col("__c.change_type") +: keys.map(col) ++:
+        valueCols.map(c => col(s"__c.$c").as(c)): _*)
+  }
+
+  /** COMPACT the change log: write a new log at `compactedDir` in
+    * which every transition with `_commit_version <= throughVersion`
+    * is folded into ONE net transition stamped `throughVersion`
+    * ([[netChanges]]), with the later transitions copied verbatim.
+    * The original log is left untouched — it is an append-only
+    * contract with streaming consumers whose checkpoints track its
+    * files; rewriting it in place would redeliver every row to every
+    * existing checkpoint. Instead, NEW consumers bootstrap from the
+    * compacted dir (cost bounded by net churn + tail, not by the full
+    * change history), and existing consumers stay on the original —
+    * the same split Kafka's log compaction and Delta's
+    * checkpoint-plus-tail reads make.
+    *
+    * A replica seeded with the log-start image converges to the same
+    * final image through either log (spec-pinned). A history consumer
+    * ([[graft.streaming.StreamingOps.changeFeedScd2]]) sees the folded
+    * span as one coarser transition: correct final image, intermediate
+    * versions deliberately collapsed.
+    */
+  def compactLog(spark: org.apache.spark.sql.SparkSession, logDir: String,
+                 compactedDir: String,
+                 logSchema: org.apache.spark.sql.types.StructType,
+                 keys: Seq[String], throughVersion: Long): Unit = {
+    val log = spark.read.schema(logSchema).parquet(logDir)
+    val net = netChanges(log.filter(col("_commit_version") <= throughVersion),
+        keys)
+      .withColumn("_commit_version", lit(throughVersion))
+      .select(logSchema.fieldNames.toIndexedSeq.map(col): _*)
+    net.unionByName(log.filter(col("_commit_version") > throughVersion))
+      .write.mode("errorifexists").parquet(compactedDir)
+  }
+
   def tableChangesPruned(wh: Warehouse, table: String, fromVersion: Long,
                          toVersion: Long, keys: Seq[String]): DataFrame = {
     val catA = wh.catalogAsOf(fromVersion)

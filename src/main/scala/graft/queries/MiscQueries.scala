@@ -1153,6 +1153,38 @@ object MiscQueries {
         java.nio.file.Files.createTempDirectory("graft-s2-ckpt").toString)
       Scd2.readHistory(hist, "cur", "clo")
         .orderBy("c_custkey", "valid_from")
+    }),
+
+    // CDC LOG COMPACTION: the 3-version change log folded into ONE
+    // net transition (ChangeFeed.netChanges — one hash aggregation,
+    // no join) written as a new-consumer bootstrap log. The oracle
+    // recomputes the net diff directly from the first and final
+    // images, so the hash certifies the fold algebra: chained updates
+    // collapse, insert-then-update collapses to one insert,
+    // round-tripped values vanish entirely.
+    "q_cdf_compact" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = cdfV2(c)
+      val v3 = cdfV3(v2)
+      val src = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-cpt-src").toString,
+        Map("cust" -> c.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      Seq(c, v2, v3).foreach { img =>
+        val t = src.begin(); t.overwrite("cust", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-cpt-log").toString
+      ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), logDir)
+      val sch = ChangeFeed.logSchema(c.schema, Seq("c_custkey"))
+      val compDir = java.nio.file.Files
+        .createTempDirectory("graft-cpt-out").toString + "/log"
+      ChangeFeed.compactLog(s, logDir, compDir, sch, Seq("c_custkey"),
+        src.versions().max)
+      s.read.schema(sch).parquet(compDir).drop("_commit_version")
+        .orderBy("c_custkey", "change_type")
     }))
 
   /** Register a (l_returnflag, l_linestatus) MV over lineitem, run the
@@ -1497,6 +1529,33 @@ object MiscQueries {
         |    CAST(NULL AS TIMESTAMP), true
         |  FROM j2 WHERE ins OR chg)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // direct net diff of the first and final images — hash-certifies
+    // the log fold (netChanges) riding the compacted bootstrap log
+    "q_cdf_compact" ->
+      s"""WITH $cdfV2Sql,
+        |$cdfV3Sql,
+        |j AS (
+        |  SELECT coalesce(b.c_custkey, a.c_custkey) AS k,
+        |    b.c_custkey IS NULL AS ins, a.c_custkey IS NULL AS del,
+        |    (b.c_custkey IS NOT NULL AND a.c_custkey IS NOT NULL AND (
+        |      b.c_name IS DISTINCT FROM a.c_name
+        |      OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
+        |      OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment)) AS chg,
+        |    b.c_name AS bn, b.c_acctbal AS ba, b.c_mktsegment AS bm,
+        |    a.c_name AS an, a.c_acctbal AS aa, a.c_mktsegment AS am
+        |  FROM customer b FULL JOIN v3 a ON b.c_custkey = a.c_custkey)
+        |SELECT change_type, c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM (
+        |  SELECT 'insert' AS change_type, k AS c_custkey, an AS c_name,
+        |    aa AS c_acctbal, am AS c_mktsegment FROM j WHERE ins
+        |  UNION ALL
+        |  SELECT 'delete', k, bn, ba, bm FROM j WHERE del
+        |  UNION ALL
+        |  SELECT 'update_pre', k, bn, ba, bm FROM j WHERE chg
+        |  UNION ALL
+        |  SELECT 'update_post', k, an, aa, am FROM j WHERE chg)
+        |ORDER BY c_custkey, change_type""".stripMargin,
 
     "q_merge_into" ->
       """SELECT * FROM (

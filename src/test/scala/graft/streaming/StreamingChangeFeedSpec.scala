@@ -225,4 +225,49 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     drain(Files.createTempDirectory("cdf-ckpt2").toString)
     assert(sameMs(history, ref3))
   }
+
+  test("netChanges equals the direct two-image diff; round-trips vanish") {
+    val wh = mkWh()
+    val logDir = Files.createTempDirectory("cdf-log").toString
+    // v4 makes every fold class appear: vs v1 — key1 updated then
+    // REVERTED (vanish), key2 deleted then REINSERTED with the same
+    // value (vanish), key3 deleted (net delete), key4 inserted then
+    // updated (net single insert with the final value), key5 inserted
+    // then deleted (vanish)
+    val v4 = img((1L, "a", 10L), (4L, "c", 41L), (2L, "a", 20L))
+    Seq(v1, v2, v3, v4).foreach(commit(wh, _))
+    ChangeFeed.materializeLog(wh, "t", keys, logDir)
+
+    val net = ChangeFeed.netChanges(logRows(logDir), keys)
+    val direct = ChangeFeed.diff(v1, v4, keys)
+    assert(net.exceptAll(direct).isEmpty && direct.exceptAll(net).isEmpty)
+    assert(net.count() == 2) // del 3 + ins 4 — the three round-trips left nothing
+  }
+
+  test("a replica bootstrapped from the compacted log converges to the source") {
+    val src = mkWh()
+    val logDir = Files.createTempDirectory("cdf-log").toString
+    Seq(v1, v2, v3).foreach(commit(src, _))
+    ChangeFeed.materializeLog(src, "t", keys, logDir)
+
+    // fold through the MIDDLE version: net(v1→v2) + verbatim v2→v3
+    // tail — the bootstrap shape a new consumer reads
+    val sch = ChangeFeed.logSchema(schema, keys)
+    val compDir = Files.createTempDirectory("cdf-compact").toString + "/log"
+    val vs = src.versions()
+    ChangeFeed.compactLog(spark, logDir, compDir, sch, keys, vs(1))
+    assert(spark.read.schema(sch).parquet(compDir)
+      .select("_commit_version").distinct().count() == 2)
+
+    val replica = mkWh()
+    commit(replica, v1)
+    StreamingOps.changeFeedReplica(spark, replica, "t", keys, compDir,
+      Files.createTempDirectory("cdf-ckpt").toString)
+    assert(sameMs(replica.read("t"), v3))
+
+    // the original log is untouched — existing checkpoints keep their
+    // append-only contract
+    assert(sameMs(ChangeFeed.netChanges(logRows(logDir), keys),
+      ChangeFeed.diff(v1, v3, keys)))
+  }
 }
