@@ -1,6 +1,7 @@
 package graft.etl
 
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -164,32 +165,69 @@ object ChangeFeed {
       valueFields :+ StructField("_commit_version", LongType))
   }
 
-  /** Catch the APPEND-ONLY change log for `table` up to the newest
-    * committed version — the write-side of a streaming CDC tail (the
-    * Delta CDF shape: change rows are materialized once, near the
-    * commit, and every downstream consumer reads churn-sized parquet
-    * instead of re-diffing snapshots). Each catch-up appends, per
-    * version transition not yet logged, the [[tableChangesPruned]] rows
-    * stamped with `_commit_version` = the transition's target version.
+  /** The glob every log reader (batch or streaming) scans: one
+    * subdirectory per logged transition. */
+  def logGlob(logDir: String): String = s"$logDir/t*"
+
+  /** The versions whose transition dirs carry a COMMITTED (`_SUCCESS`-
+    * marked) write, ascending. A torn write — a crash mid-job left
+    * part files but no marker — is invisible here, which is exactly
+    * what lets the next catch-up overwrite it.
+    */
+  def loggedVersions(logDir: String): Seq[Long] = {
+    val dir = Paths.get(logDir)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p) && n.length > 1 && n.startsWith("t") &&
+          n.drop(1).forall(_.isDigit) &&
+          Files.exists(p.resolve("_SUCCESS")))
+        Some(n.drop(1).toLong)
+      else None
+    }.toSeq.sorted
+    finally s.close()
+  }
+
+  /** Catch the change log for `table` up to the newest committed
+    * version — the write-side of a streaming CDC tail (the Delta CDF
+    * shape: change rows are materialized once, near the commit, and
+    * every downstream consumer reads churn-sized parquet instead of
+    * re-diffing snapshots). Each catch-up writes, per version
+    * transition not yet logged, the [[tableChangesPruned]] rows
+    * stamped with `_commit_version` = the transition's target version
+    * into the transition's OWN subdirectory (`t<version>`); readers
+    * scan [[logGlob]].
     *
     * Contract and crash-safety:
     *  - The log STARTS at the table's first committed version:
     *    consumers seed from that image and fold transitions forward.
-    *  - Idempotence is anchored in the log itself — the high-water mark
-    *    is `max(_commit_version)` over the logged rows, so a crash
-    *    between the diff write and any bookkeeping cannot double-log a
-    *    transition (there is no separate bookkeeping to desync). The
-    *    one consequence: a ZERO-change transition leaves no rows, so it
-    *    is re-diffed (to an empty frame, pruned to zero files for
-    *    partial bucket rewrites) on every catch-up until a later
-    *    transition advances the mark — wasted planning, never wrong.
+    *  - The high-water mark is the newest `_SUCCESS`-marked transition
+    *    dir ([[loggedVersions]]). The marker is the job committer's
+    *    LAST act, so a crash anywhere mid-write leaves an unmarked
+    *    torn dir that the next catch-up overwrites in place — no
+    *    double-logging after a complete write (there is no separate
+    *    bookkeeping to desync) AND no silently-missing rows after a
+    *    torn one. A ZERO-change transition commits an empty marked dir
+    *    and advances the mark like any other. The one crack left: a
+    *    streaming consumer that lists a torn dir's part files before
+    *    the overwrite replaces them can see partial-then-rewritten
+    *    rows; the convergent consumers absorb this, strict ones drain
+    *    only after catch-up returns (the single-log-writer contract
+    *    makes that ordering the caller's to arrange).
     *  - Single log-writer assumed, same as the warehouse's maintenance
     *    contract; concurrent COMMITS are fine (they only extend the
     *    version list a later catch-up sees).
-    *  - Transitions are between successive RETAINED versions: if
-    *    `vacuum()` pruned intermediate versions before they were
-    *    logged, their net effect is folded into one coarser diff
-    *    (correct final image, lost intermediate granularity).
+    *  - Transitions are between successive RETAINED versions. If
+    *    `vacuum()` pruned versions INTERIOR to a retained pair before
+    *    they were logged, their net effect folds into one coarser diff
+    *    (correct final image, lost granularity). But if the pruned
+    *    version is the log's own high-water mark, the mark-to-oldest-
+    *    retained span can no longer be diffed — and re-diffing a wider
+    *    span would double-count rows already logged, corrupting every
+    *    delta-folding consumer. That state fails loudly here instead:
+    *    re-bootstrap the log, or vacuum with a horizon that retains
+    *    the logged mark.
     *
     * Returns the versions newly logged by this call, ascending.
     */
@@ -197,26 +235,20 @@ object ChangeFeed {
                      logDir: String): Seq[Long] = {
     require(!wh.schemas(table).fieldNames.contains("_commit_version"),
       "table already carries _commit_version — rename it before logging")
-    val dir = Paths.get(logDir)
-    Files.createDirectories(dir)
-    val hasData = wh.listDir(dir).exists { p =>
-      val n = p.getFileName.toString
-      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-    }
-    val schema = logSchema(wh.schemas(table), keys)
-    val logged: Long =
-      if (!hasData) Long.MinValue
-      else wh.spark.read.schema(schema).parquet(logDir)
-        .agg(max(col("_commit_version"))).head() match {
-          case r if r.isNullAt(0) => Long.MinValue
-          case r => r.getLong(0)
-        }
+    Files.createDirectories(Paths.get(logDir))
+    val logged: Long = loggedVersions(logDir).lastOption.getOrElse(Long.MinValue)
     val vs = wh.versions()
+    require(logged == Long.MinValue || vs.contains(logged),
+      s"change log at $logDir is logged through version $logged, which " +
+        s"vacuum() has pruned from the retained versions " +
+        s"[${vs.mkString(", ")}] — the un-logged span can no longer be " +
+        "diffed without double-logging; re-bootstrap the log from the " +
+        "oldest retained image")
     val todo = vs.zip(vs.drop(1)).filter { case (_, to) => to > logged }
     todo.map { case (from, to) =>
       tableChangesPruned(wh, table, from, to, keys)
         .withColumn("_commit_version", lit(to))
-        .write.mode("append").parquet(logDir)
+        .write.mode("overwrite").parquet(s"$logDir/t$to")
       to
     }
   }
@@ -291,13 +323,21 @@ object ChangeFeed {
                  compactedDir: String,
                  logSchema: org.apache.spark.sql.types.StructType,
                  keys: Seq[String], throughVersion: Long): Unit = {
-    val log = spark.read.schema(logSchema).parquet(logDir)
-    val net = netChanges(log.filter(col("_commit_version") <= throughVersion),
-        keys)
+    val (head, tail) = loggedVersions(logDir).partition(_ <= throughVersion)
+    require(head.nonEmpty, s"no logged transitions at or before " +
+      s"$throughVersion in $logDir — nothing to compact")
+    val folded = spark.read.schema(logSchema)
+      .parquet(head.map(v => s"$logDir/t$v"): _*)
+    netChanges(folded, keys)
       .withColumn("_commit_version", lit(throughVersion))
       .select(logSchema.fieldNames.toIndexedSeq.map(col): _*)
-    net.unionByName(log.filter(col("_commit_version") > throughVersion))
-      .write.mode("errorifexists").parquet(compactedDir)
+      .write.mode("errorifexists").parquet(s"$compactedDir/t$throughVersion")
+    // tail transitions copy verbatim, each into its own dir, so the
+    // compacted log is a real log: same layout, same marker contract
+    tail.foreach { v =>
+      spark.read.schema(logSchema).parquet(s"$logDir/t$v")
+        .write.mode("errorifexists").parquet(s"$compactedDir/t$v")
+    }
   }
 
   def tableChangesPruned(wh: Warehouse, table: String, fromVersion: Long,

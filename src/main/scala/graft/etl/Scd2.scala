@@ -85,10 +85,38 @@ object Scd2 {
       .drop("__kcnt")
   }
 
-  /** Merge a full snapshot taken at `asOf` into the history. */
-  def merge(history: DataFrame, snapshotIn: DataFrame, keys: Seq[String],
-            compareCols: Seq[String], asOf: java.sql.Timestamp): DataFrame = {
-    val snapshot = guardUniqueKeys(snapshotIn, keys)
+  /** The two load sources share one classification contract: given the
+    * aliased full-outer join of the source frame (`s`, with
+    * `__sexists`) against the current slice (`d`, with `__dexists`),
+    * produce the (isInsert, isDelete, isChange) predicates. A FULL
+    * SNAPSHOT classifies by presence (absent-from-snapshot = delete); a
+    * CHANGE DELTA classifies by its `change_type` rows (absent-from-
+    * delta = untouched). Everything downstream — the array-explode
+    * history form and the two-branch warehouse form — is source-shape
+    * agnostic.
+    */
+  private def snapshotClassify(compareCols: Seq[String]): (Column, Column, Column) = {
+    val isInsert = col("d.__dexists").isNull
+    val isDelete = col("s.__sexists").isNull
+    (isInsert, isDelete, !isInsert && !isDelete && Scd1.anyChanged(compareCols))
+  }
+
+  private def deltaClassify(compareCols: Seq[String]): (Column, Column, Column) = {
+    val inChg = col("s.__sexists").isNotNull
+    val hasCur = col("d.__dexists").isNotNull
+    val isDelete = inChg && col("s.change_type") === "delete"
+    val isChange = inChg && !isDelete && hasCur && Scd1.anyChanged(compareCols)
+    (inChg && !isDelete && !hasCur, isDelete, isChange)
+  }
+
+  /** The shared single-frame core: split the history, full-outer join
+    * the prepped source (`__sexists`, aliased `s`) against the current
+    * slice, and emit 0-2 rows per key via one array-explode (no cached
+    * second pass). The three row shapes share one struct schema.
+    */
+  private def historize(history: DataFrame, s: DataFrame, keys: Seq[String],
+                        compareCols: Seq[String], asOf: java.sql.Timestamp,
+                        classify: (Column, Column, Column)): DataFrame = {
     val attrs = keys ++ compareCols
     val closed = history.filter(!col("is_current"))
       .select((attrs ++ auditCols).map(col): _*)
@@ -96,17 +124,10 @@ object Scd2 {
       .select((attrs ++ auditCols).map(col): _*)
       .withColumn("__dexists", lit(1))
       .alias("d")
-    val s = snapshot.select(attrs.map(col): _*)
-      .withColumn("__sexists", lit(1))
-      .alias("s")
     val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
+    val (isInsert, isDelete, isChange) = classify
+    val hasCur = col("d.__dexists").isNotNull
 
-    val isInsert = col("d.__dexists").isNull
-    val isDelete = col("s.__sexists").isNull
-    val isChange = !isInsert && !isDelete && Scd1.anyChanged(compareCols)
-
-    // The three row shapes share one struct schema so they can ride a
-    // single array-explode off the single join (no cached second pass).
     def shape(side: String, from: Column, to: Column, cur: Column): Column =
       struct(attrs.map(c => col(s"$side.$c").as(c)) ++ Seq(
         from.as("valid_from"), to.as("valid_to"), cur.as("is_current")): _*)
@@ -114,14 +135,30 @@ object Scd2 {
     val oldClosed = shape("d", col("d.valid_from"), lit(asOf), lit(false))
     val newOpen   = shape("s", lit(asOf), lit(null).cast("timestamp"), lit(true))
 
+    // a delete with no current row (delta redelivery) contributes
+    // NOTHING: slice to a typed empty array, explode drops the row.
+    // Snapshot loads never hit that branch (their delete ⇒ d exists).
     val rows = when(isInsert, array(newOpen))
-      .when(isDelete, array(oldClosed))
+      .when(isDelete && hasCur, array(oldClosed))
+      .when(isDelete && !hasCur, slice(array(oldClosed), 1, 0))
       .when(isChange, array(oldClosed, newOpen))
       .otherwise(array(oldKept))
     val merged = s.join(d, on, "full")
       .select(explode(rows).as("r"))
       .select((attrs ++ auditCols).map(c => col(s"r.$c").as(c)): _*)
     closed.unionAll(merged)
+  }
+
+  /** Merge a full snapshot taken at `asOf` into the history. */
+  def merge(history: DataFrame, snapshotIn: DataFrame, keys: Seq[String],
+            compareCols: Seq[String], asOf: java.sql.Timestamp): DataFrame = {
+    val attrs = keys ++ compareCols
+    val s = guardUniqueKeys(snapshotIn, keys)
+      .select(attrs.map(col): _*)
+      .withColumn("__sexists", lit(1))
+      .alias("s")
+    historize(history, s, keys, compareCols, asOf,
+      snapshotClassify(compareCols))
   }
 
   /** Apply a CHURN-SIZED change-row frame — the [[ChangeFeed.diff]]
@@ -153,43 +190,13 @@ object Scd2 {
                    compareCols: Seq[String],
                    asOf: java.sql.Timestamp): DataFrame = {
     val attrs = keys ++ compareCols
-    val closed = history.filter(!col("is_current"))
-      .select((attrs ++ auditCols).map(col): _*)
-    val d = history.filter(col("is_current"))
-      .select((attrs ++ auditCols).map(col): _*)
-      .withColumn("__dexists", lit(1))
-      .alias("d")
     val s = guardUniqueKeys(
         changes.filter(col("change_type") =!= "update_pre"), keys)
       .select(col("change_type") +: attrs.map(col): _*)
       .withColumn("__sexists", lit(1))
       .alias("s")
-    val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
-
-    val inChg = col("s.__sexists").isNotNull
-    val hasCur = col("d.__dexists").isNotNull
-    val isDelete = inChg && col("s.change_type") === "delete"
-    val isChange = inChg && !isDelete && hasCur && Scd1.anyChanged(compareCols)
-    val isInsert = inChg && !isDelete && !hasCur
-
-    def shape(side: String, from: Column, to: Column, cur: Column): Column =
-      struct(attrs.map(c => col(s"$side.$c").as(c)) ++ Seq(
-        from.as("valid_from"), to.as("valid_to"), cur.as("is_current")): _*)
-    val oldKept   = shape("d", col("d.valid_from"), col("d.valid_to"), col("d.is_current"))
-    val oldClosed = shape("d", col("d.valid_from"), lit(asOf), lit(false))
-    val newOpen   = shape("s", lit(asOf), lit(null).cast("timestamp"), lit(true))
-
-    // delete-of-absent-key contributes NOTHING: slice to a typed empty
-    // array and let explode (not explode_outer) drop the row
-    val rows = when(isInsert, array(newOpen))
-      .when(isDelete && hasCur, array(oldClosed))
-      .when(isDelete && !hasCur, slice(array(oldClosed), 1, 0))
-      .when(isChange, array(oldClosed, newOpen))
-      .otherwise(array(oldKept))
-    val merged = s.join(d, on, "full")
-      .select(explode(rows).as("r"))
-      .select((attrs ++ auditCols).map(c => col(s"r.$c").as(c)): _*)
-    closed.unionAll(merged)
+    historize(history, s, keys, compareCols, asOf,
+      deltaClassify(compareCols))
   }
 
   /** [[applyChanges]] into the two-table warehouse layout (see
@@ -212,26 +219,10 @@ object Scd2 {
         changes.filter(col("change_type") =!= "update_pre"), keys)
       .select(col("change_type") +: attrs.map(col): _*)
 
-    def branches(cur: DataFrame, c: DataFrame): (DataFrame, DataFrame) = {
-      val d = cur.withColumn("__dexists", lit(1)).alias("d")
-      val s = c.withColumn("__sexists", lit(1)).alias("s")
-      val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
-      val joined = s.join(d, on, "full")
-      val inChg = col("s.__sexists").isNotNull
-      val hasCur = col("d.__dexists").isNotNull
-      val isDelete = inChg && col("s.change_type") === "delete"
-      val isChange = inChg && !isDelete && hasCur && Scd1.anyChanged(compareCols)
-      val isInsert = inChg && !isDelete && !hasCur
-      val takeNew = isInsert || isChange
-      val newCurrent = joined.filter(!isDelete)
-        .select(attrs.map(c0 =>
-            when(takeNew, col(s"s.$c0")).otherwise(col(s"d.$c0")).as(c0)) :+
-          when(takeNew, lit(asOf)).otherwise(col("d.valid_from")).as("valid_from"): _*)
-      val newlyClosed = joined.filter(hasCur && (isDelete || isChange))
-        .select(attrs.map(c0 => col(s"d.$c0").as(c0)) ++
-          Seq(col("d.valid_from").as("valid_from"), lit(asOf).as("valid_to")): _*)
-      (newCurrent, newlyClosed)
-    }
+    def branches(cur: DataFrame, c: DataFrame): (DataFrame, DataFrame) =
+      currentBranches(cur,
+        c.withColumn("__sexists", lit(1)).alias("s"),
+        keys, attrs, asOf, deltaClassify(compareCols))
 
     txn.wh.bucketSpec.get(currentTable) match {
       // same soundness guard as mergeWarehouse/Merge.into: pruning is
@@ -326,6 +317,38 @@ object Scd2 {
     * reader never sees a version closed in `closedTable` while still
     * open in `currentTable`). Full history = [[readHistory]].
     */
+  /** The shared two-table core: one full-outer join of the (possibly
+    * bucket-pruned) current slice against the prepped source, consumed
+    * twice as (newCurrent, newlyClosed). One CONDITIONAL projection
+    * instead of a two-branch union — the union form executed the
+    * full-outer join once per branch (plus once for newlyClosed = 3×
+    * the dominant join cost per load). Source-shape agnostic like
+    * [[historize]]: the classify tuple is the only difference between
+    * a snapshot load and a delta apply.
+    */
+  private def currentBranches(cur: DataFrame, s: DataFrame,
+                              keys: Seq[String], attrs: Seq[String],
+                              asOf: java.sql.Timestamp,
+                              classify: (Column, Column, Column))
+      : (DataFrame, DataFrame) = {
+    val d = cur.withColumn("__dexists", lit(1)).alias("d")
+    val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
+    val joined = s.join(d, on, "full")
+    val (isInsert, isDelete, isChange) = classify
+    val hasCur = col("d.__dexists").isNotNull
+    val takeNew = isInsert || isChange
+    val newCurrent = joined.filter(!isDelete)
+      .select(attrs.map(c =>
+          when(takeNew, col(s"s.$c")).otherwise(col(s"d.$c")).as(c)) :+
+        when(takeNew, lit(asOf)).otherwise(col("d.valid_from")).as("valid_from"): _*)
+    // hasCur is vacuous for a snapshot source (its delete ⇒ d exists)
+    // and load-bearing for a delta (delete-of-absent closes nothing)
+    val newlyClosed = joined.filter(hasCur && (isDelete || isChange))
+      .select(attrs.map(c => col(s"d.$c").as(c)) ++
+        Seq(col("d.valid_from").as("valid_from"), lit(asOf).as("valid_to")): _*)
+    (newCurrent, newlyClosed)
+  }
+
   def mergeWarehouse(wh: Warehouse, currentTable: String, closedTable: String,
                      snapshot: DataFrame, keys: Seq[String],
                      compareCols: Seq[String],
@@ -334,30 +357,10 @@ object Scd2 {
     val txn = wh.begin()
     val snapC = guardUniqueKeys(snapshot.select(attrs.map(col): _*), keys)
 
-    // (newCurrent, newlyClosed) from one full-outer join of the (possibly
-    // bucket-pruned) current slice against the snapshot. The join is
-    // consumed twice; in the bucketed path it is touched-bucket-sized.
-    def branches(cur: DataFrame, snap: DataFrame): (DataFrame, DataFrame) = {
-      val d = cur.withColumn("__dexists", lit(1)).alias("d")
-      val s = snap.withColumn("__sexists", lit(1)).alias("s")
-      val on = keys.map(k => col(s"s.$k") === col(s"d.$k")).reduce(_ && _)
-      val joined = s.join(d, on, "full")
-      val isInsert = col("d.__dexists").isNull
-      val isDelete = col("s.__sexists").isNull
-      val isChange = !isInsert && !isDelete && Scd1.anyChanged(compareCols)
-      // one CONDITIONAL projection instead of a two-branch union — the
-      // union form executed the full-outer join once per branch (plus
-      // once for newlyClosed = 3× the dominant join cost per load)
-      val takeNew = isInsert || isChange
-      val newCurrent = joined.filter(!isDelete)
-        .select(attrs.map(c =>
-            when(takeNew, col(s"s.$c")).otherwise(col(s"d.$c")).as(c)) :+
-          when(takeNew, lit(asOf)).otherwise(col("d.valid_from")).as("valid_from"): _*)
-      val newlyClosed = joined.filter(isDelete || isChange)
-        .select(attrs.map(c => col(s"d.$c").as(c)) ++
-          Seq(col("d.valid_from").as("valid_from"), lit(asOf).as("valid_to")): _*)
-      (newCurrent, newlyClosed)
-    }
+    def branches(cur: DataFrame, snap: DataFrame): (DataFrame, DataFrame) =
+      currentBranches(cur,
+        snap.withColumn("__sexists", lit(1)).alias("s"),
+        keys, attrs, asOf, snapshotClassify(compareCols))
 
     wh.bucketSpec.get(currentTable) match {
       // the pruned path is sound only when the MERGE key is exactly the

@@ -1183,7 +1183,8 @@ object MiscQueries {
         .createTempDirectory("graft-cpt-out").toString + "/log"
       ChangeFeed.compactLog(s, logDir, compDir, sch, Seq("c_custkey"),
         src.versions().max)
-      s.read.schema(sch).parquet(compDir).drop("_commit_version")
+      s.read.schema(sch).parquet(ChangeFeed.logGlob(compDir))
+        .drop("_commit_version")
         .orderBy("c_custkey", "change_type")
     }))
 

@@ -795,7 +795,35 @@ object StreamingOps {
     */
   def changeFeedStream(spark: SparkSession, logDir: String,
                        logSchema: StructType): DataFrame =
-    spark.readStream.schema(logSchema).parquet(logDir)
+    spark.readStream.schema(logSchema)
+      .parquet(graft.etl.ChangeFeed.logGlob(logDir))
+
+  /** The scaffolding every log consumer shares: tail the log, hand
+    * each micro-batch to `applyBatch` persisted (consumers read it
+    * more than once), drain with `AvailableNow` on the durable
+    * checkpoint, block until done.
+    *
+    * Cross-batch ordering: the file source processes files oldest-
+    * modification-first, and [[graft.etl.ChangeFeed.materializeLog]]
+    * writes transition dirs sequentially in version order, so a
+    * version never lands in an EARLIER batch than its predecessor.
+    * Within a batch no ordering is assumed — both consumers below are
+    * order-free in-batch (a net fold; a per-version ascending loop).
+    */
+  private def drainLog(spark: SparkSession, logDir: String,
+                       logSchema: StructType, checkpointDir: String)
+                      (applyBatch: DataFrame => Unit): Unit = {
+    val q = changeFeedStream(spark, logDir, logSchema)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try applyBatch(batch) finally batch.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   /** Consumer harness: fold the streamed change rows into per-group
     * DELTAS — `groupCols` grouping, caller-built signed aggregates
@@ -827,61 +855,52 @@ object StreamingOps {
   }
 
   /** PRODUCTION CDC consumer: maintain a downstream REPLICA of the
-    * source table at churn cost. Each micro-batch applies its logged
-    * transitions in `_commit_version` order as one warehouse
-    * transaction of bucket-pruned MERGEs — `insert`/`update_post` rows
-    * upsert the after-image, `delete` rows drop the key, `update_pre`
-    * rows are the debit record and carry nothing the merge needs. A
-    * nightly delta touching `c` of `B` buckets rewrites ~`c/B` of the
-    * replica regardless of its size.
+    * source table at churn cost. Each micro-batch FOLDS its logged
+    * transitions into the per-key net delta
+    * ([[graft.etl.ChangeFeed.netChanges]] — one hash aggregation, no
+    * join) and applies ONE bucket-pruned MERGE in one warehouse
+    * transaction: net `insert`/`update_post` rows upsert the final
+    * after-image, net `delete` rows drop the key, keys that
+    * round-tripped inside the batch never touch the table at all. A
+    * catch-up batch covering N versions thus costs one write, not N —
+    * and a nightly delta touching `c` of `B` buckets rewrites ~`c/B`
+    * of the replica regardless of its size.
     *
-    * Exactly-once EFFECT without a ledger: per-version merge
-    * application is CONVERGENT — replaying the ordered transition
-    * history onto any state the history itself produced lands on the
-    * final image (upsert-same-value and delete-absent-key are no-ops),
-    * so foreachBatch's at-least-once redelivery, and even a full
-    * checkpoint reset, re-converge instead of corrupting
-    * (spec-pinned). This is why the replica needs none of
-    * [[streamingMvRefresh]]'s ledger machinery.
+    * Exactly-once EFFECT without a ledger: net-merge application is
+    * CONVERGENT — the net of a batch applied to any state that
+    * already includes some or all of it degenerates to
+    * upsert-same-value / delete-absent-key no-ops, so foreachBatch's
+    * at-least-once redelivery, and even a full checkpoint reset,
+    * re-converge instead of corrupting (spec-pinned). This is why the
+    * replica needs none of [[streamingMvRefresh]]'s ledger machinery.
+    * (The fold leans on [[graft.etl.ChangeFeed.diff]] co-locating a
+    * key's `update_pre`/`update_post` pair — both rows come off one
+    * exploded join row, so a file split can never strand half a pair
+    * in another batch.)
     */
   def changeFeedReplica(spark: SparkSession, wh: graft.etl.Warehouse,
                         table: String, keys: Seq[String], logDir: String,
                         checkpointDir: String): Unit = {
     import graft.etl.{ChangeFeed, Merge}
     val logSch = ChangeFeed.logSchema(wh.schemas(table), keys)
-    val q = changeFeedStream(spark, logDir, logSch)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          // churn-sized: distinct committed versions inside this batch
-          val versions = batch.select(col("_commit_version")).distinct()
-            .collect().map(_.getLong(0)).sorted
-          if (versions.nonEmpty) {
-            val txn = wh.begin()
-            versions.foreach { v =>
-              val src = batch
-                .filter(col("_commit_version") === v &&
-                  col("change_type") =!= "update_pre")
-                .withColumn("__op",
-                  when(col("change_type") === "delete", lit("d"))
-                    .otherwise(lit("u")))
-                .drop("change_type", "_commit_version")
-              Merge.into(txn, table, src, keys,
-                whenMatched = Seq(
-                  Merge.Delete(Some(col("s.__op") === "d")),
-                  Merge.UpdateAll(Some(col("s.__op") === "u"))),
-                whenNotMatched = Seq(
-                  Merge.Insert(condition = Some(col("s.__op") === "u"))))
-            }
-            txn.commit() // all of the batch's versions land atomically
-          }
-        } finally batch.unpersist()
+    drainLog(spark, logDir, logSch, checkpointDir) { batch =>
+      if (!batch.isEmpty) {
+        val src = ChangeFeed.netChanges(batch, keys)
+          .filter(col("change_type") =!= "update_pre")
+          .withColumn("__op",
+            when(col("change_type") === "delete", lit("d"))
+              .otherwise(lit("u")))
+          .drop("change_type")
+        val txn = wh.begin()
+        Merge.into(txn, table, src, keys,
+          whenMatched = Seq(
+            Merge.Delete(Some(col("s.__op") === "d")),
+            Merge.UpdateAll(Some(col("s.__op") === "u"))),
+          whenNotMatched = Seq(
+            Merge.Insert(condition = Some(col("s.__op") === "u"))))
+        txn.commit()
       }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    }
   }
 
   /** PRODUCTION CDC consumer #2: fold the change stream into an SCD2
@@ -899,13 +918,19 @@ object StreamingOps {
     * delta onto a newer history would close and reopen rows), so
     * instead each batch derives the high-water mark from the history
     * itself — max(valid_from / valid_to) over both tables — and skips
-    * every version whose asOf is not beyond it. Redelivered batches
-    * and full checkpoint resets re-derive the mark and skip; a crash
-    * between the warehouse commit and the checkpoint ack redelivers a
-    * batch whose versions are all ≤ the mark (spec-pinned). The mark
-    * needs no side ledger because every applied transition stamps its
-    * asOf into the rows it opens or closes, and a zero-change
-    * transition leaves no stamp but is a no-op to reapply.
+    * every version whose asOf is BEFORE it. A version AT the mark
+    * re-applies: already-applied rows of it are no-ops (the
+    * [[graft.etl.Scd2.applyChanges]] fixpoint, spec-pinned), which
+    * both absorbs redelivery and HEALS a version whose log files were
+    * split across two micro-batches — the first partial apply stamps
+    * the mark, the remainder still lands. Redelivered batches and
+    * full checkpoint resets re-derive the mark and skip everything
+    * strictly older; a crash between the warehouse commit and the
+    * checkpoint ack redelivers a batch whose re-application is pure
+    * no-ops. The mark needs no side ledger because every applied
+    * transition stamps its asOf into the rows it opens or closes, and
+    * a zero-change transition leaves no stamp but is a no-op to
+    * reapply.
     */
   def changeFeedScd2(spark: SparkSession, wh: graft.etl.Warehouse,
                      currentTable: String, closedTable: String,
@@ -915,39 +940,30 @@ object StreamingOps {
                      checkpointDir: String): Unit = {
     import graft.etl.{ChangeFeed, Scd2}
     val logSch = ChangeFeed.logSchema(sourceSchema, keys)
-    val q = changeFeedStream(spark, logDir, logSch)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          val versions = batch.select(col("_commit_version")).distinct()
-            .collect().map(_.getLong(0)).sorted
-          if (versions.nonEmpty) {
-            val txn = wh.begin()
-            val hwm = txn.read(currentTable)
-              .agg(max(col("valid_from")).as("m"))
-              .unionAll(txn.read(closedTable)
-                .agg(max(col("valid_to")).as("m")))
-              .agg(max(col("m"))).head() match {
-                case r if r.isNullAt(0) => None
-                case r => Some(r.getTimestamp(0))
-              }
-            versions.foreach { v =>
-              val at = asOfForVersion(v)
-              if (hwm.forall(at.after)) {
-                Scd2.applyChangesWarehouse(txn, currentTable, closedTable,
-                  batch.filter(col("_commit_version") === v)
-                    .drop("_commit_version"),
-                  keys, compareCols, at)
-              }
-            }
-            txn.commit() // the batch's surviving versions land atomically
+    drainLog(spark, logDir, logSch, checkpointDir) { batch =>
+      val versions = batch.select(col("_commit_version")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (versions.nonEmpty) {
+        val txn = wh.begin()
+        val hwm = txn.read(currentTable)
+          .agg(max(col("valid_from")).as("m"))
+          .unionAll(txn.read(closedTable)
+            .agg(max(col("valid_to")).as("m")))
+          .agg(max(col("m"))).head() match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getTimestamp(0))
           }
-        } finally batch.unpersist()
+        versions.foreach { v =>
+          val at = asOfForVersion(v)
+          if (hwm.forall(h => !at.before(h))) {
+            Scd2.applyChangesWarehouse(txn, currentTable, closedTable,
+              batch.filter(col("_commit_version") === v)
+                .drop("_commit_version"),
+              keys, compareCols, at)
+          }
+        }
+        txn.commit() // the batch's surviving versions land atomically
       }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    }
   }
 }

@@ -47,7 +47,8 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
   }
 
   private def logRows(logDir: String): DataFrame =
-    spark.read.schema(ChangeFeed.logSchema(schema, keys)).parquet(logDir)
+    spark.read.schema(ChangeFeed.logSchema(schema, keys))
+      .parquet(ChangeFeed.logGlob(logDir))
 
   // base, then two transitions exercising every change type
   private val v1 = img((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
@@ -175,6 +176,15 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     // and it chains across transitions
     val viaDelta3 = Scd2.applyChanges(viaDelta2, d23, keys, cmp, t3)
     assert(sameMs(viaDelta3, Scd2.merge(viaMerge2, v3, keys, cmp, t3)))
+
+    // split-batch healing (what changeFeedScd2's at-or-after-the-mark
+    // guard leans on): a PARTIAL delta applied first, then the full
+    // delta re-applied at the same asOf, lands on the full apply —
+    // the already-applied rows degenerate to no-ops
+    val part = d12.filter(col("id") <= 2)
+    val healed = Scd2.applyChanges(
+      Scd2.applyChanges(h1, part, keys, cmp, t2), d12, keys, cmp, t2)
+    assert(sameMs(healed, viaMerge2))
   }
 
   test("changeFeedScd2 folds the log into a warehouse history; replays converge") {
@@ -256,7 +266,7 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     val compDir = Files.createTempDirectory("cdf-compact").toString + "/log"
     val vs = src.versions()
     ChangeFeed.compactLog(spark, logDir, compDir, sch, keys, vs(1))
-    assert(spark.read.schema(sch).parquet(compDir)
+    assert(spark.read.schema(sch).parquet(ChangeFeed.logGlob(compDir))
       .select("_commit_version").distinct().count() == 2)
 
     val replica = mkWh()
@@ -269,5 +279,35 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     // append-only contract
     assert(sameMs(ChangeFeed.netChanges(logRows(logDir), keys),
       ChangeFeed.diff(v1, v3, keys)))
+  }
+
+  test("a zero-change transition commits an empty marked dir and advances the mark") {
+    val wh = mkWh()
+    val logDir = Files.createTempDirectory("cdf-log").toString
+    commit(wh, v1); commit(wh, v2); commit(wh, v2) // third commit changes nothing
+    val vs = wh.versions()
+    assert(ChangeFeed.materializeLog(wh, "t", keys, logDir) ==
+      Seq(vs(1), vs(2)))
+    // idempotent THROUGH the empty trailing transition: the marked-dir
+    // high-water mark advanced, so nothing is re-reported or re-diffed
+    assert(ChangeFeed.materializeLog(wh, "t", keys, logDir).isEmpty)
+    assert(ChangeFeed.loggedVersions(logDir) == Seq(vs(1), vs(2)))
+    assert(logRows(logDir).filter(col("_commit_version") === vs(2)).isEmpty)
+  }
+
+  test("materializeLog fails loudly when vacuum pruned the logged high-water version") {
+    val wh = mkWh()
+    val logDir = Files.createTempDirectory("cdf-log").toString
+    commit(wh, v1); commit(wh, v2)
+    ChangeFeed.materializeLog(wh, "t", keys, logDir) // logged through v2
+    commit(wh, v3); commit(wh, v1)
+    wh.vacuum(retainVersions = 1, graceMs = 0) // retains only the last two
+    assert(!wh.versions().contains(ChangeFeed.loggedVersions(logDir).max))
+    // re-diffing a wider span would double-log rows already in the log
+    // (corrupting every delta-folding consumer) — refuse instead
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.materializeLog(wh, "t", keys, logDir)
+    }
+    assert(e.getMessage.contains("re-bootstrap"))
   }
 }
