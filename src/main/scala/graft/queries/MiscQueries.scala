@@ -44,6 +44,14 @@ object MiscQueries {
       StreamingOps.streamingDedupKeys(s, dir)
         .orderBy("user_id", "event_type")),
 
+    // Stream-STATIC join: the click stream enriched with a per-user
+    // purchase profile — stateless (no watermark, no state store; the
+    // entry requires stateOperators empty), static side broadcast per
+    // micro-batch, left join keeps profile-less users with zeroes
+    "q_stream_enrich" -> ((s, dir) =>
+      StreamingOps.streamStaticEnrich(s, dir)
+        .orderBy("event_id")),
+
     // Gap-based sessionization (the stateful-streaming fold, batch form)
     "q_sessionize" -> ((s, dir) =>
       StreamingOps.sessionize(Tables(s, dir, "events"), gapMinutes = 30)
@@ -2022,6 +2030,21 @@ object MiscQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // the stateless stream-static join emits exactly the batch left
+    // join of clicks against the purchase profile
+    "q_stream_enrich" ->
+      """WITH p AS (
+        |  SELECT user_id, count(*) AS n_purchases,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT e.event_id, e.user_id,
+        |  coalesce(p.n_purchases, 0) AS n_purchases,
+        |  coalesce(p.total_purchase_value, 0.0) AS total_purchase_value
+        |FROM events e LEFT JOIN p USING (user_id)
+        |WHERE e.event_type = 'click'
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

@@ -146,6 +146,44 @@ object StreamingOps {
     spark.read.schema(sinkSchema).parquet(sinkDir)
   }
 
+  /** Stream-STATIC join: enrich the click stream with a per-user
+    * profile computed once from purchase history — the dimension-
+    * enrichment shape, and the cheapest streaming join there is: the
+    * static side re-plans per micro-batch (broadcast when stats
+    * allow), the join is STATELESS (no watermark, no state store —
+    * `stateOperators` empty, spec-pinned), so an unbounded run carries
+    * zero join state. LEFT join: a click from a user with no purchase
+    * history keeps its row with zeroed profile columns — dropping it
+    * would corrupt any downstream aggregate.
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val profile = graft.Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("total_purchase_value"))
+    val name = "enrich_" + UUID.randomUUID().toString.replace("-", "")
+    val q = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id")
+      .join(profile, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("total_purchase_value"), lit(0.0))
+          .as("total_purchase_value"))
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      "stream-static join must be stateless")
+    spark.table(name)
+  }
+
   /** Stream-STREAM inner join: every click joined to the same user's
     * purchases in the preceding hour. Both sides are real streams with
     * event-time watermarks and a time-range join condition — the
