@@ -29,8 +29,9 @@ object PlanDump {
         // round-9 continuation (q_bucket_join/q_stream_session
         // materialize driver-side / via the memory sink, so their
         // dumps are local scans — plan properties are asserted
-        // in-entry and in their specs instead)
-        "q_table_diff", "q_cdf_apply")
+        // in-entry and in their specs instead; same for the streamed
+        // CDC consumers q_stream_cdf/replica/scd2/enrich)
+        "q_table_diff", "q_cdf_apply", "q_cdf_compact")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
