@@ -340,6 +340,82 @@ object ChangeFeed {
     }
   }
 
+  /** One member of a replication group: a source table, its merge
+    * keys, and its materialized change log. */
+  case class GroupTable(table: String, keys: Seq[String], logDir: String)
+
+  /** Multi-TABLE replication with CROSS-TABLE transactional
+    * consistency. A source warehouse commit spans every table it
+    * touched under ONE catalog version; independent per-table replicas
+    * lose that boundary between drains (orders at v3 joining customers
+    * still at v2 — orphaned foreign keys a reader can observe). This
+    * catch-up preserves it: per call, each table's not-yet-applied log
+    * versions fold to their net delta ([[netChanges]]) and ALL tables'
+    * merges land in ONE replica transaction, together with the
+    * applied-version watermark — so any reader of the replica sees
+    * every group table at the same commit frontier.
+    *
+    * Exactly-once by TRANSACTIONAL WATERMARK, not convergence: the
+    * `meta` table (declare it `(tbl STRING, ver BIGINT)` in the
+    * replica's schemas) records each table's applied high-water mark
+    * and moves in the same commit as the merges — the classic
+    * sink-side-ledger pattern, chosen here over the single-table
+    * replica's ledger-free convergence because the watermark is ALSO
+    * what keeps re-reads churn-sized (only unapplied transition dirs
+    * are ever opened; a ledger-free group would re-read whole logs
+    * every call).
+    *
+    * Ordering contract (single maintenance writer, like
+    * [[materializeLog]]): materialize ALL group logs, then call this —
+    * or pass `throughVersion` (a source version captured before the
+    * log catch-up) to cap the frontier when logs may be mid-write.
+    *
+    * Returns the versions newly applied per table (empty map = nothing
+    * to do, no commit).
+    */
+  def replicateGroup(replica: Warehouse, tables: Seq[GroupTable],
+                     meta: String,
+                     throughVersion: Option[Long] = None)
+      : Map[String, Seq[Long]] = {
+    val txn = replica.begin()
+    val applied: Map[String, Long] = txn.read(meta)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val todo: Map[String, Seq[Long]] = tables.map { gt =>
+      gt.table -> loggedVersions(gt.logDir)
+        .filter(_ > applied.getOrElse(gt.table, Long.MinValue))
+        .filter(v => throughVersion.forall(v <= _))
+    }.toMap
+    if (todo.values.forall(_.isEmpty)) return Map.empty
+    tables.foreach { gt =>
+      val vs = todo(gt.table)
+      if (vs.nonEmpty) {
+        val logSch = logSchema(replica.schemas(gt.table), gt.keys)
+        val batch = replica.spark.read.schema(logSch)
+          .parquet(vs.map(v => s"${gt.logDir}/t$v"): _*)
+        val src = netChanges(batch, gt.keys)
+          .filter(col("change_type") =!= "update_pre")
+          .withColumn("__op",
+            when(col("change_type") === "delete", lit("d"))
+              .otherwise(lit("u")))
+          .drop("change_type")
+        Merge.into(txn, gt.table, src, gt.keys,
+          whenMatched = Seq(
+            Merge.Delete(Some(col("s.__op") === "d")),
+            Merge.UpdateAll(Some(col("s.__op") === "u"))),
+          whenNotMatched = Seq(
+            Merge.Insert(condition = Some(col("s.__op") === "u"))))
+      }
+    }
+    val newMarks = tables.map { gt =>
+      gt.table -> todo(gt.table).lastOption
+        .getOrElse(applied.getOrElse(gt.table, Long.MinValue))
+    }.filter(_._2 != Long.MinValue)
+    import replica.spark.implicits._
+    txn.overwrite(meta, newMarks.toDF("tbl", "ver"))
+    txn.commit() // merges + watermark move as one atomic frontier
+    todo.filter(_._2.nonEmpty)
+  }
+
   def tableChangesPruned(wh: Warehouse, table: String, fromVersion: Long,
                          toVersion: Long, keys: Seq[String]): DataFrame = {
     val catA = wh.catalogAsOf(fromVersion)

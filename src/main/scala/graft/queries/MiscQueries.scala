@@ -1194,6 +1194,72 @@ object MiscQueries {
       s.read.schema(sch).parquet(ChangeFeed.logGlob(compDir))
         .drop("_commit_version")
         .orderBy("c_custkey", "change_type")
+    }),
+
+    // MULTI-TABLE consistent replication: customer + orders mutate
+    // together across three commits (a customer leaves WITH its
+    // orders; new customers arrive WITH theirs), both change logs
+    // replicate through ChangeFeed.replicateGroup — every table's net
+    // delta plus the applied-version watermark in ONE replica
+    // transaction. Output is the replica-side orders LEFT JOIN
+    // customers: an orphaned foreign key (the thing independent
+    // per-table replicas can leak) would surface as a null-padded row
+    // and fail the hash against the oracle's consistent v3 recompute.
+    "q_replica_group" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      val c0 = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val o0 = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 5 === 0)
+      val c2 = c0.filter(col("c_custkey") % 10 =!= 3)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      val o2 = o0.join(c2.select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val c3 = c2.unionAll(c0.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 30000000L))
+      val o3 = o2.withColumn("o_totalprice",
+          when(col("o_orderkey") % 9 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionAll(o0
+          .filter(col("o_custkey") % 13 === 0 && col("o_orderkey") % 3 === 0)
+          .select((col("o_orderkey") + 60000000L).as("o_orderkey"),
+            (col("o_custkey") + 30000000L).as("o_custkey"),
+            col("o_totalprice")))
+      def mkWh(tag: String, withMeta: Boolean) = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory(tag).toString,
+        Map("cust" -> c0.schema, "ord" -> o0.schema) ++
+          (if (withMeta) Map("cdc_meta" -> StructType(Seq(
+            StructField("tbl", StringType), StructField("ver", LongType))))
+           else Map.empty),
+        partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8),
+          "ord" -> ("o_orderkey", 8)))
+      val src = mkWh("graft-rg-src", withMeta = false)
+      Seq((c0, o0), (c2, o2), (c3, o3)).foreach { case (c, o) =>
+        val t = src.begin()
+        t.overwrite("cust", c); t.overwrite("ord", o); t.commit()
+      }
+      val cLog = java.nio.file.Files.createTempDirectory("graft-rg-cl").toString
+      val oLog = java.nio.file.Files.createTempDirectory("graft-rg-ol").toString
+      ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), cLog)
+      ChangeFeed.materializeLog(src, "ord", Seq("o_orderkey"), oLog)
+      val replica = mkWh("graft-rg-dst", withMeta = true)
+      locally {
+        val t = replica.begin()
+        t.overwrite("cust", c0); t.overwrite("ord", o0); t.commit()
+      }
+      ChangeFeed.replicateGroup(replica,
+        Seq(ChangeFeed.GroupTable("cust", Seq("c_custkey"), cLog),
+          ChangeFeed.GroupTable("ord", Seq("o_orderkey"), oLog)),
+        "cdc_meta")
+      replica.read("ord").join(replica.read("cust"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+          "c_name", "c_acctbal")
+        .orderBy("o_orderkey")
     }))
 
   /** Register a (l_returnflag, l_linestatus) MV over lineitem, run the
@@ -1565,6 +1631,39 @@ object MiscQueries {
         |  UNION ALL
         |  SELECT 'update_post', k, an, aa, am FROM j WHERE chg)
         |ORDER BY c_custkey, change_type""".stripMargin,
+
+    // direct recompute of the consistent v3 pair — any replica-side
+    // foreign-key orphan or missed delta breaks the join hash
+    "q_replica_group" ->
+      """WITH c0 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |o0 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 5 = 0),
+        |c2 AS (
+        |  SELECT c_custkey, c_name,
+        |    c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END
+        |      AS c_acctbal
+        |  FROM c0 WHERE c_custkey % 10 <> 3),
+        |o2 AS (
+        |  SELECT * FROM o0
+        |  WHERE o_custkey IN (SELECT c_custkey FROM c2)),
+        |c3 AS (
+        |  SELECT * FROM c2
+        |  UNION ALL
+        |  SELECT c_custkey + 30000000, c_name, c_acctbal
+        |  FROM c0 WHERE c_custkey % 13 = 0),
+        |o3 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    o_totalprice + CASE WHEN o_orderkey % 9 = 0 THEN 1.0 ELSE 0.0 END
+        |      AS o_totalprice
+        |  FROM o2
+        |  UNION ALL
+        |  SELECT o_orderkey + 60000000, o_custkey + 30000000, o_totalprice
+        |  FROM o0 WHERE o_custkey % 13 = 0 AND o_orderkey % 3 = 0)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+        |  c.c_name, c.c_acctbal
+        |FROM o3 o LEFT JOIN c3 c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_merge_into" ->
       """SELECT * FROM (
