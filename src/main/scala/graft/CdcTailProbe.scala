@@ -26,17 +26,22 @@ import org.apache.spark.sql.SparkSession
   */
 object CdcTailProbe {
 
+  /** Parquet DATA files only (no _SUCCESS markers, no data-skipping
+    * sidecars) — the same population DimMergeProbe measures, so the
+    * two probes' byte ratios are commensurable. `linkedDontCount`
+    * additionally drops hard-linked carry-over files (nlink > 1),
+    * isolating physically-written bytes.
+    */
   private def dirBytes(dir: String, linkedDontCount: Boolean): Long = {
-    def walk(p: Path): Seq[Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toSeq.flatMap(q =>
-        if (Files.isDirectory(q)) walk(q) else Seq(q))
-      finally s.close()
-    }
-    walk(Paths.get(dir))
-      .filter(p => !linkedDontCount ||
-        Files.getAttribute(p, "unix:nlink").asInstanceOf[Number].longValue() <= 1)
+    val st = Files.walk(Paths.get(dir))
+    try st.iterator().asScala
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet") &&
+        (!linkedDontCount ||
+          Files.getAttribute(f, "unix:nlink")
+            .asInstanceOf[Number].longValue() <= 1))
       .map(Files.size).sum
+    finally st.close()
   }
 
   private def time[T](f: => T): (T, Double) = {

@@ -344,6 +344,39 @@ object ChangeFeed {
     * keys, and its materialized change log. */
   case class GroupTable(table: String, keys: Seq[String], logDir: String)
 
+  /** The ONE net-apply recipe both replica consumers share
+    * ([[replicateGroup]] and the streaming
+    * [[graft.streaming.StreamingOps.changeFeedReplica]]): fold the
+    * change rows to the per-key net delta, drop the `update_pre`
+    * debit records, and apply one MERGE — net deletes drop the key,
+    * net inserts/after-images upsert. A batch whose net is EMPTY
+    * (only round-trips, or a zero-change transition) writes NOTHING —
+    * no fresh dir, no hard-link pass. Returns whether a merge was
+    * staged, so a caller with nothing else pending can skip an empty
+    * version bump.
+    */
+  def applyNetBatch(txn: Txn, table: String, keys: Seq[String],
+                    batch: DataFrame): Boolean = {
+    val src = netChanges(batch, keys)
+      .filter(col("change_type") =!= "update_pre")
+      .withColumn("__op",
+        when(col("change_type") === "delete", lit("d")).otherwise(lit("u")))
+      .drop("change_type")
+      .persist()
+    try {
+      val nonEmpty = !src.isEmpty
+      if (nonEmpty) {
+        Merge.into(txn, table, src, keys,
+          whenMatched = Seq(
+            Merge.Delete(Some(col("s.__op") === "d")),
+            Merge.UpdateAll(Some(col("s.__op") === "u"))),
+          whenNotMatched = Seq(
+            Merge.Insert(condition = Some(col("s.__op") === "u"))))
+      }
+      nonEmpty
+    } finally src.unpersist()
+  }
+
   /** Multi-TABLE replication with CROSS-TABLE transactional
     * consistency. A source warehouse commit spans every table it
     * touched under ONE catalog version; independent per-table replicas
@@ -366,9 +399,15 @@ object ChangeFeed {
     * every call).
     *
     * Ordering contract (single maintenance writer, like
-    * [[materializeLog]]): materialize ALL group logs, then call this —
-    * or pass `throughVersion` (a source version captured before the
-    * log catch-up) to cap the frontier when logs may be mid-write.
+    * [[materializeLog]]): materialize ALL group logs, then call this.
+    * The frontier defaults to the MIN over the group of each log's
+    * newest marked version — every transition (zero-change included)
+    * commits a marked dir per logged table, so a log still mid-
+    * materialization simply holds the whole group back one call
+    * instead of letting another table run ahead of it (the orphan
+    * race). Pass `throughVersion` to cap the frontier earlier still.
+    * A group table with an EMPTY log has no known frontier and pins
+    * the group at nothing-to-do until its first catch-up.
     *
     * Returns the versions newly applied per table (empty map = nothing
     * to do, no commit).
@@ -377,39 +416,35 @@ object ChangeFeed {
                      meta: String,
                      throughVersion: Option[Long] = None)
       : Map[String, Seq[Long]] = {
+    val logged: Map[String, Seq[Long]] =
+      tables.map(gt => gt.table -> loggedVersions(gt.logDir)).toMap
+    if (logged.values.exists(_.isEmpty)) return Map.empty
+    val frontier = math.min(logged.values.map(_.max).min,
+      throughVersion.getOrElse(Long.MaxValue))
     val txn = replica.begin()
     val applied: Map[String, Long] = txn.read(meta)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val todo: Map[String, Seq[Long]] = tables.map { gt =>
-      gt.table -> loggedVersions(gt.logDir)
+      gt.table -> logged(gt.table)
         .filter(_ > applied.getOrElse(gt.table, Long.MinValue))
-        .filter(v => throughVersion.forall(v <= _))
+        .filter(_ <= frontier)
     }.toMap
     if (todo.values.forall(_.isEmpty)) return Map.empty
     tables.foreach { gt =>
       val vs = todo(gt.table)
       if (vs.nonEmpty) {
         val logSch = logSchema(replica.schemas(gt.table), gt.keys)
-        val batch = replica.spark.read.schema(logSch)
-          .parquet(vs.map(v => s"${gt.logDir}/t$v"): _*)
-        val src = netChanges(batch, gt.keys)
-          .filter(col("change_type") =!= "update_pre")
-          .withColumn("__op",
-            when(col("change_type") === "delete", lit("d"))
-              .otherwise(lit("u")))
-          .drop("change_type")
-        Merge.into(txn, gt.table, src, gt.keys,
-          whenMatched = Seq(
-            Merge.Delete(Some(col("s.__op") === "d")),
-            Merge.UpdateAll(Some(col("s.__op") === "u"))),
-          whenNotMatched = Seq(
-            Merge.Insert(condition = Some(col("s.__op") === "u"))))
+        applyNetBatch(txn, gt.table, gt.keys,
+          replica.spark.read.schema(logSch)
+            .parquet(vs.map(v => s"${gt.logDir}/t$v"): _*))
       }
     }
-    val newMarks = tables.map { gt =>
-      gt.table -> todo(gt.table).lastOption
-        .getOrElse(applied.getOrElse(gt.table, Long.MinValue))
-    }.filter(_._2 != Long.MinValue)
+    // marks MERGE over whatever else the meta table records (another
+    // group, a table dropped from this one) — never erase a watermark
+    val newMarks = (applied ++ tables.flatMap { gt =>
+      todo(gt.table).lastOption.orElse(applied.get(gt.table))
+        .map(gt.table -> _)
+    }).toSeq
     import replica.spark.implicits._
     txn.overwrite(meta, newMarks.toDF("tbl", "ver"))
     txn.commit() // merges + watermark move as one atomic frontier

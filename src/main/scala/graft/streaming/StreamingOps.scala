@@ -919,24 +919,12 @@ object StreamingOps {
   def changeFeedReplica(spark: SparkSession, wh: graft.etl.Warehouse,
                         table: String, keys: Seq[String], logDir: String,
                         checkpointDir: String): Unit = {
-    import graft.etl.{ChangeFeed, Merge}
+    import graft.etl.ChangeFeed
     val logSch = ChangeFeed.logSchema(wh.schemas(table), keys)
     drainLog(spark, logDir, logSch, checkpointDir) { batch =>
       if (!batch.isEmpty) {
-        val src = ChangeFeed.netChanges(batch, keys)
-          .filter(col("change_type") =!= "update_pre")
-          .withColumn("__op",
-            when(col("change_type") === "delete", lit("d"))
-              .otherwise(lit("u")))
-          .drop("change_type")
         val txn = wh.begin()
-        Merge.into(txn, table, src, keys,
-          whenMatched = Seq(
-            Merge.Delete(Some(col("s.__op") === "d")),
-            Merge.UpdateAll(Some(col("s.__op") === "u"))),
-          whenNotMatched = Seq(
-            Merge.Insert(condition = Some(col("s.__op") === "u"))))
-        txn.commit()
+        if (ChangeFeed.applyNetBatch(txn, table, keys, batch)) txn.commit()
       }
     }
   }
