@@ -32,6 +32,11 @@ object PlanDump {
         // in-entry and in their specs instead; same for the streamed
         // CDC consumers q_stream_cdf/replica/scd2/enrich)
         "q_table_diff", "q_cdf_apply", "q_cdf_compact")
+        // q_replica_group materializes through warehouse commits
+        // (ReplicateGroupSpec gates its plans); q_bloom_skip and
+        // q_meta_agg assert their plan property in-entry (files
+        // pruned / PushedAggregation present) and return driver-side
+        // rows, so their dumps would be local scans
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -453,6 +453,24 @@ class Warehouse(val spark: SparkSession, val root: String,
     dir
   }
 
+  /** Build per-file BLOOM sidecars over `cols` in every current data
+    * dir of `table` — the point-lookup complement to the min/max stats
+    * sidecar: on a column the layout does not cluster (ids probed by
+    * value), every file's range spans the domain and stats prune
+    * nothing, while the bloom refutes the non-containing files at
+    * planning time ([[readSkipping]] consults both automatically).
+    * A maintenance action like [[compactZOrdered]]: run it once per
+    * table; dirs committed AFTER it lack the sidecar and simply don't
+    * prune until the next run (conservative, never wrong). One
+    * distributed pass per (dir, col); the driver holds
+    * files × mBits/8 bytes — bucket-bounded, never data-sized.
+    */
+  def indexBloom(table: String, cols: Seq[String],
+                 mBits: Long = 1L << 17, k: Int = 5): Unit =
+    catalog().getOrElse(table, Nil).foreach { d =>
+      graft.sources.DataSkipping.writeBloomSidecar(spark, d, cols, mBits, k)
+    }
+
   /** Read `table` through the FILE-SKIPPING index
     * ([[graft.sources.DataSkipping]]): pushed point/range predicates
     * are resolved at planning time against the per-file min/max stats

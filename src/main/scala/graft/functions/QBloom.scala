@@ -103,6 +103,50 @@ object QBloom {
     Filter(words, mBits, k)
   }
 
+  /** Build ONE filter per group (e.g. per source FILE via
+    * `input_file_name()`), in a single distributed pass: each partition
+    * ORs its rows' probe positions into a per-group local word array and
+    * the group→words maps tree-reduce to the driver. The driver receives
+    * `groups × mBits/8` bytes regardless of row count — for a per-file
+    * Bloom index over a B-bucket dir that is B fixed-size arrays, never
+    * a data-dependent row set. Same deterministic geometry as [[build]],
+    * so [[testKey]] probes these filters too.
+    */
+  def buildPerGroup(df: DataFrame, group: Column, key: Column,
+                    mBits: Long = 1L << 17, k: Int = 5): Map[String, Filter] = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    require(k > 0, "k must be positive")
+    val (h1, h2) = hashes(key)
+    val posCols = group.cast("string") +: (0 until k).map(i => position(h1, h2, i, mBits))
+    val nWords = (mBits / 64).toInt
+    type Acc = scala.collection.mutable.HashMap[String, Array[Long]]
+    val acc = df.filter(key.isNotNull && group.isNotNull)
+      .select(posCols: _*)
+      .rdd.treeAggregate(new Acc)(
+        seqOp = (m, row) => {
+          val w = m.getOrElseUpdate(row.getString(0), new Array[Long](nWords))
+          var i = 1
+          while (i <= k) {
+            val p = row.getLong(i)
+            w((p >> 6).toInt) |= 1L << (p & 63).toInt
+            i += 1
+          }
+          m
+        },
+        combOp = (a, b) => {
+          b.foreach { case (g, w) =>
+            a.get(g) match {
+              case Some(aw) =>
+                var i = 0
+                while (i < aw.length) { aw(i) |= w(i); i += 1 }
+              case None => a(g) = w
+            }
+          }
+          a
+        })
+    acc.iterator.map { case (g, w) => g -> Filter(w, mBits, k) }.toMap
+  }
+
   private val mdPool = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -797,6 +797,68 @@ object MiscQueries {
       s.createDataFrame(java.util.Arrays.asList(rowsArr: _*), res.schema)
     }),
 
+    // Parquet AGGREGATE pushdown — COUNT/MIN/MAX answered from footer
+    // metadata through the DSv2 scan: zero data pages read, so the
+    // cost at 100 TB is one footer per file instead of a full scan.
+    // The entry REQUIRES the plan carries PushedAggregation (fails
+    // loudly if the pushdown regresses into a real scan); configs are
+    // scoped and restored. The oracle recomputes the aggregates the
+    // ordinary way — footer stats lying about data would flip the hash.
+    "q_meta_agg" -> ((s, dir) => {
+      val prevV1 = s.conf.get("spark.sql.sources.useV1SourceList")
+      val prevPd = s.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      try {
+        val df = s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+            min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("PushedAggregation"),
+          "parquet aggregate pushdown did not engage:\n" + plan)
+        val rowsArr = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rowsArr: _*), df.schema)
+      } finally {
+        s.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+        s.conf.set("spark.sql.parquet.aggregatePushdown", prevPd)
+      }
+    }),
+
+    // Bloom-filter file skipping — the point-lookup regime where
+    // min/max stats are powerless: customer hash-scattered into 16
+    // files on c_name, so every file's [c_custkey min, max] spans
+    // nearly the whole key domain and a key lookup keeps all of them.
+    // The per-file Bloom sidecar (deterministic md5 geometry, no false
+    // negatives) refutes the non-containing files at PLANNING time.
+    // The entry REQUIRES the bloom index pruned strictly more files
+    // than the stats-only control on the same predicate; the DuckDB
+    // oracle recomputes from the raw table, hash-gating the pruned
+    // read's correctness.
+    "q_bloom_skip" -> ((s, dir) => {
+      import graft.sources.DataSkipping
+      val out = java.nio.file.Files.createTempDirectory("graft-bloomskip")
+        .toString + "/customer"
+      Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .repartition(16, col("c_name"))
+        .write.parquet(out)
+      DataSkipping.writeSidecar(s, out)
+      val schema = s.read.parquet(out).schema
+      val keys = Seq(7L, 42L, 101L, 999999937L) // last absent at every SF
+      val pred = col("c_custkey").isin(keys: _*)
+      val (statsOnly, statsIdx) = DataSkipping.readWithIndex(s, schema, Seq(out))
+      statsOnly.filter(pred).collect()
+      DataSkipping.writeBloomSidecar(s, out, Seq("c_custkey"))
+      val (skip, idx) = DataSkipping.readWithIndex(s, schema, Seq(out))
+      val res = skip.filter(pred).orderBy("c_custkey")
+      val rowsArr = res.collect()
+      require(idx.lastSelected < statsIdx.lastSelected,
+        s"bloom skipping did not beat stats: ${idx.lastSelected} vs " +
+          s"${statsIdx.lastSelected} of ${idx.lastTotal} files")
+      s.createDataFrame(java.util.Arrays.asList(rowsArr: _*), res.schema)
+    }),
+
     // Declarative data-quality audit over orders with seeded violations
     // (dup keys, null FKs, negative prices, dangling FKs) — row rules in
     // one aggregation pass, unique via groupBy, FK via left-anti
@@ -1951,6 +2013,17 @@ object MiscQueries {
         |SELECT k.id, k.entity_id, c.canonical_id, (k.rk = 1) AS is_canonical,
         | c.n_members
         |FROM rk k JOIN can c USING (entity_id) ORDER BY k.id""".stripMargin,
+
+    "q_meta_agg" ->
+      """SELECT count(*) AS n_rows,
+        | min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
+
+    "q_bloom_skip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (7, 42, 101, 999999937)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_skip_scan" ->
       """SELECT l_returnflag, count(*) AS n_rows,

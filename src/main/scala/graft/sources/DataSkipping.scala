@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, input_file_name}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import scala.jdk.CollectionConverters._
@@ -243,6 +244,133 @@ object DataSkipping {
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 
+  // -------------------------------------------------------------------
+  // Bloom sidecar — point-lookup file skipping
+  //
+  // Min/max bounds prune RANGE predicates, but on a column the layout
+  // does not cluster (a hash-scattered key, an id looked up by value)
+  // every file's [min,max] spans the whole domain and stats keep
+  // everything. A per-file Bloom filter answers the question stats
+  // cannot: "can this FILE contain this exact value?" — no false
+  // negatives, so dropping refuted files never changes the answer, and
+  // at 100 TB a point lookup opens ~1 file instead of all of them.
+  // Deterministic geometry (md5 double-hashing, graft.functions.QBloom)
+  // so the sidecar is reproducible byte-for-byte.
+  // -------------------------------------------------------------------
+
+  private val BloomSidecarName = "_graft_bloom.tsv"
+
+  /** Column types whose relational `cast(col AS STRING)` rendering the
+    * probe side reproduces exactly (Literal → text below): integrals
+    * and strings. Anything else (date/timestamp/decimal/floating)
+    * renders differently between the build cast and a literal's value
+    * object, so we refuse rather than risk an unsound prune.
+    */
+  private def bloomSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** Literal → the exact text the build side hashed (None = a type we
+    * do not index; never prunes).
+    */
+  private def bloomKey(l: Literal): Option[String] =
+    if (l.value == null) None
+    else l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(l.value.asInstanceOf[Number].longValue.toString)
+      case StringType => Some(l.value.toString)
+      case _ => None
+    }
+
+  /** Build and persist per-(file, column) Bloom filters for `cols`
+    * under `dir` as a `_graft_bloom.tsv` sidecar. ONE distributed pass
+    * per column (input_file_name() groups rows to their source file);
+    * the driver receives files × mBits/8 bytes — bucket-count-bounded,
+    * never data-sized. Run once at commit/maintenance time, like the
+    * stats sidecar; the dir's files are immutable so the index never
+    * stales. Sizing: mBits ≈ 10× the expected per-file key count keeps
+    * false positives ~1% (a false positive only costs an extra file
+    * read, never correctness).
+    */
+  def writeBloomSidecar(spark: SparkSession, dir: String, cols: Seq[String],
+                        mBits: Long = 1L << 17, k: Int = 5): Unit = {
+    require(cols.nonEmpty, "no columns to index")
+    val df = spark.read.parquet(dir)
+    cols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+      require(bloomSupported(f.dataType),
+        s"bloom index supports integral/string columns, got $c: ${f.dataType.simpleString}")
+    }
+    val root = JPaths.get(dir).toAbsolutePath
+    def rel(uri: String): String =
+      root.relativize(JPaths.get(new java.net.URI(uri).getPath)).toString
+    val lines = cols.flatMap { c =>
+      graft.functions.QBloom
+        .buildPerGroup(df, input_file_name(), col(c), mBits, k)
+        .toSeq.map { case (file, flt) =>
+          val bytes = java.nio.ByteBuffer.allocate(flt.words.length * 8)
+          flt.words.foreach(bytes.putLong)
+          Seq(enc(rel(file)), enc(c), flt.mBits.toString, flt.k.toString,
+            java.util.Base64.getEncoder.encodeToString(bytes.array))
+            .mkString("\t")
+        }
+    }.sorted
+    JFiles.write(JPaths.get(dir, BloomSidecarName),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Load `dir`'s Bloom sidecar: relative file name → column → filter.
+    * Absent sidecar = empty map (stats-only skipping).
+    */
+  def loadBlooms(spark: SparkSession, dir: String): Map[String, Map[String, graft.functions.QBloom.Filter]] = {
+    val sc = JPaths.get(dir, BloomSidecarName)
+    if (!JFiles.exists(sc)) return Map.empty
+    JFiles.readAllLines(sc, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty)
+      .map { line =>
+        val f = line.split("\t", -1)
+        val bytes = java.util.Base64.getDecoder.decode(f(4))
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val words = Array.fill(bytes.length / 8)(bb.getLong)
+        (dec(f(0)), dec(f(1)),
+          graft.functions.QBloom.Filter(words, f(2).toLong, f(3).toInt))
+      }
+      .groupBy(_._1)
+      .map { case (file, rows) =>
+        file -> rows.map(r => r._2 -> r._3).toMap
+      }
+  }
+
+  /** May a file with Bloom filters `fb` contain a row satisfying
+    * `conjunct`? Only exact-match shapes consult the filter; a literal
+    * of an un-indexed type, or a column without a filter, keeps the
+    * file. Sound because the build pass covered every non-null value in
+    * the file and equality never matches null.
+    */
+  private def bloomMayMatch(fb: Map[String, graft.functions.QBloom.Filter],
+                            conjunct: Expression): Boolean = {
+    def test(a: AttributeReference, lits: Seq[Literal]): Boolean =
+      fb.get(a.name) match {
+        case None => true
+        case Some(f) => lits.exists(l => bloomKey(l).forall(s =>
+          graft.functions.QBloom.testKey(
+            UTF8String.fromString(s), f.words, f.mBits, f.k)))
+      }
+    conjunct match {
+      case EqualTo(a: AttributeReference, l: Literal) => test(a, Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference) => test(a, Seq(l))
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        test(a, Seq(l))
+      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+        test(a, Seq(l))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        test(a, vs.map(_.asInstanceOf[Literal]))
+      case _ => true
+    }
+  }
+
   /** Load stats for `dir`: the sidecar when present, else footers. */
   def loadStats(spark: SparkSession, dir: String): Seq[FileStats] = {
     val sc = JPaths.get(dir, SidecarName)
@@ -374,6 +502,13 @@ object DataSkipping {
       loadStats(spark, d).map(fs =>
         new Path(new Path(d), fs.name).toUri.getPath -> fs)
     }.toMap
+    // per-file Bloom filters (point-lookup pruning); absent sidecar = empty
+    private val blooms: Map[String, Map[String, graft.functions.QBloom.Filter]] =
+      dirs.flatMap { d =>
+        loadBlooms(spark, d).map { case (name, fb) =>
+          new Path(new Path(d), name).toUri.getPath -> fb
+        }
+      }.toMap
 
     @volatile var lastTotal: Int = -1
     @volatile var lastSelected: Int = -1
@@ -390,8 +525,11 @@ object DataSkipping {
       val listed = inner.listFiles(partitionFilters, dataFilters)
       val pruned = listed.map { pd =>
         PartitionDirectory(pd.values, pd.files.filter { f =>
-          stats.get(f.getPath.toUri.getPath)
-            .forall(fs => conjuncts.forall(c => mayMatch(fs, c)))
+          val p = f.getPath.toUri.getPath
+          stats.get(p)
+            .forall(fs => conjuncts.forall(c => mayMatch(fs, c))) &&
+            blooms.get(p)
+              .forall(fb => conjuncts.forall(c => bloomMayMatch(fb, c)))
         })
       }
       lastTotal = listed.map(_.files.size).sum
