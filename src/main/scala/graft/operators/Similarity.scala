@@ -155,6 +155,56 @@ object Similarity {
     ivfSearch(corpus, cents, queryPred, k, nprobe)
   }
 
+  /** PRODUCT-QUANTIZATION ANN — the compression half of IVF-PQ, the
+    * structure that makes billion-vector search affordable: each vector
+    * splits into `m` subvectors, each subvector snaps to its nearest
+    * codeword (here: the `centroidPred` seeds' own subvectors — one
+    * codeword per seed per subspace, no training iteration, so the
+    * whole pipeline is exact integer arithmetic and oracle-
+    * reproducible), and a vector is stored as just `m` small codes.
+    * A query computes ONE distance table (per-subspace L2² to every
+    * codeword — queries × m × C rows, broadcastable) and every corpus
+    * vector's approximate distance is `m` table lookups summed — an
+    * asymmetric-distance (ADC) scan that reads CODES, not vectors:
+    * at 100 TB of embeddings the scan touches m bytes per vector
+    * instead of 4·D, and no shuffle moves a raw vector at all (the
+    * codebook and the distance tables broadcast; the only exchange is
+    * the per-(vector, subspace) argmin aggregate, codes-sized).
+    * Distances are exact integer L2² in the ×1e6 quantized domain;
+    * ties break to the lowest codeword / hit id. Requires D % m == 0.
+    * Output: (query_id, hit_id, adist, rnk) — recall < 1 by
+    * construction, like [[ivfTopK]].
+    */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, centroidPred: Column,
+             m: Int, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val cents = corpus.filter(centroidPred)
+      .select(col("vec_id").as("cent_id"), col("q").as("c"))
+    // per-(vector, codeword): the m-array of per-subspace L2² distances
+    val sub = (size(col("q")) / lit(m)).cast("int")
+    val diffs = zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b))
+    val dsub = transform(sequence(lit(0), lit(m - 1)),
+      s => aggregate(slice(diffs, s * sub + 1, sub), lit(0L), (acc, x) => acc + x))
+    def scored(vecs: DataFrame, idCol: String) = vecs
+      .join(broadcast(cents), lit(true)) // every-vector × codebook BY DESIGN
+      .select(col("vec_id").as(idCol), col("cent_id"),
+        posexplode(dsub).as(Seq("s", "d")))
+    // encode: per (vector, subspace) the nearest codeword (tie → lowest)
+    val codes = scored(corpus, "vec_id")
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("cent_id"))).getField("cent_id").as("code"))
+    // ADC distance tables for the queries (the same scoring, query side)
+    val dt = scored(corpus.filter(queryPred), "query_id")
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("hit_id"))
+    codes.join(broadcast(dt),
+        codes("s") === dt("s") && codes("code") === dt("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d").as("adist"))
+      .select(col("query_id"), col("vec_id").as("hit_id"), col("adist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Element-wise centroid (mean pooling) per group: vectors explode to
     * (group, dim, quantized component) and ONE partial-combining
     * aggregation produces each centroid component — exact integer sums,

@@ -67,6 +67,14 @@ object SimilarityQueries {
           lloydIters = 1)
         .orderBy("query_id", "rnk")),
 
+    // product quantization: vectors stored as m=8 codes, queries scan
+    // codes via broadcast ADC tables — exact integer L2² end to end
+    "ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(Tables(s, dir, "embeddings"),
+          col("vec_id") % 250 === 7,
+          col("vec_id") % 40 === 3 && col("vec_id") < 2560, m = 8, k = 5)
+        .orderBy("query_id", "rnk")),
+
     "dedup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(embAug(s, dir), threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
@@ -138,6 +146,37 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, hit_id) AS rnk
          |  FROM scored)
          |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_pq" ->
+      s"""WITH ${flatSql("embeddings")},
+         |-- codebook = the seeds' own subvectors; subspace s = (i-1)//8
+         |-- (D=64, m=8 — mirrors pqTopK's size(q)/m)
+         |cents AS (
+         |  SELECT vec_id AS cent_id, i, q FROM flat
+         |  WHERE vec_id % 40 = 3 AND vec_id < 2560),
+         |sd AS (
+         |  SELECT f.vec_id, c.cent_id, (f.i - 1) // 8 AS s,
+         |    sum((f.q - c.q) * (f.q - c.q)) AS d
+         |  FROM flat f JOIN cents c ON c.i = f.i
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, s, cent_id AS code FROM (
+         |    SELECT vec_id, s, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cent_id) AS r
+         |    FROM sd) WHERE r = 1),
+         |dt AS (SELECT vec_id AS query_id, cent_id, s, d FROM sd
+         |       WHERE vec_id % 250 = 7),
+         |approx AS (
+         |  SELECT t.query_id, c.vec_id AS hit_id,
+         |    CAST(sum(t.d) AS BIGINT) AS adist
+         |  FROM codes c JOIN dt t ON t.s = c.s AND t.cent_id = c.code
+         |  WHERE c.vec_id <> t.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, hit_id, adist, rnk FROM (
+         |  SELECT query_id, hit_id, adist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS rnk
+         |  FROM approx) WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
 
     "ann_ivf" ->

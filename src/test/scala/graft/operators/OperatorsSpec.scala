@@ -120,6 +120,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall $recall unexpectedly low")
   }
 
+  test("PQ: a copy of a seed retrieves it at adist 0; seed hits carry exact L2²") {
+    val emb = (0L until 48L).map(i =>
+        (i, Array.tabulate(16)(d => ((i * 29 + d * 5) % 11).toFloat - 5f)))
+      .toDF("vec_id", "embedding")
+    // vec 1000 = exact copy of seed 10 (seeds: vec_id % 5 == 0)
+    val aug = emb.unionAll(emb.filter($"vec_id" === 10L)
+      .select(lit(1000L).as("vec_id"), $"embedding"))
+    val res = Similarity.pqTopK(aug, col("vec_id") === 1000L,
+        col("vec_id") % 5 === 0 && col("vec_id") < 100, m = 4, k = 48)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(res.head == ((10L, 0L, 1)), s"copy did not retrieve its seed: ${res.head}")
+    // ADC distance to any SEED hit is the exact integer L2² (the seed
+    // encodes to itself, so every lookup is its true sub-distance)
+    val q = (x: Float) => math.floor(x.toDouble * 1e6).toLong
+    val vecs = aug.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(q).toArray).toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val query = vecs(1000L)
+    res.filter(h => h._1 % 5 == 0 && h._1 < 100).foreach { case (hit, adist, _) =>
+      assert(adist == l2(query, vecs(hit)), s"seed $hit: adist $adist != exact")
+    }
+  }
+
+  test("PQ on real embeddings: k rows per query, monotone adist, recall vs exact L2") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val res = Similarity.pqTopK(emb, col("vec_id") % 250 === 7,
+        col("vec_id") % 40 === 3 && col("vec_id") < 2560, m = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byQuery = res.groupBy(_._1)
+    assert(byQuery.nonEmpty && byQuery.values.forall(_.length == 5))
+    byQuery.values.foreach { hits =>
+      val sorted = hits.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head <= p.last),
+        "adist not monotone in rank")
+    }
+    // recall@5 vs exact integer L2 (driver-side: 500 vectors)
+    val q = (x: Float) => math.floor(x.toDouble * 1e6).toLong
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(q).toArray).toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recalls = byQuery.map { case (qid, hits) =>
+      val exact = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(h => (l2(vecs(qid), vecs(h)), h)).take(5).toSet
+      hits.map(_._2).count(exact).toDouble / 5
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ recall@5 vs exact L2: $mean%.2f")
+    assert(mean > 0.0, "PQ found nothing from the exact top-5")
+  }
+
   test("Lloyd-refined IVF codebook: recall vs brute >= seed codebook's") {
     // real embeddings (sf0.001): arbitrary seed vectors are a poor
     // codebook; one spherical-k-means step must not lose recall

@@ -123,6 +123,29 @@ class BloomSkippingSpec extends AnyFunSuite {
       "warehouse bloom probe pruned nothing")
   }
 
+  test("partitioned dirs: blooms prune files inside partition subdirs") {
+    val dir = Files.createTempDirectory("bloomskip-p").toString + "/t"
+    // 2 partitions x 4 scattered files; odd keys only
+    (1 to 400).map(i => (2L * i - 1, s"name${i % 37}", i % 2))
+      .toDF("k", "name", "p")
+      .repartition(4, col("name"))
+      .write.partitionBy("p").parquet(dir)
+    DataSkipping.writeSidecar(spark, dir)
+    DataSkipping.writeBloomSidecar(spark, dir, Seq("k"), mBits = 1L << 12)
+    val schema = spark.read.parquet(dir).schema
+    val (df, idx) = DataSkipping.readWithIndex(spark,
+      org.apache.spark.sql.types.StructType(schema.filter(_.name != "p")), Seq(dir))
+    val exp = spark.read.parquet(dir).filter(col("k") === 333L)
+      .select("k", "name", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = df.filter(col("k") === 333L)
+      .select("k", "name", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == exp && got.nonEmpty)
+    assert(idx.lastSelected < idx.lastTotal, "no pruning inside partition subdirs")
+    // absent-but-in-range key prunes everywhere
+    assert(df.filter(col("k") === 222L).count() == 0)
+    assert(idx.lastSelected < idx.lastTotal)
+  }
+
   test("absent sidecar is a clean no-op; sidecar bytes are deterministic") {
     val dir = Files.createTempDirectory("bloomskip-n").toString + "/t"
     (1 to 50).map(i => (i.toLong, s"x$i")).toDF("k", "name").write.parquet(dir)
