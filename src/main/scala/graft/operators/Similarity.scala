@@ -180,15 +180,10 @@ object Similarity {
     val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val cents = corpus.filter(centroidPred)
       .select(col("vec_id").as("cent_id"), col("q").as("c"))
-    // per-(vector, codeword): the m-array of per-subspace L2² distances
-    val sub = (size(col("q")) / lit(m)).cast("int")
-    val diffs = zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b))
-    val dsub = transform(sequence(lit(0), lit(m - 1)),
-      s => aggregate(slice(diffs, s * sub + 1, sub), lit(0L), (acc, x) => acc + x))
     def scored(vecs: DataFrame, idCol: String) = vecs
       .join(broadcast(cents), lit(true)) // every-vector × codebook BY DESIGN
       .select(col("vec_id").as(idCol), col("cent_id"),
-        posexplode(dsub).as(Seq("s", "d")))
+        posexplode(subDists(col("q"), col("c"), m)).as(Seq("s", "d")))
     // encode: per (vector, subspace) the nearest codeword (tie → lowest)
     val codes = scored(corpus, "vec_id")
       .groupBy("vec_id", "s")
@@ -198,6 +193,88 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("hit_id"))
     codes.join(broadcast(dt),
         codes("s") === dt("s") && codes("code") === dt("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d").as("adist"))
+      .select(col("query_id"), col("vec_id").as("hit_id"), col("adist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Exact integer L2² between two equal-length BIGINT arrays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Per-subspace L2² between two BIGINT vectors: the m-array of exact
+    * sums over D/m-length slices — the PQ building block shared by
+    * [[pqTopK]] (raw vectors) and [[ivfpqTopK]] (residuals).
+    */
+  private def subDists(a: Column, b: Column, m: Int): Column = {
+    val sub = (size(a) / lit(m)).cast("int")
+    val diffs = zip_with(a, b, (x, y) => (x - y) * (x - y))
+    transform(sequence(lit(0), lit(m - 1)),
+      s => aggregate(slice(diffs, s * sub + 1, sub), lit(0L), (acc, x) => acc + x))
+  }
+
+  /** IVF-PQ — the full billion-scale index shape, combining [[ivfTopK]]'s
+    * coarse routing with [[pqTopK]]'s code compression the way Jégou et
+    * al.'s original design does: vectors are assigned to their nearest
+    * coarse centroid by exact integer L2² (tie → lowest id), and PQ
+    * encodes each vector's RESIDUAL q − c (what's left after the coarse
+    * quantizer explains the vector — residuals cluster far tighter than
+    * raw vectors, which is why the real structure quantizes them). The
+    * codewords are the `pqPred` seeds' own residuals. A query probes its
+    * `nprobe` nearest coarse lists and builds one ADC table PER PROBED
+    * LIST from its residual against THAT list's centroid; a corpus
+    * vector is scored only if its list is probed, via m lookups + a sum.
+    *
+    * Scale shape: the scan reads m codes + a list id per vector — never
+    * a raw vector; codebooks and ADC tables broadcast (coarse codebook
+    * |C_coarse|·D longs, tables Q·nprobe·|C_pq|·m rows); the only
+    * corpus-sized exchanges are the two argmin aggregates of the encode
+    * step, and routing cuts the scanned fraction to ~nprobe/|C_coarse|.
+    * All arithmetic exact BIGINT (residuals ≤ 2e6 per component, so a
+    * 64-dim adist ≤ ~1e15 — inside both Long and DuckDB-exact range).
+    * Output: (query_id, hit_id, adist, rnk); recall < 1 by construction
+    * from BOTH routing (unprobed list) and code quantization.
+    */
+  def ivfpqTopK(embeddings: DataFrame, queryPred: Column, coarsePred: Column,
+                pqPred: Column, m: Int, k: Int, nprobe: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val coarse = corpus.filter(coarsePred)
+      .select(col("vec_id").as("co_id"), col("q").as("c"))
+    // coarse assignment (exact L2², tie → lowest co_id) + the residual
+    val aw = Window.partitionBy("vec_id").orderBy(col("cd").asc, col("co_id"))
+    val assigned = corpus.join(broadcast(coarse), lit(true)) // × coarse codebook BY DESIGN
+      .withColumn("cd", l2sq(col("q"), col("c")))
+      .withColumn("arnk", row_number().over(aw)).filter(col("arnk") === 1)
+      .select(col("vec_id"), col("co_id"),
+        zip_with(col("q"), col("c"), (a, b) => a - b).as("r"))
+    // codewords = the pqPred seeds' residuals under their own assignment
+    val cw = assigned.filter(pqPred)
+      .select(col("vec_id").as("cw_id"), col("r").as("rc"))
+    def scored(vecs: DataFrame, idCol: String) = vecs
+      .join(broadcast(cw), lit(true)) // × PQ codebook BY DESIGN
+      .select(col(idCol), col("co_id"), col("cw_id"),
+        posexplode(subDists(col("r"), col("rc"), m)).as(Seq("s", "d")))
+    // encode: nearest codeword per (vector, subspace), tie → lowest
+    val codes = scored(assigned, "vec_id")
+      .groupBy("vec_id", "co_id", "s")
+      .agg(min(struct(col("d"), col("cw_id"))).getField("cw_id").as("code"))
+    // probes: nprobe nearest lists per query, with the query's residual
+    // against EACH probed list's centroid (ADC is per-list under IVF)
+    val pw = Window.partitionBy("query_id").orderBy(col("cd").asc, col("co_id"))
+    val probes = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .join(broadcast(coarse), lit(true)) // queries × coarse codebook BY DESIGN
+      .withColumn("cd", l2sq(col("qq"), col("c")))
+      .withColumn("prnk", row_number().over(pw)).filter(col("prnk") <= nprobe)
+      .select(col("query_id"), col("co_id"),
+        zip_with(col("qq"), col("c"), (a, b) => a - b).as("r"))
+    val dt = scored(probes, "query_id")
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("hit_id"))
+    codes.join(broadcast(dt),
+        codes("co_id") === dt("co_id") && codes("s") === dt("s") &&
+          codes("code") === dt("cw_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("d").as("adist"))

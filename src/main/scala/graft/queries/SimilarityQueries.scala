@@ -75,6 +75,16 @@ object SimilarityQueries {
           col("vec_id") % 40 === 3 && col("vec_id") < 2560, m = 8, k = 5)
         .orderBy("query_id", "rnk")),
 
+    // IVF-PQ: coarse L2² routing + residual PQ codes + per-list ADC —
+    // ~125-vector lists at any SF, nprobe 2, m=8 codes per vector
+    "ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfpqTopK(Tables(s, dir, "embeddings"),
+          col("vec_id") % 250 === 7,
+          col("vec_id") % 125 === 11,
+          col("vec_id") % 40 === 3 && col("vec_id") < 2560,
+          m = 8, k = 5, nprobe = 2)
+        .orderBy("query_id", "rnk")),
+
     "dedup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(embAug(s, dir), threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
@@ -171,6 +181,59 @@ object SimilarityQueries {
          |  SELECT t.query_id, c.vec_id AS hit_id,
          |    CAST(sum(t.d) AS BIGINT) AS adist
          |  FROM codes c JOIN dt t ON t.s = c.s AND t.cent_id = c.code
+         |  WHERE c.vec_id <> t.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, hit_id, adist, rnk FROM (
+         |  SELECT query_id, hit_id, adist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS rnk
+         |  FROM approx) WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // IVF-PQ: coarse assignment + residual encode + per-list ADC — every
+    // stage mirrors ivfpqTopK term for term in exact integer arithmetic
+    "ann_ivfpq" ->
+      s"""WITH ${flatSql("embeddings")},
+         |co AS (SELECT vec_id AS co_id, i, q FROM flat WHERE vec_id % 125 = 11),
+         |ad AS (
+         |  SELECT f.vec_id, c.co_id, sum((f.q - c.q) * (f.q - c.q)) AS d
+         |  FROM flat f JOIN co c ON c.i = f.i
+         |  GROUP BY 1, 2),
+         |ar AS (
+         |  SELECT vec_id, co_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, co_id) AS r
+         |  FROM ad),
+         |assigned AS (SELECT vec_id, co_id FROM ar WHERE r = 1),
+         |res AS (
+         |  SELECT f.vec_id, a.co_id, f.i, f.q - c.q AS rq
+         |  FROM flat f JOIN assigned a ON a.vec_id = f.vec_id
+         |              JOIN co c ON c.co_id = a.co_id AND c.i = f.i),
+         |cw AS (SELECT vec_id AS cw_id, i, rq FROM res
+         |       WHERE vec_id % 40 = 3 AND vec_id < 2560),
+         |sd AS (
+         |  SELECT e.vec_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+         |  FROM res e JOIN cw w ON w.i = e.i
+         |  GROUP BY 1, 2, 3, 4),
+         |codes AS (
+         |  SELECT vec_id, co_id, s, cw_id AS code FROM (
+         |    SELECT vec_id, co_id, s, cw_id,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+         |    FROM sd) WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, co_id FROM ar
+         |           WHERE vec_id % 250 = 7 AND r <= 2),
+         |qres AS (
+         |  SELECT p.query_id, p.co_id, f.i, f.q - c.q AS rq
+         |  FROM probes p JOIN flat f ON f.vec_id = p.query_id
+         |                JOIN co c ON c.co_id = p.co_id AND c.i = f.i),
+         |dt AS (
+         |  SELECT e.query_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+         |  FROM qres e JOIN cw w ON w.i = e.i
+         |  GROUP BY 1, 2, 3, 4),
+         |approx AS (
+         |  SELECT t.query_id, c.vec_id AS hit_id, CAST(sum(t.d) AS BIGINT) AS adist
+         |  FROM codes c JOIN dt t
+         |    ON t.co_id = c.co_id AND t.s = c.s AND t.cw_id = c.code
          |  WHERE c.vec_id <> t.query_id
          |  GROUP BY 1, 2)
          |SELECT query_id, hit_id, adist, rnk FROM (

@@ -37,6 +37,7 @@ class SuiteAuditSpec extends AnyFunSuite {
     // fixed query batch or centroid table, never the corpus
     "ann_brute", "ann_int8", "ann_ivf", "ann_ivf_learned", "ann_assign2",
     "ann_pq", // codebook broadcast: every-vector × codebook PQ encode/ADC
+    "ann_ivfpq", // coarse + PQ codebook broadcasts (assign/encode/probe)
     "dedup_semantic", // IVF: every vector × broadcast coarse codebook
     "dedup_semantic2", // two-level routing: coarse-codebook broadcasts
     "q_tpch_q11", // scalar total-value threshold (single-row broadcast)

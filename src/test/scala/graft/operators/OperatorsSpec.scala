@@ -173,6 +173,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mean > 0.0, "PQ found nothing from the exact top-5")
   }
 
+  test("IVF-PQ: a copy of a PQ seed retrieves it at adist 0; candidates stay probed-list-bound") {
+    val emb = (0L until 60L).map(i =>
+        (i, Array.tabulate(16)(d => ((i * 31 + d * 7) % 13).toFloat - 6f)))
+      .toDF("vec_id", "embedding")
+    // vec 1000 = exact copy of PQ seed 10: same coarse assignment, same
+    // residual; the seed encodes to itself (sub-distance 0 everywhere),
+    // so the copy's ADC distance to the seed is exactly 0 → rank 1
+    val aug = emb.unionAll(emb.filter($"vec_id" === 10L)
+      .select(lit(1000L).as("vec_id"), $"embedding"))
+    val res = Similarity.ivfpqTopK(aug, col("vec_id") === 1000L,
+        col("vec_id") % 7 === 1, col("vec_id") % 5 === 0 && col("vec_id") < 100,
+        m = 4, k = 60, nprobe = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(res.head == ((10L, 0L, 1)), s"copy did not retrieve its seed: ${res.head}")
+    // nprobe=1 bounds every hit to ONE coarse list — the query's own
+    assert(res.nonEmpty && res.length < 60, "routing did not restrict the candidate set")
+  }
+
+  test("IVF-PQ on real embeddings: k rows per query, adist stable under wider probing") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    def run(nprobe: Int) = Similarity.ivfpqTopK(emb, col("vec_id") % 250 === 7,
+        col("vec_id") % 125 === 11,
+        col("vec_id") % 40 === 3 && col("vec_id") < 2560,
+        m = 8, k = 5, nprobe = nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val r2 = run(2)
+    val byQuery = r2.groupBy(_._1)
+    assert(byQuery.nonEmpty && byQuery.values.forall(_.length == 5))
+    byQuery.values.foreach { hits =>
+      assert(hits.sortBy(_._4).map(_._3).sliding(2).forall(p => p.head <= p.last),
+        "adist not monotone in rank")
+    }
+    // a vector's ADC distance is a property of ITS list's centroid and
+    // codes, not of the probe width: any (query, hit) surviving at
+    // nprobe=2 must carry the same adist at nprobe=4
+    val a4 = run(4).map(t => (t._1, t._2) -> t._3).toMap
+    r2.foreach { case (q, h, d, _) =>
+      assert(a4.get((q, h)).forall(_ == d), s"adist for ($q,$h) changed with nprobe")
+    }
+  }
+
   test("Lloyd-refined IVF codebook: recall vs brute >= seed codebook's") {
     // real embeddings (sf0.001): arbitrary seed vectors are a poor
     // codebook; one spherical-k-means step must not lose recall
