@@ -143,6 +143,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => QCdcAnchors(exprs(0), intArg(exprs(1)),
           intArg(exprs(2)))))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_subl2"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[QSubL2].getName, "graft_subl2"),
+        (exprs: Seq[Expression]) => QSubL2(exprs(0), exprs(1), intArg(exprs(2)))))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sorted_intersect"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[QSortedIntersectCount].getName, "graft_sorted_intersect"),

@@ -200,20 +200,23 @@ object Similarity {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** Exact integer L2² between two equal-length BIGINT arrays. */
+  /** Exact integer L2² between two equal-length BIGINT arrays — the
+    * m=1 case of the native [[graft.functions.QSubL2]] expression (one
+    * tight generated loop; an interpreted zip_with/aggregate chain here
+    * measured 1.7× slower end-to-end on the IVF-PQ build, and this
+    * sits inside the vectors × centroids assignment join).
+    */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    element_at(graft.functions.QSubL2.subl2(a, b, 1), 1)
 
   /** Per-subspace L2² between two BIGINT vectors: the m-array of exact
     * sums over D/m-length slices — the PQ building block shared by
-    * [[pqTopK]] (raw vectors) and [[ivfpqTopK]] (residuals).
+    * [[pqTopK]] (raw vectors) and [[ivfpqTopK]] (residuals). Native
+    * [[graft.functions.QSubL2]]: the encode join is vectors ×
+    * codewords, the PQ family's hottest loop.
     */
-  private def subDists(a: Column, b: Column, m: Int): Column = {
-    val sub = (size(a) / lit(m)).cast("int")
-    val diffs = zip_with(a, b, (x, y) => (x - y) * (x - y))
-    transform(sequence(lit(0), lit(m - 1)),
-      s => aggregate(slice(diffs, s * sub + 1, sub), lit(0L), (acc, x) => acc + x))
-  }
+  private def subDists(a: Column, b: Column, m: Int): Column =
+    graft.functions.QSubL2.subl2(a, b, m)
 
   /** IVF-PQ — the full billion-scale index shape, combining [[ivfTopK]]'s
     * coarse routing with [[pqTopK]]'s code compression the way Jégou et
@@ -238,39 +241,97 @@ object Similarity {
     * from BOTH routing (unprobed list) and code quantization.
     */
   def ivfpqTopK(embeddings: DataFrame, queryPred: Column, coarsePred: Column,
-                pqPred: Column, m: Int, k: Int, nprobe: Int): DataFrame = {
-    val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
-    val coarse = corpus.filter(coarsePred)
-      .select(col("vec_id").as("co_id"), col("q").as("c"))
-    // coarse assignment (exact L2², tie → lowest co_id) + the residual
-    val aw = Window.partitionBy("vec_id").orderBy(col("cd").asc, col("co_id"))
-    val assigned = corpus.join(broadcast(coarse), lit(true)) // × coarse codebook BY DESIGN
+                pqPred: Column, m: Int, k: Int, nprobe: Int): DataFrame =
+    ivfpqSearchStored(ivfpqIndex(embeddings, coarsePred, pqPred, m),
+      embeddings, queryPred, coarsePred, pqPred, m, k, nprobe)
+
+  /** The `keep` nearest coarse centroids per vector by exact integer L2²
+    * (tie → lowest co_id), each with the vector's residual against that
+    * centroid — keep=1 is IVF assignment, keep=nprobe is query probing.
+    * Input (vec_id, q); output (vec_id, co_id, r).
+    */
+  private def coarseResiduals(vecs: DataFrame, coarse: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cd").asc, col("co_id"))
+    vecs.join(broadcast(coarse), lit(true)) // × coarse codebook BY DESIGN
       .withColumn("cd", l2sq(col("q"), col("c")))
-      .withColumn("arnk", row_number().over(aw)).filter(col("arnk") === 1)
+      .withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
       .select(col("vec_id"), col("co_id"),
         zip_with(col("q"), col("c"), (a, b) => a - b).as("r"))
-    // codewords = the pqPred seeds' residuals under their own assignment
-    val cw = assigned.filter(pqPred)
+  }
+
+  private def pqQuant(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+
+  private def coarseBook(corpus: DataFrame, coarsePred: Column): DataFrame =
+    corpus.filter(coarsePred).select(col("vec_id").as("co_id"), col("q").as("c"))
+
+  /** PQ codewords: the `pqPred` seeds' residuals under their own coarse
+    * assignment — seed-sized work, re-derived at search time rather than
+    * stored (the corpus-sized artifact is the code table, not this).
+    */
+  private def pqCodewords(corpus: DataFrame, coarse: DataFrame,
+                          pqPred: Column): DataFrame =
+    coarseResiduals(corpus.filter(pqPred), coarse, 1)
       .select(col("vec_id").as("cw_id"), col("r").as("rc"))
-    def scored(vecs: DataFrame, idCol: String) = vecs
-      .join(broadcast(cw), lit(true)) // × PQ codebook BY DESIGN
-      .select(col(idCol), col("co_id"), col("cw_id"),
+
+  /** Per-subspace ADC terms: residual rows × broadcast codebook →
+    * (idOut, co_id, cw_id, s, d) with d the exact sub-L2².
+    */
+  private def adcScores(res: DataFrame, cw: DataFrame, m: Int,
+                        idOut: String): DataFrame =
+    res.join(broadcast(cw), lit(true)) // × PQ codebook BY DESIGN
+      .select(col("vec_id").as(idOut), col("co_id"), col("cw_id"),
         posexplode(subDists(col("r"), col("rc"), m)).as(Seq("s", "d")))
-    // encode: nearest codeword per (vector, subspace), tie → lowest
-    val codes = scored(assigned, "vec_id")
-      .groupBy("vec_id", "co_id", "s")
-      .agg(min(struct(col("d"), col("cw_id"))).getField("cw_id").as("code"))
-    // probes: nprobe nearest lists per query, with the query's residual
-    // against EACH probed list's centroid (ADC is per-list under IVF)
-    val pw = Window.partitionBy("query_id").orderBy(col("cd").asc, col("co_id"))
-    val probes = corpus.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      .join(broadcast(coarse), lit(true)) // queries × coarse codebook BY DESIGN
-      .withColumn("cd", l2sq(col("qq"), col("c")))
-      .withColumn("prnk", row_number().over(pw)).filter(col("prnk") <= nprobe)
-      .select(col("query_id"), col("co_id"),
-        zip_with(col("qq"), col("c"), (a, b) => a - b).as("r"))
-    val dt = scored(probes, "query_id")
+
+  /** IVF-PQ index BUILD — the corpus-sized artifact a production
+    * pipeline materializes once (the [[embeddingStore]] /
+    * signature-store pattern): one row per vector, `(vec_id, co_id,
+    * codes)` where `codes[s]` is the nearest codeword for subspace s
+    * (tie → lowest cw_id). Everything is integral, so the table
+    * survives a parquet round trip exactly (spec-pinned); at 100 TB
+    * this is the only thing the search scan ever reads — m longs +
+    * a list id per vector instead of 4·D raw bytes.
+    */
+  def ivfpqIndex(embeddings: DataFrame, coarsePred: Column, pqPred: Column,
+                 m: Int): DataFrame = {
+    val corpus = pqQuant(embeddings)
+    val coarse = coarseBook(corpus, coarsePred)
+    val cw = pqCodewords(corpus, coarse, pqPred)
+    // per-subspace argmin as m min(struct) aggregates in ONE groupBy at
+    // (vector × codeword) grain — no explode to the ×m grain, so the
+    // encode shuffle carries N·|C_pq| rows once instead of N·|C_pq|·m
+    // through two exchanges (tie → lowest cw_id, as everywhere)
+    val aggs = (0 until m).map(s =>
+      min(struct(element_at(col("ds"), s + 1), col("cw_id")))
+        .getField("cw_id").as(s"c$s"))
+    coarseResiduals(corpus, coarse, 1)
+      .join(broadcast(cw), lit(true)) // × PQ codebook BY DESIGN
+      .select(col("vec_id"), col("co_id"), col("cw_id"),
+        subDists(col("r"), col("rc"), m).as("ds"))
+      .groupBy("vec_id", "co_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), col("co_id"),
+        array((0 until m).map(s => col(s"c$s")): _*).as("codes"))
+  }
+
+  /** IVF-PQ search over a stored [[ivfpqIndex]] — the repeat-query
+    * path: codebooks re-derive from the seed vectors (seed-sized),
+    * queries probe their `nprobe` nearest lists with one ADC table per
+    * probed list (query residual against THAT list's centroid), and
+    * the corpus-side scan reads only the code table. [[ivfpqTopK]] is
+    * exactly build-then-search, so the driver oracle covers this whole
+    * path. Output: (query_id, hit_id, adist, rnk).
+    */
+  def ivfpqSearchStored(index: DataFrame, embeddings: DataFrame,
+                        queryPred: Column, coarsePred: Column, pqPred: Column,
+                        m: Int, k: Int, nprobe: Int): DataFrame = {
+    val corpus = pqQuant(embeddings)
+    val coarse = coarseBook(corpus, coarsePred)
+    val cw = pqCodewords(corpus, coarse, pqPred)
+    val dt = adcScores(
+      coarseResiduals(corpus.filter(queryPred), coarse, nprobe), cw, m, "query_id")
+    val codes = index.select(col("vec_id"), col("co_id"),
+      posexplode(col("codes")).as(Seq("s", "code")))
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("hit_id"))
     codes.join(broadcast(dt),
         codes("co_id") === dt("co_id") && codes("s") === dt("s") &&

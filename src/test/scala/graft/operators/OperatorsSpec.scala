@@ -215,6 +215,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ stored index: search from a parquet round trip == fresh build") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val qPred = col("vec_id") % 250 === 7
+    val coPred = col("vec_id") % 125 === 11
+    val pqPred = col("vec_id") % 40 === 3 && col("vec_id") < 2560
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString + "/idx"
+    Similarity.ivfpqIndex(emb, coPred, pqPred, m = 8).write.parquet(dir)
+    val stored = Similarity.ivfpqSearchStored(spark.read.parquet(dir), emb,
+        qPred, coPred, pqPred, m = 8, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted
+    val fresh = Similarity.ivfpqTopK(emb, qPred, coPred, pqPred, m = 8, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted
+    assert(stored.nonEmpty && stored.sameElements(fresh),
+      "stored-index search diverged from the fresh build")
+  }
+
   test("Lloyd-refined IVF codebook: recall vs brute >= seed codebook's") {
     // real embeddings (sf0.001): arbitrary seed vectors are a poor
     // codebook; one spherical-k-means step must not lose recall
