@@ -4,7 +4,7 @@ import java.util.Locale
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale evidence for the PQ/IVF-PQ family at sf1 (~50k × 64-dim
+/** Scale evidence for the PQ/IVF-PQ family at sf1 (20k × 64-dim
   * vectors): measures the numbers behind the 100 TB claims —
   * (a) the stored code table is a small fraction of the raw embedding
   * bytes (the scan-side compression ADC exists for),
@@ -75,14 +75,12 @@ object PqProbe {
     val (bruteCount, bruteSecs) = time(
       Similarity.bruteForceTopK(emb, qPred, k).count())
 
-    // (c) candidates actually scored = probed-list membership pairs
-    val candidates = stored()
-      .groupBy("query_id").count().agg(sum("count")).first().getLong(0)
-    // scored-candidate bound: every (query, probed-list member) pair
+    // (c) candidates actually SCORED: k = n surfaces every
+    // (query, probed-list member) pair the ADC scan touched
     val probedPairs = Similarity.ivfpqTopK(emb, qPred, coPred, pqPred,
-        m, n.toInt, nprobe) // k = n → every scored candidate surfaces
+        m, n.toInt, nprobe)
       .count()
-    val _ = (candidates, bruteCount)
+    val _ = bruteCount
 
     println(String.format(Locale.ROOT,
       """{"metric":"ivfpq","vectors":%d,"queries":%d,"lists":%d,"m":%d,"raw_bytes":%d,"index_bytes":%d,"bytes_ratio":%.3f,"index_build_secs":%.2f,"stored_search_secs":%.2f,"fresh_build_search_secs":%.2f,"brute_secs":%.2f,"scored_pairs":%d,"brute_pairs":%d,"scan_fraction":%.4f}""",

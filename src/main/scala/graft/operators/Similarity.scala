@@ -190,9 +190,17 @@ object Similarity {
       .agg(min(struct(col("d"), col("cent_id"))).getField("cent_id").as("code"))
     // ADC distance tables for the queries (the same scoring, query side)
     val dt = scored(corpus.filter(queryPred), "query_id")
+    adcScan(codes, dt, codes("s") === dt("s") && codes("code") === dt("cent_id"), k)
+  }
+
+  /** Shared ADC scan tail: corpus codes × broadcast distance tables on
+    * the caller's join keys, self-exclusion, per-(query, vector) sum,
+    * top-k by (adist asc, hit_id) — the tie-break and self-filter live
+    * here ONCE for [[pqTopK]] and [[ivfpqSearchStored]].
+    */
+  private def adcScan(codes: DataFrame, dt: DataFrame, on: Column, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("hit_id"))
-    codes.join(broadcast(dt),
-        codes("s") === dt("s") && codes("code") === dt("cent_id"))
+    codes.join(broadcast(dt), on)
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("d").as("adist"))
@@ -330,17 +338,19 @@ object Similarity {
     val cw = pqCodewords(corpus, coarse, pqPred)
     val dt = adcScores(
       coarseResiduals(corpus.filter(queryPred), coarse, nprobe), cw, m, "query_id")
-    val codes = index.select(col("vec_id"), col("co_id"),
-      posexplode(col("codes")).as(Seq("s", "code")))
-    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("hit_id"))
-    codes.join(broadcast(dt),
-        codes("co_id") === dt("co_id") && codes("s") === dt("s") &&
-          codes("code") === dt("cw_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("d").as("adist"))
-      .select(col("query_id"), col("vec_id").as("hit_id"), col("adist"))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // m-mismatch guard: an index built with a DIFFERENT m would join
+    // only the overlapping subspaces and return silently-wrong
+    // distances — assert the stored code width row-side (streams with
+    // the scan; assert_true is null on success, so the filter keeps
+    // every valid row and the first bad row fails the job loudly)
+    val codes = index
+      .filter(assert_true(size(col("codes")) === lit(m),
+        lit(s"ivfpqSearchStored: stored index code width != m=$m")).isNull)
+      .select(col("vec_id"), col("co_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    adcScan(codes, dt,
+      codes("co_id") === dt("co_id") && codes("s") === dt("s") &&
+        codes("code") === dt("cw_id"), k)
   }
 
   /** Element-wise centroid (mean pooling) per group: vectors explode to

@@ -130,6 +130,7 @@ class OperatorsSpec extends AnyFunSuite {
     val res = Similarity.pqTopK(aug, col("vec_id") === 1000L,
         col("vec_id") % 5 === 0 && col("vec_id") < 100, m = 4, k = 48)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._3) // collect() row order is not a contract
     assert(res.head == ((10L, 0L, 1)), s"copy did not retrieve its seed: ${res.head}")
     // ADC distance to any SEED hit is the exact integer L2² (the seed
     // encodes to itself, so every lookup is its true sub-distance)
@@ -186,6 +187,7 @@ class OperatorsSpec extends AnyFunSuite {
         col("vec_id") % 7 === 1, col("vec_id") % 5 === 0 && col("vec_id") < 100,
         m = 4, k = 60, nprobe = 1)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._3) // collect() row order is not a contract
     assert(res.head == ((10L, 0L, 1)), s"copy did not retrieve its seed: ${res.head}")
     // nprobe=1 bounds every hit to ONE coarse list — the query's own
     assert(res.nonEmpty && res.length < 60, "routing did not restrict the candidate set")
@@ -230,6 +232,23 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted
     assert(stored.nonEmpty && stored.sameElements(fresh),
       "stored-index search diverged from the fresh build")
+  }
+
+  test("IVF-PQ stored index: searching with a mismatched m fails loudly") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val coPred = col("vec_id") % 125 === 11
+    val pqPred = col("vec_id") % 40 === 3 && col("vec_id") < 2560
+    val idx = Similarity.ivfpqIndex(emb, coPred, pqPred, m = 8)
+    // m=4 against an m=8 index would silently sum half the subspaces
+    // without the guard — it must fail at action time instead
+    val ex = intercept[Exception] {
+      Similarity.ivfpqSearchStored(idx, emb, col("vec_id") % 250 === 7,
+        coPred, pqPred, m = 4, k = 5, nprobe = 2).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("code width != m=4"), s"wrong failure: $msgs")
   }
 
   test("Lloyd-refined IVF codebook: recall vs brute >= seed codebook's") {
