@@ -193,10 +193,65 @@ object Similarity {
     adcScan(codes, dt, codes("s") === dt("s") && codes("code") === dt("cent_id"), k)
   }
 
+  /** PQ with a LEARNED codebook — one Lloyd step per subspace, the
+    * subspace-granular analogue of [[lloydStep]]: encode with the seed
+    * codebook (the `centroidPred` vectors' subvectors), replace each
+    * (codeword, subspace) CELL by the element-wise floor-mean of the
+    * subvectors assigned to it (floor keeps the codebook in the exact
+    * BIGINT domain — [[lloydStep]]'s bit-portability argument), then
+    * re-encode and answer by ADC against the refined cells. Cells that
+    * attract no vectors drop out per subspace (k-means shrinkage). When
+    * every vector is its own seed the refinement is an exact fixpoint
+    * (each cell floor-means ONE member — itself), so the result equals
+    * [[pqTopK]]'s (spec-pinned). At 100 TB the refinement is a
+    * build-time pass over a training sample, like [[ivfTopKLearned]];
+    * the codebook here is cell-granular, so the per-subspace encode is
+    * an equi-join on the subspace id, never a full-vector broadcast NLJ.
+    * Output: (query_id, hit_id, adist, rnk).
+    */
+  def pqTopKLearned(embeddings: DataFrame, queryPred: Column,
+                    centroidPred: Column, m: Int, k: Int): DataFrame = {
+    // subvector frame: (vec_id, s, sq) — cached: feeds the seed book,
+    // two encode passes, the refinement, and the query tables
+    val subv = pqQuant(embeddings)
+      .select(col("vec_id"), posexplode(subVectors(col("q"), m)).as(Seq("s", "sq")))
+      .cache()
+    val cw0 = subv.filter(centroidPred)
+      .select(col("vec_id").as("cw_id"), col("s"), col("sq").as("cs"))
+    // encode against a cell-granular codebook: equi-join on s, argmin
+    // per (vector, subspace), tie → lowest cw_id
+    def encode(book: DataFrame) = subv.join(broadcast(book), Seq("s"))
+      .withColumn("d", l2sq(col("sq"), col("cs")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("cw_id"))).getField("cw_id").as("code"))
+    // refine: floor-mean of each cell's members, element-wise
+    val cw1 = encode(cw0).join(subv, Seq("vec_id", "s"))
+      .select(col("code").as("cw_id"), col("s"),
+        posexplode(col("sq")).as(Seq("j", "qj")))
+      .groupBy("cw_id", "s", "j")
+      .agg(floor(sum("qj").cast("double") / count(lit(1))).cast("bigint").as("mj"))
+      .groupBy("cw_id", "s")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("mj")))),
+        x => x.getField("mj")).as("cs"))
+    val codes = encode(cw1)
+    val dt = subv.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("s"), col("sq"))
+      .join(broadcast(cw1), Seq("s"))
+      .select(col("query_id"), col("cw_id"), col("s"),
+        l2sq(col("sq"), col("cs")).as("d"))
+    adcScan(codes, dt, codes("s") === dt("s") && codes("code") === dt("cw_id"), k)
+  }
+
+  /** The m D/m-length slices of a BIGINT vector, in subspace order. */
+  private def subVectors(a: Column, m: Int): Column = {
+    val sub = (size(a) / lit(m)).cast("int")
+    transform(sequence(lit(0), lit(m - 1)), s => slice(a, s * sub + 1, sub))
+  }
+
   /** Shared ADC scan tail: corpus codes × broadcast distance tables on
     * the caller's join keys, self-exclusion, per-(query, vector) sum,
     * top-k by (adist asc, hit_id) — the tie-break and self-filter live
-    * here ONCE for [[pqTopK]] and [[ivfpqSearchStored]].
+    * here ONCE for [[pqTopK]], [[pqTopKLearned]] and [[ivfpqSearchStored]].
     */
   private def adcScan(codes: DataFrame, dt: DataFrame, on: Column, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("hit_id"))

@@ -75,6 +75,14 @@ object SimilarityQueries {
           col("vec_id") % 40 === 3 && col("vec_id") < 2560, m = 8, k = 5)
         .orderBy("query_id", "rnk")),
 
+    // learned PQ: one Lloyd step per subspace refines the seed cells
+    // (floor-mean, exact BIGINT), then the ann_pq ADC recipe
+    "ann_pq_learned" -> ((s, dir) =>
+      Similarity.pqTopKLearned(Tables(s, dir, "embeddings"),
+          col("vec_id") % 250 === 7,
+          col("vec_id") % 40 === 3 && col("vec_id") < 2560, m = 8, k = 5)
+        .orderBy("query_id", "rnk")),
+
     // IVF-PQ: coarse L2² routing + residual PQ codes + per-list ADC —
     // ~125-vector lists at any SF, nprobe 2, m=8 codes per vector
     "ann_ivfpq" -> ((s, dir) =>
@@ -181,6 +189,54 @@ object SimilarityQueries {
          |  SELECT t.query_id, c.vec_id AS hit_id,
          |    CAST(sum(t.d) AS BIGINT) AS adist
          |  FROM codes c JOIN dt t ON t.s = c.s AND t.cent_id = c.code
+         |  WHERE c.vec_id <> t.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, hit_id, adist, rnk FROM (
+         |  SELECT query_id, hit_id, adist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS rnk
+         |  FROM approx) WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // learned PQ: seed encode → per-cell floor-mean → re-encode → ADC,
+    // each stage mirrored term for term (subspace s = (i-1)//8, within-
+    // subspace order = global dim order, matching the slice layout)
+    "ann_pq_learned" ->
+      s"""WITH ${flatSql("embeddings")},
+         |cents AS (
+         |  SELECT vec_id AS cw_id, i, q FROM flat
+         |  WHERE vec_id % 40 = 3 AND vec_id < 2560),
+         |sd0 AS (
+         |  SELECT f.vec_id, c.cw_id, (f.i - 1) // 8 AS s,
+         |    sum((f.q - c.q) * (f.q - c.q)) AS d
+         |  FROM flat f JOIN cents c ON c.i = f.i
+         |  GROUP BY 1, 2, 3),
+         |codes0 AS (
+         |  SELECT vec_id, s, cw_id AS code FROM (
+         |    SELECT vec_id, s, cw_id,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+         |    FROM sd0) WHERE r = 1),
+         |-- refined cells: element-wise floor-mean of each cell's members
+         |cw1 AS (
+         |  SELECT c.code AS cw_id, c.s, f.i,
+         |    CAST(floor(CAST(sum(f.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+         |  FROM codes0 c JOIN flat f
+         |    ON f.vec_id = c.vec_id AND (f.i - 1) // 8 = c.s
+         |  GROUP BY 1, 2, 3),
+         |sd1 AS (
+         |  SELECT f.vec_id, w.cw_id, w.s, sum((f.q - w.q) * (f.q - w.q)) AS d
+         |  FROM flat f JOIN cw1 w ON w.i = f.i
+         |  GROUP BY 1, 2, 3),
+         |codes1 AS (
+         |  SELECT vec_id, s, cw_id AS code FROM (
+         |    SELECT vec_id, s, cw_id,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+         |    FROM sd1) WHERE r = 1),
+         |dt AS (SELECT vec_id AS query_id, cw_id, s, d FROM sd1
+         |       WHERE vec_id % 250 = 7),
+         |approx AS (
+         |  SELECT t.query_id, c.vec_id AS hit_id,
+         |    CAST(sum(t.d) AS BIGINT) AS adist
+         |  FROM codes1 c JOIN dt t ON t.s = c.s AND t.cw_id = c.code
          |  WHERE c.vec_id <> t.query_id
          |  GROUP BY 1, 2)
          |SELECT query_id, hit_id, adist, rnk FROM (

@@ -234,6 +234,32 @@ class OperatorsSpec extends AnyFunSuite {
       "stored-index search diverged from the fresh build")
   }
 
+  test("learned PQ: the all-seeds codebook is an exact fixpoint (== seed PQ == exact L2)") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val qPred = col("vec_id") % 250 === 7
+    // every vector its own seed: each cell floor-means ONE member —
+    // itself — so one Lloyd step must reproduce the seed codebook
+    // exactly, and both paths degenerate to exact L2² ranking
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted
+    val learned = shape(Similarity.pqTopKLearned(emb, qPred, lit(true), m = 8, k = 5))
+    val seed = shape(Similarity.pqTopK(emb, qPred, lit(true), m = 8, k = 5))
+    assert(learned.nonEmpty && learned.sameElements(seed),
+      "one Lloyd step over singleton cells moved the codebook")
+    // and the degenerate ADC is the exact integer L2² top-k
+    val q = (x: Float) => math.floor(x.toDouble * 1e6).toLong
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(q).toArray).toMap
+    learned.groupBy(_._1).foreach { case (qid, hits) =>
+      val exact = vecs.keys.filter(_ != qid).toSeq
+        .sortBy(h => (vecs(qid).zip(vecs(h)).map { case (a, b) => (a - b) * (a - b) }.sum, h))
+        .take(5)
+      assert(hits.sortBy(_._4).map(_._2).toSeq == exact,
+        s"query $qid: degenerate ADC != exact L2 top-5")
+    }
+  }
+
   test("IVF-PQ stored index: searching with a mismatched m fails loudly") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
