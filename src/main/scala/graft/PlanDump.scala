@@ -31,7 +31,11 @@ object PlanDump {
         // dumps are local scans — plan properties are asserted
         // in-entry and in their specs instead; same for the streamed
         // CDC consumers q_stream_cdf/replica/scd2/enrich)
-        "q_table_diff", "q_cdf_apply", "q_cdf_compact")
+        "q_table_diff", "q_cdf_apply", "q_cdf_compact",
+        // PQ family: broadcast codebooks/ADC tables; the SEARCH side
+        // never shuffles a raw vector (ann_pq_learned's refinement is
+        // a build-time training pass and does exchange subvectors)
+        "ann_pq", "ann_pq_learned", "ann_ivfpq")
         // q_replica_group materializes through warehouse commits
         // (ReplicateGroupSpec gates its plans); q_bloom_skip and
         // q_meta_agg assert their plan property in-entry (files

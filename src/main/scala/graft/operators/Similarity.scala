@@ -130,13 +130,10 @@ object Similarity {
     * Bucket ids keep the seed's cent_id through refinement.
     */
   def lloydStep(corpus: DataFrame, cents: DataFrame): DataFrame =
-    assign(corpus, cents)
-      .select(col("bucket").as("cent_id"), posexplode(col("q")).as(Seq("i", "qi")))
-      .groupBy("cent_id", "i")
-      .agg(floor(sum("qi").cast("double") / count(lit(1))).cast("bigint").as("m"))
-      .groupBy("cent_id")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-        s => s.getField("m")).as("cq"))
+    floorMeanVectors(
+      assign(corpus, cents)
+        .select(col("bucket").as("cent_id"), posexplode(col("q")).as(Seq("i", "qi"))),
+      Seq("cent_id"), "i", "qi", "cq")
       .withColumn("cn", qdot(col("cq"), col("cq")))
 
   /** IVF with a LEARNED codebook: `centroidPred` picks the seeds, then
@@ -177,7 +174,7 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, queryPred: Column, centroidPred: Column,
              m: Int, k: Int): DataFrame = {
-    val corpus = embeddings.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val corpus = pqQuantChecked(embeddings, m)
     val cents = corpus.filter(centroidPred)
       .select(col("vec_id").as("cent_id"), col("q").as("c"))
     def scored(vecs: DataFrame, idCol: String) = vecs
@@ -206,34 +203,36 @@ object Similarity {
     * [[pqTopK]]'s (spec-pinned). At 100 TB the refinement is a
     * build-time pass over a training sample, like [[ivfTopKLearned]];
     * the codebook here is cell-granular, so the per-subspace encode is
-    * an equi-join on the subspace id, never a full-vector broadcast NLJ.
+    * an equi-join on the subspace id, never a full-vector broadcast NLJ,
+    * and the encode aggregate carries each group's subvector through so
+    * the refinement needs no corpus-sized re-join. Requires D % m == 0
+    * (enforced row-side, like the stored-index m guard).
     * Output: (query_id, hit_id, adist, rnk).
     */
   def pqTopKLearned(embeddings: DataFrame, queryPred: Column,
                     centroidPred: Column, m: Int, k: Int): DataFrame = {
     // subvector frame: (vec_id, s, sq) — cached: feeds the seed book,
     // two encode passes, the refinement, and the query tables
-    val subv = pqQuant(embeddings)
+    val subv = pqQuantChecked(embeddings, m)
       .select(col("vec_id"), posexplode(subVectors(col("q"), m)).as(Seq("s", "sq")))
       .cache()
     val cw0 = subv.filter(centroidPred)
       .select(col("vec_id").as("cw_id"), col("s"), col("sq").as("cs"))
     // encode against a cell-granular codebook: equi-join on s, argmin
-    // per (vector, subspace), tie → lowest cw_id
+    // per (vector, subspace), tie → lowest cw_id; sq is constant within
+    // the group, so first() carries it to the refinement WITHOUT a
+    // corpus-sized join back onto subv
     def encode(book: DataFrame) = subv.join(broadcast(book), Seq("s"))
       .withColumn("d", l2sq(col("sq"), col("cs")))
       .groupBy("vec_id", "s")
-      .agg(min(struct(col("d"), col("cw_id"))).getField("cw_id").as("code"))
+      .agg(min(struct(col("d"), col("cw_id"))).getField("cw_id").as("code"),
+        first(col("sq")).as("sq"))
     // refine: floor-mean of each cell's members, element-wise
-    val cw1 = encode(cw0).join(subv, Seq("vec_id", "s"))
-      .select(col("code").as("cw_id"), col("s"),
-        posexplode(col("sq")).as(Seq("j", "qj")))
-      .groupBy("cw_id", "s", "j")
-      .agg(floor(sum("qj").cast("double") / count(lit(1))).cast("bigint").as("mj"))
-      .groupBy("cw_id", "s")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("mj")))),
-        x => x.getField("mj")).as("cs"))
-    val codes = encode(cw1)
+    val cw1 = floorMeanVectors(
+      encode(cw0).select(col("code").as("cw_id"), col("s"),
+        posexplode(col("sq")).as(Seq("j", "qj"))),
+      Seq("cw_id", "s"), "j", "qj", "cs")
+    val codes = encode(cw1).select("vec_id", "s", "code")
     val dt = subv.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("s"), col("sq"))
       .join(broadcast(cw1), Seq("s"))
@@ -241,6 +240,30 @@ object Similarity {
         l2sq(col("sq"), col("cs")).as("d"))
     adcScan(codes, dt, codes("s") === dt("s") && codes("code") === dt("cw_id"), k)
   }
+
+  /** Element-wise floor-mean over grouped positions — rows (keys…, pos,
+    * v) → one array per key group, ordered by pos. floor(sum/n) keeps
+    * the result in the exact BIGINT domain: sums stay below 2^53, so
+    * the double division is exact to well below the 1/n gap to the
+    * nearest integer and the floor is bit-portable across engines. The
+    * ONE home of this idiom, shared by [[lloydStep]] (full-vector
+    * centroids) and [[pqTopKLearned]] (per-subspace cells).
+    */
+  private def floorMeanVectors(rows: DataFrame, keys: Seq[String], posCol: String,
+                               valCol: String, out: String): DataFrame =
+    rows.groupBy((keys :+ posCol).map(col): _*)
+      .agg(floor(sum(valCol).cast("double") / count(lit(1))).cast("bigint").as("fm"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col(posCol), col("fm")))),
+        x => x.getField("fm")).as(out))
+
+  /** [[pqQuant]] plus the D % m contract enforced row-side (assert_true
+    * is null on success): the subspace slicing would otherwise silently
+    * DROP the trailing D % m dimensions from every vector.
+    */
+  private def pqQuantChecked(embeddings: DataFrame, m: Int): DataFrame =
+    pqQuant(embeddings).filter(assert_true((size(col("q")) % m) === 0,
+      lit(s"PQ: vector dimensionality must be divisible by m=$m")).isNull)
 
   /** The m D/m-length slices of a BIGINT vector, in subspace order. */
   private def subVectors(a: Column, m: Int): Column = {
@@ -357,7 +380,7 @@ object Similarity {
     */
   def ivfpqIndex(embeddings: DataFrame, coarsePred: Column, pqPred: Column,
                  m: Int): DataFrame = {
-    val corpus = pqQuant(embeddings)
+    val corpus = pqQuantChecked(embeddings, m)
     val coarse = coarseBook(corpus, coarsePred)
     val cw = pqCodewords(corpus, coarse, pqPred)
     // per-subspace argmin as m min(struct) aggregates in ONE groupBy at
@@ -388,7 +411,7 @@ object Similarity {
   def ivfpqSearchStored(index: DataFrame, embeddings: DataFrame,
                         queryPred: Column, coarsePred: Column, pqPred: Column,
                         m: Int, k: Int, nprobe: Int): DataFrame = {
-    val corpus = pqQuant(embeddings)
+    val corpus = pqQuantChecked(embeddings, m)
     val coarse = coarseBook(corpus, coarsePred)
     val cw = pqCodewords(corpus, coarse, pqPred)
     val dt = adcScores(

@@ -260,6 +260,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: a non-dividing m fails loudly instead of dropping trailing dims") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding") // 64-dim; m=7 would silently drop dim 64
+    val ex = intercept[Exception] {
+      Similarity.pqTopK(emb, col("vec_id") % 250 === 7,
+        col("vec_id") % 40 === 3, m = 7, k = 5).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("divisible by m=7"), s"wrong failure: $msgs")
+  }
+
   test("IVF-PQ stored index: searching with a mismatched m fails loudly") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
