@@ -602,6 +602,26 @@ object Dedup {
         (col("rk") === 1).as("keep"), col("canonical_id"))
   }
 
+  /** [[keepCanonical]] with CENTRALITY as the survivor signal: within
+    * each cluster the highest-[[GraphMetrics.pageRankMicro]] document
+    * survives (ties to the lowest id). Longest-text keep prefers
+    * completeness; rank keep prefers the cluster's HUB — the anchor of
+    * a star of orbiting variants — which is the better canonical when
+    * near-dups are derived copies of one source. Same output contract
+    * as [[keepCanonical]] with `rank_micro` in place of `n_chars`.
+    */
+  def keepCanonicalByRank(labels: DataFrame, ranks: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("rank_micro").desc, col(idCol))
+    labels.join(ranks, Seq(idCol))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("canonical_id", min(when(col("rk") === 1, col(idCol))).over(
+        Window.partitionBy("cluster_id")))
+      .select(col(idCol), col("cluster_id"), col("rank_micro"),
+        (col("rk") === 1).as("keep"), col("canonical_id"))
+  }
+
   /** RECALL REPORT for a near-dup pass against a PLANTED ground-truth
     * pair list — the "measure your dedup before trusting it" harness a
     * production pipeline runs on every banding-parameter change. Takes

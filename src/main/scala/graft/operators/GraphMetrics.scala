@@ -152,4 +152,49 @@ object GraphMetrics {
           - greatest(col("u"), col("v1"), col("v2"))).as("y"),
         greatest(col("u"), col("v1"), col("v2")).as("z"))
   }
+
+  /** PageRank over the undirected near-dup/linkage graph in EXACT
+    * integer micro-units — link-analysis centrality as a canonical-
+    * selection signal (the hub of an anchor-star cluster outranks its
+    * orbiting variants; a clique ranks its members equally).
+    *
+    * Determinism: ranks are BIGINT micro-units (start 1e6 per node);
+    * each iteration a node sends every neighbor
+    * `(r · dampMilli) div (deg · 1000)` — INTEGRAL division, which
+    * Spark's `div` and DuckDB's `//` compute identically on positive
+    * longs (a double division here would round differently at the ulp
+    * and break the cross-engine hash) — and every node restarts from
+    * `1e6·(1000−dampMilli)/1000` teleport mass. Floor remainders leak
+    * a little mass per hop (bounded by deg·iters micro-units); that is
+    * the price of bit-portability and is identical in both engines.
+    * Isolated nodes hold exactly the teleport mass.
+    *
+    * Scale shape: the standard distributed PR loop — per iteration ONE
+    * join of the edge list against the rank vector on src (both
+    * pre-partitionable on the same key) and ONE groupBy dst; `iters`
+    * is a small constant so the lineage stays shallow (checkpoint
+    * between iterations if you raise it past ~10).
+    * Output: (idCol, rank_micro).
+    */
+  def pageRankMicro(pairs: DataFrame, nodes: DataFrame, iters: Int = 3,
+                    dampMilli: Int = 850, idCol: String = "doc_id"): DataFrame = {
+    val edges = cached(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = 1000000L * (1000L - dampMilli) / 1000L
+    var ranks = nodes.select(col(idCol), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed(idCol, "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as(idCol),
+          expr(s"(r * $dampMilli) div (deg * 1000)").as("c"))
+        .groupBy(idCol).agg(sum("c").as("csum"))
+      ranks = nodes.select(col(idCol))
+        .join(contrib, Seq(idCol), "left_outer")
+        .select(col(idCol), (lit(base) + coalesce(col("csum"), lit(0L))).as("r"))
+    }
+    ranks.select(col(idCol), col("r").as("rank_micro"))
+  }
 }

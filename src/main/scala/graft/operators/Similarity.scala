@@ -382,15 +382,41 @@ object Similarity {
                  m: Int): DataFrame = {
     val corpus = pqQuantChecked(embeddings, m)
     val coarse = coarseBook(corpus, coarsePred)
+    pqEncode(corpus, coarse, pqCodewords(corpus, coarse, pqPred), m)
+  }
+
+  /** Incremental [[ivfpqIndex]] maintenance — the ingestion path: a new
+    * batch encodes against the EXISTING codebooks (derived, as at build
+    * time, from `basePred`-stable seed vectors in `embeddings`) and
+    * appends; the stored corpus is never re-encoded. Because encoding
+    * is per-vector given fixed codebooks, append(index(old), batch) ==
+    * index(old ∪ batch) exactly whenever the seed predicates select no
+    * batch vectors (spec-pinned) — so nightly ingestion costs
+    * O(batch · codebooks), not O(corpus).
+    */
+  def ivfpqIndexAppend(index: DataFrame, embeddings: DataFrame,
+                       batch: DataFrame, coarsePred: Column, pqPred: Column,
+                       m: Int): DataFrame = {
+    val corpus = pqQuantChecked(embeddings, m)
+    val coarse = coarseBook(corpus, coarsePred)
     val cw = pqCodewords(corpus, coarse, pqPred)
-    // per-subspace argmin as m min(struct) aggregates in ONE groupBy at
-    // (vector × codeword) grain — no explode to the ×m grain, so the
-    // encode shuffle carries N·|C_pq| rows once instead of N·|C_pq|·m
-    // through two exchanges (tie → lowest cw_id, as everywhere)
+    index.unionByName(pqEncode(pqQuantChecked(batch, m), coarse, cw, m))
+  }
+
+  /** Encode quantized vectors against fixed (coarse, PQ) codebooks →
+    * (vec_id, co_id, codes). Per-subspace argmin as m min(struct)
+    * aggregates in ONE groupBy at (vector × codeword) grain — no
+    * explode to the ×m grain, so the encode shuffle carries N·|C_pq|
+    * rows once instead of N·|C_pq|·m through two exchanges (tie →
+    * lowest cw_id, as everywhere). Shared by the full build and the
+    * incremental append.
+    */
+  private def pqEncode(vecs: DataFrame, coarse: DataFrame, cw: DataFrame,
+                       m: Int): DataFrame = {
     val aggs = (0 until m).map(s =>
       min(struct(element_at(col("ds"), s + 1), col("cw_id")))
         .getField("cw_id").as(s"c$s"))
-    coarseResiduals(corpus, coarse, 1)
+    coarseResiduals(vecs, coarse, 1)
       .join(broadcast(cw), lit(true)) // × PQ codebook BY DESIGN
       .select(col("vec_id"), col("co_id"), col("cw_id"),
         subDists(col("r"), col("rc"), m).as("ds"))

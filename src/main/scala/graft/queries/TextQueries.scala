@@ -90,6 +90,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // centrality keep: exact integer PageRank over the near-dup graph;
+    // the survivor is the cluster's HUB (max rank, ties lowest id) —
+    // the anchor of a star of derived copies, where longest-text keep
+    // would pick whichever variant happens to be padded longest
+    "dedup_pagerank" -> ((s, dir) => {
+      val aug = docsAug(s, dir).cache()
+      val pairs = Dedup.wordGramNearDupsPoly(aug, threshold = 0.5).cache()
+      val nodes = aug.select("doc_id")
+      Dedup.keepCanonicalByRank(
+          Dedup.clusterLabels(pairs, nodes),
+          graft.operators.GraphMetrics.pageRankMicro(pairs, nodes, iters = 3))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup GRAPH DENSITY diagnostics: per-node triangle counts over
     // the polynomial word-gram pair graph — cliques (template spam) and
     // stars (one anchor, orbiting variants) separate here where
@@ -642,6 +656,60 @@ object TextQueries {
          |SELECT r.doc_id, r.cluster_id, r.n_chars, (r.rk = 1) AS keep, c.canonical_id
          |FROM rk r JOIN can c USING (cluster_id)
          |ORDER BY r.doc_id""".stripMargin,
+
+    // labels via the recursive walk; 3 PageRank iterations unrolled in
+    // exact integer micro-units — `//` (DuckDB) and `div` (Spark) agree
+    // on positive BIGINTs, so the ranks hash identically
+    "dedup_pagerank" ->
+      s"""WITH RECURSIVE $augSql,
+         |${wordGramPolyPairsCte(0.5)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
+         |r1 AS (
+         |  SELECT d.doc_id,
+         |    CAST(150000 + COALESCE(sum((r.r * 850) // (g.deg * 1000)), 0) AS BIGINT) AS r
+         |  FROM docs d
+         |  LEFT JOIN edges e ON e.dst = d.doc_id
+         |  LEFT JOIN r0 r ON r.doc_id = e.src
+         |  LEFT JOIN deg g ON g.doc_id = e.src
+         |  GROUP BY 1),
+         |r2 AS (
+         |  SELECT d.doc_id,
+         |    CAST(150000 + COALESCE(sum((r.r * 850) // (g.deg * 1000)), 0) AS BIGINT) AS r
+         |  FROM docs d
+         |  LEFT JOIN edges e ON e.dst = d.doc_id
+         |  LEFT JOIN r1 r ON r.doc_id = e.src
+         |  LEFT JOIN deg g ON g.doc_id = e.src
+         |  GROUP BY 1),
+         |r3 AS (
+         |  SELECT d.doc_id,
+         |    CAST(150000 + COALESCE(sum((r.r * 850) // (g.deg * 1000)), 0) AS BIGINT) AS r
+         |  FROM docs d
+         |  LEFT JOIN edges e ON e.dst = d.doc_id
+         |  LEFT JOIN r2 r ON r.doc_id = e.src
+         |  LEFT JOIN deg g ON g.doc_id = e.src
+         |  GROUP BY 1),
+         |rk AS (
+         |  SELECT l.doc_id, l.cluster_id, r.r AS rank_micro,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY r.r DESC, l.doc_id) AS rk
+         |  FROM lab l JOIN r3 r USING (doc_id)),
+         |can AS (SELECT cluster_id,
+         |          min(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id
+         |        FROM rk GROUP BY 1)
+         |SELECT k.doc_id, k.cluster_id, k.rank_micro, (k.rk = 1) AS keep,
+         |  c.canonical_id
+         |FROM rk k JOIN can c USING (cluster_id)
+         |ORDER BY k.doc_id""".stripMargin,
 
     "dedup_triangles" -> trianglesOracleSql,
     // degree orientation is fan-out strategy, not semantics: the exact

@@ -90,6 +90,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sPairs.forall(r => r.getLong(0) == 1L && r.getInt(2) == 0))
   }
 
+  test("pageRankMicro: exact integer ranks match a driver-side reference; " +
+    "hub outranks leaves, cliques tie, isolated holds teleport mass") {
+    // star 0-(1..5), triangle clique 10-11-12, isolated 20
+    val pairEdges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val nodeIds = (0L to 5L) ++ Seq(10L, 11L, 12L, 20L)
+    val pairs = pairEdges.toDF("doc_a", "doc_b")
+    val nodes = nodeIds.toDF("doc_id")
+    val got = GraphMetrics.pageRankMicro(pairs, nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the same exact integer recurrence, in plain Scala
+    val adj = (pairEdges ++ pairEdges.map(_.swap)).groupMap(_._1)(_._2)
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    var r = nodeIds.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3)
+      r = nodeIds.map(n => n -> (150000L +
+        adj.getOrElse(n, Nil).map(u => r(u) * 850L / (deg(u) * 1000L)).sum)).toMap
+    assert(got == r, s"ranks diverged from reference:\n got=$got\n ref=$r")
+    assert(got(0L) > got(1L), "star hub must outrank its leaves")
+    assert(got(10L) == got(11L) && got(11L) == got(12L), "clique members must tie")
+    assert(got(20L) == 150000L, "isolated node must hold exactly the teleport mass")
+    // centrality keep: the hub survives its cluster even when a leaf
+    // has the longer text (where keepCanonical would pick the leaf)
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L))
+      .toDF("doc_id", "cluster_id")
+    val keep = Dedup.keepCanonicalByRank(labels,
+        GraphMetrics.pageRankMicro(pairs, nodes, iters = 3))
+      .collect().map(x => x.getLong(0) -> (x.getBoolean(3), x.getLong(4))).toMap
+    assert(keep(0L) == ((true, 0L)) && (1L to 5L).forall(keep(_) == ((false, 0L))))
+  }
+
   test("simhash: identical docs get identical signatures, hamming 0") {
     val pairs = Dedup.simhashNearDups(docs.filter($"doc_id" =!= 5))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
@@ -270,6 +301,26 @@ class OperatorsSpec extends AnyFunSuite {
     val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
       .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("divisible by m=7"), s"wrong failure: $msgs")
+  }
+
+  test("IVF-PQ incremental append == full rebuild when codebooks are batch-stable") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    // all seeds live in the base slice, so the batch cannot move the
+    // codebooks — the condition under which append is exact
+    val coPred = col("vec_id") % 125 === 11
+    val pqPred = col("vec_id") % 40 === 3 && col("vec_id") < 400
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2))
+    val full = rows(Similarity.ivfpqIndex(emb, coPred, pqPred, m = 8))
+    val incr = rows(Similarity.ivfpqIndexAppend(
+      Similarity.ivfpqIndex(base, coPred, pqPred, m = 8),
+      base, batch, coPred, pqPred, m = 8))
+    assert(incr.nonEmpty && incr.sameElements(full),
+      "incremental append diverged from the full rebuild")
   }
 
   test("IVF-PQ stored index: searching with a mismatched m fails loudly") {
