@@ -589,16 +589,25 @@ object Dedup {
     * regardless of corpus size).
     */
   def keepCanonical(docs: DataFrame, labels: DataFrame,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    keepBySignal(labels,
+      docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars")),
+      "n_chars", idCol)
+
+  /** The shared survivor machinery behind [[keepCanonical]] (signal =
+    * text length) and [[keepCanonicalByRank]] (signal = PageRank):
+    * within each cluster rank-1 by (signal desc, id asc) survives and
+    * every row carries the cluster's canonical id.
+    */
+  private def keepBySignal(labels: DataFrame, signal: DataFrame,
+                           signalCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy("cluster_id")
-      .orderBy(col("n_chars").desc, col(idCol))
-    labels
-      .join(docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars")),
-        Seq(idCol))
+      .orderBy(col(signalCol).desc, col(idCol))
+    labels.join(signal, Seq(idCol))
       .withColumn("rk", row_number().over(w))
       .withColumn("canonical_id", min(when(col("rk") === 1, col(idCol))).over(
         Window.partitionBy("cluster_id")))
-      .select(col(idCol), col("cluster_id"), col("n_chars"),
+      .select(col(idCol), col("cluster_id"), col(signalCol),
         (col("rk") === 1).as("keep"), col("canonical_id"))
   }
 
@@ -611,16 +620,8 @@ object Dedup {
     * as [[keepCanonical]] with `rank_micro` in place of `n_chars`.
     */
   def keepCanonicalByRank(labels: DataFrame, ranks: DataFrame,
-                          idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("rank_micro").desc, col(idCol))
-    labels.join(ranks, Seq(idCol))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("canonical_id", min(when(col("rk") === 1, col(idCol))).over(
-        Window.partitionBy("cluster_id")))
-      .select(col(idCol), col("cluster_id"), col("rank_micro"),
-        (col("rk") === 1).as("keep"), col("canonical_id"))
-  }
+                          idCol: String = "doc_id"): DataFrame =
+    keepBySignal(labels, ranks, "rank_micro", idCol)
 
   /** RECALL REPORT for a near-dup pass against a PLANTED ground-truth
     * pair list — the "measure your dedup before trusting it" harness a

@@ -178,16 +178,19 @@ object GraphMetrics {
     */
   def pageRankMicro(pairs: DataFrame, nodes: DataFrame, iters: Int = 3,
                     dampMilli: Int = 850, idCol: String = "doc_id"): DataFrame = {
-    val edges = cached(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // degree pre-joined ONCE into the cached frame: defined outside the
+    // loop but referenced inside it, an uncached deg would re-run its
+    // groupBy shuffle every iteration (Spark does not dedupe identical
+    // uncached subtrees across a loop-built plan)
+    val edgesDeg = cached(edges.join(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
     val base = 1000000L * (1000L - dampMilli) / 1000L
     var ranks = nodes.select(col(idCol), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = edgesDeg
         .join(ranks.withColumnRenamed(idCol, "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as(idCol),
           expr(s"(r * $dampMilli) div (deg * 1000)").as("c"))
         .groupBy(idCol).agg(sum("c").as("csum"))

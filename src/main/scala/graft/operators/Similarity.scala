@@ -387,12 +387,19 @@ object Similarity {
 
   /** Incremental [[ivfpqIndex]] maintenance — the ingestion path: a new
     * batch encodes against the EXISTING codebooks (derived, as at build
-    * time, from `basePred`-stable seed vectors in `embeddings`) and
-    * appends; the stored corpus is never re-encoded. Because encoding
-    * is per-vector given fixed codebooks, append(index(old), batch) ==
-    * index(old ∪ batch) exactly whenever the seed predicates select no
-    * batch vectors (spec-pinned) — so nightly ingestion costs
-    * O(batch · codebooks), not O(corpus).
+    * time, from the seed vectors `coarsePred`/`pqPred` select in
+    * `embeddings` — BOTH predicates must be batch-stable for exactness)
+    * and appends; the stored corpus is never re-encoded. Because
+    * encoding is per-vector given fixed codebooks, append(index(old),
+    * batch) == index(old ∪ batch) exactly under that stability
+    * (spec-pinned) — so nightly ingestion costs O(batch · codebooks),
+    * not O(corpus). IDEMPOTENT: already-indexed vec_ids are anti-joined
+    * out of the batch before encoding — a duplicate index row would
+    * otherwise silently DOUBLE that vector's ADC sums in
+    * [[ivfpqSearchStored]] (2m joined terms) and demote it from every
+    * top-k; skipping makes a retried or overlapping ingestion converge
+    * instead (one churn-sized anti-join per append — use a Bloom
+    * pre-filter on vec_id if the index outgrows a comfortable shuffle).
     */
   def ivfpqIndexAppend(index: DataFrame, embeddings: DataFrame,
                        batch: DataFrame, coarsePred: Column, pqPred: Column,
@@ -400,7 +407,9 @@ object Similarity {
     val corpus = pqQuantChecked(embeddings, m)
     val coarse = coarseBook(corpus, coarsePred)
     val cw = pqCodewords(corpus, coarse, pqPred)
-    index.unionByName(pqEncode(pqQuantChecked(batch, m), coarse, cw, m))
+    val fresh = pqQuantChecked(batch, m)
+      .join(index.select("vec_id"), Seq("vec_id"), "left_anti")
+    index.unionByName(pqEncode(fresh, coarse, cw, m))
   }
 
   /** Encode quantized vectors against fixed (coarse, PQ) codebooks →

@@ -567,6 +567,21 @@ object TextQueries {
        |sizes AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY 1)""".stripMargin
   }
 
+  /** One unrolled integer-PageRank iteration for the dedup_pagerank
+    * oracle: r<i> from r<i-1> — ONE body, generated per iteration, so
+    * the contribution term cannot drift between copies (it must stay in
+    * lockstep with GraphMetrics.pageRankMicro).
+    */
+  private def prIterSql(i: Int): String =
+    s"""r$i AS (
+       |  SELECT d.doc_id,
+       |    CAST(150000 + COALESCE(sum((r.r * 850) // (g.deg * 1000)), 0) AS BIGINT) AS r
+       |  FROM docs d
+       |  LEFT JOIN edges e ON e.dst = d.doc_id
+       |  LEFT JOIN r${i - 1} r ON r.doc_id = e.src
+       |  LEFT JOIN deg g ON g.doc_id = e.src
+       |  GROUP BY 1)""".stripMargin
+
   private def wordGramPolyPairsCte(threshold: Double, n: Int = 3,
                                    bandSize: Int = 2) =
     s"""${wordGramPolyCandCte(n, bandSize)},
@@ -674,30 +689,7 @@ object TextQueries {
          |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
          |deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
          |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
-         |r1 AS (
-         |  SELECT d.doc_id,
-         |    CAST(150000 + COALESCE(sum((r.r * 850) // (g.deg * 1000)), 0) AS BIGINT) AS r
-         |  FROM docs d
-         |  LEFT JOIN edges e ON e.dst = d.doc_id
-         |  LEFT JOIN r0 r ON r.doc_id = e.src
-         |  LEFT JOIN deg g ON g.doc_id = e.src
-         |  GROUP BY 1),
-         |r2 AS (
-         |  SELECT d.doc_id,
-         |    CAST(150000 + COALESCE(sum((r.r * 850) // (g.deg * 1000)), 0) AS BIGINT) AS r
-         |  FROM docs d
-         |  LEFT JOIN edges e ON e.dst = d.doc_id
-         |  LEFT JOIN r1 r ON r.doc_id = e.src
-         |  LEFT JOIN deg g ON g.doc_id = e.src
-         |  GROUP BY 1),
-         |r3 AS (
-         |  SELECT d.doc_id,
-         |    CAST(150000 + COALESCE(sum((r.r * 850) // (g.deg * 1000)), 0) AS BIGINT) AS r
-         |  FROM docs d
-         |  LEFT JOIN edges e ON e.dst = d.doc_id
-         |  LEFT JOIN r2 r ON r.doc_id = e.src
-         |  LEFT JOIN deg g ON g.doc_id = e.src
-         |  GROUP BY 1),
+         |${(1 to 3).map(prIterSql).mkString(",\n")},
          |rk AS (
          |  SELECT l.doc_id, l.cluster_id, r.r AS rank_micro,
          |    row_number() OVER (PARTITION BY l.cluster_id

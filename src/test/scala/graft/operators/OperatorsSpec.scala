@@ -308,7 +308,7 @@ class OperatorsSpec extends AnyFunSuite {
       .select("vec_id", "embedding")
     // all seeds live in the base slice, so the batch cannot move the
     // codebooks — the condition under which append is exact
-    val coPred = col("vec_id") % 125 === 11
+    val coPred = col("vec_id") % 125 === 11 && col("vec_id") < 400
     val pqPred = col("vec_id") % 40 === 3 && col("vec_id") < 400
     val base = emb.filter(col("vec_id") < 400)
     val batch = emb.filter(col("vec_id") >= 400)
@@ -316,11 +316,17 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
       .sortBy(t => (t._1, t._2))
     val full = rows(Similarity.ivfpqIndex(emb, coPred, pqPred, m = 8))
-    val incr = rows(Similarity.ivfpqIndexAppend(
+    val appended = Similarity.ivfpqIndexAppend(
       Similarity.ivfpqIndex(base, coPred, pqPred, m = 8),
-      base, batch, coPred, pqPred, m = 8))
+      base, batch, coPred, pqPred, m = 8)
+    val incr = rows(appended)
     assert(incr.nonEmpty && incr.sameElements(full),
       "incremental append diverged from the full rebuild")
+    // idempotence: re-appending an overlapping batch must not create
+    // duplicate index rows (a dup would silently double ADC sums)
+    val again = rows(Similarity.ivfpqIndexAppend(
+      appended, base, batch, coPred, pqPred, m = 8))
+    assert(again.sameElements(full), "re-append created duplicate index rows")
   }
 
   test("IVF-PQ stored index: searching with a mismatched m fails loudly") {
