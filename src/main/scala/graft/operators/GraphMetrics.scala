@@ -177,22 +177,45 @@ object GraphMetrics {
     * Output: (idCol, rank_micro).
     */
   def pageRankMicro(pairs: DataFrame, nodes: DataFrame, iters: Int = 3,
-                    dampMilli: Int = 850, idCol: String = "doc_id"): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // degree pre-joined ONCE into the cached frame: defined outside the
-    // loop but referenced inside it, an uncached deg would re-run its
-    // groupBy shuffle every iteration (Spark does not dedupe identical
-    // uncached subtrees across a loop-built plan)
-    val edgesDeg = cached(edges.join(
-      edges.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
+                    dampMilli: Int = 850, idCol: String = "doc_id"): DataFrame =
+    prCore(symEdges(pairs.withColumn("w", lit(1L))), nodes, iters, dampMilli, idCol)
+
+  /** [[pageRankMicro]] with EDGE WEIGHTS — similarity-weighted
+    * centrality: `pairsW` carries (doc_a, doc_b, w) with w a positive
+    * BIGINT (quantize a similarity score to basis points:
+    * `floor(jaccard·10000)` — the jaccard double is already
+    * cross-engine exact, so its floor is too). A node's mass splits
+    * over neighbors proportionally: u sends v
+    * `(r·dampMilli·w_uv) div (1000·W_u)` with W_u = Σw. Uniform
+    * weights reduce EXACTLY to the unweighted form — integer division
+    * of the same rational, `(a·c) div (b·c) == a div b` — spec-pinned.
+    * Overflow headroom: r·850·w must stay under 2^63 — safe while
+    * hub rank · weight < ~1e15 (sf3 hubs sit near 1.4e11 at w ≤ 1e4).
+    */
+  def pageRankMicroWeighted(pairsW: DataFrame, nodes: DataFrame, iters: Int = 3,
+                            dampMilli: Int = 850,
+                            idCol: String = "doc_id"): DataFrame =
+    prCore(symEdges(pairsW), nodes, iters, dampMilli, idCol)
+
+  private def symEdges(pairsW: DataFrame): DataFrame =
+    pairsW.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
+      .unionAll(pairsW.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
+
+  private def prCore(edges: DataFrame, nodes: DataFrame, iters: Int,
+                     dampMilli: Int, idCol: String): DataFrame = {
+    // weighted degree pre-joined ONCE into the cached frame: defined
+    // outside the loop but referenced inside it, an uncached aggregate
+    // would re-run its shuffle every iteration (Spark does not dedupe
+    // identical uncached subtrees across a loop-built plan)
+    val edgesW = cached(edges.join(
+      edges.groupBy("src").agg(sum("w").as("wsum")), Seq("src")))
     val base = 1000000L * (1000L - dampMilli) / 1000L
     var ranks = nodes.select(col(idCol), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edgesDeg
+      val contrib = edgesW
         .join(ranks.withColumnRenamed(idCol, "src"), Seq("src"))
         .select(col("dst").as(idCol),
-          expr(s"(r * $dampMilli) div (deg * 1000)").as("c"))
+          expr(s"(r * $dampMilli * w) div (wsum * 1000)").as("c"))
         .groupBy(idCol).agg(sum("c").as("csum"))
       ranks = nodes.select(col(idCol))
         .join(contrib, Seq(idCol), "left_outer")

@@ -104,6 +104,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // similarity-WEIGHTED centrality keep: edge weight = jaccard in
+    // basis points, so a 0.9-similar neighbor pulls 1.8× the mass of a
+    // 0.5-similar one — the hub of the TIGHTEST star wins its cluster
+    "dedup_pagerank_w" -> ((s, dir) => {
+      val aug = docsAug(s, dir).cache()
+      val pairsW = Dedup.wordGramNearDupsPoly(aug, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          floor(col("jaccard") * 10000).cast("long").as("w")).cache()
+      val nodes = aug.select("doc_id")
+      Dedup.keepCanonicalByRank(
+          Dedup.clusterLabels(pairsW.select("doc_a", "doc_b"), nodes),
+          graft.operators.GraphMetrics.pageRankMicroWeighted(pairsW, nodes, iters = 3))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup GRAPH DENSITY diagnostics: per-node triangle counts over
     // the polynomial word-gram pair graph — cliques (template spam) and
     // stars (one anchor, orbiting variants) separate here where
@@ -572,15 +587,18 @@ object TextQueries {
     * the contribution term cannot drift between copies (it must stay in
     * lockstep with GraphMetrics.pageRankMicro).
     */
-  private def prIterSql(i: Int): String =
+  private def prIterSql(i: Int, weighted: Boolean = false): String = {
+    val numer = if (weighted) "(r.r * 850 * e.w)" else "(r.r * 850)"
+    val denom = if (weighted) "(g.wsum * 1000)" else "(g.deg * 1000)"
     s"""r$i AS (
        |  SELECT d.doc_id,
-       |    CAST(150000 + COALESCE(sum((r.r * 850) // (g.deg * 1000)), 0) AS BIGINT) AS r
+       |    CAST(150000 + COALESCE(sum($numer // $denom), 0) AS BIGINT) AS r
        |  FROM docs d
        |  LEFT JOIN edges e ON e.dst = d.doc_id
        |  LEFT JOIN r${i - 1} r ON r.doc_id = e.src
        |  LEFT JOIN deg g ON g.doc_id = e.src
        |  GROUP BY 1)""".stripMargin
+  }
 
   private def wordGramPolyPairsCte(threshold: Double, n: Int = 3,
                                    bandSize: Int = 2) =
@@ -689,7 +707,40 @@ object TextQueries {
          |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
          |deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
          |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
-         |${(1 to 3).map(prIterSql).mkString(",\n")},
+         |${(1 to 3).map(prIterSql(_)).mkString(",\n")},
+         |rk AS (
+         |  SELECT l.doc_id, l.cluster_id, r.r AS rank_micro,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY r.r DESC, l.doc_id) AS rk
+         |  FROM lab l JOIN r3 r USING (doc_id)),
+         |can AS (SELECT cluster_id,
+         |          min(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id
+         |        FROM rk GROUP BY 1)
+         |SELECT k.doc_id, k.cluster_id, k.rank_micro, (k.rk = 1) AS keep,
+         |  c.canonical_id
+         |FROM rk k JOIN can c USING (cluster_id)
+         |ORDER BY k.doc_id""".stripMargin,
+
+    // weighted variant: w = floor(jaccard * 10000) (the jaccard double
+    // is already cross-engine exact); weighted degree replaces count
+    "dedup_pagerank_w" ->
+      s"""WITH RECURSIVE $augSql,
+         |${wordGramPolyPairsCte(0.5)},
+         |ew AS (SELECT doc_a, doc_b,
+         |         CAST(floor(jaccard * 10000) AS BIGINT) AS w FROM pairs),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst, w FROM ew
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst, w FROM ew),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         |deg AS (SELECT src AS doc_id, CAST(sum(w) AS BIGINT) AS wsum
+         |        FROM edges GROUP BY 1),
+         |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
+         |${(1 to 3).map(prIterSql(_, weighted = true)).mkString(",\n")},
          |rk AS (
          |  SELECT l.doc_id, l.cluster_id, r.r AS rank_micro,
          |    row_number() OVER (PARTITION BY l.cluster_id

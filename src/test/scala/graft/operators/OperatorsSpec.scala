@@ -121,6 +121,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keep(0L) == ((true, 0L)) && (1L to 5L).forall(keep(_) == ((false, 0L))))
   }
 
+  test("weighted PageRank: uniform weights reduce exactly to unweighted; " +
+    "heavier edge pulls more mass") {
+    val pairEdges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val nodeIds = (0L to 5L) ++ Seq(10L, 11L, 12L, 20L)
+    val pairs = pairEdges.toDF("doc_a", "doc_b")
+    val nodes = nodeIds.toDF("doc_id")
+    // uniform w = c: (r·850·c) div (c·deg·1000) == (r·850) div (deg·1000)
+    // — integer division of the SAME rational, so equality is exact
+    val uni = GraphMetrics.pageRankMicroWeighted(
+        pairs.withColumn("w", lit(7777L)), nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unw = GraphMetrics.pageRankMicro(pairs, nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni == unw, "uniform weights moved the ranks")
+    // path 100-101, 101-102 with 101→102 nine times heavier than
+    // 101→100: node 102 must outrank node 100
+    val wPairs = Seq((100L, 101L, 1000L), (101L, 102L, 9000L))
+      .toDF("doc_a", "doc_b", "w")
+    val wNodes = Seq(100L, 101L, 102L).toDF("doc_id")
+    val wr = GraphMetrics.pageRankMicroWeighted(wPairs, wNodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wr(102L) > wr(100L), s"heavy edge did not pull more mass: $wr")
+  }
+
   test("simhash: identical docs get identical signatures, hamming 0") {
     val pairs = Dedup.simhashNearDups(docs.filter($"doc_id" =!= 5))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
