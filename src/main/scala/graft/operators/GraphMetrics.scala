@@ -189,13 +189,19 @@ object GraphMetrics {
     * `(r·dampMilli·w_uv) div (1000·W_u)` with W_u = Σw. Uniform
     * weights reduce EXACTLY to the unweighted form — integer division
     * of the same rational, `(a·c) div (b·c) == a div b` — spec-pinned.
-    * Overflow headroom: r·850·w must stay under 2^63 — safe while
-    * hub rank · weight < ~1e15 (sf3 hubs sit near 1.4e11 at w ≤ 1e4).
+    * Overflow headroom: r·850·w must stay under 2^63, i.e.
+    * hub rank · weight < ~1.08e16 (sf3 hubs sit near 1.4e11 at
+    * w ≤ 1e4 → 1.4e15, an order inside the bound). Weights must be
+    * POSITIVE — enforced row-side: a zero weight would make Spark's
+    * div-by-zero NULL silently vanish in the sum while DuckDB's `//`
+    * errors, the worst cross-engine divergence.
     */
   def pageRankMicroWeighted(pairsW: DataFrame, nodes: DataFrame, iters: Int = 3,
                             dampMilli: Int = 850,
                             idCol: String = "doc_id"): DataFrame =
-    prCore(symEdges(pairsW), nodes, iters, dampMilli, idCol)
+    prCore(symEdges(pairsW.filter(assert_true(col("w") > 0,
+      lit("pageRankMicroWeighted: edge weights must be positive")).isNull)),
+      nodes, iters, dampMilli, idCol)
 
   private def symEdges(pairsW: DataFrame): DataFrame =
     pairsW.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))

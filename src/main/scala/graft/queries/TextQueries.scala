@@ -111,7 +111,7 @@ object TextQueries {
       val aug = docsAug(s, dir).cache()
       val pairsW = Dedup.wordGramNearDupsPoly(aug, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"),
-          floor(col("jaccard") * 10000).cast("long").as("w")).cache()
+          floor(col("jaccard") * 10000).as("w")).cache()
       val nodes = aug.select("doc_id")
       Dedup.keepCanonicalByRank(
           Dedup.clusterLabels(pairsW.select("doc_a", "doc_b"), nodes),
@@ -587,6 +587,54 @@ object TextQueries {
     * the contribution term cannot drift between copies (it must stay in
     * lockstep with GraphMetrics.pageRankMicro).
     */
+  /** The whole dedup_pagerank(_w) oracle from ONE body: recursive-CTE
+    * labels, (weighted) degree, 3 generated PR iterations, and the
+    * shared rank/keep tail — the weighted and unweighted gates cannot
+    * drift apart (same reason trianglesOracleSql is shared).
+    */
+  private def prOracleSql(weighted: Boolean): String = {
+    val edgeCtes =
+      if (weighted)
+        """ew AS (SELECT doc_a, doc_b,
+          |         CAST(floor(jaccard * 10000) AS BIGINT) AS w FROM pairs),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst, w FROM ew
+          |  UNION ALL
+          |  SELECT doc_b AS src, doc_a AS dst, w FROM ew),""".stripMargin
+      else
+        """edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL
+          |  SELECT doc_b AS src, doc_a AS dst FROM pairs),""".stripMargin
+    val degCte =
+      if (weighted)
+        "deg AS (SELECT src AS doc_id, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY 1)"
+      else "deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1)"
+    s"""WITH RECURSIVE $augSql,
+       |${wordGramPolyPairsCte(0.5)},
+       |$edgeCtes
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+       |  UNION
+       |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+       |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+       |$degCte,
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
+       |${(1 to 3).map(prIterSql(_, weighted)).mkString(",\n")},
+       |rk AS (
+       |  SELECT l.doc_id, l.cluster_id, r.r AS rank_micro,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY r.r DESC, l.doc_id) AS rk
+       |  FROM lab l JOIN r3 r USING (doc_id)),
+       |can AS (SELECT cluster_id,
+       |          min(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id
+       |        FROM rk GROUP BY 1)
+       |SELECT k.doc_id, k.cluster_id, k.rank_micro, (k.rk = 1) AS keep,
+       |  c.canonical_id
+       |FROM rk k JOIN can c USING (cluster_id)
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
   private def prIterSql(i: Int, weighted: Boolean = false): String = {
     val numer = if (weighted) "(r.r * 850 * e.w)" else "(r.r * 850)"
     val denom = if (weighted) "(g.wsum * 1000)" else "(g.deg * 1000)"
@@ -693,66 +741,11 @@ object TextQueries {
     // labels via the recursive walk; 3 PageRank iterations unrolled in
     // exact integer micro-units — `//` (DuckDB) and `div` (Spark) agree
     // on positive BIGINTs, so the ranks hash identically
-    "dedup_pagerank" ->
-      s"""WITH RECURSIVE $augSql,
-         |${wordGramPolyPairsCte(0.5)},
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS lbl FROM docs
-         |  UNION
-         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
-         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
-         |deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
-         |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
-         |${(1 to 3).map(prIterSql(_)).mkString(",\n")},
-         |rk AS (
-         |  SELECT l.doc_id, l.cluster_id, r.r AS rank_micro,
-         |    row_number() OVER (PARTITION BY l.cluster_id
-         |      ORDER BY r.r DESC, l.doc_id) AS rk
-         |  FROM lab l JOIN r3 r USING (doc_id)),
-         |can AS (SELECT cluster_id,
-         |          min(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id
-         |        FROM rk GROUP BY 1)
-         |SELECT k.doc_id, k.cluster_id, k.rank_micro, (k.rk = 1) AS keep,
-         |  c.canonical_id
-         |FROM rk k JOIN can c USING (cluster_id)
-         |ORDER BY k.doc_id""".stripMargin,
+    "dedup_pagerank" -> prOracleSql(weighted = false),
 
     // weighted variant: w = floor(jaccard * 10000) (the jaccard double
     // is already cross-engine exact); weighted degree replaces count
-    "dedup_pagerank_w" ->
-      s"""WITH RECURSIVE $augSql,
-         |${wordGramPolyPairsCte(0.5)},
-         |ew AS (SELECT doc_a, doc_b,
-         |         CAST(floor(jaccard * 10000) AS BIGINT) AS w FROM pairs),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst, w FROM ew
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst, w FROM ew),
-         |reach AS (
-         |  SELECT doc_id AS id, doc_id AS lbl FROM docs
-         |  UNION
-         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
-         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
-         |deg AS (SELECT src AS doc_id, CAST(sum(w) AS BIGINT) AS wsum
-         |        FROM edges GROUP BY 1),
-         |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
-         |${(1 to 3).map(prIterSql(_, weighted = true)).mkString(",\n")},
-         |rk AS (
-         |  SELECT l.doc_id, l.cluster_id, r.r AS rank_micro,
-         |    row_number() OVER (PARTITION BY l.cluster_id
-         |      ORDER BY r.r DESC, l.doc_id) AS rk
-         |  FROM lab l JOIN r3 r USING (doc_id)),
-         |can AS (SELECT cluster_id,
-         |          min(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id
-         |        FROM rk GROUP BY 1)
-         |SELECT k.doc_id, k.cluster_id, k.rank_micro, (k.rk = 1) AS keep,
-         |  c.canonical_id
-         |FROM rk k JOIN can c USING (cluster_id)
-         |ORDER BY k.doc_id""".stripMargin,
+    "dedup_pagerank_w" -> prOracleSql(weighted = true),
 
     "dedup_triangles" -> trianglesOracleSql,
     // degree orientation is fan-out strategy, not semantics: the exact
