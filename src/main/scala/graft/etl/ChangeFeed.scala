@@ -235,6 +235,15 @@ object ChangeFeed {
                      logDir: String): Seq[Long] = {
     require(!wh.schemas(table).fieldNames.contains("_commit_version"),
       "table already carries _commit_version — rename it before logging")
+    // the high-water mark IS the _SUCCESS marker ([[loggedVersions]]);
+    // a session that disabled the committer's marker write would stall
+    // the mark forever (every catch-up rewrites the full log, group
+    // replication sees an empty frontier) — fail loudly instead
+    require(wh.spark.sparkContext.hadoopConfiguration
+      .getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "materializeLog requires _SUCCESS markers: set " +
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs=true (the " +
+        "default) — the marker is the log's committed-transition mark")
     Files.createDirectories(Paths.get(logDir))
     val logged: Long = loggedVersions(logDir).lastOption.getOrElse(Long.MinValue)
     val vs = wh.versions()
@@ -326,6 +335,15 @@ object ChangeFeed {
     val (head, tail) = loggedVersions(logDir).partition(_ <= throughVersion)
     require(head.nonEmpty, s"no logged transitions at or before " +
       s"$throughVersion in $logDir — nothing to compact")
+    // the folded transition is stamped `throughVersion`, and consumer
+    // frontiers/watermarks will reference that stamp — a value that was
+    // never a logged version (e.g. between two real ones) would plant a
+    // version in the compacted log that the source log cannot account for
+    require(head.last == throughVersion,
+      s"throughVersion=$throughVersion is not a logged version of " +
+        s"$logDir (logged: ${head.mkString(", ")}) — the folded " +
+        "transition's stamp must be a real version or downstream " +
+        "watermarks reference a version absent from the source log")
     val folded = spark.read.schema(logSchema)
       .parquet(head.map(v => s"$logDir/t$v"): _*)
     netChanges(folded, keys)
@@ -421,8 +439,12 @@ object ChangeFeed {
     if (logged.values.exists(_.isEmpty)) return Map.empty
     val frontier = math.min(logged.values.map(_.max).min,
       throughVersion.getOrElse(Long.MaxValue))
-    val txn = replica.begin()
-    val applied: Map[String, Long] = txn.read(meta)
+    // watermark pre-check OUTSIDE any transaction: under the single-
+    // maintenance-writer contract a throwaway read sees the same marks
+    // the transaction would, so a no-op call never opens a Txn it then
+    // abandons (begin() is a pure catalog snapshot today, but leaking
+    // one would turn latent the moment Txn ever acquires state)
+    val applied: Map[String, Long] = replica.read(meta)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val todo: Map[String, Seq[Long]] = tables.map { gt =>
       gt.table -> logged(gt.table)
@@ -430,6 +452,7 @@ object ChangeFeed {
         .filter(_ <= frontier)
     }.toMap
     if (todo.values.forall(_.isEmpty)) return Map.empty
+    val txn = replica.begin()
     tables.foreach { gt =>
       val vs = todo(gt.table)
       if (vs.nonEmpty) {

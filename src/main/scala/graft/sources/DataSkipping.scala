@@ -306,7 +306,18 @@ object DataSkipping {
     val root = JPaths.get(dir).toAbsolutePath
     def rel(uri: String): String =
       root.relativize(JPaths.get(new java.net.URI(uri).getPath)).toString
-    val lines = cols.flatMap { c =>
+    // MERGE with any existing sidecar: a second call with a different
+    // column set must not drop the earlier columns' filters (lost
+    // pruning, never wrong results — but silently lost is still a bug).
+    // Entries for the requested columns are replaced; others survive.
+    val sidecar = JPaths.get(dir, BloomSidecarName)
+    val colSet = cols.toSet
+    val kept =
+      if (!JFiles.exists(sidecar)) Nil
+      else JFiles.readAllLines(sidecar, StandardCharsets.UTF_8).asScala.toSeq
+        .filter(_.nonEmpty)
+        .filterNot(line => colSet.contains(dec(line.split("\t", -1)(1))))
+    val lines = kept ++ cols.flatMap { c =>
       graft.functions.QBloom
         .buildPerGroup(df, input_file_name(), col(c), mBits, k)
         .toSeq.map { case (file, flt) =>
@@ -316,9 +327,9 @@ object DataSkipping {
             java.util.Base64.getEncoder.encodeToString(bytes.array))
             .mkString("\t")
         }
-    }.sorted
-    JFiles.write(JPaths.get(dir, BloomSidecarName),
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    JFiles.write(sidecar,
+      lines.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 
   /** Load `dir`'s Bloom sidecar: relative file name → column → filter.

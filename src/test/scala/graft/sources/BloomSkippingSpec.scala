@@ -160,4 +160,22 @@ class BloomSkippingSpec extends AnyFunSuite {
     DataSkipping.writeBloomSidecar(spark, dir, Seq("k"))
     assert(java.util.Arrays.equals(first, Files.readAllBytes(p)))
   }
+
+  test("writeBloomSidecar merges per-column: a second call on other cols keeps the first's filters") {
+    val dir = Files.createTempDirectory("bloomskip-m").toString + "/t"
+    (1 to 200).map(i => (i.toLong, s"name${i % 37}")).toDF("k", "name")
+      .repartition(4, col("name")).write.parquet(dir)
+    DataSkipping.writeBloomSidecar(spark, dir, Seq("k"), mBits = 1L << 12)
+    // second call on a DIFFERENT column must not drop k's filters
+    DataSkipping.writeBloomSidecar(spark, dir, Seq("name"), mBits = 1L << 12)
+    val blooms = DataSkipping.loadBlooms(spark, dir)
+    assert(blooms.nonEmpty)
+    assert(blooms.values.forall(m => m.contains("k") && m.contains("name")),
+      s"merged sidecar lost a column: ${blooms.values.map(_.keySet)}")
+    // and the merged result equals a single full-column-set build
+    val merged = Files.readAllBytes(java.nio.file.Paths.get(dir, "_graft_bloom.tsv"))
+    DataSkipping.writeBloomSidecar(spark, dir, Seq("k", "name"), mBits = 1L << 12)
+    val full = Files.readAllBytes(java.nio.file.Paths.get(dir, "_graft_bloom.tsv"))
+    assert(java.util.Arrays.equals(merged, full))
+  }
 }
