@@ -466,6 +466,93 @@ object Similarity {
         codes("code") === dt("cw_id"), k)
   }
 
+  /** Brute-force EXACT integer L2² top-k — the ground truth the
+    * PQ/IVF-PQ family approximates (same ×1e6 quantized domain, same
+    * (dist asc, hit_id) tie-break as [[adcScan]]), used as the
+    * denominator of [[annRecallReport]] and as the oracle shape of the
+    * re-ranked search. O(Q·N) by design: queries broadcast, the corpus
+    * is scanned once, only scalar distances cross the top-k exchange.
+    * Output: (query_id, hit_id, dist, rnk).
+    */
+  def bruteForceTopKL2(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val corpus = pqQuant(embeddings)
+    val queries = pqQuant(embeddings.filter(queryPred))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("hit_id"))
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("hit_id"),
+        l2sq(col("qq"), col("q")).as("dist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** EXACT top-c RE-RANK — the quality stage every production PQ
+    * pipeline runs after the ADC scan: the approximate candidates
+    * (`cand`: (query_id, hit_id), c per query) are re-scored with the
+    * EXACT integer L2² between the raw quantized vectors and re-ranked
+    * to top-k by (dist asc, hit_id). ADC error can only reorder WITHIN
+    * the candidate set, so the re-rank recovers every true neighbor the
+    * routing+coding stage surfaced at all — recall@k of the re-ranked
+    * result is ≥ the plain ADC ranking's (spec-pinned, and measured in
+    * the nprobe curve of SCALING_r10).
+    *
+    * Scale shape: candidates are Q·c rows — they BROADCAST; the corpus
+    * is scanned twice (hit vectors, query vectors) with a broadcast
+    * hash join each, never shuffled, and only candidate-sized rows
+    * carry raw vectors into the distance projection. c≈4k per query
+    * costs ~c native [[graft.functions.QSubL2]] kernels per query —
+    * negligible next to the code scan it corrects.
+    * Output: (query_id, hit_id, dist, rnk).
+    */
+  def exactRerank(embeddings: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    val corpus = pqQuant(embeddings)
+    val c = cand.select("query_id", "hit_id")
+    val hits = corpus.join(broadcast(c), col("vec_id") === col("hit_id"))
+      .select(col("query_id"), col("hit_id"), col("q").as("hq"))
+    val queries = corpus.join(
+        broadcast(c.select("query_id").distinct()),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist").asc, col("hit_id"))
+    hits.join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("hit_id"), l2sq(col("qq"), col("hq")).as("dist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** [[ivfpqTopK]] with an exact re-rank tail: the ADC scan keeps
+    * `k·overscan` candidates per query, [[exactRerank]] re-scores them
+    * with exact integer L2² and keeps k. The distances in the output
+    * are EXACT (not ADC-approximate) — so a true neighbor demoted by
+    * code quantization inside the candidate set is restored to its
+    * real position. Output: (query_id, hit_id, dist, rnk).
+    */
+  def ivfpqTopKReranked(embeddings: DataFrame, queryPred: Column,
+                        coarsePred: Column, pqPred: Column, m: Int, k: Int,
+                        nprobe: Int, overscan: Int = 4): DataFrame =
+    exactRerank(embeddings,
+      ivfpqTopK(embeddings, queryPred, coarsePred, pqPred, m, k * overscan, nprobe),
+      k)
+
+  /** RECALL@k REPORT for an ANN pass against the exact ground truth —
+    * the embedding-space analogue of [[Dedup.nearDupRecallReport]]: a
+    * user tuning nprobe/m/overscan gets a measured quality curve, not a
+    * "recall < 1 by construction" shrug. `found` and `exact` are both
+    * (query_id, hit_id, …) top-k frames ([[bruteForceTopKL2]] is the
+    * canonical `exact`). Per query: ground-truth size, how many of
+    * those the ANN pass surfaced, and recall in integer basis points
+    * (exact `div` — no float compare in any gate built on this).
+    * Joins are top-k-sized on both sides — report cost never scales
+    * past Q·k.
+    */
+  def annRecallReport(found: DataFrame, exact: DataFrame): DataFrame =
+    exact.select("query_id", "hit_id")
+      .join(found.select("query_id", "hit_id").distinct()
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "hit_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .withColumn("recall_bp", expr("(10000 * n_found) div n_exact"))
+
   /** Element-wise centroid (mean pooling) per group: vectors explode to
     * (group, dim, quantized component) and ONE partial-combining
     * aggregation produces each centroid component — exact integer sums,

@@ -93,6 +93,32 @@ object SimilarityQueries {
           m = 8, k = 5, nprobe = 2)
         .orderBy("query_id", "rnk")),
 
+    // IVF-PQ with the production exact-re-rank tail: ADC keeps top-20
+    // per query, exact integer L2² re-ranks to top-5 — output distances
+    // are EXACT, so a code-quantization demotion inside the candidate
+    // set is corrected
+    "ann_ivfpq_rerank" -> ((s, dir) =>
+      Similarity.ivfpqTopKReranked(Tables(s, dir, "embeddings"),
+          col("vec_id") % 250 === 7,
+          col("vec_id") % 125 === 11,
+          col("vec_id") % 40 === 3 && col("vec_id") < 2560,
+          m = 8, k = 5, nprobe = 2, overscan = 4)
+        .orderBy("query_id", "rnk")),
+
+    // measured recall@5 of plain IVF-PQ vs the exact integer-L2² ground
+    // truth — the quality number the "recall < 1 by construction"
+    // scaladocs now quantify, hash-gated per query in basis points
+    "ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.annRecallReport(
+          Similarity.ivfpqTopK(emb,
+            col("vec_id") % 250 === 7, col("vec_id") % 125 === 11,
+            col("vec_id") % 40 === 3 && col("vec_id") < 2560,
+            m = 8, k = 5, nprobe = 2),
+          Similarity.bruteForceTopKL2(emb, col("vec_id") % 250 === 7, k = 5))
+        .orderBy("query_id")
+    }),
+
     "dedup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(embAug(s, dir), threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
@@ -249,54 +275,69 @@ object SimilarityQueries {
     // stage mirrors ivfpqTopK term for term in exact integer arithmetic
     "ann_ivfpq" ->
       s"""WITH ${flatSql("embeddings")},
-         |co AS (SELECT vec_id AS co_id, i, q FROM flat WHERE vec_id % 125 = 11),
-         |ad AS (
-         |  SELECT f.vec_id, c.co_id, sum((f.q - c.q) * (f.q - c.q)) AS d
-         |  FROM flat f JOIN co c ON c.i = f.i
-         |  GROUP BY 1, 2),
-         |ar AS (
-         |  SELECT vec_id, co_id,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, co_id) AS r
-         |  FROM ad),
-         |assigned AS (SELECT vec_id, co_id FROM ar WHERE r = 1),
-         |res AS (
-         |  SELECT f.vec_id, a.co_id, f.i, f.q - c.q AS rq
-         |  FROM flat f JOIN assigned a ON a.vec_id = f.vec_id
-         |              JOIN co c ON c.co_id = a.co_id AND c.i = f.i),
-         |cw AS (SELECT vec_id AS cw_id, i, rq FROM res
-         |       WHERE vec_id % 40 = 3 AND vec_id < 2560),
-         |sd AS (
-         |  SELECT e.vec_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
-         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
-         |  FROM res e JOIN cw w ON w.i = e.i
-         |  GROUP BY 1, 2, 3, 4),
-         |codes AS (
-         |  SELECT vec_id, co_id, s, cw_id AS code FROM (
-         |    SELECT vec_id, co_id, s, cw_id,
-         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
-         |    FROM sd) WHERE r = 1),
-         |probes AS (SELECT vec_id AS query_id, co_id FROM ar
-         |           WHERE vec_id % 250 = 7 AND r <= 2),
-         |qres AS (
-         |  SELECT p.query_id, p.co_id, f.i, f.q - c.q AS rq
-         |  FROM probes p JOIN flat f ON f.vec_id = p.query_id
-         |                JOIN co c ON c.co_id = p.co_id AND c.i = f.i),
-         |dt AS (
-         |  SELECT e.query_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
-         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
-         |  FROM qres e JOIN cw w ON w.i = e.i
-         |  GROUP BY 1, 2, 3, 4),
-         |approx AS (
-         |  SELECT t.query_id, c.vec_id AS hit_id, CAST(sum(t.d) AS BIGINT) AS adist
-         |  FROM codes c JOIN dt t
-         |    ON t.co_id = c.co_id AND t.s = c.s AND t.cw_id = c.code
-         |  WHERE c.vec_id <> t.query_id
-         |  GROUP BY 1, 2)
+         |$ivfpqApproxCte
          |SELECT query_id, hit_id, adist, rnk FROM (
          |  SELECT query_id, hit_id, adist,
          |    row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS rnk
          |  FROM approx) WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // IVF-PQ + exact re-rank: the same ADC chain keeps top-20
+    // (k·overscan) per query; the survivors re-score with the EXACT
+    // integer L2² (nrm_a + nrm_b − 2·dot — BIGINT-exact, all terms
+    // < 2^53) and re-rank to top-5
+    "ann_ivfpq_rerank" ->
+      s"""WITH ${flatSql("embeddings")},
+         |$ivfpqApproxCte,
+         |cand AS (
+         |  SELECT query_id, hit_id FROM (
+         |    SELECT query_id, hit_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS r
+         |    FROM approx) WHERE r <= 20),
+         |rr AS (
+         |  SELECT c.query_id, c.hit_id,
+         |    CAST(nq.nrm + nh.nrm - 2 * list_dot_product(fq.qv, fh.qv) AS BIGINT) AS dist
+         |  FROM cand c
+         |  JOIN qv fq ON fq.vec_id = c.query_id
+         |  JOIN qv fh ON fh.vec_id = c.hit_id
+         |  JOIN norms nq ON nq.vec_id = c.query_id
+         |  JOIN norms nh ON nh.vec_id = c.hit_id)
+         |SELECT query_id, hit_id, dist, rnk FROM (
+         |  SELECT query_id, hit_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS rnk
+         |  FROM rr) WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // measured recall@5 of plain IVF-PQ against the exact integer-L2²
+    // ground truth, per query, in exact basis points
+    "ann_recall" ->
+      s"""WITH ${flatSql("embeddings")},
+         |$ivfpqApproxCte,
+         |annk AS (
+         |  SELECT query_id, hit_id FROM (
+         |    SELECT query_id, hit_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS r
+         |    FROM approx) WHERE r <= 5),
+         |exd AS (
+         |  SELECT qf.vec_id AS query_id, a.vec_id AS hit_id,
+         |    CAST(nq.nrm + na.nrm - 2 * list_dot_product(qf.qv, a.qv) AS BIGINT) AS dist
+         |  FROM qv qf JOIN qv a ON a.vec_id <> qf.vec_id
+         |  JOIN norms nq ON nq.vec_id = qf.vec_id
+         |  JOIN norms na ON na.vec_id = a.vec_id
+         |  WHERE qf.vec_id % 250 = 7),
+         |exact AS (
+         |  SELECT query_id, hit_id FROM (
+         |    SELECT query_id, hit_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS r
+         |    FROM exd) WHERE r <= 5)
+         |SELECT e.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN f.hit_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  (10000 * CAST(sum(CASE WHEN f.hit_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+         |    // CAST(count(*) AS BIGINT) AS recall_bp
+         |FROM exact e LEFT JOIN annk f
+         |  ON f.query_id = e.query_id AND f.hit_id = e.hit_id
+         |GROUP BY 1 ORDER BY e.query_id""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH ${flatSql("embeddings")},
@@ -504,6 +545,58 @@ object SimilarityQueries {
          |WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE))
          |      / sqrt(CAST(nb.nrm AS DOUBLE)) >= 0.35
          |ORDER BY d.bench_id, d.vec_id""".stripMargin)
+
+  /** The IVF-PQ oracle chain (coarse assignment → residual encode →
+    * per-list ADC), term-for-term the ivfpqTopK build, ending in
+    * `approx(query_id, hit_id, adist)` — shared by ann_ivfpq (top-5),
+    * ann_ivfpq_rerank (top-20 then exact re-rank) and ann_recall
+    * (top-5 vs the exact ground truth), so the three gates cannot
+    * drift apart.
+    */
+  private def ivfpqApproxCte: String =
+    """co AS (SELECT vec_id AS co_id, i, q FROM flat WHERE vec_id % 125 = 11),
+      |ad AS (
+      |  SELECT f.vec_id, c.co_id, sum((f.q - c.q) * (f.q - c.q)) AS d
+      |  FROM flat f JOIN co c ON c.i = f.i
+      |  GROUP BY 1, 2),
+      |ar AS (
+      |  SELECT vec_id, co_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, co_id) AS r
+      |  FROM ad),
+      |assigned AS (SELECT vec_id, co_id FROM ar WHERE r = 1),
+      |res AS (
+      |  SELECT f.vec_id, a.co_id, f.i, f.q - c.q AS rq
+      |  FROM flat f JOIN assigned a ON a.vec_id = f.vec_id
+      |              JOIN co c ON c.co_id = a.co_id AND c.i = f.i),
+      |cw AS (SELECT vec_id AS cw_id, i, rq FROM res
+      |       WHERE vec_id % 40 = 3 AND vec_id < 2560),
+      |sd AS (
+      |  SELECT e.vec_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+      |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+      |  FROM res e JOIN cw w ON w.i = e.i
+      |  GROUP BY 1, 2, 3, 4),
+      |codes AS (
+      |  SELECT vec_id, co_id, s, cw_id AS code FROM (
+      |    SELECT vec_id, co_id, s, cw_id,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+      |    FROM sd) WHERE r = 1),
+      |probes AS (SELECT vec_id AS query_id, co_id FROM ar
+      |           WHERE vec_id % 250 = 7 AND r <= 2),
+      |qres AS (
+      |  SELECT p.query_id, p.co_id, f.i, f.q - c.q AS rq
+      |  FROM probes p JOIN flat f ON f.vec_id = p.query_id
+      |                JOIN co c ON c.co_id = p.co_id AND c.i = f.i),
+      |dt AS (
+      |  SELECT e.query_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+      |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+      |  FROM qres e JOIN cw w ON w.i = e.i
+      |  GROUP BY 1, 2, 3, 4),
+      |approx AS (
+      |  SELECT t.query_id, c.vec_id AS hit_id, CAST(sum(t.d) AS BIGINT) AS adist
+      |  FROM codes c JOIN dt t
+      |    ON t.co_id = c.co_id AND t.s = c.s AND t.cw_id = c.code
+      |  WHERE c.vec_id <> t.query_id
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** Shared IVF oracle tail: assignment / nprobe=2 probing / in-bucket
     * top-5 search against whatever `cents`(cent_id, i, q) / `cnorm`

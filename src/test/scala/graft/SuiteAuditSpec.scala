@@ -38,6 +38,8 @@ class SuiteAuditSpec extends AnyFunSuite {
     "ann_brute", "ann_int8", "ann_ivf", "ann_ivf_learned", "ann_assign2",
     "ann_pq", // codebook broadcast: every-vector × codebook PQ encode/ADC
     "ann_ivfpq", // coarse + PQ codebook broadcasts (assign/encode/probe)
+    "ann_ivfpq_rerank", // same chain + broadcast candidate re-rank joins
+    "ann_recall", // same chain + broadcast-queries exact ground truth
     "dedup_semantic", // IVF: every vector × broadcast coarse codebook
     "dedup_semantic2", // two-level routing: coarse-codebook broadcasts
     "q_tpch_q11", // scalar total-value threshold (single-row broadcast)

@@ -273,6 +273,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("exact re-rank: recall@10 >= plain ADC on planted neighbors; output distances are exact L2²") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    // plant an exact copy of every query at +200001 (offset chosen so a
+    // copy never satisfies the query predicate itself): each query's
+    // true nearest neighbor is its planted copy at distance 0
+    val qPred = col("vec_id") % 250 === 7 && col("vec_id") < 200000
+    val aug = emb.unionAll(emb.filter(col("vec_id") % 250 === 7)
+      .select((col("vec_id") + 200001L).as("vec_id"), col("embedding")))
+    val coPred = col("vec_id") % 125 === 11
+    val pqPred = col("vec_id") % 40 === 3 && col("vec_id") < 2560
+    val exact = Similarity.bruteForceTopKL2(aug, qPred, k = 10)
+    def totalRecall(found: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Similarity.annRecallReport(found, exact)
+        .agg(sum("n_found"), sum("n_exact")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val plain = totalRecall(Similarity.ivfpqTopK(aug, qPred, coPred, pqPred,
+      m = 8, k = 10, nprobe = 2))
+    val rr = Similarity.ivfpqTopKReranked(aug, qPred, coPred, pqPred,
+      m = 8, k = 10, nprobe = 2, overscan = 4)
+    val rerank = totalRecall(rr)
+    assert(rerank._2 == plain._2 && rerank._2 > 0)
+    assert(rerank._1 >= plain._1,
+      s"re-rank lost recall: ${rerank._1}/${rerank._2} < ${plain._1}/${plain._2}")
+    info(s"recall@10: plain ${plain._1}/${plain._2}, reranked ${rerank._1}/${rerank._2}")
+    // every planted copy survives routing (same coarse list as its
+    // query) and the re-rank must surface it at rank 1, distance 0
+    val rows = rr.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (qid, hits) =>
+      val first = hits.minBy(_._4)
+      assert(first._2 == qid + 200001L && first._3 == 0L,
+        s"query $qid: planted copy not at rank 1 — got $first")
+    }
+    // reranked distances are the EXACT integer L2² (not ADC estimates)
+    val q = (x: Float) => math.floor(x.toDouble * 1e6).toLong
+    val vecs = aug.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(q).toArray).toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.foreach { case (qid, hit, dist, _) =>
+      assert(dist == l2(vecs(qid), vecs(hit)), s"($qid,$hit): $dist not exact")
+    }
+  }
+
   test("IVF-PQ stored index: search from a parquet round trip == fresh build") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.01", "embeddings")
       .select("vec_id", "embedding")
