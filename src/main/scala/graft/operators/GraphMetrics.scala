@@ -203,29 +203,81 @@ object GraphMetrics {
       lit("pageRankMicroWeighted: edge weights must be positive")).isNull)),
       nodes, iters, dampMilli, idCol)
 
+  /** PageRank CONVERGENCE TRACE: per iteration, the total rank movement
+    * `Σ|r_i − r_{i-1}|` in exact integer micro-units — the number an
+    * operator watches to pick `iters` (stop when the movement falls
+    * under a mass tolerance) instead of guessing a constant. Exact
+    * BIGINT end to end, so the trace is cross-engine hashable.
+    *
+    * Each iteration's rank vector is `localCheckpoint`ed (eager): the
+    * trace consumes every intermediate vector twice (as `r_i` and as
+    * the next step's `r_{i-1}`), and checkpointing both materializes
+    * each vector ONCE and truncates the loop-built lineage — the same
+    * mitigation [[pageRankMicro]] applies past `CkptEvery` iterations.
+    * Blocks are node-count-sized; they free when the plan is GC'd.
+    * Output: (iter, delta_micro), one row per iteration.
+    */
+  def pageRankConvergence(pairs: DataFrame, nodes: DataFrame, iters: Int = 10,
+                          dampMilli: Int = 850,
+                          idCol: String = "doc_id"): DataFrame = {
+    val edgesW = withWeightedDegree(symEdges(pairs.withColumn("w", lit(1L))))
+    var ranks = nodes.select(col(idCol), lit(1000000L).as("r")).localCheckpoint()
+    val deltas = (1 to iters).map { i =>
+      val next = prStep(edgesW, ranks, nodes, dampMilli, idCol).localCheckpoint()
+      val d = next.join(ranks.select(col(idCol), col("r").as("rp")), Seq(idCol))
+        .agg(sum(abs(col("r") - col("rp"))).as("delta_micro"))
+        .select(lit(i).as("iter"), col("delta_micro"))
+      ranks = next
+      d
+    }
+    deltas.reduce(_.unionAll(_))
+  }
+
   private def symEdges(pairsW: DataFrame): DataFrame =
     pairsW.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
       .unionAll(pairsW.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
 
+  /** Weighted degree pre-joined ONCE into a cached frame: defined
+    * outside the iteration loop but referenced inside it, an uncached
+    * aggregate would re-run its shuffle every iteration (Spark does not
+    * dedupe identical uncached subtrees across a loop-built plan).
+    */
+  private def withWeightedDegree(edges: DataFrame): DataFrame =
+    cached(edges.join(
+      edges.groupBy("src").agg(sum("w").as("wsum")), Seq("src")))
+
+  /** One PR iteration: edge list × rank vector on src (ONE join), mass
+    * split `(r·damp·w) div (1000·W_src)`, ONE groupBy dst, teleport
+    * re-add via left join back onto the node list.
+    */
+  private def prStep(edgesW: DataFrame, ranks: DataFrame, nodes: DataFrame,
+                     dampMilli: Int, idCol: String): DataFrame = {
+    val base = 1000000L * (1000L - dampMilli) / 1000L
+    val contrib = edgesW
+      .join(ranks.withColumnRenamed(idCol, "src"), Seq("src"))
+      .select(col("dst").as(idCol),
+        expr(s"(r * $dampMilli * w) div (wsum * 1000)").as("c"))
+      .groupBy(idCol).agg(sum("c").as("csum"))
+    nodes.select(col(idCol))
+      .join(contrib, Seq(idCol), "left_outer")
+      .select(col(idCol), (lit(base) + coalesce(col("csum"), lit(0L))).as("r"))
+  }
+
+  /** Past this many iterations the loop-built plan gets truncated with
+    * an eager `localCheckpoint`: each join+agg round nests the previous
+    * plan, and ~10 nested rounds is where optimizer time and lineage
+    * re-execution risk start to dominate the actual work. Checkpoints
+    * change no values — only where the plan is cut.
+    */
+  private val CkptEvery = 8
+
   private def prCore(edges: DataFrame, nodes: DataFrame, iters: Int,
                      dampMilli: Int, idCol: String): DataFrame = {
-    // weighted degree pre-joined ONCE into the cached frame: defined
-    // outside the loop but referenced inside it, an uncached aggregate
-    // would re-run its shuffle every iteration (Spark does not dedupe
-    // identical uncached subtrees across a loop-built plan)
-    val edgesW = cached(edges.join(
-      edges.groupBy("src").agg(sum("w").as("wsum")), Seq("src")))
-    val base = 1000000L * (1000L - dampMilli) / 1000L
+    val edgesW = withWeightedDegree(edges)
     var ranks = nodes.select(col(idCol), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = edgesW
-        .join(ranks.withColumnRenamed(idCol, "src"), Seq("src"))
-        .select(col("dst").as(idCol),
-          expr(s"(r * $dampMilli * w) div (wsum * 1000)").as("c"))
-        .groupBy(idCol).agg(sum("c").as("csum"))
-      ranks = nodes.select(col(idCol))
-        .join(contrib, Seq(idCol), "left_outer")
-        .select(col(idCol), (lit(base) + coalesce(col("csum"), lit(0L))).as("r"))
+    for (i <- 1 to iters) {
+      ranks = prStep(edgesW, ranks, nodes, dampMilli, idCol)
+      if (i % CkptEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col(idCol), col("r").as("rank_micro"))
   }

@@ -119,6 +119,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PageRank CONVERGENCE trace at iters=10: per-iteration total rank
+    // movement in exact micro-units — the stop-when-settled number that
+    // replaces a guessed iteration constant; every intermediate rank
+    // vector is localCheckpoint'ed (the >10-iteration lineage story)
+    "dedup_pagerank_conv" -> ((s, dir) => {
+      val aug = docsAug(s, dir).cache()
+      graft.operators.GraphMetrics.pageRankConvergence(
+          Dedup.wordGramNearDupsPoly(aug, threshold = 0.5).cache(),
+          aug.select("doc_id"), iters = 10)
+        .orderBy("iter")
+    }),
+
     // Near-dup GRAPH DENSITY diagnostics: per-node triangle counts over
     // the polynomial word-gram pair graph — cliques (template spam) and
     // stars (one anchor, orbiting variants) separate here where
@@ -476,14 +488,14 @@ object TextQueries {
        |grams AS (
        |  SELECT doc_id, $gramHash AS h
        |  FROM base, unnest(generate_series(1, length(t) - ${n - 1})) AS g(i)),
-       |hashes AS (SELECT DISTINCT doc_id, h FROM grams),
+       |hashes AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM grams),
        |sig AS (
        |  SELECT doc_id,
        |    $sigMins
        |  FROM grams GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
-       |bsize AS (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
+       |bsize AS MATERIALIZED (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
        |          FROM bands GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
@@ -541,7 +553,7 @@ object TextQueries {
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS toks
        |  FROM docs),
-       |grams AS (
+       |grams AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_reduce(
        |      list_transform(range(1, length(g) + 1),
@@ -552,14 +564,14 @@ object TextQueries {
        |      array_to_string(toks[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g
        |    FROM toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS gi(i)
        |    WHERE len(toks) >= $n)),
-       |hashes AS (SELECT DISTINCT doc_id, h FROM grams),
+       |hashes AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM grams),
        |sig AS (
        |  SELECT doc_id,
        |    $sigMins
        |  FROM grams GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
-       |bsize AS (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
+       |bsize AS MATERIALIZED (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
        |          FROM bands GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
@@ -593,23 +605,28 @@ object TextQueries {
     * drift apart (same reason trianglesOracleSql is shared).
     */
   private def prOracleSql(weighted: Boolean): String = {
+    // MATERIALIZED fences throughout: edges/deg/r_i are each referenced
+    // by several later CTEs, and DuckDB's per-reference inlining would
+    // otherwise re-run the whole gram pipeline per reference — measured
+    // ~30× on the oracle wall time (43 s → under 2 s at sf0.01), same
+    // rows/hash (the fence is purely an evaluation strategy)
     val edgeCtes =
       if (weighted)
-        """ew AS (SELECT doc_a, doc_b,
+        """ew AS MATERIALIZED (SELECT doc_a, doc_b,
           |         CAST(floor(jaccard * 10000) AS BIGINT) AS w FROM pairs),
-          |edges AS (
+          |edges AS MATERIALIZED (
           |  SELECT doc_a AS src, doc_b AS dst, w FROM ew
           |  UNION ALL
           |  SELECT doc_b AS src, doc_a AS dst, w FROM ew),""".stripMargin
       else
-        """edges AS (
+        """edges AS MATERIALIZED (
           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
           |  UNION ALL
           |  SELECT doc_b AS src, doc_a AS dst FROM pairs),""".stripMargin
     val degCte =
       if (weighted)
-        "deg AS (SELECT src AS doc_id, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY 1)"
-      else "deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1)"
+        "deg AS MATERIALIZED (SELECT src AS doc_id, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY 1)"
+      else "deg AS MATERIALIZED (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1)"
     s"""WITH RECURSIVE $augSql,
        |${wordGramPolyPairsCte(0.5)},
        |$edgeCtes
@@ -617,10 +634,10 @@ object TextQueries {
        |  SELECT doc_id AS id, doc_id AS lbl FROM docs
        |  UNION
        |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
-       |lab AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+       |lab AS MATERIALIZED (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
        |$degCte,
-       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
-       |${(1 to 3).map(prIterSql(_, weighted)).mkString(",\n")},
+       |r0 AS MATERIALIZED (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
+       |${(1 to 3).map(prIterSql(_, weighted, materialized = true)).mkString(",\n")},
        |rk AS (
        |  SELECT l.doc_id, l.cluster_id, r.r AS rank_micro,
        |    row_number() OVER (PARTITION BY l.cluster_id
@@ -635,10 +652,41 @@ object TextQueries {
        |ORDER BY k.doc_id""".stripMargin
   }
 
-  private def prIterSql(i: Int, weighted: Boolean = false): String = {
+  /** The dedup_pagerank_conv oracle: the same generated unweighted PR
+    * iterations as [[prOracleSql]] (one body — the trace cannot drift
+    * from the rank gate), 10 deep, then per-iteration Σ|Δr| in exact
+    * micro-units. `sum` casts back to BIGINT (DuckDB widens BIGINT sums
+    * to HUGEINT, which the comparator renders differently).
+    */
+  private def prConvOracleSql(iters: Int): String = {
+    val deltas = (1 to iters).map { i =>
+      s"""SELECT $i AS iter, CAST(sum(abs(a.r - b.r)) AS BIGINT) AS delta_micro
+         |  FROM r$i a JOIN r${i - 1} b USING (doc_id)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $augSql,
+       |${wordGramPolyPairsCte(0.5)},
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |deg AS MATERIALIZED (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS MATERIALIZED (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM docs),
+       |${(1 to iters).map(prIterSql(_, materialized = true)).mkString(",\n")},
+       |deltas AS (
+       |  $deltas)
+       |SELECT iter, delta_micro FROM deltas ORDER BY iter""".stripMargin
+  }
+
+  private def prIterSql(i: Int, weighted: Boolean = false,
+                        materialized: Boolean = false): String = {
     val numer = if (weighted) "(r.r * 850 * e.w)" else "(r.r * 850)"
     val denom = if (weighted) "(g.wsum * 1000)" else "(g.deg * 1000)"
-    s"""r$i AS (
+    // MATERIALIZED stops DuckDB inlining a CTE per reference: the
+    // convergence oracle references every r_i TWICE (next iteration +
+    // its delta row), and 10 inlined levels double per level — an
+    // exponential plan that exhausts file handles re-opening the
+    // corpus parquet. The 3-iteration rank oracles stay on the default.
+    s"""r$i AS ${if (materialized) "MATERIALIZED " else ""}(
        |  SELECT d.doc_id,
        |    CAST(150000 + COALESCE(sum($numer // $denom), 0) AS BIGINT) AS r
        |  FROM docs d
@@ -651,7 +699,7 @@ object TextQueries {
   private def wordGramPolyPairsCte(threshold: Double, n: Int = 3,
                                    bandSize: Int = 2) =
     s"""${wordGramPolyCandCte(n, bandSize)},
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT i.doc_a, i.doc_b,
        |    CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
        |  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
@@ -746,6 +794,10 @@ object TextQueries {
     // weighted variant: w = floor(jaccard * 10000) (the jaccard double
     // is already cross-engine exact); weighted degree replaces count
     "dedup_pagerank_w" -> prOracleSql(weighted = true),
+
+    // convergence trace: same generated iteration body, 10 deep,
+    // per-iteration Σ|Δrank| in exact micro-units
+    "dedup_pagerank_conv" -> prConvOracleSql(10),
 
     "dedup_triangles" -> trianglesOracleSql,
     // degree orientation is fan-out strategy, not semantics: the exact

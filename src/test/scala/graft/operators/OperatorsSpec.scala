@@ -146,6 +146,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wr(102L) > wr(100L), s"heavy edge did not pull more mass: $wr")
   }
 
+  test("PageRank at iters=20 (checkpointed lineage) matches the driver-side reference; " +
+    "convergence trace is exact and settles") {
+    val pairEdges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val nodeIds = (0L to 5L) ++ Seq(10L, 11L, 12L, 20L)
+    val pairs = pairEdges.toDF("doc_a", "doc_b")
+    val nodes = nodeIds.toDF("doc_id")
+    // driver-side exact reference, 20 iterations, with per-iter deltas
+    val adj = (pairEdges ++ pairEdges.map(_.swap)).groupMap(_._1)(_._2)
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    var r = nodeIds.map(_ -> 1000000L).toMap
+    val refDeltas = (1 to 20).map { _ =>
+      val nxt = nodeIds.map(n => n -> (150000L +
+        adj.getOrElse(n, Nil).map(u => r(u) * 850L / (deg(u) * 1000L)).sum)).toMap
+      val d = nodeIds.map(n => math.abs(nxt(n) - r(n))).sum
+      r = nxt; d
+    }
+    // 20 iterations cross the CkptEvery=8 checkpoint twice: the plan is
+    // TRUNCATED mid-loop, and the values must be bit-identical anyway
+    val got = GraphMetrics.pageRankMicro(pairs, nodes, iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == r, s"checkpointed 20-iter ranks diverged:\n got=$got\n ref=$r")
+    // convergence trace: exact per-iteration Σ|Δr|, settling (the tail
+    // movement far below the head's), never negative
+    val trace = GraphMetrics.pageRankConvergence(pairs, nodes, iters = 20)
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).sortBy(_._1)
+    assert(trace.map(_._2).sameElements(refDeltas),
+      s"trace diverged:\n got=${trace.map(_._2).toSeq}\n ref=$refDeltas")
+    // geometric decay at the damping rate: monotone, and the tail far
+    // below the head (0.85^19 ≈ 4.6% — assert under 10%)
+    assert(trace.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      s"trace not monotone: ${trace.toSeq}")
+    assert(trace.last._2 < trace.head._2 / 10,
+      s"trace did not settle: ${trace.toSeq}")
+  }
+
   test("simhash: identical docs get identical signatures, hamming 0") {
     val pairs = Dedup.simhashNearDups(docs.filter($"doc_id" =!= 5))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
