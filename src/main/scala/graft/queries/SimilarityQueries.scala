@@ -119,6 +119,60 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    // STREAMED ANN-index maintenance, e2e: embeddings arrive across 3
+    // warehouse commits (with a delete-then-reinsert wave in the
+    // middle), the change log drives StreamingOps.changeFeedAnnIndex —
+    // per batch, net deletes drop index rows and net arrivals
+    // append-encode against the FIXED codebooks. The oracle recomputes
+    // the index COLD from the final image, so the hash certifies
+    // streamed-maintenance ≡ cold-rebuild end to end.
+    "q_stream_ann" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      import org.apache.spark.sql.types._
+      val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val coPred = col("vec_id") % 125 === 11
+      val pqPred = col("vec_id") % 40 === 3 && col("vec_id") < 2560
+      val seedPred = coPred || pqPred
+      // v1 holds every codebook seed (the fixed-seed contract); v2
+      // deletes a non-seed slice while adding the second wave; v3 is
+      // the full corpus (re-inserting the deleted slice)
+      val v1 = emb.filter(col("vec_id") % 3 === 0 || seedPred)
+      val v2 = emb.filter((col("vec_id") % 3 <= 1 &&
+        !(col("vec_id") % 9 === 0 && !seedPred)) || seedPred)
+      val src = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sann-src").toString,
+        Map("emb" -> emb.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("emb" -> ("vec_id", 8)))
+      // the log records TRANSITIONS between commits (consumers seed from
+      // the first image) — an empty v0 makes the v1 arrivals themselves
+      // a logged transition, so the index warehouse can seed empty
+      Seq(emb.limit(0), v1, v2, emb).foreach { img =>
+        val t = src.begin(); t.overwrite("emb", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-sann-log").toString
+      ChangeFeed.materializeLog(src, "emb", Seq("vec_id"), logDir)
+      val idxSchema = StructType(Seq(
+        StructField("vec_id", LongType), StructField("co_id", LongType),
+        StructField("codes", ArrayType(LongType))))
+      val idxWh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sann-idx").toString,
+        Map("annidx" -> idxSchema), partitionSpec = Map.empty,
+        bucketSpec = Map.empty)
+      locally {
+        val t = idxWh.begin()
+        t.overwrite("annidx", idxWh.emptyDf("annidx")); t.commit()
+      }
+      StreamingOps.changeFeedAnnIndex(s, idxWh, "annidx", emb.schema,
+        emb.filter(seedPred), coPred, pqPred, m = 8, logDir,
+        java.nio.file.Files.createTempDirectory("graft-sann-ckpt").toString)
+      idxWh.read("annidx")
+        .select(col("vec_id"), col("co_id"),
+          array_join(col("codes"), ",").as("codes"))
+        .orderBy("vec_id")
+    }),
+
     "dedup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(embAug(s, dir), threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
@@ -339,6 +393,15 @@ object SimilarityQueries {
          |  ON f.query_id = e.query_id AND f.hit_id = e.hit_id
          |GROUP BY 1 ORDER BY e.query_id""".stripMargin,
 
+    // cold rebuild of the IVF-PQ index over the FINAL image — the
+    // streamed maintenance must land exactly here
+    "q_stream_ann" ->
+      s"""WITH ${flatSql("embeddings")},
+         |$ivfpqEncodeCte
+         |SELECT vec_id, co_id,
+         |  array_to_string(list(code ORDER BY s), ',') AS codes
+         |FROM codes GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+
     "ann_ivf" ->
       s"""WITH ${flatSql("embeddings")},
          |cents AS (SELECT vec_id AS cent_id, qv FROM qv WHERE vec_id % 50 = 7),
@@ -553,7 +616,31 @@ object SimilarityQueries {
     * (top-5 vs the exact ground truth), so the three gates cannot
     * drift apart.
     */
-  private def ivfpqApproxCte: String =
+  private def ivfpqApproxCte: String = s"""$ivfpqEncodeCte,
+      |probes AS (SELECT vec_id AS query_id, co_id FROM ar
+      |           WHERE vec_id % 250 = 7 AND r <= 2),
+      |qres AS (
+      |  SELECT p.query_id, p.co_id, f.i, f.q - c.q AS rq
+      |  FROM probes p JOIN flat f ON f.vec_id = p.query_id
+      |                JOIN co c ON c.co_id = p.co_id AND c.i = f.i),
+      |dt AS (
+      |  SELECT e.query_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+      |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+      |  FROM qres e JOIN cw w ON w.i = e.i
+      |  GROUP BY 1, 2, 3, 4),
+      |approx AS (
+      |  SELECT t.query_id, c.vec_id AS hit_id, CAST(sum(t.d) AS BIGINT) AS adist
+      |  FROM codes c JOIN dt t
+      |    ON t.co_id = c.co_id AND t.s = c.s AND t.cw_id = c.code
+      |  WHERE c.vec_id <> t.query_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** The ENCODE half of the IVF-PQ oracle chain (coarse assignment →
+    * residual PQ encode), ending in `codes(vec_id, co_id, s, code)` —
+    * exactly the stored-index artifact, so q_stream_ann's cold-rebuild
+    * oracle and the three search gates share one body.
+    */
+  private def ivfpqEncodeCte: String =
     """co AS (SELECT vec_id AS co_id, i, q FROM flat WHERE vec_id % 125 = 11),
       |ad AS (
       |  SELECT f.vec_id, c.co_id, sum((f.q - c.q) * (f.q - c.q)) AS d
@@ -579,24 +666,7 @@ object SimilarityQueries {
       |  SELECT vec_id, co_id, s, cw_id AS code FROM (
       |    SELECT vec_id, co_id, s, cw_id,
       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
-      |    FROM sd) WHERE r = 1),
-      |probes AS (SELECT vec_id AS query_id, co_id FROM ar
-      |           WHERE vec_id % 250 = 7 AND r <= 2),
-      |qres AS (
-      |  SELECT p.query_id, p.co_id, f.i, f.q - c.q AS rq
-      |  FROM probes p JOIN flat f ON f.vec_id = p.query_id
-      |                JOIN co c ON c.co_id = p.co_id AND c.i = f.i),
-      |dt AS (
-      |  SELECT e.query_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
-      |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
-      |  FROM qres e JOIN cw w ON w.i = e.i
-      |  GROUP BY 1, 2, 3, 4),
-      |approx AS (
-      |  SELECT t.query_id, c.vec_id AS hit_id, CAST(sum(t.d) AS BIGINT) AS adist
-      |  FROM codes c JOIN dt t
-      |    ON t.co_id = c.co_id AND t.s = c.s AND t.cw_id = c.code
-      |  WHERE c.vec_id <> t.query_id
-      |  GROUP BY 1, 2)""".stripMargin
+      |    FROM sd) WHERE r = 1)""".stripMargin
 
   /** Shared IVF oracle tail: assignment / nprobe=2 probing / in-bucket
     * top-5 search against whatever `cents`(cent_id, i, q) / `cnorm`

@@ -929,6 +929,63 @@ object StreamingOps {
     }
   }
 
+  /** PRODUCTION CDC consumer #3: maintain a stored
+    * [[graft.operators.Similarity.ivfpqIndex]] from an embedding
+    * table's change log — the ingestion path for a vector-search
+    * service: nightly/streaming embedding arrivals encode against the
+    * FIXED codebooks and land in the index at churn cost, never
+    * re-encoding the stored corpus. Per micro-batch the logged
+    * transitions fold to the per-key net delta
+    * ([[graft.etl.ChangeFeed.netChanges]]); net-deleted and net-updated
+    * vec_ids drop their index rows (an updated embedding must
+    * re-encode — a stale row would keep answering queries with the old
+    * codes), then net inserts/after-images append-encode
+    * ([[graft.operators.Similarity.ivfpqIndexAppend]]) — one warehouse
+    * transaction per batch.
+    *
+    * Exactly-once EFFECT by CONVERGENCE, like [[changeFeedReplica]]:
+    * a redelivered delete drops an absent key (no-op), a redelivered
+    * insert is anti-joined away by the append's idempotence guard, a
+    * redelivered update drops-then-re-encodes to the identical row —
+    * so at-least-once redelivery and even a checkpoint reset
+    * re-converge (spec-pinned).
+    *
+    * `seedEmbeddings` must contain every vector `coarsePred`/`pqPred`
+    * select over the corpus, FIXED for the index's lifetime (the
+    * [[graft.operators.Similarity.ivfpqIndexAppend]] batch-stability
+    * contract — mutate a seed and the codebooks shift under the stored
+    * codes). Under that contract the streamed index is bit-equal to a
+    * cold [[graft.operators.Similarity.ivfpqIndex]] rebuild of the
+    * final image — the `q_stream_ann` driver gate hashes exactly that.
+    */
+  def changeFeedAnnIndex(spark: SparkSession, wh: graft.etl.Warehouse,
+                         indexTable: String, embSchema: StructType,
+                         seedEmbeddings: DataFrame, coarsePred: Column,
+                         pqPred: Column, m: Int, logDir: String,
+                         checkpointDir: String): Unit = {
+    import graft.etl.ChangeFeed
+    import graft.operators.Similarity
+    val logSch = ChangeFeed.logSchema(embSchema, Seq("vec_id"))
+    drainLog(spark, logDir, logSch, checkpointDir) { batch =>
+      if (!batch.isEmpty) {
+        val net = ChangeFeed.netChanges(batch, Seq("vec_id")).persist()
+        try {
+          val gone = net
+            .filter(col("change_type").isin("delete", "update_post"))
+            .select("vec_id")
+          val added = net
+            .filter(col("change_type").isin("insert", "update_post"))
+            .select("vec_id", "embedding")
+          val txn = wh.begin()
+          val pruned = txn.read(indexTable).join(gone, Seq("vec_id"), "left_anti")
+          txn.overwrite(indexTable, Similarity.ivfpqIndexAppend(
+            pruned, seedEmbeddings, added, coarsePred, pqPred, m))
+          txn.commit()
+        } finally net.unpersist()
+      }
+    }
+  }
+
   /** PRODUCTION CDC consumer #2: fold the change stream into an SCD2
     * HISTORY — the replica keeps only the latest image; this keeps
     * every version with its validity interval, maintained at churn
