@@ -607,6 +607,59 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .groupBy("vec_a", "vec_b").agg(count(lit(1)).as("bands_shared"))
 
+  /** Per-vector MULTI-PROBE band values: primary + `flips` single-bit
+    * neighbor probes per band ([[graft.functions.QHyperplaneProbes]] —
+    * still one scalar map inside whole-stage codegen, no explode/agg
+    * exchange). Output: (vec_id, band_id, p, band_val) with `p = 0`
+    * the primary value and `p ≥ 1` the probes in increasing-margin
+    * order.
+    */
+  def hyperplaneProbes(quant: DataFrame, planes: Int, bandBits: Int,
+                       flips: Int): DataFrame =
+    quant.select(col("vec_id"),
+      posexplode(graft.functions.QHyperplaneProbes
+        .probes(col("q"), planes, bandBits, flips))
+        .as(Seq("idx", "band_val")))
+      .select(col("vec_id"),
+        floor(col("idx") / lit(flips + 1)).cast("int").as("band_id"),
+        pmod(col("idx"), lit(flips + 1)).as("p"), col("band_val"))
+
+  /** MULTI-PROBE near-dup candidates: each vector's probe set (primary
+    * + `flips` lowest-margin single-bit flips per band) is joined
+    * against the PRIMARY-only band index — a pair is a candidate when
+    * either side's probes reach the other's primary bucket. The probe
+    * set strictly contains the primary value, so the candidates are a
+    * SUPERSET of [[nearDupCandidates]] at the same (planes, bandBits)
+    * (spec-asserted) — which is the point: multi-probe holds recall
+    * with FEWER bands, i.e. fewer hash tables and a smaller band join,
+    * at the cost of (flips+1)× probe rows on one join side only. The
+    * index side stays primary-only, so at scale the stored/shuffled
+    * index is unchanged; only the probe stream fans out.
+    * Output: (vec_a, vec_b, bands_hit, cosine) with `bands_hit` the
+    * number of distinct bands where the pair collided in either
+    * direction.
+    */
+  def nearDupCandidatesMultiProbe(embeddings: DataFrame, planes: Int = 16,
+                                  bandBits: Int = 8, flips: Int = 1): DataFrame = {
+    val all = withQuant(embeddings)
+    val pr = hyperplaneProbes(all.select(col("vec_id"), col("q")),
+      planes, bandBits, flips)
+    val primary = pr.filter(col("p") === 0)
+      .select(col("vec_id").as("id_b"), col("band_id"), col("band_val"))
+    val probes = pr.select(col("vec_id").as("id_a"), col("band_id"), col("band_val"))
+    val cand = probes.join(primary, Seq("band_id", "band_val"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("vec_a"),
+        greatest(col("id_a"), col("id_b")).as("vec_b"), col("band_id"))
+      .groupBy("vec_a", "vec_b")
+      .agg(countDistinct("band_id").as("bands_hit"))
+    val a = all.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
+    val b = all.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
+    cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("bands_hit"),
+        cosine(qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+  }
+
   /** All LSH candidate pairs with shared-band count and exact cosine —
     * the blocking stage exposed as its own operator (no threshold).
     */

@@ -181,6 +181,14 @@ object SimilarityQueries {
       Similarity.nearDupCandidates(embAug(s, dir))
         .orderBy("vec_a", "vec_b")),
 
+    // multi-probe at HALF the hash tables (16 planes vs 32): primary +
+    // 1 lowest-margin bit-flip probe per band against a primary-only
+    // index — the recall-per-band trade measured in MultiProbeLshSpec
+    "dedup_embed_lsh_mp" -> ((s, dir) =>
+      Similarity.nearDupCandidatesMultiProbe(embAug(s, dir),
+          planes = 16, bandBits = 8, flips = 1)
+        .orderBy("vec_a", "vec_b")),
+
     "q_vec_centroid" -> ((s, dir) =>
       Similarity.centroids(Tables(s, dir, "embeddings"), col("vec_id") % 10)
         .orderBy("grp", "i")),
@@ -453,6 +461,51 @@ object SimilarityQueries {
          |${flatSql("emb")},
          |$lshSql
          |SELECT vec_a, vec_b, bands_shared, cosine FROM scored
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // 16-plane multi-probe: per band rank planes by (|dot|, j); probe
+    // set = primary + primary XOR lowest-margin bit; candidates = probe
+    // hits on the primary index, either direction, distinct bands
+    "dedup_embed_lsh_mp" ->
+      s"""WITH $augSql,
+         |${flatSql("emb")},
+         |hp AS (SELECT unnest(generate_series(0, 15)) AS j),
+         |pdot AS (
+         |  SELECT f.vec_id, h.j,
+         |    sum(f.q * ((2654435761 * (h.j * 1024 + (f.i - 1))) % 4294967296 % 65537 - 32768)) AS d
+         |  FROM flat f CROSS JOIN hp h
+         |  GROUP BY 1, 2),
+         |pb AS (
+         |  SELECT vec_id, j // 8 AS band_id, j % 8 AS k, d,
+         |    row_number() OVER (PARTITION BY vec_id, j // 8 ORDER BY abs(d), j) AS mr
+         |  FROM pdot),
+         |bands AS (
+         |  SELECT vec_id, band_id,
+         |    CAST(sum(CASE WHEN d >= 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS band_val
+         |  FROM pb GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT vec_id, band_id, band_val FROM bands
+         |  UNION ALL
+         |  SELECT b.vec_id, b.band_id, xor(b.band_val, CAST(1 << p.k AS BIGINT))
+         |  FROM bands b JOIN pb p
+         |    ON p.vec_id = b.vec_id AND p.band_id = b.band_id AND p.mr = 1),
+         |hits AS (
+         |  SELECT least(p.vec_id, q.vec_id) AS vec_a,
+         |    greatest(p.vec_id, q.vec_id) AS vec_b, p.band_id
+         |  FROM probes p JOIN bands q
+         |    ON p.band_id = q.band_id AND p.band_val = q.band_val
+         |   AND p.vec_id <> q.vec_id),
+         |cand AS (
+         |  SELECT vec_a, vec_b, count(DISTINCT band_id) AS bands_hit
+         |  FROM hits GROUP BY 1, 2)
+         |SELECT c.vec_a, c.vec_b, c.bands_hit,
+         |  CAST(list_dot_product(fa.qv, fb.qv) AS DOUBLE)
+         |    / sqrt(CAST(na.nrm AS DOUBLE)) / sqrt(CAST(nb.nrm AS DOUBLE)) AS cosine
+         |FROM cand c
+         |JOIN qv fa ON fa.vec_id = c.vec_a
+         |JOIN qv fb ON fb.vec_id = c.vec_b
+         |JOIN norms na ON na.vec_id = c.vec_a
+         |JOIN norms nb ON nb.vec_id = c.vec_b
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_vec_centroid" ->
