@@ -19,61 +19,64 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
-  /** Rotating registry of the frames this object has cached. Metrics
-    * return LAZY frames, so an in-function unpersist-after-action is
-    * impossible — but unbounded `cache()` accumulation in a long-lived
-    * session is a real leak. Bound: each metric invocation caches at
-    * most 2 frames (edge list + directed list); the registry keeps the
-    * newest [[MaxLiveCaches]] and unpersists older ones as new calls
-    * arrive, so the CURRENT call's consumer always finds its blocks
-    * while prior calls' blocks are reclaimed. Unpersisting a frame a
-    * straggler still holds is safe — the lazy plan just recomputes.
-    * [[releaseCaches]] drains everything explicitly.
+  /** Rotating registry of the frames this object has MATERIALIZED via
+    * eager `localCheckpoint` (checkpoint, not cache: a cache keeps the
+    * whole upstream pipeline in the logical plan, and the metric dags
+    * reference the edge frame 3-7 times — every reference re-walks
+    * that tree through canonicalization and optimization, measured as
+    * >10 s of pure driver time per triangle query on the sf0.1
+    * near-dup graph). Metrics return LAZY frames, so an in-function
+    * unpersist-after-action is impossible — but unbounded block
+    * accumulation in a long-lived session is a real leak. Bound: each
+    * metric invocation checkpoints at most 2 frames (edge list +
+    * directed list); the registry keeps the newest [[MaxLiveCaches]]
+    * and releases older ones' blocks as new calls arrive. Unlike a
+    * cache, a released CHECKPOINT cannot recompute — so the bound is
+    * generous (8 frames = 4 calls of headroom; the frames are
+    * edge-list-sized) and a result frame must be consumed within that
+    * window or re-derived. [[releaseCaches]] drains everything
+    * explicitly; frames the registry rotated out also free naturally
+    * when their plans are GC'd (ContextCleaner).
     */
-  private val MaxLiveCaches = 4
+  private val MaxLiveCaches = 8
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def cached(df: DataFrame): DataFrame = {
-    df.cache()
-    live.add(df)
+  private def checkpointed(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    live.add(out)
     while (live.size > MaxLiveCaches)
-      Option(live.poll()).foreach { old =>
-        // Spark's CacheManager is keyed by CANONICALIZED plan, so two
-        // metric calls over the same pairs share ONE cache entry —
-        // unpersisting the older twin would also drop the entry the
-        // newer (possibly mid-consumption) frame depends on. Evict only
-        // when no queued frame is plan-equal; the shared entry is then
-        // reclaimed when its last twin rotates out. The bound still
-        // holds: distinct cached PLANS never exceed MaxLiveCaches.
-        val oldPlan = old.queryExecution.analyzed.canonicalized
-        val twinLive = {
-          val it = live.iterator()
-          var found = false
-          while (!found && it.hasNext)
-            found = it.next().queryExecution.analyzed.canonicalized == oldPlan
-          found
-        }
-        if (!twinLive) old.unpersist(blocking = false)
-      }
-    df
+      Option(live.poll()).foreach(releaseBlocks)
+    out
   }
 
-  /** Unpersist every frame this object still has cached. */
+  private def releaseBlocks(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(df)
+      .foreach(_.unpersist(blocking = false))
+
+  /** Release every checkpoint block this object still tracks. */
   def releaseCaches(): Unit = {
     var df = live.poll()
-    while (df != null) { df.unpersist(blocking = false); df = live.poll() }
+    while (df != null) { releaseBlocks(df); df = live.poll() }
   }
 
-  /** Canonical edge list, CACHED (via [[cached]]): every consumer
-    * self-joins it (two branches for degrees, three for triangles), and
-    * without the cache each branch re-executes the whole upstream
-    * pair-generation pipeline — for an LSH similarity graph that is the
-    * full signature+band+verify computation, multiplied by the join
-    * arity. The edge list itself is pairs-sized (tiny next to the
-    * corpus).
+  /** Canonical edge list, materialized AND lineage-truncated via
+    * `localCheckpoint` (same mitigation [[prCore]] uses inside its
+    * loop): every consumer self-joins it — two branches for degrees,
+    * THREE to SEVEN plan references for the triangle dags — and a mere
+    * cache() would keep the whole upstream pair-generation pipeline
+    * (for an LSH similarity graph: the full signature+band+verify
+    * computation) inside the logical plan, where every downstream
+    * canonicalization / cache lookup / optimizer pass re-walks it once
+    * PER REFERENCE. Measured on the sf0.1 near-dup graph: the
+    * degree-oriented triangle dag spent >10 s of pure DRIVER time
+    * re-planning the cached-but-un-truncated tree (sum of executor
+    * stage time: 0.2 s); checkpointing both frames cuts the whole
+    * query to ~the id-oriented variant's latency. The edge list
+    * itself is pairs-sized (tiny next to the corpus), and the
+    * materialization is work the first consumer would do anyway.
     */
   private def oriented(pairs: DataFrame): DataFrame =
-    cached(pairs.select(
+    checkpointed(pairs.select(
       least(col("doc_a"), col("doc_b")).as("a"),
       greatest(col("doc_a"), col("doc_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct())
@@ -125,15 +128,12 @@ object GraphMetrics {
     // head's rank so the wedge join can order its two heads
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    // cached: three consumers (two wedge sides + the closing probe)
-    // would otherwise re-execute the degree-attach joins — re-reading
-    // and re-broadcasting the degree map per consumer at scale. The
-    // residual bench-scale cost of this variant is per-stage scheduling
-    // latency (2 attach joins + 1 aggregation more than id-orientation,
-    // all broadcast, measured ~3 s on 835 edges locally) — fixed cost
-    // that amortizes at scale, where the arboricity-bounded fan-out is
-    // what matters.
-    val dir = cached(withDeg.select(
+    // materialized + truncated like `e` in [[oriented]]: the wedge's
+    // two branches would otherwise re-execute (and re-plan) the degree
+    // aggregation + attach joins per reference. The closing probe
+    // below needs no degrees at all, so it reads the checkpointed `e`
+    // directly — one attach pass total.
+    val dir = checkpointed(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv")))
@@ -142,8 +142,13 @@ object GraphMetrics {
     val wedges = e1.join(e2, Seq("u"))
       .filter(col("dv1") < col("dv2") ||
         (col("dv1") === col("dv2") && col("v1") < col("v2")))
-    val closing = dir.select(col("u").as("v1"), col("v").as("v2"))
-    wedges.join(closing, Seq("v1", "v2"))
+    // close the wedge against the undirected edge SET — the id-oriented
+    // cache probed on (least, greatest); rank direction of the closing
+    // edge is irrelevant to closure, so the degree attach is skipped
+    val closing = e.select(col("a").as("cl_a"), col("b").as("cl_b"))
+    wedges.join(closing,
+        col("cl_a") === least(col("v1"), col("v2")) &&
+        col("cl_b") === greatest(col("v1"), col("v2")))
       .select(least(col("u"), col("v1"), col("v2")).as("x"),
         // middle by elimination — ids are table keys, far below the
         // Long overflow range a three-way sum could threaten
@@ -237,13 +242,18 @@ object GraphMetrics {
     pairsW.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
       .unionAll(pairsW.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
 
-  /** Weighted degree pre-joined ONCE into a cached frame: defined
-    * outside the iteration loop but referenced inside it, an uncached
-    * aggregate would re-run its shuffle every iteration (Spark does not
-    * dedupe identical uncached subtrees across a loop-built plan).
+  /** Weighted degree pre-joined ONCE into a materialized frame:
+    * defined outside the iteration loop but referenced EVERY iteration
+    * — uncached, the aggregate would re-run its shuffle per iteration
+    * (Spark does not dedupe identical uncached subtrees across a
+    * loop-built plan); cached-but-not-truncated, the upstream pair
+    * pipeline would be re-planned once per iteration REFERENCE
+    * (measured: >10 s of driver time on a 10-iteration convergence
+    * trace at sf0.1). Checkpointing does both: one materialization,
+    * and a leaf-sized plan inside the loop.
     */
   private def withWeightedDegree(edges: DataFrame): DataFrame =
-    cached(edges.join(
+    checkpointed(edges.join(
       edges.groupBy("src").agg(sum("w").as("wsum")), Seq("src")))
 
   /** One PR iteration: edge list × rank vector on src (ONE join), mass

@@ -17,4 +17,14 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The persisted RDDs behind a `localCheckpoint`ed DataFrame (the
+    * `LogicalRDD` leaves of its plan) — `Dataset.unpersist` only talks
+    * to the CacheManager, so explicitly releasing checkpoint blocks
+    * needs the underlying RDD handles.
+    */
+  def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 }

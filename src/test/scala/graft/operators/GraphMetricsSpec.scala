@@ -56,42 +56,36 @@ class GraphMetricsSpec extends AnyFunSuite {
       6L -> 1L, 7L -> 1L))
   }
 
-  test("rotating out a plan-equal twin keeps the shared cache entry live") {
-    // Spark's CacheManager keys on the canonicalized plan, so
-    // degrees(pairs) and trianglesByDegree(pairs) share ONE cache
-    // entry for the oriented edge list. When distinct later calls
-    // rotate the OLDER twin out of the registry, the shared entry must
-    // survive — unpersisting it would silently drop the cache the
-    // newer call still depends on.
-    import org.apache.spark.sql.functions.{col, greatest, least}
+  test("a metric result stays consumable after registry rotation within the bound") {
+    // checkpointed frames, unlike caches, CANNOT recompute once their
+    // blocks are released — the registry's 8-frame bound exists so a
+    // lazily-held result survives the next few metric calls. Hold a
+    // triangle frame across two later invocations (<= 4 new frames)
+    // and consume it last; its checkpoint blocks must still be there.
     GraphMetrics.releaseCaches()
-    GraphMetrics.degrees(pairs).count()
-    GraphMetrics.trianglesByDegree(pairs).count() // plan-equal twin (+ dir frame)
+    val held = GraphMetrics.trianglesPerNode(pairs, byDegree = true)
     (1 to 2).foreach { k =>
       GraphMetrics.degrees(
         Seq((10L * k, 20L * k), (20L * k, 30L * k)).toDF("doc_a", "doc_b")).count()
     }
-    val probe = pairs.select(least(col("doc_a"), col("doc_b")).as("a"),
-        greatest(col("doc_a"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    assert(probe.storageLevel.useMemory,
-      "the oriented edge list must stay cached while a plan-equal frame is registered")
+    val n = held.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
     GraphMetrics.releaseCaches()
   }
 
-  test("repeated calls don't accumulate cached storage; releaseCaches drains") {
+  test("repeated calls don't accumulate checkpoint storage; releaseCaches drains") {
     GraphMetrics.releaseCaches()
     val sc = spark.sparkContext
     def persisted = sc.getPersistentRDDs.size
     val base = persisted
-    // 10 invocations, each caching 1-2 frames — the rotating registry
-    // must bound live cache entries regardless of call count
+    // 10 invocations, each checkpointing 1-2 frames — the rotating
+    // registry must bound live blocks regardless of call count
     (1 to 10).foreach { _ =>
       GraphMetrics.trianglesByDegree(pairs).count()
       GraphMetrics.degrees(pairs).count()
     }
-    assert(persisted - base <= 4,
-      s"cached frames must stay bounded, got ${persisted - base} new persistent RDDs")
+    assert(persisted - base <= 8,
+      s"checkpointed frames must stay bounded, got ${persisted - base} new persistent RDDs")
     GraphMetrics.releaseCaches()
     assert(persisted <= base, "releaseCaches must drain every tracked frame")
   }
