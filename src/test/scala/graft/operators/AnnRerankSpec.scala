@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The exact-re-rank tail's quality contract: on a corpus with PLANTED
+  * near neighbors, re-ranked IVF-PQ recall@k is never below plain
+  * IVF-PQ recall@k (the re-rank can only restore true neighbors that
+  * code quantization demoted INSIDE the candidate set, never lose one),
+  * and the report arithmetic itself is pinned.
+  */
+class AnnRerankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // real sf0.001 embeddings + a planted near-copy of every query vector
+  // (one component nudged): each query's TRUE nearest neighbor is known
+  // to be its planted twin at +100000
+  private def planted: DataFrame = {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    emb.unionAll(emb.filter(col("vec_id") % 250 === 7)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding")))
+  }
+
+  private def meanRecallBp(found: DataFrame, exact: DataFrame): Double =
+    Similarity.annRecallReport(found, exact)
+      .agg(avg("recall_bp")).head.getDouble(0)
+
+  test("re-ranked IVF-PQ recall@10 >= plain IVF-PQ recall@10 on planted neighbors") {
+    val emb = planted.cache()
+    val qPred = col("vec_id") % 250 === 7 && col("vec_id") < 100000
+    val coPred = col("vec_id") % 125 === 11 && col("vec_id") < 100000
+    val pqPred = col("vec_id") % 40 === 3 && col("vec_id") < 2560
+    val exact = Similarity.bruteForceTopKL2(emb, qPred, k = 10).cache()
+    val plain = meanRecallBp(
+      Similarity.ivfpqTopK(emb, qPred, coPred, pqPred, m = 8, k = 10, nprobe = 2),
+      exact)
+    val reranked = meanRecallBp(
+      Similarity.ivfpqTopKReranked(emb, qPred, coPred, pqPred,
+        m = 8, k = 10, nprobe = 2, overscan = 4),
+      exact)
+    info(f"mean recall@10: plain=$plain%.0f bp reranked=$reranked%.0f bp")
+    assert(reranked >= plain,
+      f"re-rank lost recall: $reranked%.0f bp < $plain%.0f bp")
+    // the planted twin is the true top-1; the re-ranked pass must
+    // surface it for most queries (sanity that recall is not
+    // vacuously equal on an empty report)
+    val twins = Similarity.ivfpqTopKReranked(emb, qPred, coPred, pqPred,
+        m = 8, k = 10, nprobe = 2, overscan = 4)
+      .filter(col("hit_id") === col("query_id") + 100000).count()
+    val nq = emb.filter(qPred).count()
+    assert(twins * 2 >= nq, s"re-ranked pass found only $twins/$nq planted twins")
+    emb.unpersist(); exact.unpersist()
+  }
+
+  test("recall report arithmetic: basis points, exact div, missing hits count zero") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("query_id", "hit_id")
+    val found = Seq((1L, 10L), (1L, 99L), (2L, 20L)).toDF("query_id", "hit_id")
+    val r = Similarity.annRecallReport(found, exact)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((3L, 1L, 3333L))) // 1 of 3 found -> 3333 bp (floor)
+    assert(r(2L) == ((1L, 1L, 10000L)))
+  }
+}
