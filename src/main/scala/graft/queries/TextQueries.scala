@@ -393,6 +393,49 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // STREAMED signature-store maintenance, e2e: documents arrive
+    // across 3 warehouse commits (insert wave, delete wave, a text
+    // UPDATE on the %5==2 slice), the change log drives
+    // StreamingOps.changeFeedSignatureStore — deletes/updates drop
+    // store rows, arrivals sign and append. The oracle recomputes the
+    // MinHash store COLD from the final image, so the hash certifies
+    // streamed-maintenance ≡ cold-rebuild (and that updates re-sign).
+    "q_stream_dedup" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      import org.apache.spark.sql.types._
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val finalImg = d.withColumn("text",
+        when(col("doc_id") % 5 === 2, concat(col("text"), lit(" changed v3")))
+          .otherwise(col("text")))
+      val v1 = d.filter(col("doc_id") % 3 === 0)
+      val v2 = d.filter(col("doc_id") % 3 <= 1 && !(col("doc_id") % 9 === 0))
+      val src = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sdd-src").toString,
+        Map("docs" -> d.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("docs" -> ("doc_id", 8)))
+      Seq(d.limit(0), v1, v2, finalImg).foreach { img =>
+        val t = src.begin(); t.overwrite("docs", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-sdd-log").toString
+      ChangeFeed.materializeLog(src, "docs", Seq("doc_id"), logDir)
+      val storeSchema = StructType(StructField("doc_id", LongType) +:
+        (0 until 8).map(j => StructField(s"m$j", LongType)))
+      val storeWh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sdd-idx").toString,
+        Map("sigstore" -> storeSchema), partitionSpec = Map.empty,
+        bucketSpec = Map.empty)
+      locally {
+        val t = storeWh.begin()
+        t.overwrite("sigstore", storeWh.emptyDf("sigstore")); t.commit()
+      }
+      StreamingOps.changeFeedSignatureStore(s, storeWh, "sigstore",
+        d.schema, n = 3, logDir,
+        java.nio.file.Files.createTempDirectory("graft-sdd-ckpt").toString)
+      storeWh.read("sigstore").orderBy("doc_id")
+    }),
+
     "text_shard" -> ((s, dir) =>
       TextAnalysis.corpusShard(Tables(s, dir, "documents").select("doc_id"),
           nShards = 16)
@@ -540,16 +583,18 @@ object TextQueries {
     * capped candidates → per-pair intersection + sizes); the Jaccard and
     * containment oracles differ only in the final `pairs` measure.
     */
-  private def wordGramPolyCandCte(n: Int = 3, bandSize: Int = 2) = {
+  /** The gram-hash + 8-permutation MinHash SIGNATURE oracle chain
+    * (toks → rolling-hash word grams → per-permutation mins), ending
+    * in `sig(doc_id, m0..m7)` — exactly the
+    * [[graft.operators.Dedup.signatureStore]] artifact, shared by the
+    * banded-candidate chain below and q_stream_dedup's cold-rebuild
+    * oracle so the stored-store gate and the pair gates cannot drift.
+    */
+  private def wordGramSigCte(n: Int = 3): String = {
     val p = "1000000007"
     val sigMins = (0 until 8).map { j =>
       s"min(((${37 + 101 * j} * h) + ${17 + 89 * j}) % $p) AS m$j"
     }.mkString(",\n       |    ")
-    val bandSelects = (0 until 8 / bandSize).map { b =>
-      val cat = (b * bandSize until (b + 1) * bandSize)
-        .map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ':' || ")
-      s"SELECT doc_id, $b AS band_id, $cat AS band FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS toks
        |  FROM docs),
@@ -564,11 +609,20 @@ object TextQueries {
        |      array_to_string(toks[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g
        |    FROM toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS gi(i)
        |    WHERE len(toks) >= $n)),
-       |hashes AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM grams),
        |sig AS (
        |  SELECT doc_id,
        |    $sigMins
-       |  FROM grams GROUP BY doc_id),
+       |  FROM grams GROUP BY doc_id)""".stripMargin
+  }
+
+  private def wordGramPolyCandCte(n: Int = 3, bandSize: Int = 2) = {
+    val bandSelects = (0 until 8 / bandSize).map { b =>
+      val cat = (b * bandSize until (b + 1) * bandSize)
+        .map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band_id, $cat AS band FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${wordGramSigCte(n)},
+       |hashes AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM grams),
        |bands AS MATERIALIZED (
        |  $bandSelects),
        |bsize AS MATERIALIZED (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
@@ -1453,6 +1507,18 @@ object TextQueries {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':temp'), 1, 8))::BIGINT % 10000
         |      < r.rate_bp
         |ORDER BY d.doc_id""".stripMargin,
+
+    // cold rebuild of the MinHash signature store over the FINAL
+    // document image (the %5==2 slice carries its v3-updated text) —
+    // the streamed maintenance must land exactly here
+    "q_stream_dedup" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 5 = 2 THEN ' changed v3' ELSE '' END AS text
+         |  FROM documents),
+         |${wordGramSigCte(3)}
+         |SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7
+         |FROM sig ORDER BY doc_id""".stripMargin,
 
     // the full-corpus poly pair set restricted to pairs touching the
     // incoming batch (ids ≥ 100000) — band index, caps, and verify are

@@ -929,6 +929,53 @@ object StreamingOps {
     }
   }
 
+  /** PRODUCTION CDC consumer #4: maintain a stored MinHash
+    * [[graft.operators.Dedup.signatureStore]] from a document table's
+    * change log — the ingestion path for INCREMENTAL near-dup
+    * detection ([[graft.operators.Dedup.incrementalNearDupsStored]]
+    * probes this store per batch): document arrivals sign once at
+    * ingest and land at churn cost, never re-signing the corpus. Per
+    * micro-batch the logged transitions fold to net per-key deltas;
+    * net-deleted and net-updated doc_ids drop their store rows (an
+    * edited document must re-sign — stale signatures would band it
+    * into its OLD near-dup buckets), then inserts/after-images sign
+    * and append, anti-joined against the pruned store so redelivery
+    * cannot duplicate a row. A document that shrinks below the n-gram
+    * floor simply contributes no new row (same as the cold builder).
+    *
+    * Exactly-once EFFECT by CONVERGENCE like [[changeFeedAnnIndex]];
+    * the streamed store is row-equal to a cold
+    * [[graft.operators.Dedup.signatureStore]] of the final image
+    * (spec-pinned, and the `q_stream_dedup` driver gate hashes it).
+    */
+  def changeFeedSignatureStore(spark: SparkSession, wh: graft.etl.Warehouse,
+                               storeTable: String, docSchema: StructType,
+                               n: Int, logDir: String,
+                               checkpointDir: String): Unit = {
+    import graft.etl.ChangeFeed
+    import graft.operators.Dedup
+    val logSch = ChangeFeed.logSchema(docSchema, Seq("doc_id"))
+    drainLog(spark, logDir, logSch, checkpointDir) { batch =>
+      if (!batch.isEmpty) {
+        val net = ChangeFeed.netChanges(batch, Seq("doc_id")).persist()
+        try {
+          val gone = net
+            .filter(col("change_type").isin("delete", "update_post"))
+            .select("doc_id")
+          val arrived = net
+            .filter(col("change_type").isin("insert", "update_post"))
+            .select("doc_id", "text")
+          val txn = wh.begin()
+          val pruned = txn.read(storeTable).join(gone, Seq("doc_id"), "left_anti")
+          val appended = Dedup.signatureStore(arrived, n)
+            .join(pruned.select("doc_id"), Seq("doc_id"), "left_anti")
+          txn.overwrite(storeTable, pruned.unionByName(appended))
+          txn.commit()
+        } finally net.unpersist()
+      }
+    }
+  }
+
   /** PRODUCTION CDC consumer #3: maintain a stored
     * [[graft.operators.Similarity.ivfpqIndex]] from an embedding
     * table's change log — the ingestion path for a vector-search

@@ -356,6 +356,63 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     assert(idxRows == streamed, "full re-replay did not converge")
   }
 
+  test("changeFeedSignatureStore: streamed store == cold rebuild through " +
+    "inserts/updates/deletes; full re-replay converges") {
+    import graft.operators.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def words(seed: Long, extra: String = ""): String =
+      (0 until 8).map(i => s"w${(seed * 13 + i * 7) % 23}").mkString(" ") + extra
+    def img(ids: Seq[Long], bump: Set[Long] = Set.empty): DataFrame = {
+      val rows = ids.map(i => Row(i,
+        if (bump(i)) words(i, " changed text here") else words(i)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), docSchema)
+    }
+    val v1Ids = (0L to 20L)
+    val v2Ids = (0L to 24L).filterNot(_ == 9L) // ins 21-24, del 9
+    val finalBump = Set(13L)                   // upd 13 in v3
+    val v3Ids = (0L to 26L).filterNot(_ == 9L)
+    val src = new Warehouse(spark,
+      Files.createTempDirectory("sdd-src").toString,
+      Map("docs" -> docSchema), partitionSpec = Map.empty,
+      bucketSpec = Map("docs" -> ("doc_id", 4)))
+    Seq(img(Nil), img(v1Ids), img(v2Ids), img(v3Ids, finalBump)).foreach { d =>
+      val t = src.begin(); t.overwrite("docs", d); t.commit()
+    }
+    val logDir = Files.createTempDirectory("sdd-log").toString
+    ChangeFeed.materializeLog(src, "docs", Seq("doc_id"), logDir)
+    val storeSchema = StructType(StructField("doc_id", LongType) +:
+      (0 until 8).map(j => StructField(s"m$j", LongType)))
+    val storeWh = new Warehouse(spark,
+      Files.createTempDirectory("sdd-idx").toString,
+      Map("sigstore" -> storeSchema), partitionSpec = Map.empty,
+      bucketSpec = Map.empty)
+    locally {
+      val t = storeWh.begin()
+      t.overwrite("sigstore", storeWh.emptyDf("sigstore")); t.commit()
+    }
+    def drain(ckpt: String): Unit =
+      StreamingOps.changeFeedSignatureStore(spark, storeWh, "sigstore",
+        docSchema, n = 3, logDir, ckpt)
+    drain(Files.createTempDirectory("sdd-ck1").toString)
+    def storeRows = storeWh.read("sigstore")
+      .collect().map(_.toString).sorted.toSeq
+    val cold = Dedup.signatureStore(img(v3Ids, finalBump), n = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = storeRows
+    assert(streamed.nonEmpty && streamed == cold,
+      s"streamed store != cold rebuild\n streamed=$streamed\n cold=$cold")
+    assert(!streamed.exists(_.startsWith("[9,")), "deleted doc 9 still in store")
+    // the updated doc must carry the signature of its NEW text
+    val stale = Dedup.signatureStore(img(v3Ids), n = 3)
+      .filter(col("doc_id") === 13L).collect().map(_.toString).sorted.toSeq
+    assert(streamed.filter(_.startsWith("[13,")) != stale,
+      "update did not re-sign (signature matches the pre-update text)")
+    // FULL redelivery onto the current store converges
+    drain(Files.createTempDirectory("sdd-ck2").toString)
+    assert(storeRows == streamed, "full re-replay did not converge")
+  }
+
   test("a zero-change transition commits an empty marked dir and advances the mark") {
     val wh = mkWh()
     val logDir = Files.createTempDirectory("cdf-log").toString
