@@ -328,6 +328,50 @@ object ChangeFeed {
     * span as one coarser transition: correct final image, intermediate
     * versions deliberately collapsed.
     */
+  /** RETENTION for a live change log: delete transition dirs with
+    * version ≤ `throughVersion`, IN PLACE. Without this the log grows
+    * forever — [[compactLog]] folds history into a NEW log for
+    * consumers that still need a seedable prefix; vacuum is for the
+    * steady state where every consumer's frontier has passed the
+    * horizon and the prefix is dead weight.
+    *
+    * Guards (each fails loudly rather than corrupting a consumer):
+    *  - `throughVersion ≤ minConsumerApplied`: the caller passes the
+    *    MINIMUM applied watermark across every consumer of this log
+    *    (replicas' meta tables, streaming checkpoints); a transition a
+    *    consumer has not folded yet is not garbage, it is that
+    *    consumer's future input.
+    *  - the newest transition always survives, even when eligible:
+    *    the log's high-water mark IS the max `_SUCCESS`-marked version
+    *    ([[materializeLog]]'s catch-up contract) — deleting it would
+    *    reset the next catch-up to re-diff (and double-log) history.
+    *
+    * A consumer seeded AFTER a vacuum cannot replay the deleted
+    * prefix — new consumers seed from a table snapshot (or a
+    * [[compactLog]] output) and tail from there, the standard CDC
+    * retention contract. Already-drained streaming checkpoints are
+    * unaffected (the file source never re-lists processed files).
+    * Returns the versions whose dirs were deleted, ascending.
+    */
+  def vacuumLog(logDir: String, throughVersion: Long,
+                minConsumerApplied: Long): Seq[Long] = {
+    require(throughVersion <= minConsumerApplied,
+      s"vacuumLog horizon $throughVersion is beyond the slowest " +
+        s"consumer's applied watermark $minConsumerApplied — a " +
+        "transition not yet folded by every consumer is not garbage")
+    val vs = loggedVersions(logDir)
+    require(vs.nonEmpty, s"no committed transitions in $logDir")
+    val doomed = vs.filter(v => v <= throughVersion && v < vs.max)
+    doomed.foreach { v =>
+      val dir = Paths.get(logDir, s"t$v")
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
+    }
+    doomed
+  }
+
   def compactLog(spark: org.apache.spark.sql.SparkSession, logDir: String,
                  compactedDir: String,
                  logSchema: org.apache.spark.sql.types.StructType,

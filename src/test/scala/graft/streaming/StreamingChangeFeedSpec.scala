@@ -356,6 +356,45 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     assert(idxRows == streamed, "full re-replay did not converge")
   }
 
+  test("vacuumLog: reclaims the applied prefix in place; guards frontier and high-water mark") {
+    val wh = mkWh()
+    val logDir = Files.createTempDirectory("cdf-log").toString
+    commit(wh, v1); commit(wh, v2); commit(wh, v3)
+    ChangeFeed.materializeLog(wh, "t", keys, logDir)
+    val vs = ChangeFeed.loggedVersions(logDir)
+    assert(vs.size == 2) // two transitions (v1->v2, v2->v3)
+
+    // a horizon beyond the slowest consumer's watermark is refused
+    val ex = intercept[IllegalArgumentException](
+      ChangeFeed.vacuumLog(logDir, vs.last, minConsumerApplied = vs.head))
+    assert(ex.getMessage.contains("not yet folded"))
+
+    // every consumer has applied everything: the prefix goes, the
+    // high-water transition survives even though it is <= the horizon
+    val deleted = ChangeFeed.vacuumLog(logDir, vs.last, minConsumerApplied = vs.last)
+    assert(deleted == Seq(vs.head))
+    assert(ChangeFeed.loggedVersions(logDir) == Seq(vs.last))
+    assert(!Files.exists(java.nio.file.Paths.get(logDir, s"t${vs.head}")))
+
+    // catch-up after a vacuum stays INCREMENTAL: a new commit appends
+    // exactly one new transition (no full-history rewrite, no
+    // double-logging of the surviving mark)
+    commit(wh, img((1L, "a", 12L), (4L, "c", 41L), (5L, "a", 50L)))
+    val newly = ChangeFeed.materializeLog(wh, "t", keys, logDir)
+    assert(newly == Seq(wh.versions().max))
+    assert(ChangeFeed.loggedVersions(logDir) == Seq(vs.last, wh.versions().max))
+
+    // the surviving tail still drives a consumer: a replica seeded at
+    // the vacuum horizon's image folds the tail to the live image
+    val replica = mkWh()
+    commit(replica, v3) // seed = snapshot at the horizon
+    StreamingOps.changeFeedReplica(spark, replica, "t", keys, logDir,
+      Files.createTempDirectory("cdf-ck").toString)
+    val live = wh.read("t")
+    assert(replica.read("t").exceptAll(live).isEmpty &&
+      live.exceptAll(replica.read("t")).isEmpty)
+  }
+
   test("changeFeedSignatureStore: streamed store == cold rebuild through " +
     "inserts/updates/deletes; full re-replay converges") {
     import graft.operators.Dedup
