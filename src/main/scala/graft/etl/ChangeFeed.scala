@@ -364,6 +364,12 @@ object ChangeFeed {
     val doomed = vs.filter(v => v <= throughVersion && v < vs.max)
     doomed.foreach { v =>
       val dir = Paths.get(logDir, s"t$v")
+      // the marker goes FIRST — the mirror of the write path, where the
+      // committer writes it LAST: a crash mid-vacuum then leaves an
+      // unmarked torn dir that loggedVersions already ignores, instead
+      // of a marked dir with missing part files that a full-log drain
+      // would fold as a complete transition
+      Files.deleteIfExists(dir.resolve("_SUCCESS"))
       val walk = Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)

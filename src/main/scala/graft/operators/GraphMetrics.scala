@@ -39,13 +39,29 @@ object GraphMetrics {
     * when their plans are GC'd (ContextCleaner).
     */
   private val MaxLiveCaches = 8
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
 
+  /** Checkpoint `df` eagerly, MEMOIZED on the canonicalized source
+    * plan: two metric calls over the same pairs (degrees then
+    * trianglesByDegree, say) reuse one materialized edge list instead
+    * of re-running the upstream pipeline per call — the sharing the
+    * CacheManager used to give plan-equal cache() twins, kept across
+    * the move to checkpoints. Same staleness contract as the
+    * CacheManager too: a memo hit serves the data as of its
+    * materialization, not a re-read of mutated source files.
+    */
   private def checkpointed(df: DataFrame): DataFrame = {
+    val key = df.queryExecution.analyzed.canonicalized
+    val it = live.iterator()
+    while (it.hasNext) {
+      val (k, v) = it.next()
+      if (k == key) return v
+    }
     val out = df.localCheckpoint()
-    live.add(out)
+    live.add(key -> out)
     while (live.size > MaxLiveCaches)
-      Option(live.poll()).foreach(releaseBlocks)
+      Option(live.poll()).foreach(e => releaseBlocks(e._2))
     out
   }
 
@@ -53,10 +69,18 @@ object GraphMetrics {
     org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(df)
       .foreach(_.unpersist(blocking = false))
 
-  /** Release every checkpoint block this object still tracks. */
+  /** Release every checkpoint block this object still tracks.
+    * WARNING: unlike dropping a cache, releasing a CHECKPOINT is
+    * destructive — its lineage is truncated, so a still-unconsumed
+    * metric frame built on a released block fails at action time
+    * ("checkpoint block not found") instead of recomputing. Call this
+    * only once every outstanding metric result has been consumed; the
+    * rotation bound gives lazy stragglers 4 calls of headroom, not
+    * immortality.
+    */
   def releaseCaches(): Unit = {
-    var df = live.poll()
-    while (df != null) { releaseBlocks(df); df = live.poll() }
+    var e = live.poll()
+    while (e != null) { releaseBlocks(e._2); e = live.poll() }
   }
 
   /** Canonical edge list, materialized AND lineage-truncated via
@@ -214,28 +238,38 @@ object GraphMetrics {
     * under a mass tolerance) instead of guessing a constant. Exact
     * BIGINT end to end, so the trace is cross-engine hashable.
     *
-    * Each iteration's rank vector is `localCheckpoint`ed (eager): the
-    * trace consumes every intermediate vector twice (as `r_i` and as
-    * the next step's `r_{i-1}`), and checkpointing both materializes
-    * each vector ONCE and truncates the loop-built lineage — the same
-    * mitigation [[pageRankMicro]] applies past `CkptEvery` iterations.
-    * Blocks are node-count-sized; they free when the plan is GC'd.
+    * The trace is computed EAGERLY, one single-row aggregate per
+    * iteration (bounded by construction: `iters` rows cross the
+    * driver, never data): each rank vector is `localCheckpoint`ed so
+    * the loop's lineage stays flat, consumed exactly twice (as `r_i`
+    * and as the next step's `r_{i-1}`), and its blocks are released
+    * the moment its successor's delta lands — at no point do more
+    * than TWO node-count-sized vectors hold storage, where the lazy
+    * formulation pinned all `iters`+1 of them until the caller's
+    * action (and past any registry the session could drain).
     * Output: (iter, delta_micro), one row per iteration.
     */
   def pageRankConvergence(pairs: DataFrame, nodes: DataFrame, iters: Int = 10,
                           dampMilli: Int = 850,
                           idCol: String = "doc_id"): DataFrame = {
+    val spark = pairs.sparkSession
     val edgesW = withWeightedDegree(symEdges(pairs.withColumn("w", lit(1L))))
     var ranks = nodes.select(col(idCol), lit(1000000L).as("r")).localCheckpoint()
     val deltas = (1 to iters).map { i =>
       val next = prStep(edgesW, ranks, nodes, dampMilli, idCol).localCheckpoint()
-      val d = next.join(ranks.select(col(idCol), col("r").as("rp")), Seq(idCol))
-        .agg(sum(abs(col("r") - col("rp"))).as("delta_micro"))
-        .select(lit(i).as("iter"), col("delta_micro"))
+      val row = next.join(ranks.select(col(idCol), col("r").as("rp")), Seq(idCol))
+        .agg(sum(abs(col("r") - col("rp")))).head
+      // empty graph: SQL SUM over zero rows is NULL; zero movement is
+      // the honest trace value (and what an engine comparing totals
+      // coalesces to)
+      val d = if (row.isNullAt(0)) 0L else row.getLong(0)
+      releaseBlocks(ranks)
       ranks = next
-      d
+      (i, d)
     }
-    deltas.reduce(_.unionAll(_))
+    releaseBlocks(ranks)
+    import spark.implicits._
+    deltas.toDF("iter", "delta_micro")
   }
 
   private def symEdges(pairsW: DataFrame): DataFrame =

@@ -315,7 +315,11 @@ object DataSkipping {
     val kept =
       if (!JFiles.exists(sidecar)) Nil
       else JFiles.readAllLines(sidecar, StandardCharsets.UTF_8).asScala.toSeq
-        .filter(_.nonEmpty)
+        // a torn line (crash mid-write truncated the file) must not turn
+        // the merge into a permanent crash loop — drop anything that is
+        // not a complete 5-field record; its filter is rebuilt below if
+        // requested, or lost (pruning only, never wrong results) if not
+        .filter(_.split("\t", -1).length == 5)
         .filterNot(line => colSet.contains(dec(line.split("\t", -1)(1))))
     val lines = kept ++ cols.flatMap { c =>
       graft.functions.QBloom
@@ -339,7 +343,7 @@ object DataSkipping {
     val sc = JPaths.get(dir, BloomSidecarName)
     if (!JFiles.exists(sc)) return Map.empty
     JFiles.readAllLines(sc, StandardCharsets.UTF_8).asScala
-      .filter(_.nonEmpty)
+      .filter(_.split("\t", -1).length == 5) // drop torn trailing lines
       .map { line =>
         val f = line.split("\t", -1)
         val bytes = java.util.Base64.getDecoder.decode(f(4))

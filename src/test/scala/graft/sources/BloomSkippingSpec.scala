@@ -178,4 +178,22 @@ class BloomSkippingSpec extends AnyFunSuite {
     val full = Files.readAllBytes(java.nio.file.Paths.get(dir, "_graft_bloom.tsv"))
     assert(java.util.Arrays.equals(merged, full))
   }
+
+  test("a torn sidecar line (crash mid-write) is dropped, not a permanent crash loop") {
+    val dir = Files.createTempDirectory("bloomskip-t").toString + "/t"
+    (1 to 100).map(i => (i.toLong, s"name${i % 37}")).toDF("k", "name")
+      .repartition(2, col("name")).write.parquet(dir)
+    DataSkipping.writeBloomSidecar(spark, dir, Seq("k"), mBits = 1L << 12)
+    // simulate a truncated trailing line: no tab, not a 5-field record
+    val sc = java.nio.file.Paths.get(dir, "_graft_bloom.tsv")
+    Files.write(sc, "\npart-torn".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    // both the reader and the merging writer must survive it
+    val before = DataSkipping.loadBlooms(spark, dir)
+    assert(before.values.forall(_.contains("k")))
+    DataSkipping.writeBloomSidecar(spark, dir, Seq("name"), mBits = 1L << 12)
+    val after = DataSkipping.loadBlooms(spark, dir)
+    assert(after.values.forall(m => m.contains("k") && m.contains("name")),
+      "merge after a torn line lost a column's filters")
+  }
 }
