@@ -1176,6 +1176,52 @@ object MiscQueries {
       replica.read("cust").orderBy("c_custkey")
     }),
 
+    // CDC RETENTION, e2e: the replica drains the 2-transition log,
+    // vacuumLog reclaims the applied prefix in place (the high-water
+    // transition survives; asserted in-entry), then a FOURTH commit
+    // restores the original customer image and an incremental catch-up
+    // + drain on the SAME checkpoint folds only the new transition.
+    // Output is the replica's final image; the oracle is the raw
+    // customer table — the hash certifies that vacuuming dead history
+    // perturbs nothing the consumer still needs.
+    "q_cdf_vacuum" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = cdfV2(c)
+      val v3 = cdfV3(v2)
+      def mkWh(tag: String) = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory(tag).toString,
+        Map("cust" -> c.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      val src = mkWh("graft-vac-src")
+      Seq(c, v2, v3).foreach { img =>
+        val t = src.begin(); t.overwrite("cust", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-vac-log").toString
+      ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), logDir)
+      val replica = mkWh("graft-vac-dst")
+      locally { val t = replica.begin(); t.overwrite("cust", c); t.commit() }
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-vac-ckpt").toString
+      StreamingOps.changeFeedReplica(s, replica, "cust", Seq("c_custkey"),
+        logDir, ckpt) // replica = v3; consumer watermark = the log max
+      val vs = ChangeFeed.loggedVersions(logDir)
+      val deleted = ChangeFeed.vacuumLog(logDir, vs.head,
+        minConsumerApplied = vs.last)
+      require(deleted == Seq(vs.head) &&
+        ChangeFeed.loggedVersions(logDir) == Seq(vs.last),
+        "vacuum must reclaim exactly the applied prefix")
+      // full circle: restore the original image, log it, drain it
+      locally { val t = src.begin(); t.overwrite("cust", c); t.commit() }
+      ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), logDir)
+      StreamingOps.changeFeedReplica(s, replica, "cust", Seq("c_custkey"),
+        logDir, ckpt)
+      replica.read("cust").orderBy("c_custkey")
+    }),
+
     // STREAMING CDC, historized form: the same 3-version source feeds
     // StreamingOps.changeFeedScd2 — per logged version, one
     // bucket-pruned delta-apply (Scd2.applyChangesWarehouse) into a
@@ -1587,6 +1633,12 @@ object MiscQueries {
     "q_stream_ingest" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // after the full-circle fourth commit the replica must equal the
+    // ORIGINAL customer image — vacuuming applied history changes nothing
+    "q_cdf_vacuum" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // direct recompute of the FINAL (v3) aggregate — hash-certifies the
     // streamed base ⊕ delta maintenance across two logged transitions
