@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -188,6 +188,35 @@ object SimilarityQueries {
       Similarity.nearDupCandidatesMultiProbe(embAug(s, dir),
           planes = 16, bandBits = 8, flips = 1)
         .orderBy("vec_a", "vec_b")),
+
+    // measured planted-pair recall of the multi-probe pass — exact
+    // copies (every band identical: must always hit) and NEAR copies
+    // (one component nudged +0.05 in DOUBLE, so low-margin sign bits
+    // genuinely flip) — the embedding-space twin of dedup_eval, in
+    // exact basis points
+    "dedup_embed_eval" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val dbl = transform(col("embedding"), x => x.cast("double"))
+      val base = emb.select(col("vec_id"), dbl.as("embedding"))
+      val exactC = emb.filter(col("vec_id") % 29 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), dbl.as("embedding"))
+      val nearC = emb.filter(col("vec_id") % 31 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x.cast("double") + lit(0.05))
+              .otherwise(x.cast("double"))).as("embedding"))
+      val planted = emb.filter(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("doc_a"),
+          (col("vec_id") + 100000).as("doc_b"), lit("exact").as("kind"))
+        .unionAll(emb.filter(col("vec_id") % 31 === 0)
+          .select(col("vec_id").as("doc_a"),
+            (col("vec_id") + 200000).as("doc_b"), lit("near").as("kind")))
+      val found = Similarity.nearDupCandidatesMultiProbe(
+          base.unionAll(exactC).unionAll(nearC),
+          planes = 16, bandBits = 8, flips = 1)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.nearDupRecallReport(found, planted).orderBy("kind")
+    }),
 
     "q_vec_centroid" -> ((s, dir) =>
       Similarity.centroids(Tables(s, dir, "embeddings"), col("vec_id") % 10)
@@ -469,35 +498,7 @@ object SimilarityQueries {
     "dedup_embed_lsh_mp" ->
       s"""WITH $augSql,
          |${flatSql("emb")},
-         |hp AS (SELECT unnest(generate_series(0, 15)) AS j),
-         |pdot AS (
-         |  SELECT f.vec_id, h.j,
-         |    sum(f.q * ((2654435761 * (h.j * 1024 + (f.i - 1))) % 4294967296 % 65537 - 32768)) AS d
-         |  FROM flat f CROSS JOIN hp h
-         |  GROUP BY 1, 2),
-         |pb AS (
-         |  SELECT vec_id, j // 8 AS band_id, j % 8 AS k, d,
-         |    row_number() OVER (PARTITION BY vec_id, j // 8 ORDER BY abs(d), j) AS mr
-         |  FROM pdot),
-         |bands AS (
-         |  SELECT vec_id, band_id,
-         |    CAST(sum(CASE WHEN d >= 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS band_val
-         |  FROM pb GROUP BY 1, 2),
-         |probes AS (
-         |  SELECT vec_id, band_id, band_val FROM bands
-         |  UNION ALL
-         |  SELECT b.vec_id, b.band_id, xor(b.band_val, CAST(1 << p.k AS BIGINT))
-         |  FROM bands b JOIN pb p
-         |    ON p.vec_id = b.vec_id AND p.band_id = b.band_id AND p.mr = 1),
-         |hits AS (
-         |  SELECT least(p.vec_id, q.vec_id) AS vec_a,
-         |    greatest(p.vec_id, q.vec_id) AS vec_b, p.band_id
-         |  FROM probes p JOIN bands q
-         |    ON p.band_id = q.band_id AND p.band_val = q.band_val
-         |   AND p.vec_id <> q.vec_id),
-         |cand AS (
-         |  SELECT vec_a, vec_b, count(DISTINCT band_id) AS bands_hit
-         |  FROM hits GROUP BY 1, 2)
+         |$mpCandSql
          |SELECT c.vec_a, c.vec_b, c.bands_hit,
          |  CAST(list_dot_product(fa.qv, fb.qv) AS DOUBLE)
          |    / sqrt(CAST(na.nrm AS DOUBLE)) / sqrt(CAST(nb.nrm AS DOUBLE)) AS cosine
@@ -507,6 +508,42 @@ object SimilarityQueries {
          |JOIN norms na ON na.vec_id = c.vec_a
          |JOIN norms nb ON nb.vec_id = c.vec_b
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // multi-probe recall on planted exact (+100000) and one-component-
+    // nudged near (+200000) copies; the nudge is applied in DOUBLE on
+    // both engines (float->double widening is exact) so the quantized
+    // corpora are bit-identical
+    "dedup_embed_eval" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |  FROM embeddings WHERE vec_id % 29 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 200000,
+         |    list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
+         |      list_transform(embedding[2:], x -> CAST(x AS DOUBLE)))
+         |  FROM embeddings WHERE vec_id % 31 = 0),
+         |${flatSql("emb")},
+         |$mpCandSql,
+         |planted AS (
+         |  SELECT vec_id AS doc_a, vec_id + 100000 AS doc_b, 'exact' AS kind
+         |  FROM embeddings WHERE vec_id % 29 = 0
+         |  UNION ALL
+         |  SELECT vec_id AS doc_a, vec_id + 200000 AS doc_b, 'near' AS kind
+         |  FROM embeddings WHERE vec_id % 31 = 0),
+         |ph AS (
+         |  SELECT p.kind,
+         |    CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM planted p LEFT JOIN cand c
+         |    ON c.vec_a = p.doc_a AND c.vec_b = p.doc_b)
+         |SELECT kind, count(*) AS n_planted,
+         |  CAST(sum(hit) AS BIGINT) AS n_found,
+         |  (10000 * CAST(sum(hit) AS BIGINT)) // count(*) AS recall_bp
+         |FROM ph GROUP BY kind ORDER BY kind""".stripMargin,
 
     "q_vec_centroid" ->
       """WITH flat AS (
@@ -853,6 +890,44 @@ object SimilarityQueries {
       |  SELECT vec_id, j // 8 AS band_id,
       |    sum(CASE WHEN d >= 0 THEN 1 << (j % 8) ELSE 0 END) AS band_val
       |  FROM pdot GROUP BY 1, 2)""".stripMargin
+
+  /** The 16-plane MULTI-PROBE candidate oracle chain (per-plane dots →
+    * margin rank → primary bands → +1 lowest-margin flip probe →
+    * probe-hits-primary either direction → distinct-band counted
+    * `cand(vec_a, vec_b, bands_hit)`), over whatever `flat` provides —
+    * shared by the dedup_embed_lsh_mp gate and the dedup_embed_eval
+    * recall gate so the candidate definitions cannot drift.
+    */
+  private def mpCandSql: String =
+    """hp AS (SELECT unnest(generate_series(0, 15)) AS j),
+      |pdot AS (
+      |  SELECT f.vec_id, h.j,
+      |    sum(f.q * ((2654435761 * (h.j * 1024 + (f.i - 1))) % 4294967296 % 65537 - 32768)) AS d
+      |  FROM flat f CROSS JOIN hp h
+      |  GROUP BY 1, 2),
+      |pb AS (
+      |  SELECT vec_id, j // 8 AS band_id, j % 8 AS k, d,
+      |    row_number() OVER (PARTITION BY vec_id, j // 8 ORDER BY abs(d), j) AS mr
+      |  FROM pdot),
+      |bands AS (
+      |  SELECT vec_id, band_id,
+      |    CAST(sum(CASE WHEN d >= 0 THEN 1 << k ELSE 0 END) AS BIGINT) AS band_val
+      |  FROM pb GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT vec_id, band_id, band_val FROM bands
+      |  UNION ALL
+      |  SELECT b.vec_id, b.band_id, xor(b.band_val, CAST(1 << p.k AS BIGINT))
+      |  FROM bands b JOIN pb p
+      |    ON p.vec_id = b.vec_id AND p.band_id = b.band_id AND p.mr = 1),
+      |hits AS (
+      |  SELECT least(p.vec_id, q.vec_id) AS vec_a,
+      |    greatest(p.vec_id, q.vec_id) AS vec_b, p.band_id
+      |  FROM probes p JOIN bands q
+      |    ON p.band_id = q.band_id AND p.band_val = q.band_val
+      |   AND p.vec_id <> q.vec_id),
+      |cand AS (
+      |  SELECT vec_a, vec_b, count(DISTINCT band_id) AS bands_hit
+      |  FROM hits GROUP BY 1, 2)""".stripMargin
 
   private def lshSql: String =
     s"""$lshBandsSql,
