@@ -19,49 +19,64 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
-  /** Rotating registry of the frames this object has MATERIALIZED via
-    * eager `localCheckpoint` (checkpoint, not cache: a cache keeps the
-    * whole upstream pipeline in the logical plan, and the metric dags
-    * reference the edge frame 3-7 times — every reference re-walks
-    * that tree through canonicalization and optimization, measured as
-    * >10 s of pure driver time per triangle query on the sf0.1
-    * near-dup graph). Metrics return LAZY frames, so an in-function
+  /** Rotating registry of the frames this object has MATERIALIZED
+    * (persisted `InternalRow` RDD behind a `LogicalRDD` leaf — the
+    * lineage-FLATTENING half of `localCheckpoint` without the
+    * truncation; a plain cache keeps the whole upstream pipeline in
+    * the logical plan, and the metric dags reference the edge frame
+    * 3-7 times — every reference re-walks that tree through
+    * canonicalization and optimization, measured as >10 s of pure
+    * driver time per triangle query on the sf0.1 near-dup graph).
+    * Metrics return LAZY frames, so an in-function
     * unpersist-after-action is impossible — but unbounded block
     * accumulation in a long-lived session is a real leak. Bound: each
-    * metric invocation checkpoints at most 2 frames (edge list +
-    * directed list); the registry keeps the newest [[MaxLiveCaches]]
-    * and releases older ones' blocks as new calls arrive. Unlike a
-    * cache, a released CHECKPOINT cannot recompute — so the bound is
-    * generous (8 frames = 4 calls of headroom; the frames are
-    * edge-list-sized) and a result frame must be consumed within that
-    * window or re-derived. [[releaseCaches]] drains everything
-    * explicitly; frames the registry rotated out also free naturally
-    * when their plans are GC'd (ContextCleaner).
+    * metric invocation materializes at most 2 frames (edge list +
+    * directed list); the registry keeps the [[MaxLiveCaches]] most
+    * recently USED (a memo hit refreshes queue position) and releases
+    * older ones' storage as new calls arrive. Eviction is
+    * RECOMPUTE-SAFE: the persisted RDD keeps its DAG (the compiled
+    * physical plan), so a straggler frame consumed after its entry
+    * rotated out re-executes that DAG instead of failing — slower,
+    * never wrong, and still free of Catalyst re-planning.
+    * [[releaseCaches]] drains storage explicitly under the same
+    * guarantee.
     */
   private val MaxLiveCaches = 8
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+     org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+     DataFrame)]
 
-  /** Checkpoint `df` eagerly, MEMOIZED on the canonicalized source
-    * plan: two metric calls over the same pairs (degrees then
-    * trianglesByDegree, say) reuse one materialized edge list instead
-    * of re-running the upstream pipeline per call — the sharing the
-    * CacheManager used to give plan-equal cache() twins, kept across
-    * the move to checkpoints. Same staleness contract as the
-    * CacheManager too: a memo hit serves the data as of its
-    * materialization, not a re-read of mutated source files.
+  /** Materialize `df` eagerly behind a leaf plan, MEMOIZED on the
+    * canonicalized source plan: two metric calls over the same pairs
+    * (degrees then trianglesByDegree, say) reuse one materialized edge
+    * list instead of re-running the upstream pipeline per call — the
+    * sharing the CacheManager used to give plan-equal cache() twins.
+    * Same staleness contract as the CacheManager too: a memo hit
+    * serves the data as of its materialization, not a re-read of
+    * mutated source files. A hit also moves the entry to the queue
+    * tail so its rotation headroom restarts from the latest use, not
+    * original insertion.
     */
-  private def checkpointed(df: DataFrame): DataFrame = {
+  private def checkpointed(df: DataFrame): DataFrame = synchronized {
     val key = df.queryExecution.analyzed.canonicalized
     val it = live.iterator()
     while (it.hasNext) {
-      val (k, v) = it.next()
-      if (k == key) return v
+      val e = it.next()
+      if (e._1 == key) {
+        live.remove(e)
+        live.add(e)
+        return e._3
+      }
     }
-    val out = df.localCheckpoint()
-    live.add(key -> out)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val rdd = bridge.toInternalRows(df)
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager: materialize once, up front, like localCheckpoint did
+    val out = bridge.fromInternalRows(df.sparkSession, rdd, df.schema)
+    live.add((key, rdd, out))
     while (live.size > MaxLiveCaches)
-      Option(live.poll()).foreach(e => releaseBlocks(e._2))
+      Option(live.poll()).foreach(_._2.unpersist(blocking = false))
     out
   }
 
@@ -69,22 +84,19 @@ object GraphMetrics {
     org.apache.spark.sql.graftbridge.Bridge.checkpointRdds(df)
       .foreach(_.unpersist(blocking = false))
 
-  /** Release every checkpoint block this object still tracks.
-    * WARNING: unlike dropping a cache, releasing a CHECKPOINT is
-    * destructive — its lineage is truncated, so a still-unconsumed
-    * metric frame built on a released block fails at action time
-    * ("checkpoint block not found") instead of recomputing. Call this
-    * only once every outstanding metric result has been consumed; the
-    * rotation bound gives lazy stragglers 4 calls of headroom, not
-    * immortality.
+  /** Release the storage of every frame this object still tracks.
+    * Safe at any time: an unconsumed metric frame whose backing RDD
+    * was released RECOMPUTES through the RDD's own DAG at action time
+    * (the physical plan is baked into the lineage — re-execution, not
+    * failure, and no Catalyst re-planning).
     */
   def releaseCaches(): Unit = {
     var e = live.poll()
-    while (e != null) { releaseBlocks(e._2); e = live.poll() }
+    while (e != null) { e._2.unpersist(blocking = false); e = live.poll() }
   }
 
-  /** Canonical edge list, materialized AND lineage-truncated via
-    * `localCheckpoint` (same mitigation [[prCore]] uses inside its
+  /** Canonical edge list, materialized AND plan-flattened via
+    * [[checkpointed]] (same mitigation [[prCore]] uses inside its
     * loop): every consumer self-joins it — two branches for degrees,
     * THREE to SEVEN plan references for the triangle dags — and a mere
     * cache() would keep the whole upstream pair-generation pipeline

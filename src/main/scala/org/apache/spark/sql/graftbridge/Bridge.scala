@@ -27,4 +27,25 @@ object Bridge {
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
+
+  /** A DataFrame whose logical plan is a single `LogicalRDD` leaf over
+    * an existing `InternalRow` RDD — the lineage-flattening half of
+    * `localCheckpoint` WITHOUT the truncation: actions recompute
+    * through the RDD DAG (the compiled physical plan) if the RDD's
+    * storage is evicted, instead of failing, and the Catalyst plan
+    * stays leaf-sized for every downstream reference.
+    */
+  def fromInternalRows(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** A DataFrame's physical output as a FRESH `InternalRow` RDD safe to
+    * persist (rows copied out of the operators' reused buffers) —
+    * pairs with [[fromInternalRows]].
+    */
+  def toInternalRows(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd.map(_.copy())
 }

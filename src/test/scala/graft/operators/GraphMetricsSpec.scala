@@ -57,11 +57,10 @@ class GraphMetricsSpec extends AnyFunSuite {
   }
 
   test("a metric result stays consumable after registry rotation within the bound") {
-    // checkpointed frames, unlike caches, CANNOT recompute once their
-    // blocks are released — the registry's 8-frame bound exists so a
-    // lazily-held result survives the next few metric calls. Hold a
+    // a lazily-held result must survive the next few metric calls
+    // without recomputation (its entry is still registered). Hold a
     // triangle frame across two later invocations (<= 4 new frames)
-    // and consume it last; its checkpoint blocks must still be there.
+    // and consume it last.
     GraphMetrics.releaseCaches()
     val held = GraphMetrics.trianglesPerNode(pairs, byDegree = true)
     (1 to 2).foreach { k =>
@@ -69,6 +68,64 @@ class GraphMetricsSpec extends AnyFunSuite {
         Seq((10L * k, 20L * k), (20L * k, 30L * k)).toDF("doc_a", "doc_b")).count()
     }
     val n = held.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    GraphMetrics.releaseCaches()
+  }
+
+  test("eviction is recompute-safe: first frame consumed LAST, past full rotation") {
+    // Rotate the FIRST call's frames all the way out of the registry
+    // (8 slots; each distinct trianglesByDegree materializes 2 frames,
+    // so 6 later distinct-graph calls guarantee eviction), then consume
+    // the first result. Pre-fix this failed at action time
+    // ("checkpoint block not found" — released localCheckpoints cannot
+    // recompute); now the backing RDD re-executes its compiled DAG.
+    GraphMetrics.releaseCaches()
+    val first = GraphMetrics.trianglesPerNode(pairs, byDegree = true)
+    (1 to 6).foreach { k =>
+      val g = Seq((1000L + 10 * k, 1001L + 10 * k),
+        (1001L + 10 * k, 1002L + 10 * k), (1000L + 10 * k, 1002L + 10 * k))
+        .toDF("doc_a", "doc_b")
+      GraphMetrics.trianglesByDegree(g).count()
+    }
+    val n = first.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    GraphMetrics.releaseCaches()
+  }
+
+  test("consuming a frame after releaseCaches recomputes instead of failing") {
+    GraphMetrics.releaseCaches()
+    val held = GraphMetrics.degrees(pairs)
+    GraphMetrics.releaseCaches() // storage gone before first action
+    val d = held.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(4L) == 4L && d(5L) == 1L)
+  }
+
+  test("a memo hit refreshes queue position: re-used edge list outlives later inserts") {
+    // insert A, then 3 distinct graphs (6 frames — A next to rotate),
+    // then TOUCH A via a second metric call (memo hit must move it to
+    // the queue tail), then 2 more inserts. With the refresh, the
+    // evictees are the 2 oldest post-A frames and A's storage stays
+    // live; counting headroom from ORIGINAL insertion (the pre-fix
+    // bug) would have evicted A here.
+    GraphMetrics.releaseCaches()
+    val sc = spark.sparkContext
+    val base = sc.getPersistentRDDs.keySet
+    GraphMetrics.degrees(pairs).count() // A's edge list materialized
+    val aIds = sc.getPersistentRDDs.keySet -- base
+    assert(aIds.size == 1)
+    (1 to 3).foreach { k =>
+      GraphMetrics.trianglesByDegree(
+        Seq((2000L + 10 * k, 2001L + 10 * k), (2001L + 10 * k, 2002L + 10 * k),
+          (2000L + 10 * k, 2002L + 10 * k)).toDF("doc_a", "doc_b")).count()
+    }
+    val touched = GraphMetrics.trianglesPerNode(pairs, byDegree = true) // memo hit on A
+    (4 to 5).foreach { k =>
+      GraphMetrics.degrees(
+        Seq((2000L + 10 * k, 2001L + 10 * k)).toDF("doc_a", "doc_b")).count()
+    }
+    assert(aIds.subsetOf(sc.getPersistentRDDs.keySet),
+      "memo hit must refresh A's rotation headroom — A was evicted by the later inserts")
+    val n = touched.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(n == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
     GraphMetrics.releaseCaches()
   }
