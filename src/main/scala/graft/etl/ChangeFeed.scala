@@ -351,7 +351,12 @@ object ChangeFeed {
     * [[compactLog]] output) and tail from there, the standard CDC
     * retention contract. Already-drained streaming checkpoints are
     * unaffected (the file source never re-lists processed files).
-    * Returns the versions whose dirs were deleted, ascending.
+    * Also sweeps TORN (unmarked) transition dirs under the horizon —
+    * the leftovers of a crash mid-vacuum — so a re-run fully reclaims
+    * them instead of leaving partial part files for a fresh full-log
+    * streaming drain to misread. Returns the COMMITTED versions whose
+    * dirs were deleted, ascending (torn sweeps are a side effect, not
+    * a version).
     */
   def vacuumLog(logDir: String, throughVersion: Long,
                 minConsumerApplied: Long): Seq[Long] = {
@@ -361,20 +366,39 @@ object ChangeFeed {
         "transition not yet folded by every consumer is not garbage")
     val vs = loggedVersions(logDir)
     require(vs.nonEmpty, s"no committed transitions in $logDir")
-    val doomed = vs.filter(v => v <= throughVersion && v < vs.max)
-    doomed.foreach { v =>
+    def rmDir(v: Long): Unit = {
       val dir = Paths.get(logDir, s"t$v")
       // the marker goes FIRST — the mirror of the write path, where the
       // committer writes it LAST: a crash mid-vacuum then leaves an
-      // unmarked torn dir that loggedVersions already ignores, instead
-      // of a marked dir with missing part files that a full-log drain
-      // would fold as a complete transition
+      // unmarked torn dir below the horizon, which the sweep below (not
+      // loggedVersions, which skips unmarked dirs) reclaims on re-run,
+      // instead of a marked dir with missing part files that a full-log
+      // drain would fold as a complete transition
       Files.deleteIfExists(dir.resolve("_SUCCESS"))
       val walk = Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
       finally walk.close()
     }
+    val doomed = vs.filter(v => v <= throughVersion && v < vs.max)
+    doomed.foreach(rmDir)
+    // sweep TORN dirs under the horizon too: a crash mid-vacuum leaves
+    // an unmarked t<v> whose surviving part files loggedVersions-based
+    // readers ignore but a fresh-checkpoint streaming drain (which
+    // globs parquet files with no marker gate) would fold as a PARTIAL
+    // transition. Safe under the single-maintenance-writer contract:
+    // the only legitimate unmarked dir is an in-flight catch-up write,
+    // and that sits ABOVE the logged high-water mark (vs.max), which
+    // the v < vs.max bound already excludes.
+    val marked = vs.toSet
+    val stream = Files.list(Paths.get(logDir))
+    val torn = try stream.iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (Files.isDirectory(p) && n.length > 1 && n.startsWith("t") &&
+          n.drop(1).forall(_.isDigit)) Some(n.drop(1).toLong) else None
+    }.toSeq.filter(v => !marked(v) && v <= throughVersion && v < vs.max)
+    finally stream.close()
+    torn.foreach(rmDir)
     doomed
   }
 
@@ -406,6 +430,134 @@ object ChangeFeed {
       spark.read.schema(logSchema).parquet(s"$logDir/t$v")
         .write.mode("errorifexists").parquet(s"$compactedDir/t$v")
     }
+  }
+
+  /** One consumer's applied FRONTIER for a change log: every
+    * transition at or below it has been folded into the consumer's
+    * state; everything above is that consumer's future input and must
+    * not be vacuumed. `Long.MinValue` = nothing applied yet (a
+    * registered-but-unstarted consumer pins the whole log).
+    */
+  trait LogConsumer { def frontier(): Long }
+
+  /** A ledgered replica consumer ([[replicateGroup]]): frontier = its
+    * transactional watermark row in `meta` for `table` — the mark
+    * moves in the same commit as the merges, so reading it can never
+    * run ahead of the applied state.
+    */
+  case class ReplicaFrontier(replica: Warehouse, meta: String,
+                             table: String) extends LogConsumer {
+    def frontier(): Long =
+      replica.read(meta).filter(col("tbl") === table).select("ver")
+        .collect().headOption.map(_.getLong(0)).getOrElse(Long.MinValue)
+  }
+
+  /** A streaming consumer (the
+    * [[graft.streaming.StreamingOps.changeFeedReplica]] family, or any
+    * query tailing [[logGlob]] through a durable checkpoint): frontier
+    * = the largest logged version v such that EVERY current data file
+    * of every transition ≤ v appears in a micro-batch the checkpoint
+    * has COMMITTED. Computed from the checkpoint's own ledgers — the
+    * file-source log (`sources/0`, one JSON entry per discovered file,
+    * stamped with its batch) gated by `commits/` (a batch is applied
+    * only once its commit marker exists; an offsets-only batch is
+    * still in flight). Prefix rule: one undrained transition caps the
+    * frontier even if later dirs happen to be listed, because the
+    * consumer's next batch still needs the gap. A transition dir
+    * vacuumed earlier (or a zero-change empty dir) has no current
+    * files and is vacuously covered, which keeps re-runs idempotent.
+    */
+  case class CheckpointFrontier(checkpointDir: String,
+                                logDir: String) extends LogConsumer {
+    def frontier(): Long = checkpointAppliedThrough(checkpointDir, logDir)
+  }
+
+  private val entryPathRe = """"path":"([^"]+)"""".r
+  private val entryBatchRe = """"batchId":(-?\d+)""".r
+
+  private[etl] def checkpointAppliedThrough(checkpointDir: String,
+                                            logDir: String): Long = {
+    val commits = Paths.get(checkpointDir, "commits")
+    var maxCommitted = -1L
+    if (Files.isDirectory(commits)) {
+      val s = Files.list(commits)
+      try s.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.nonEmpty && n.forall(_.isDigit))
+          maxCommitted = math.max(maxCommitted, n.toLong)
+      } finally s.close()
+    }
+    val srcDir = Paths.get(checkpointDir, "sources", "0")
+    if (maxCommitted < 0 || !Files.isDirectory(srcDir)) return Long.MinValue
+    // every file the source log attributes to a COMMITTED batch, keyed
+    // by its "t<version>/<name>" suffix (the entries store full URIs;
+    // compacted log files restate older entries with their original
+    // batch stamps, so reading every ledger file is safe)
+    val seen = scala.collection.mutable.HashSet[String]()
+    val files = Files.list(srcDir)
+    // ledger files only ("0", "1", "9.compact") — the local FS also
+    // plants binary .crc sidecars that are not UTF-8
+    try files.iterator().asScala.filter { f =>
+      Files.isRegularFile(f) &&
+        f.getFileName.toString.matches("""\d+(\.compact)?""")
+    }.foreach { f =>
+      Files.readAllLines(f).asScala.foreach { line =>
+        if (entryBatchRe.findFirstMatchIn(line)
+            .exists(_.group(1).toLong <= maxCommitted))
+          entryPathRe.findFirstMatchIn(line).foreach { m =>
+            val parts = java.net.URLDecoder.decode(m.group(1), "UTF-8")
+              .split('/')
+            if (parts.length >= 2) seen += parts.takeRight(2).mkString("/")
+          }
+      }
+    } finally files.close()
+    def dataFiles(v: Long): Seq[String] = {
+      val dir = Paths.get(logDir, s"t$v")
+      if (!Files.isDirectory(dir)) return Nil
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")).toSeq
+      finally s.close()
+    }
+    var frontier = Long.MinValue
+    val it = loggedVersions(logDir).iterator
+    var capped = false
+    while (!capped && it.hasNext) {
+      val v = it.next()
+      if (dataFiles(v).forall(f => seen(s"t$v/$f"))) frontier = v
+      else capped = true
+    }
+    frontier
+  }
+
+  /** RETENTION POLICY DRIVER: vacuum `logDir` up to the horizon the
+    * CONSUMERS prove safe, instead of making the caller hand-compute
+    * `minConsumerApplied` across every replica meta table and
+    * streaming checkpoint (the error-prone ritual [[vacuumLog]] alone
+    * leaves). The safe horizon is the MINIMUM over the consumer
+    * frontiers — one stale consumer (a replica behind on catch-up, a
+    * checkpoint that never drained) holds the whole prefix, because
+    * its future input is not garbage. [[vacuumLog]]'s own guards still
+    * apply (the newest transition always survives; torn dirs under the
+    * horizon are swept). Idempotent: a re-run after every consumer
+    * advanced reclaims the newly-dead prefix and nothing else.
+    *
+    * The consumer SET is the caller's contract — a consumer omitted
+    * here is a consumer whose future reads may fail, exactly like
+    * every CDC retention config (Kafka's `retention.ms`, Delta's
+    * `delta.deletedFileRetentionDuration`); the difference is the
+    * horizon within that set is computed from ledgers, not guessed.
+    * Returns the committed versions vacuumed, ascending (empty = the
+    * slowest frontier pins everything, or nothing logged yet).
+    */
+  def retention(logDir: String, consumers: Seq[LogConsumer]): Seq[Long] = {
+    require(consumers.nonEmpty,
+      "retention with an empty consumer set would declare the whole " +
+        "log dead — list every consumer, or call vacuumLog explicitly")
+    if (loggedVersions(logDir).isEmpty) return Nil
+    val safe = consumers.map(_.frontier()).min
+    vacuumLog(logDir, safe, safe)
   }
 
   /** One member of a replication group: a source table, its merge
@@ -489,20 +641,31 @@ object ChangeFeed {
     if (logged.values.exists(_.isEmpty)) return Map.empty
     val frontier = math.min(logged.values.map(_.max).min,
       throughVersion.getOrElse(Long.MaxValue))
+    def todoGiven(applied: Map[String, Long]): Map[String, Seq[Long]] =
+      tables.map { gt =>
+        gt.table -> logged(gt.table)
+          .filter(_ > applied.getOrElse(gt.table, Long.MinValue))
+          .filter(_ <= frontier)
+      }.toMap
+    def marksOf(df: DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // watermark pre-check OUTSIDE any transaction: under the single-
     // maintenance-writer contract a throwaway read sees the same marks
     // the transaction would, so a no-op call never opens a Txn it then
     // abandons (begin() is a pure catalog snapshot today, but leaking
     // one would turn latent the moment Txn ever acquires state)
-    val applied: Map[String, Long] = replica.read(meta)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val todo: Map[String, Seq[Long]] = tables.map { gt =>
-      gt.table -> logged(gt.table)
-        .filter(_ > applied.getOrElse(gt.table, Long.MinValue))
-        .filter(_ <= frontier)
-    }.toMap
-    if (todo.values.forall(_.isEmpty)) return Map.empty
+    if (todoGiven(marksOf(replica.read(meta))).values.forall(_.isEmpty))
+      return Map.empty
     val txn = replica.begin()
+    // the AUTHORITATIVE read goes through the txn snapshot: if the
+    // single-writer contract is ever violated and another writer
+    // advanced a mark between the pre-check and begin(), merging from
+    // the stale pre-check map would silently regress that mark
+    // (transitions re-applied downstream); marks written after begin()
+    // are OCC's problem — commit() fails and the caller retries
+    val applied: Map[String, Long] = marksOf(txn.read(meta))
+    val todo: Map[String, Seq[Long]] = todoGiven(applied)
+    if (todo.values.forall(_.isEmpty)) return Map.empty
     tables.foreach { gt =>
       val vs = todo(gt.table)
       if (vs.nonEmpty) {

@@ -1222,6 +1222,69 @@ object MiscQueries {
       replica.read("cust").orderBy("c_custkey")
     }),
 
+    // CDC RETENTION POLICY, e2e: TWO consumers at different frontiers
+    // — a streaming replica that drained the whole 2-transition log
+    // (checkpoint frontier = v3) and a ledgered group replica capped
+    // at v2 (meta watermark = v2). ChangeFeed.retention computes the
+    // safe horizon from their LEDGERS (commits/ + sources file log;
+    // meta table) as min(v3, v2): the first pass reclaims exactly the
+    // v2 transition and the slow consumer still converges from what
+    // survived; with both at v3 the second pass reclaims nothing (the
+    // high-water transition always survives). Output is the
+    // previously-slow replica's final image; the oracle recomputes the
+    // v3 image directly — the hash certifies ledger-driven retention
+    // never outran its slowest consumer.
+    "q_cdf_retention" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = cdfV2(c)
+      val v3 = cdfV3(v2)
+      val metaSchema = StructType(Seq(
+        StructField("tbl", StringType), StructField("ver", LongType)))
+      def mkWh(tag: String, withMeta: Boolean) = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory(tag).toString,
+        Map("cust" -> c.schema) ++
+          (if (withMeta) Map("meta" -> metaSchema) else Map.empty),
+        partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      val src = mkWh("graft-ret-src", withMeta = false)
+      Seq(c, v2, v3).foreach { img =>
+        val t = src.begin(); t.overwrite("cust", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-ret-log").toString
+      ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), logDir)
+      val Seq(_, ver2, ver3) = src.versions()
+      // fast consumer: streaming replica, drains everything
+      val fast = mkWh("graft-ret-fast", withMeta = false)
+      locally { val t = fast.begin(); t.overwrite("cust", c); t.commit() }
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-ret-ckpt").toString
+      StreamingOps.changeFeedReplica(s, fast, "cust", Seq("c_custkey"),
+        logDir, ckpt)
+      // slow consumer: ledgered group replica capped at v2
+      val slow = mkWh("graft-ret-slow", withMeta = true)
+      locally { val t = slow.begin(); t.overwrite("cust", c); t.commit() }
+      val group = Seq(ChangeFeed.GroupTable("cust", Seq("c_custkey"), logDir))
+      ChangeFeed.replicateGroup(slow, group, "meta",
+        throughVersion = Some(ver2))
+      val consumers = Seq(ChangeFeed.CheckpointFrontier(ckpt, logDir),
+        ChangeFeed.ReplicaFrontier(slow, "meta", "cust"))
+      require(ChangeFeed.CheckpointFrontier(ckpt, logDir).frontier() == ver3 &&
+        ChangeFeed.ReplicaFrontier(slow, "meta", "cust").frontier() == ver2,
+        "ledger frontiers must read v3 (drained checkpoint) and v2 (capped mark)")
+      require(ChangeFeed.retention(logDir, consumers) == Seq(ver2),
+        "retention must reclaim exactly the prefix below the slow consumer")
+      require(ChangeFeed.loggedVersions(logDir) == Seq(ver3),
+        "the undrained tail and high-water transition must survive")
+      ChangeFeed.replicateGroup(slow, group, "meta") // catch up from survivors
+      require(ChangeFeed.retention(logDir, consumers).isEmpty,
+        "with every frontier at the mark, only the immortal high-water dir remains")
+      slow.read("cust").orderBy("c_custkey")
+    }),
+
     // STREAMING CDC, historized form: the same 3-version source feeds
     // StreamingOps.changeFeedScd2 — per logged version, one
     // bucket-pruned delta-apply (Scd2.applyChangesWarehouse) into a
@@ -1649,6 +1712,14 @@ object MiscQueries {
         |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
         |    AS VARCHAR) AS total_bal
         |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // direct recompute of the FINAL (v3) image — the slow replica must
+    // land there despite two interleaved ledger-driven vacuums
+    "q_cdf_retention" ->
+      s"""WITH $cdfV2Sql,
+        |$cdfV3Sql
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM v3 ORDER BY c_custkey""".stripMargin,
 
     // direct recompute of the FINAL (v3) image — hash-certifies the
     // streamed merge-applied replica
