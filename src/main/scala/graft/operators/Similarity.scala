@@ -646,13 +646,33 @@ object Similarity {
       planes, bandBits, flips)
     val primary = pr.filter(col("p") === 0)
       .select(col("vec_id").as("id_b"), col("band_id"), col("band_val"))
-    val probes = pr.select(col("vec_id").as("id_a"), col("band_id"), col("band_val"))
-    val cand = probes.join(primary, Seq("band_id", "band_val"))
+    // primary↔primary collisions are SYMMETRIC (equal values), so each
+    // unordered pair is emitted exactly once (id_a < id_b) — the naive
+    // full-probe-stream join produced every such pair twice and left
+    // the aggregate to dedupe, the dominant share of multi-probe's CPU
+    // premium over single-probe at equal bands
+    val prim0 = pr.filter(col("p") === 0)
+      .select(col("vec_id").as("id_a"), col("band_id"), col("band_val"))
+    val e0 = prim0.join(primary, Seq("band_id", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("band_id"))
+    // flip-probe hits are NOT symmetric — each side flips its OWN
+    // lowest-margin bits, so a one-bit-apart pair may be reachable from
+    // only one direction; both stay, the bitmask union below dedupes
+    val e1 = pr.filter(col("p") >= 1)
+      .select(col("vec_id").as("id_a"), col("band_id"), col("band_val"))
+      .join(primary, Seq("band_id", "band_val"))
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("vec_a"),
         greatest(col("id_a"), col("id_b")).as("vec_b"), col("band_id"))
+    // distinct-band count as bit_or of a band bitmask + popcount: ONE
+    // partial-combining aggregate (map-side combine on the join output)
+    // where countDistinct planned a two-phase distinct expansion; band
+    // count = planes/bandBits ≤ 64 by QHyperplaneBands' dim bound
+    val cand = e0.unionAll(e1)
       .groupBy("vec_a", "vec_b")
-      .agg(countDistinct("band_id").as("bands_hit"))
+      .agg(expr("cast(bit_count(bit_or(shiftleft(1L, band_id))) as bigint)")
+        .as("bands_hit"))
     val a = all.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
     val b = all.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
     cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
