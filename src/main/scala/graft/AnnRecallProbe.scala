@@ -61,10 +61,71 @@ object AnnRecallProbe {
           nprobe = 8, overscan = os)))
       f"""{"overscan":$os,"rerank_recall_bp":$bp%.0f,"secs":$t%.2f}"""
     }
+    // PRODUCTION-KNOB cell: same √N-proportional routing (the % 125
+    // coarse book = 160 lists at sf1) but per-subspace LEARNED
+    // codebooks — ~N/78 cells per subspace (256 at sf1), one exact
+    // floor-mean Lloyd step over the corpus residuals — codebook and
+    // index built ONCE and searched at each (nprobe, overscan)
+    val prodSeedPred = col("vec_id") % 78 === 5
+    val nCells = emb.filter(prodSeedPred).count()
+    val cw = Similarity.ivfpqLearnedCodebooks(emb, coPred, prodSeedPred, m)
+      .localCheckpoint()
+    val idx = Similarity.ivfpqIndexLearned(emb, coPred, cw, m).localCheckpoint()
+    def prodRerank(nprobe: Int, os: Int) = Similarity.exactRerank(emb,
+      Similarity.ivfpqSearchStoredLearned(idx, emb, qPred, coPred, cw, m,
+        k * os, nprobe), k)
+    val prodCells = Seq(1, 2, 4, 8, 16, 32).map { nprobe =>
+      val (plainBp, tPlain) = time(meanBp(
+        Similarity.ivfpqSearchStoredLearned(idx, emb, qPred, coPred, cw, m,
+          k, nprobe)))
+      val (rerankBp, tRerank) = time(meanBp(prodRerank(nprobe, os = 16)))
+      val scanFrac = nprobe.toDouble / nLists
+      f"""{"nprobe":$nprobe,"scan_frac":$scanFrac%.4f,"plain_recall_bp":$plainBp%.0f,"rerank16_recall_bp":$rerankBp%.0f,"plain_secs":$tPlain%.2f,"rerank_secs":$tRerank%.2f}"""
+    }
+    val prodOsCells = Seq(4, 16, 64).map { os =>
+      val (bp, t) = time(meanBp(prodRerank(nprobe = 16, os)))
+      f"""{"overscan":$os,"rerank_recall_bp":$bp%.0f,"secs":$t%.2f}"""
+    }
+    // PLANTED-NEIGHBOR cell — the production semantics: an IVF index's
+    // job is finding GENUINELY NEAR vectors (near-dups, translations,
+    // re-encodes), not beating the scan-fraction ceiling on uniform
+    // noise (this corpus is near-uniform: plain routing recall tracks
+    // scan_frac above, which is the information-theoretic bound for
+    // unclustered data). Plant a near-copy of every query (one
+    // component nudged), rebuild the production index on the augmented
+    // corpus, and measure the twin-hit rate@k through the full
+    // learned-codebook + rerank stack.
+    val aug = emb.unionAll(emb.filter(qPred)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding")))
+      .cache()
+    val nq = emb.filter(qPred).count()
+    val cwA = Similarity.ivfpqLearnedCodebooks(aug, coPred, prodSeedPred, m)
+      .localCheckpoint()
+    val idxA = Similarity.ivfpqIndexLearned(aug, coPred, cwA, m).localCheckpoint()
+    val twinCells = Seq(1, 2, 4, 8).map { nprobe =>
+      def twinRate(found: org.apache.spark.sql.DataFrame): Double =
+        10000.0 * found.filter(col("hit_id") === col("query_id") + 1000000L)
+          .count() / nq
+      val (plainTw, tP) = time(twinRate(
+        Similarity.ivfpqSearchStoredLearned(idxA, aug, qPred, coPred, cwA,
+          m, k, nprobe)))
+      val (rerankTw, tR) = time(twinRate(Similarity.exactRerank(aug,
+        Similarity.ivfpqSearchStoredLearned(idxA, aug, qPred, coPred, cwA,
+          m, k * 16, nprobe), k)))
+      f"""{"nprobe":$nprobe,"plain_twin_bp":$plainTw%.0f,"rerank16_twin_bp":$rerankTw%.0f,"plain_secs":$tP%.2f,"rerank_secs":$tR%.2f}"""
+    }
     println(s"""{"probe":"ann_recall_curve","sf":"$sfDir","n_vectors":$n,"n_lists":$nLists,"m":$m,"k":$k,"overscan":4,"cells":[
 ${cells.mkString(",\n")}],
 "overscan_cells_nprobe8":[
-${osCells.mkString(",\n")}]}""")
+${osCells.mkString(",\n")}],
+"production_knobs":{"n_lists":$nLists,"cells_per_subspace":$nCells,"learned":true,"cells":[
+${prodCells.mkString(",\n")}],
+"overscan_cells_nprobe16":[
+${prodOsCells.mkString(",\n")}],
+"planted_twin_cells":[
+${twinCells.mkString(",\n")}]}}""")
     spark.stop()
   }
 }

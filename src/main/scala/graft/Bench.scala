@@ -79,7 +79,109 @@ object Bench {
   private def j2(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
+  /** FRESH-JVM-PER-FAMILY orchestration (round-10 lesson,
+    * institutionalized): one long same-JVM sweep pollutes late
+    * queries — after the coupled embedding families, GC/code-cache
+    * pressure inflated unrelated queries up to 10× and the sweep had
+    * to be hand-re-measured. With `--fresh-jvm-per-family` the parent
+    * re-execs THIS main once per query family in its own JVM (child
+    * env, heap and --add-opens inherited), collects each child's
+    * BENCH_DETAIL.json and merges them into the standard artifact —
+    * so the clean methodology is the default invocation, not a manual
+    * rescue. Each child calibrates itself; the merged artifact keeps
+    * the per-family calibs (machine drift during a long sweep is then
+    * visible, not folded into query deltas).
+    */
+  private def freshPerFamily(qargs: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val unknown = qargs.toSet -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    val names = (if (qargs.isEmpty) SparkEntry.queries.keySet else qargs.toSet).toSeq.sorted
+    val fams = names.groupBy(_.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-XX"))
+    // classpath for the child: our own classes dir + whatever the
+    // parent ran with + the repo's pinned Spark jars (under sbt the
+    // parent's java.class.path is just the launcher)
+    val selfLoc = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+    val sparkJars = new java.io.File("/opt/spark/jars")
+    val cp = Seq(selfLoc, System.getProperty("java.class.path")) ++
+      (if (sparkJars.isDirectory) Seq(sparkJars.getPath + "/*") else Nil)
+    val famResults = fams.map { case (fam, qs) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"bench-$fam")
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp.mkString(":"), "graft.Bench") ++ qs
+      System.err.println(s"[bench-fresh] family $fam: ${qs.size} queries, fresh JVM")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.directory(dir.toFile)
+      pb.redirectOutput(dir.resolve("stdout.log").toFile)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val exit = pb.start().waitFor()
+      require(exit == 0, s"family $fam child JVM exited $exit")
+      val detail = new String(java.nio.file.Files.readAllBytes(
+        dir.resolve("BENCH_DETAIL.json")), "UTF-8")
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(detail)
+      val calib = (j \ "calib").values.toString.toDouble
+      val queries = (j \ "queries") match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k -> JsonMethods.compact(JsonMethods.render(v))
+        }
+        case _ => Nil
+      }
+      (fam, calib, queries,
+        queries.map { case (_, v) =>
+          JsonMethods.parse(v) \ "min" match {
+            case JDouble(d) => d
+            case JInt(i) => i.toDouble
+            case other => other.values.toString.toDouble
+          }
+        })
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val allQ = famResults.flatMap(_._3)
+    val mins: Map[String, Double] = famResults.flatMap { case (_, _, qs, ms) =>
+      qs.map(_._1).zip(ms)
+    }.toMap
+    val total = mins.values.sum
+    val calib = famResults.map(_._2).min
+    val famCalib = famResults.map { case (f, c, _, _) => "\"" + f + "\":" + jnum(c) }
+      .mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","calib":${jnum(calib)},""" +
+      s""""fresh_jvm_per_family":true,"family_calib":$famCalib,""" +
+      s""""note":"each family measured in an isolated JVM (r10 lesson: one long same-JVM sweep inflated late queries up to 10x on GC/code-cache pressure)",""" +
+      s""""n_queries":${allQ.size},"sf":"$sfDir","queries":{""" +
+      allQ.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detailJson + "\n").getBytes("UTF-8"))
+    for ((fam, _, qs, ms) <- famResults) {
+      val worst = qs.map(_._1).zip(ms).maxBy(_._2)
+      println(f"[bench-family] $fam: n=${qs.size} total=${jnum(ms.sum)}s " +
+        f"worst=${worst._1}:${jnum(worst._2)}s (fresh JVM)")
+    }
+    val slowest = mins.toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val famJson = famResults.map { case (f, _, _, ms) => "\"" + f + "\":" + jnum(ms.sum) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","calib":${jnum(calib)},""" +
+      s""""fresh_jvm_per_family":true,"n_queries":${allQ.size},"queries":$slowest,""" +
+      s""""queries_elided":${math.max(0, allQ.size - 12)},"families":$famJson,""" +
+      s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    val (flags, qargsAll) = args.partition(_.startsWith("--"))
+    require((flags.toSet - "--fresh-jvm-per-family").isEmpty,
+      s"unknown flags: ${flags.mkString(", ")} (known: --fresh-jvm-per-family)")
+    if (flags.contains("--fresh-jvm-per-family")) { freshPerFamily(qargsAll); return }
+    val args2 = qargsAll
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -102,13 +204,13 @@ object Bench {
     // optional args = query-name subset (local iteration; driver passes
     // none). Unknown names are an ERROR: a typo that silently ran fewer
     // queries would make a local A/B comparison vacuous.
-    val unknown = args.toSet -- SparkEntry.queries.keySet
+    val unknown = args2.toSet -- SparkEntry.queries.keySet
     require(unknown.isEmpty,
       s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")} " +
         s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
     val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+      if (args2.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args2.toSet).toMap
     val ordered = selected.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)

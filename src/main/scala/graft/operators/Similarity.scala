@@ -466,6 +466,130 @@ object Similarity {
         codes("code") === dt("cw_id"), k)
   }
 
+  /** LEARNED per-subspace residual codebooks for IVF-PQ — the
+    * production-knob codebook the seed-residual [[pqCodewords]]
+    * approximates (the fixture codebook reuses whole seed residuals
+    * across all subspaces; real deployments train each subspace's
+    * cells on the residual distribution). `seedPred` residual
+    * subvectors seed the cells (size the predicate for ~256 cells per
+    * subspace — the classic 8-bit PQ code), then ONE floor-mean Lloyd
+    * refinement over the FULL corpus residuals ([[pqTopKLearned]]'s
+    * exact-BIGINT idiom, per (cell, subspace)). Output CELL-GRANULAR:
+    * (cw_id, s, cs) with cs a D/m-length BIGINT subvector.
+    *
+    * Scale shape: the refinement is one corpus-residual pass — a
+    * broadcast join against the seed cells and two aggregations at
+    * N·m grain; the result is codebook-sized. Callers that reference
+    * the codebook more than once (index build + search) should
+    * materialize it ([[ivfpqTopKLearnedCw]] checkpoints it) rather
+    * than re-train per reference.
+    */
+  def ivfpqLearnedCodebooks(embeddings: DataFrame, coarsePred: Column,
+                            seedPred: Column, m: Int): DataFrame = {
+    val corpus = pqQuantChecked(embeddings, m)
+    val coarse = coarseBook(corpus, coarsePred)
+    val res = coarseResiduals(corpus, coarse, 1)
+      .select(col("vec_id"),
+        posexplode(subVectors(col("r"), m)).as(Seq("s", "rs")))
+    val cw0 = res.filter(seedPred)
+      .select(col("vec_id").as("cw_id"), col("s"), col("rs").as("cs"))
+    // assign every corpus residual subvector to its nearest seed cell
+    // (tie → lowest cw_id), then refine each cell to the floor-mean of
+    // its members — rs is constant within the (vec_id, s) group, so
+    // first() carries it without a corpus-sized re-join
+    val assigned = res.join(broadcast(cw0), Seq("s"))
+      .withColumn("d", l2sq(col("rs"), col("cs")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("cw_id"))).getField("cw_id").as("cw_id"),
+        first(col("rs")).as("rs"))
+    floorMeanVectors(
+      assigned.select(col("cw_id"), col("s"),
+        posexplode(col("rs")).as(Seq("j", "vj"))),
+      Seq("cw_id", "s"), "j", "vj", "cs")
+  }
+
+  /** [[ivfpqIndex]] against a LEARNED cell-granular codebook
+    * ((cw_id, s, cs) — [[ivfpqLearnedCodebooks]]): same (vec_id, co_id,
+    * codes) artifact, with `codes[s]` the argmin over subspace s's OWN
+    * cells. Encode cost is the canonical N·|C|·D multiply count; the
+    * only corpus-sized exchanges are the coarse argmin and the
+    * per-subspace argmin at N·m grain.
+    */
+  def ivfpqIndexLearned(embeddings: DataFrame, coarsePred: Column,
+                        cw: DataFrame, m: Int): DataFrame = {
+    val corpus = pqQuantChecked(embeddings, m)
+    val coarse = coarseBook(corpus, coarsePred)
+    val sub = coarseResiduals(corpus, coarse, 1)
+      .select(col("vec_id"), col("co_id"),
+        posexplode(subVectors(col("r"), m)).as(Seq("s", "rs")))
+    sub.join(broadcast(cw), Seq("s"))
+      .withColumn("d", l2sq(col("rs"), col("cs")))
+      .groupBy("vec_id", "co_id", "s")
+      .agg(min(struct(col("d"), col("cw_id"))).getField("cw_id").as("code"))
+      .groupBy("vec_id", "co_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** [[ivfpqSearchStored]] against a LEARNED cell-granular codebook:
+    * queries probe their `nprobe` nearest lists, one ADC table per
+    * probed list built from the query residual against THAT list's
+    * centroid, distances from subspace s's own cells. The corpus-side
+    * scan still reads only the code table.
+    */
+  def ivfpqSearchStoredLearned(index: DataFrame, embeddings: DataFrame,
+                               queryPred: Column, coarsePred: Column,
+                               cw: DataFrame, m: Int, k: Int,
+                               nprobe: Int): DataFrame = {
+    val corpus = pqQuantChecked(embeddings, m)
+    val coarse = coarseBook(corpus, coarsePred)
+    val qsub = coarseResiduals(corpus.filter(queryPred), coarse, nprobe)
+      .select(col("vec_id").as("query_id"), col("co_id"),
+        posexplode(subVectors(col("r"), m)).as(Seq("s", "rs")))
+    val dt = qsub.join(broadcast(cw), Seq("s"))
+      .select(col("query_id"), col("co_id"), col("cw_id"), col("s"),
+        l2sq(col("rs"), col("cs")).as("d"))
+    val codes = index
+      .filter(assert_true(size(col("codes")) === lit(m),
+        lit(s"ivfpqSearchStoredLearned: stored index code width != m=$m")).isNull)
+      .select(col("vec_id"), col("co_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    adcScan(codes, dt,
+      codes("co_id") === dt("co_id") && codes("s") === dt("s") &&
+        codes("code") === dt("cw_id"), k)
+  }
+
+  /** IVF-PQ at PRODUCTION knobs, build-then-search: learned
+    * per-subspace codebooks ([[ivfpqLearnedCodebooks]] — checkpointed
+    * once, referenced by both encode and search), coarse routing, ADC
+    * scan. Pair with [[exactRerank]] via [[ivfpqTopKLearnedReranked]]
+    * for the full production quality stack.
+    */
+  def ivfpqTopKLearnedCw(embeddings: DataFrame, queryPred: Column,
+                         coarsePred: Column, seedPred: Column, m: Int,
+                         k: Int, nprobe: Int): DataFrame = {
+    // codebook-sized; materialized so the index build and the search
+    // side don't each re-run the corpus-sized training pass
+    val cw = ivfpqLearnedCodebooks(embeddings, coarsePred, seedPred, m)
+      .localCheckpoint()
+    ivfpqSearchStoredLearned(
+      ivfpqIndexLearned(embeddings, coarsePred, cw, m),
+      embeddings, queryPred, coarsePred, cw, m, k, nprobe)
+  }
+
+  /** [[ivfpqTopKLearnedCw]] with the exact re-rank tail — the complete
+    * production recipe: learned codebooks, `k·overscan` ADC
+    * candidates, exact integer L2² re-rank to k.
+    */
+  def ivfpqTopKLearnedReranked(embeddings: DataFrame, queryPred: Column,
+                               coarsePred: Column, seedPred: Column, m: Int,
+                               k: Int, nprobe: Int,
+                               overscan: Int = 4): DataFrame =
+    exactRerank(embeddings,
+      ivfpqTopKLearnedCw(embeddings, queryPred, coarsePred, seedPred, m,
+        k * overscan, nprobe),
+      k)
+
   /** Brute-force EXACT integer L2² top-k — the ground truth the
     * PQ/IVF-PQ family approximates (same ×1e6 quantized domain, same
     * (dist asc, hit_id) tie-break as [[adcScan]]), used as the

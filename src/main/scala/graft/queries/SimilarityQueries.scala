@@ -105,6 +105,19 @@ object SimilarityQueries {
           m = 8, k = 5, nprobe = 2, overscan = 4)
         .orderBy("query_id", "rnk")),
 
+    // IVF-PQ at PRODUCTION knobs: per-subspace LEARNED codebooks (seed
+    // cells refined by one exact floor-mean Lloyd step over the corpus
+    // RESIDUALS — ~N/78 cells per subspace, 256 at sf1), coarse routing,
+    // ADC overscan, exact re-rank — the full quality stack the fixture-
+    // codebook gates approximate
+    "ann_ivfpq_prod" -> ((s, dir) =>
+      Similarity.ivfpqTopKLearnedReranked(Tables(s, dir, "embeddings"),
+          col("vec_id") % 250 === 7,
+          col("vec_id") % 125 === 11,
+          col("vec_id") % 78 === 5,
+          m = 8, k = 5, nprobe = 2, overscan = 4)
+        .orderBy("query_id", "rnk")),
+
     // measured recall@5 of plain IVF-PQ vs the exact integer-L2² ground
     // truth — the quality number the "recall < 1 by construction"
     // scaladocs now quantify, hash-gated per query in basis points
@@ -380,6 +393,77 @@ object SimilarityQueries {
     "ann_ivfpq_rerank" ->
       s"""WITH ${flatSql("embeddings")},
          |$ivfpqApproxCte,
+         |cand AS (
+         |  SELECT query_id, hit_id FROM (
+         |    SELECT query_id, hit_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS r
+         |    FROM approx) WHERE r <= 20),
+         |rr AS (
+         |  SELECT c.query_id, c.hit_id,
+         |    CAST(nq.nrm + nh.nrm - 2 * list_dot_product(fq.qv, fh.qv) AS BIGINT) AS dist
+         |  FROM cand c
+         |  JOIN qv fq ON fq.vec_id = c.query_id
+         |  JOIN qv fh ON fh.vec_id = c.hit_id
+         |  JOIN norms nq ON nq.vec_id = c.query_id
+         |  JOIN norms nh ON nh.vec_id = c.hit_id)
+         |SELECT query_id, hit_id, dist, rnk FROM (
+         |  SELECT query_id, hit_id, dist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS rnk
+         |  FROM rr) WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // production IVF-PQ: the ivfpq encode chain with the codebook
+    // REPLACED by learned per-subspace cells (seed residuals % 78 = 5,
+    // one floor-mean Lloyd step over all corpus residuals), then the
+    // overscan-20 ADC scan and the exact re-rank — every stage mirrored
+    // term for term in exact integer arithmetic
+    "ann_ivfpq_prod" ->
+      s"""WITH ${flatSql("embeddings")},
+         |$ivfpqResidualCte,
+         |cw0 AS (SELECT vec_id AS cw_id, i, rq FROM res WHERE vec_id % 78 = 5),
+         |sd0 AS (
+         |  SELECT e.vec_id, w.cw_id, (e.i - 1) // 8 AS s,
+         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+         |  FROM res e JOIN cw0 w ON w.i = e.i
+         |  GROUP BY 1, 2, 3),
+         |asg0 AS (
+         |  SELECT vec_id, s, cw_id FROM (
+         |    SELECT vec_id, s, cw_id,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+         |    FROM sd0) WHERE r = 1),
+         |cw1 AS (
+         |  SELECT a.cw_id, e.i,
+         |    CAST(floor(CAST(sum(e.rq) AS DOUBLE) / count(*)) AS BIGINT) AS rq
+         |  FROM asg0 a JOIN res e
+         |    ON e.vec_id = a.vec_id AND (e.i - 1) // 8 = a.s
+         |  GROUP BY 1, 2),
+         |sd1 AS (
+         |  SELECT e.vec_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+         |  FROM res e JOIN cw1 w ON w.i = e.i
+         |  GROUP BY 1, 2, 3, 4),
+         |codes AS (
+         |  SELECT vec_id, co_id, s, cw_id AS code FROM (
+         |    SELECT vec_id, co_id, s, cw_id,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+         |    FROM sd1) WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, co_id FROM ar
+         |           WHERE vec_id % 250 = 7 AND r <= 2),
+         |qres AS (
+         |  SELECT p.query_id, p.co_id, f.i, f.q - c.q AS rq
+         |  FROM probes p JOIN flat f ON f.vec_id = p.query_id
+         |                JOIN co c ON c.co_id = p.co_id AND c.i = f.i),
+         |dt AS (
+         |  SELECT e.query_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+         |  FROM qres e JOIN cw1 w ON w.i = e.i
+         |  GROUP BY 1, 2, 3, 4),
+         |approx AS (
+         |  SELECT t.query_id, c.vec_id AS hit_id, CAST(sum(t.d) AS BIGINT) AS adist
+         |  FROM codes c JOIN dt t
+         |    ON t.co_id = c.co_id AND t.s = c.s AND t.cw_id = c.code
+         |  WHERE c.vec_id <> t.query_id
+         |  GROUP BY 1, 2),
          |cand AS (
          |  SELECT query_id, hit_id FROM (
          |    SELECT query_id, hit_id,
@@ -730,7 +814,13 @@ object SimilarityQueries {
     * exactly the stored-index artifact, so q_stream_ann's cold-rebuild
     * oracle and the three search gates share one body.
     */
-  private def ivfpqEncodeCte: String =
+  /** Coarse assignment + per-vector residuals — the head every IVF-PQ
+    * oracle shares: `co` (the % 125 = 11 coarse book), `ar` (ranked
+    * assignments, reused for query probing) and `res(vec_id, co_id, i,
+    * rq)`. Factored so the fixture-codebook chain and the learned-
+    * codebook (ann_ivfpq_prod) chain cannot drift on routing.
+    */
+  private def ivfpqResidualCte: String =
     """co AS (SELECT vec_id AS co_id, i, q FROM flat WHERE vec_id % 125 = 11),
       |ad AS (
       |  SELECT f.vec_id, c.co_id, sum((f.q - c.q) * (f.q - c.q)) AS d
@@ -744,7 +834,10 @@ object SimilarityQueries {
       |res AS (
       |  SELECT f.vec_id, a.co_id, f.i, f.q - c.q AS rq
       |  FROM flat f JOIN assigned a ON a.vec_id = f.vec_id
-      |              JOIN co c ON c.co_id = a.co_id AND c.i = f.i),
+      |              JOIN co c ON c.co_id = a.co_id AND c.i = f.i)""".stripMargin
+
+  private def ivfpqEncodeCte: String =
+    s"""$ivfpqResidualCte,
       |cw AS (SELECT vec_id AS cw_id, i, rq FROM res
       |       WHERE vec_id % 40 = 3 AND vec_id < 2560),
       |sd AS (

@@ -58,6 +58,32 @@ class AnnRerankSpec extends AnyFunSuite {
     emb.unpersist(); exact.unpersist()
   }
 
+  test("learned-codebook rerank recall >= fixture-codebook rerank recall on planted neighbors") {
+    // the production contract behind ann_ivfpq_prod: per-subspace
+    // LEARNED cells (seed % 78 = 5, ~N/78 cells/subspace, Lloyd-refined
+    // on the corpus residuals) quantize residuals tighter than the
+    // fixture's reused whole-seed residuals, so at the same routing and
+    // overscan the re-ranked recall must not drop
+    val emb = planted.cache()
+    val qPred = col("vec_id") % 250 === 7 && col("vec_id") < 100000
+    val coPred = col("vec_id") % 125 === 11 && col("vec_id") < 100000
+    val pqPred = col("vec_id") % 40 === 3 && col("vec_id") < 2560
+    val seedPred = col("vec_id") % 78 === 5 && col("vec_id") < 100000
+    val exact = Similarity.bruteForceTopKL2(emb, qPred, k = 10).cache()
+    val fixture = meanRecallBp(
+      Similarity.ivfpqTopKReranked(emb, qPred, coPred, pqPred,
+        m = 8, k = 10, nprobe = 2, overscan = 4),
+      exact)
+    val learned = meanRecallBp(
+      Similarity.ivfpqTopKLearnedReranked(emb, qPred, coPred, seedPred,
+        m = 8, k = 10, nprobe = 2, overscan = 4),
+      exact)
+    info(f"mean rerank recall@10: fixture=$fixture%.0f bp learned=$learned%.0f bp")
+    assert(learned >= fixture,
+      f"learned codebooks lost recall: $learned%.0f bp < $fixture%.0f bp")
+    emb.unpersist(); exact.unpersist()
+  }
+
   test("recall report arithmetic: basis points, exact div, missing hits count zero") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
       .toDF("query_id", "hit_id")
