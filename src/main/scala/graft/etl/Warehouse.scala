@@ -63,6 +63,9 @@ class Warehouse(val spark: SparkSession, val root: String,
 
   private val catalogPath: Path = Paths.get(root, "_catalog.json")
   private val versionsDir: Path = Paths.get(root, "_versions")
+  // per-root, JVM-wide (instances over one root share it): serializes
+  // commitCatalogIf's compare+swap and commitCatalog's version numbering
+  private val commitLock: Object = Warehouse.commitLockFor(root)
   Files.createDirectories(Paths.get(root, "data"))
 
   def emptyDf(table: String): DataFrame =
@@ -604,7 +607,8 @@ class Warehouse(val spark: SparkSession, val root: String,
     walk(from)
   }
 
-  private[etl] def commitCatalog(entries: Map[String, Seq[String]]): Unit = {
+  private[etl] def commitCatalog(entries: Map[String, Seq[String]]): Unit =
+    commitLock.synchronized {
     val bytes = CatalogJson.render(entries).getBytes(StandardCharsets.UTF_8)
     // TIME TRAVEL: an immutable numbered copy per commit, written BEFORE
     // the pointer swap so the history is always a superset of pointer
@@ -625,7 +629,7 @@ class Warehouse(val spark: SparkSession, val root: String,
     Files.write(tmp, bytes)
     Files.move(tmp, catalogPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-  }
+    }
 
   private def versionFiles(): Seq[(Long, Path)] =
     if (!Files.exists(versionsDir)) Nil
@@ -749,25 +753,41 @@ class Warehouse(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Conditional catalog swap: only commit if the file still holds
-    * `expected` (empty string = file absent). Returns false — without
-    * writing — on mismatch, so callers can re-derive their update from
-    * the fresh content and retry. The compare and the move are not one
-    * atomic step (no OS-level file CAS exists); the residual window is
-    * microseconds vs the seconds-long merge writes it guards against.
-    */
   /** Test seam: invoked between a compaction's (long) rewrite and its
     * CAS loop — the exact window where a concurrent writer's commit
     * races the maintenance job. Production no-op.
     */
   protected def compactionBarrier(): Unit = ()
 
+  /** Test seam: invoked INSIDE [[commitCatalogIf]]'s critical section,
+    * between the compare read and the swap — widening this window (a
+    * spec override sleeps here) must still never let two same-expected
+    * writers both win. Production no-op.
+    */
+  protected def casBarrier(): Unit = ()
+
+  /** Conditional catalog swap: only commit if the file still holds
+    * `expected` (empty string = file absent). Returns false — without
+    * writing — on mismatch, so callers can re-derive their update from
+    * the fresh content and retry.
+    *
+    * ATOMICITY: compare and swap run under the per-root JVM monitor
+    * ([[Warehouse.commitLockFor]] — shared by every instance over the
+    * same root), so IN-PROCESS concurrent writers — the Spark-driver
+    * reality, and what MaintenanceChaosSpec races — can never both
+    * pass the compare and silently clobber the first committer (a
+    * lost delete-vector entry, pre-fix, was exactly that: caught as a
+    * once-in-many-runs chaos flake under full-suite GC pressure).
+    * ACROSS processes no OS-level file CAS exists; that residual
+    * window is the documented single-maintenance-writer contract.
+    */
   private[etl] def commitCatalogIf(expected: String,
-                                   entries: Map[String, Seq[String]]): Boolean = {
-    val current = readCatalogRaw()
-    if (current != expected) false
-    else { commitCatalog(entries); true }
-  }
+                                   entries: Map[String, Seq[String]]): Boolean =
+    commitLock.synchronized {
+      val current = readCatalogRaw()
+      if (current != expected) false
+      else { casBarrier(); commitCatalog(entries); true }
+    }
 }
 
 /** One run's transaction: reads see committed state plus this txn's own
@@ -1141,6 +1161,18 @@ object Warehouse {
     * this may be an in-flight writer's not-yet-committed output.
     */
   val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
+
+  /** Per-root commit monitors: every Warehouse instance over the same
+    * (normalized) root shares one, so in-process concurrent writers'
+    * compare-and-swap is genuinely atomic (see [[Warehouse.commitCatalogIf]]).
+    * The map only ever holds one small object per distinct warehouse
+    * root opened by this JVM.
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[etl] def commitLockFor(root: String): Object =
+    commitLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.toString, _ => new Object)
 
   /** Default physical partitioning: fact tables by event date. Dims and
     * staging stay unpartitioned (full-snapshot semantics).

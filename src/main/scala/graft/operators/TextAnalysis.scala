@@ -117,9 +117,15 @@ object TextAnalysis {
     val hist = scored.groupBy("score_q").agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy(col("score_q").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n_total as a full-frame window over the SAME tiny histogram, not
+    // a second hist.agg crossJoin — that second reference re-ran the
+    // whole scoring scan (scoredQ has no exchange to reuse), so the
+    // corpus paid the regex-heavy pass three times instead of twice
+    val wAll = Window.orderBy(col("score_q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // cum >= ceil(nTotal·keepFrac) ⟺ cum·1e6 >= nTotal·ppm (integers)
     val cutoff = hist.withColumn("cum", sum("cnt").over(w))
-      .crossJoin(broadcast(hist.agg(sum("cnt").as("n_total"))))
+      .withColumn("n_total", sum("cnt").over(wAll))
       .filter(col("cum") * lit(1000000L) >= col("n_total") * lit(ppm))
       .agg(max("score_q").as("cutoff"))
     scored.crossJoin(broadcast(cutoff))

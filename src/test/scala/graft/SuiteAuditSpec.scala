@@ -39,6 +39,7 @@ class SuiteAuditSpec extends AnyFunSuite {
     "ann_pq", // codebook broadcast: every-vector × codebook PQ encode/ADC
     "ann_ivfpq", // coarse + PQ codebook broadcasts (assign/encode/probe)
     "ann_ivfpq_rerank", // same chain + broadcast candidate re-rank joins
+    "ann_ivfpq_prod", // learned-codebook chain: same codebook broadcasts
     "ann_recall", // same chain + broadcast-queries exact ground truth
     "dedup_semantic", // IVF: every vector × broadcast coarse codebook
     "dedup_semantic2", // two-level routing: coarse-codebook broadcasts

@@ -95,4 +95,32 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     intercept[java.util.ConcurrentModificationException](deleter.commit())
     assert(wh.read("a").count() == 5, "overwrite image intact, no phantom delete")
   }
+
+  test("simultaneous same-expected CAS: exactly one writer wins, even with a widened window") {
+    // The lost-commit race MaintenanceChaosSpec caught as a flake,
+    // made deterministic: two threads race commitCatalogIf from the
+    // SAME expected catalog while the casBarrier seam widens the
+    // compare→swap window to ~100 ms. Pre-fix (no per-root monitor)
+    // both threads pass the compare and both write — the first
+    // committer's entry is silently clobbered; with the monitor the
+    // second compare sees the first swap and returns false.
+    val dir = Files.createTempDirectory("whcas").toString
+    class SlowCasWh extends Warehouse(spark, dir,
+        Map("a" -> schema, "b" -> schema),
+        partitionSpec = Map.empty, bucketSpec = Map.empty) {
+      override protected def casBarrier(): Unit = Thread.sleep(100)
+    }
+    val wh = new SlowCasWh
+    val expected = wh.readCatalogRaw()
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = Seq("a" -> "dirA", "b" -> "dirB").map { case (tbl, d) =>
+      new Thread(() => {
+        if (wh.commitCatalogIf(expected, Map(tbl -> Seq(d)))) wins.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(wins.get() == 1,
+      s"exactly one same-expected CAS may win, got ${wins.get()}")
+    assert(wh.catalog().size == 1, "the loser's entries must not be visible")
+  }
 }
