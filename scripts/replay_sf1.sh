@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Serialized full-inventory replay at a scale factor: graft.Verify, then
+# the DuckDB oracle comparison — ALONE. Two rounds of dedup_simhash
+# sf1-oracle OOM flakes came from running the replay concurrently with
+# sf3 benches (DuckDB under external memory pressure); this script holds
+# an exclusive lock so a bench or second replay started by habit blocks
+# instead of corrupting the run, and sets the on-disk DuckDB spill knobs
+# that made the one-batch sf1 replay pass clean.
+#
+# Usage: scripts/replay_sf1.sh [sfDir] [outDir]   (run from the repo root)
+set -euo pipefail
+SF_DIR=${1:-/tmp/sf1}
+OUT=${2:-/tmp/verify_sf1}
+exec 9>/tmp/graft_replay.lock
+flock 9
+OPTS=$(grep -o '"--add-opens=[^"]*"' build.sbt | tr -d '"' | tr '\n' ' ')
+rm -rf "$OUT"
+# shellcheck disable=SC2086
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} java $OPTS -Xmx${REPLAY_MEM:-60g} \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Verify "$SF_DIR" "$OUT"
+mkdir -p /tmp/duck_tmp
+DUCKDB_TMP=/tmp/duck_tmp DUCKDB_MEM=${DUCKDB_MEM:-100GB} \
+  python3 scripts/check.py "$SF_DIR" "$OUT"
