@@ -13,7 +13,12 @@ SF_DIR=${1:-/tmp/sf1}
 OUT=${2:-/tmp/verify_sf1}
 exec 9>/tmp/graft_replay.lock
 flock 9
-OPTS=$(grep -o '"--add-opens=[^"]*"' build.sbt | tr -d '"' | tr '\n' ' ')
+# the jdk17AddOpens list from build.sbt (it is built programmatically
+# there, so extract the module names rather than literal flags; empty is
+# fine — Spark 4.1.2 runs on this image's JDK 17 without them, they are
+# belt-and-braces for spark-submit parity)
+OPTS=$(grep -o '"java\.[a-z./]*"' build.sbt | tr -d '"' |
+  sed 's/^/--add-opens /; s|$|=ALL-UNNAMED|' | tr '\n' ' ' || true)
 rm -rf "$OUT"
 # shellcheck disable=SC2086
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} java $OPTS -Xmx${REPLAY_MEM:-60g} \
