@@ -37,6 +37,12 @@ if os.environ.get("DUCKDB_TMP"):
     con.execute(f"SET temp_directory='{os.environ['DUCKDB_TMP']}'")
 if os.environ.get("DUCKDB_MEM"):
     con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
+# fewer threads = fewer concurrent pipelines and radix partitions in
+# flight = a tighter spill bound for the widest oracles (the learned
+# IVF-PQ chain's 330M-row pre-aggregation join at sf1 overran a 60 GB
+# temp disk at default parallelism)
+if os.environ.get("DUCKDB_THREADS"):
+    con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
 for t in TABLES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")

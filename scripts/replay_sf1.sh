@@ -24,5 +24,9 @@ rm -rf "$OUT"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} java $OPTS -Xmx${REPLAY_MEM:-60g} \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Verify "$SF_DIR" "$OUT"
 mkdir -p /tmp/duck_tmp
+# threads capped: the widest oracle (ann_ivfpq_prod's learned IVF-PQ
+# chain) overran a 60 GB temp disk at default parallelism and needs
+# zero spill at 8 threads (107 s at sf1)
 DUCKDB_TMP=/tmp/duck_tmp DUCKDB_MEM=${DUCKDB_MEM:-100GB} \
+  DUCKDB_THREADS=${DUCKDB_THREADS:-8} \
   python3 scripts/check.py "$SF_DIR" "$OUT"
