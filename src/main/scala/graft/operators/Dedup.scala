@@ -623,6 +623,36 @@ object Dedup {
                           idCol: String = "doc_id"): DataFrame =
     keepBySignal(labels, ranks, "rank_micro", idCol)
 
+  /** LEAKAGE-FREE train/val/test split: the split is assigned to the
+    * near-dup CLUSTER, not the document — every member of a cluster
+    * lands in the same split, so an eval document can never share a
+    * near-duplicate with the training set (the contamination channel a
+    * per-document hash split leaves open: web corpora run 10-20%
+    * near-dups, and a template's variants straddle any per-doc split,
+    * leaking eval text into training verbatim-minus-noise). `labels`
+    * is [[clusterLabels]]' (id, cluster_id) output; the bucket is the
+    * same md5-prefix hash [[TextAnalysis.assignSplit]] uses, applied
+    * to the cluster id — a SINGLETON cluster (cluster_id = own id)
+    * therefore reproduces the per-document split bit for bit, so
+    * adopting cluster splits re-shuffles only documents that actually
+    * have near-dups. Scale shape: one hash projection over the labels
+    * frame — no join, no shuffle beyond what labels already carries.
+    * Output: (idCol, cluster_id, bucket, split).
+    */
+  def leakageFreeSplit(labels: DataFrame, trainPct: Int = 80,
+                       valPct: Int = 10,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must leave room for test")
+    val bucket = expr(
+      "CAST(conv(substring(md5(CAST(cluster_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+    labels.select(col(idCol), col("cluster_id"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** RECALL REPORT for a near-dup pass against a PLANTED ground-truth
     * pair list — the "measure your dedup before trusting it" harness a
     * production pipeline runs on every banding-parameter change. Takes

@@ -80,6 +80,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // clusters -> LEAKAGE-FREE split: the train/val/test bucket hashes
+    // the CLUSTER id, so a planted near-dup can never straddle the
+    // train/eval boundary (the contamination channel text_split's
+    // per-doc hash leaves open); singleton clusters reproduce the
+    // per-doc split exactly
+    "dedup_split" -> ((s, dir) => {
+      val aug = docsAug(s, dir).cache()
+      Dedup.leakageFreeSplit(
+          Dedup.clusterLabels(Dedup.wordGramNearDupsPoly(aug, threshold = 0.5),
+            aug.select("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     // clusters -> one survivor per cluster (longest text, ties lowest
     // id) — the decision the curation pipeline actually applies
     "dedup_keep" -> ((s, dir) => {
@@ -812,6 +825,32 @@ object TextQueries {
          |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same recursive component walk, split hashed on the CLUSTER id —
+    // the text_split bucket idiom applied to min-label components
+    "dedup_split" ->
+      s"""WITH RECURSIVE $augSql,
+         |${wordGramPolyPairsCte(0.5)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+         |lab AS (
+         |  SELECT id AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY 1),
+         |b AS (
+         |  SELECT doc_id, cluster_id,
+         |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100
+         |      AS bucket
+         |  FROM lab)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // clusters (same recursive walk) -> survivor per cluster: longest
     // text, ties to the lowest id; every row carries its canonical

@@ -40,6 +40,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("leakage-free split: clusters stay whole; singletons match the per-doc split") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val labels = Dedup.clusterLabels(pairs, nodes)
+    val split = Dedup.leakageFreeSplit(labels)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    // no cluster straddles a split boundary — the leakage guarantee
+    assert(split(1L)._2 == split(2L)._2 && split(2L)._2 == split(3L)._2)
+    assert(split(7L)._2 == split(9L)._2)
+    // a singleton's split equals the per-document hash split bit for bit
+    val perDoc = graft.operators.TextAnalysis
+      .assignSplit(Seq(5L).toDF("doc_id"))
+      .collect().map(r => r.getAs[String]("split")).head
+    assert(split(5L)._2 == perDoc,
+      "singleton cluster must reproduce the per-doc split")
+    // bucket domain sanity
+    val buckets = Dedup.leakageFreeSplit(labels)
+      .collect().map(_.getLong(2))
+    assert(buckets.forall(b => b >= 0 && b < 100))
+  }
+
   test("pointer-doubling CC: 1000-node path converges in O(log n) rounds, " +
     "labels equal naive propagation") {
     // worst case for naive propagation: one path 0-1-2-...-999 whose
