@@ -454,7 +454,14 @@ object Dedup {
     * is a Jaccard sketch; there is no symmetric containment LSH) —
     * documented: 8 single-family bands give 1-(1-J)^8, e.g. ≈ 0.83 at
     * J = 0.2. The capped-bucket discipline is unchanged, so degenerate
-    * corpora stay linear.
+    * corpora stay linear PAST the cap — but candidate volume below the
+    * cap is quadratic in bucket occupancy (b·(b-1)/2), and single-band
+    * buckets densify on corpora whose signature diversity doesn't grow
+    * with size (fixed templates/vocabulary). Measured (SCALING_r11 §3):
+    * a 3× corpus with fixed vocabulary grew candidates 6.4× while
+    * verified output stayed linear; tightening `maxBucket` 256→64 cut
+    * wall-clock 5.5× with anchor transitivity preserved — size the cap
+    * to the dup-density of the corpus, not to a constant.
     */
   def wordGramContainment(docs: DataFrame, threshold: Double = 0.9, n: Int = 3,
                           maxBucket: Int = 256,
