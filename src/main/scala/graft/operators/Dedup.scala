@@ -660,6 +660,33 @@ object Dedup {
           .otherwise("test"))
   }
 
+  /** DEDUP IMPACT REPORT — the "what did dedup actually do" artifact a
+    * curation run publishes: per CLUSTER SIZE, how many clusters, how
+    * many documents, their total text bytes, and the bytes dropped by
+    * longest-survivor keep ([[keepCanonical]]'s rule: chars_total minus
+    * the longest member per cluster). Reading it: row 1 (size 1) is the
+    * untouched corpus mass; the tail is the dup burden; Σ chars_dropped
+    * is the storage/compute the dedup pass saves downstream. Exact
+    * integers end to end. Scale shape: one labels⋈lengths join (both
+    * id-keyed), one per-cluster aggregate, one per-size aggregate —
+    * output is at most `max cluster size` rows.
+    * Output: (cluster_size, n_clusters, n_docs, chars_total,
+    * chars_dropped), ascending by size.
+    */
+  def dedupReport(labels: DataFrame, docs: DataFrame,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    labels.join(docs.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars")), Seq(idCol))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"), sum("n_chars").as("chars"),
+        max("n_chars").as("kept"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        sum("chars").as("chars_total"),
+        sum(col("chars") - col("kept")).as("chars_dropped"))
+
   /** RECALL REPORT for a near-dup pass against a PLANTED ground-truth
     * pair list — the "measure your dedup before trusting it" harness a
     * production pipeline runs on every banding-parameter change. Takes

@@ -93,6 +93,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // clusters -> the dedup IMPACT report: per cluster size, cluster /
+    // doc counts and the exact text bytes longest-survivor keep drops —
+    // the artifact a curation run publishes
+    "dedup_report" -> ((s, dir) => {
+      val aug = docsAug(s, dir).cache()
+      Dedup.dedupReport(
+          Dedup.clusterLabels(Dedup.wordGramNearDupsPoly(aug, threshold = 0.5),
+            aug.select("doc_id")),
+          aug)
+        .orderBy("cluster_size")
+    }),
+
     // clusters -> one survivor per cluster (longest text, ties lowest
     // id) — the decision the curation pipeline actually applies
     "dedup_keep" -> ((s, dir) => {
@@ -825,6 +837,34 @@ object TextQueries {
          |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id
          |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // same recursive component walk -> per-size impact rollup; chars
+    // dropped = cluster total minus its longest member
+    "dedup_report" ->
+      s"""WITH RECURSIVE $augSql,
+         |${wordGramPolyPairsCte(0.5)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM docs
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+         |lab AS (
+         |  SELECT id AS doc_id, min(lbl) AS cluster_id
+         |  FROM reach GROUP BY 1),
+         |cl AS (
+         |  SELECT l.cluster_id, count(*) AS sz,
+         |    sum(length(d.text)) AS chars, max(length(d.text)) AS kept
+         |  FROM lab l JOIN docs d ON d.doc_id = l.doc_id
+         |  GROUP BY 1)
+         |SELECT sz AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(chars - kept) AS BIGINT) AS chars_dropped
+         |FROM cl GROUP BY 1 ORDER BY cluster_size""".stripMargin,
 
     // same recursive component walk, split hashed on the CLUSTER id —
     // the text_split bucket idiom applied to min-label components

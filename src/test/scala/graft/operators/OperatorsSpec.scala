@@ -61,6 +61,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(buckets.forall(b => b >= 0 && b < 100))
   }
 
+  test("dedup report: per-size rollup with exact dropped-bytes accounting") {
+    // clusters {1,2,3} (texts 5/3/7 chars) and {7,9} (4/4); singleton 5 (2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val docs = Seq((1L, "aaaaa"), (2L, "bbb"), (3L, "ccccccc"),
+      (5L, "dd"), (7L, "eeee"), (9L, "ffff")).toDF("doc_id", "text")
+    val rep = Dedup.dedupReport(Dedup.clusterLabels(pairs, nodes), docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep(1L) == ((1L, 1L, 2L, 0L)), "singleton: nothing dropped")
+    assert(rep(2L) == ((1L, 2L, 8L, 4L)), "pair keeps one 4-char text")
+    assert(rep(3L) == ((1L, 3L, 15L, 8L)), "triple keeps the 7-char text")
+  }
+
   test("pointer-doubling CC: 1000-node path converges in O(log n) rounds, " +
     "labels equal naive propagation") {
     // worst case for naive propagation: one path 0-1-2-...-999 whose
