@@ -92,6 +92,14 @@ object Bench {
     * the per-family calibs (machine drift during a long sweep is then
     * visible, not folded into query deltas).
     */
+  /** A child family JVM ran and exited nonzero — a genuinely broken
+    * query, NOT an orchestration-setup problem. Must propagate: falling
+    * back to the single-JVM path would silently re-run the whole suite
+    * under the degraded methodology (late queries inflated up to 10×)
+    * and overwrite BENCH_DETAIL.json with the polluted artifact.
+    */
+  private final class ChildJvmFailed(msg: String) extends RuntimeException(msg)
+
   private def freshPerFamily(qargs: Array[String]): Unit = {
     import scala.jdk.CollectionConverters._
     val unknown = qargs.toSet -- SparkEntry.queries.keySet
@@ -121,7 +129,8 @@ object Bench {
       pb.redirectOutput(dir.resolve("stdout.log").toFile)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val exit = pb.start().waitFor()
-      require(exit == 0, s"family $fam child JVM exited $exit")
+      if (exit != 0) throw new ChildJvmFailed(
+        s"family $fam child JVM exited $exit (stdout: ${dir.resolve("stdout.log")})")
       val detail = new String(java.nio.file.Files.readAllBytes(
         dir.resolve("BENCH_DETAIL.json")), "UTF-8")
       import org.json4s._
@@ -191,9 +200,14 @@ object Bench {
     if (wantFresh) {
       try { freshPerFamily(qargsAll); return }
       catch {
+        // a child family's nonzero exit means a query is genuinely
+        // broken — propagate rather than silently re-benching the whole
+        // suite under the degraded single-JVM methodology
+        case e: ChildJvmFailed => throw e
         case e: Throwable =>
-          System.err.println(s"[bench] fresh-jvm-per-family failed " +
-            s"(${e.getMessage}); falling back to single-JVM")
+          System.err.println(s"[bench] fresh-jvm-per-family setup failed " +
+            s"(${e.getMessage}); falling back to single-JVM " +
+            "(artifact will lack fresh_jvm_per_family)")
       }
     }
     val args2 = qargsAll

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * pair generation, the label-propagation loop (with ROUND COUNT), and
   * the keep window separately, under TWO corpus augmentations —
   *
-  *  - `driver`: the exact docsAug recipe (+100000 / +200000 planted
-  *    ids). At driver SFs those offsets are collision-free, but an sf3
-  *    synthetic corpus has doc_ids up to ~150k, so the planted ids
-  *    COLLIDE with real documents: duplicate doc_id keys with different
-  *    texts multiply every per-id join and inflate the pair set — a
-  *    fixture artifact, not an engine property.
-  *  - `clean`: the same augmentation at collision-free offsets
+  *  - `driver`: the exact docsAug recipe. Since r12 the offset is
+  *    DERIVED (smallest multiple of 100000 above max(doc_id)), so the
+  *    driver cell is collision-free at every SF and must equal `clean`.
+  *  - `clean`: the same augmentation at fixed huge offsets
   *    (+10_000_000 / +20_000_000), same planted fraction.
+  *  - `legacy100k`: the pre-r12 fixed +100000/+200000 recipe, kept to
+  *    quantify the collision artifact it injected on >100k-doc corpora
+  *    (sf3 = 150k doc_ids → planted ids collided with real documents:
+  *    duplicate doc_id keys with different texts multiplied every
+  *    per-id join and inflated the pair set ~1.6×).
   *
   * α computed between two runs of this probe (sf1 dir vs sf3 dir) on
   * the `clean` cells is the engine's actual scaling; the driver-vs-
@@ -50,7 +52,13 @@ object KeepProbe {
     import graft.operators.Dedup
 
     val d = Tables(spark, sfDir, "documents").select("doc_id", "text")
-    val cells = Seq("driver" -> 100000L, "clean" -> 10000000L).map {
+    // `driver` now mirrors docsAug's DERIVED offset (r12: smallest
+    // multiple of 100000 above max(doc_id)), so driver == clean at any
+    // SF; `legacy100k` keeps the pre-r12 fixed constant to quantify the
+    // collision artifact it used to inject on >100k-doc corpora
+    val derivedOff = (d.agg(max("doc_id")).head.getLong(0) / 100000L + 1L) * 100000L
+    val cells = Seq("driver" -> derivedOff, "clean" -> 10000000L,
+        "legacy100k" -> 100000L).map {
       case (tag, off) =>
         val a = aug(d, off).cache()
         val nDocs = a.count()
@@ -82,10 +90,10 @@ object KeepProbe {
     val contain = {
       val a = d
         .unionAll(d.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 300000).as("doc_id"),
+          .select((col("doc_id") + 3 * derivedOff).as("doc_id"),
             concat_ws(" ", slice(split(col("text"), " ", -1), 1, 12)).as("text")))
         .unionAll(d.filter(col("doc_id") % 23 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 2 * derivedOff).as("doc_id"), col("text")))
         .cache()
       a.count()
       val (out, tAll) = time {
@@ -93,7 +101,8 @@ object KeepProbe {
           .localCheckpoint()
         (o, o.count())
       }
-      val planted = out._1.filter(col("doc_a") >= 200000 && col("doc_b") >= 200000)
+      val planted = out._1
+        .filter(col("doc_a") >= 2 * derivedOff && col("doc_b") >= 2 * derivedOff)
         .count()
       // bucket-size census of the single-family containment bands: the
       // within-bucket pairing is quadratic BELOW the cap, so sum b² over

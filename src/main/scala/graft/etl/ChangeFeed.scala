@@ -665,7 +665,11 @@ object ChangeFeed {
     // are OCC's problem — commit() fails and the caller retries
     val applied: Map[String, Long] = marksOf(txn.read(meta))
     val todo: Map[String, Seq[Long]] = todoGiven(applied)
-    if (todo.values.forall(_.isEmpty)) return Map.empty
+    // single-writer contract violated between pre-check and begin():
+    // someone else already applied the work. Discard the begun txn
+    // explicitly — begin() is stateless today, but this is exactly the
+    // latent leak path should Txn ever acquire state
+    if (todo.values.forall(_.isEmpty)) { txn.discard(); return Map.empty }
     tables.foreach { gt =>
       val vs = todo(gt.table)
       if (vs.nonEmpty) {

@@ -799,6 +799,14 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
   private val pending = mutable.LinkedHashMap[String, Seq[String]]()
   private var committed = false
 
+  /** Abandon the transaction without committing. begin() is a pure
+    * in-memory catalog snapshot today, so this only clears the pending
+    * map — but callers that open a txn and then discover nothing to do
+    * MUST route through here, so that if Txn ever acquires external
+    * state (locks, staged files) the release has one place to live.
+    */
+  def discard(): Unit = pending.clear()
+
   def read(table: String): DataFrame =
     wh.readDirs(table, currentDirs(table), currentDvDirs(table))
 

@@ -36,8 +36,14 @@ object GraphMetrics {
     * older ones' storage as new calls arrive. Eviction is
     * RECOMPUTE-SAFE: the persisted RDD keeps its DAG (the compiled
     * physical plan), so a straggler frame consumed after its entry
-    * rotated out re-executes that DAG instead of failing — slower,
-    * never wrong, and still free of Catalyst re-planning.
+    * rotated out re-executes that DAG instead of failing — slower, and
+    * still free of Catalyst re-planning. Caveat: re-execution re-reads
+    * the CURRENT source files, so recompute-after-eviction is
+    * snapshot-consistent only for immutable sources; if the inputs
+    * mutated since materialization, a post-eviction consumer sees the
+    * re-read data, not the memoized image ([[checkpointed]]'s "data as
+    * of its materialization" contract holds only while the entry is
+    * live).
     * [[releaseCaches]] drains storage explicitly under the same
     * guarantee.
     */

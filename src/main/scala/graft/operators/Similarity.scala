@@ -765,6 +765,14 @@ object Similarity {
     */
   def nearDupCandidatesMultiProbe(embeddings: DataFrame, planes: Int = 16,
                                   bandBits: Int = 8, flips: Int = 1): DataFrame = {
+    // the bands_hit aggregate below packs band membership into ONE Long
+    // bitmask (shiftleft wraps its shift amount mod 64 — Java semantics —
+    // so band_id >= 64 would silently alias onto low bits and undercount);
+    // QHyperplaneBands bounds the vector DIM, not the band count, so the
+    // single-Long invariant must be enforced here
+    require(planes / bandBits <= 64,
+      s"band count ${planes / bandBits} exceeds the single-Long band " +
+        "bitmask (planes/bandBits must be <= 64)")
     val all = withQuant(embeddings)
     val pr = hyperplaneProbes(all.select(col("vec_id"), col("q")),
       planes, bandBits, flips)

@@ -10,31 +10,52 @@ import org.apache.spark.sql.functions._
   * graft.operators module and carries a DuckDB oracle.
   *
   * The corpus has no exact duplicates, so dedup queries run over an
-  * AUGMENTED corpus — deterministic synthetic copies (doc_id+200000) and
-  * near-copies (doc_id+100000, one appended token) built identically in
-  * both engines — guaranteeing every dedup path has real work to do.
+  * AUGMENTED corpus — deterministic synthetic copies (doc_id + 2·off)
+  * and near-copies (doc_id + off, one appended token) built identically
+  * in both engines, with `off` derived from max(doc_id) so planted ids
+  * never collide with real documents at any corpus size — guaranteeing
+  * every dedup path has real work to do.
   */
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Planted-id base offset: the smallest multiple of 100000 strictly
+    * above max(doc_id), so planted ids (k·off + doc_id, k = 1..5) can
+    * NEVER collide with real documents at any corpus size. A fixed
+    * +100000 collided on any >100k-doc corpus (sf3 = 150k docs: 3,069
+    * collisions, 1.6× pair inflation — KeepProbe r11); at driver SFs
+    * max(doc_id) ≪ 100000 so the derived offset reproduces the historic
+    * constant and every oracle hash is unchanged. One single-row
+    * max-aggregate per sfDir, memoized.
+    */
+  private val plantOffMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def plantOff(s: SparkSession, dir: String): Long =
+    plantOffMemo.computeIfAbsent(dir, _ =>
+      (Tables(s, dir, "documents").agg(max("doc_id")).head.getLong(0)
+        / 100000L + 1L) * 100000L).longValue
+
+  /** SQL form of [[plantOff]] — a scalar subquery DuckDB folds once. */
+  private val offSql = "(SELECT (max(doc_id) // 100000 + 1) * 100000 FROM documents)"
+
   private def docsAug(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select("doc_id", "text")
+    val off = plantOff(s, dir)
     d.unionAll(
         d.filter(col("doc_id") % 17 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + off).as("doc_id"),
             concat(col("text"), lit(" neardup extra")).as("text")))
       .unionAll(
         d.filter(col("doc_id") % 23 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text").as("text")))
+          .select((col("doc_id") + 2 * off).as("doc_id"), col("text").as("text")))
   }
 
   private val augSql =
-    """docs AS (
+    s"""docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, text || ' neardup extra' FROM documents WHERE doc_id % 17 = 0
+      |  SELECT doc_id + $offSql, text || ' neardup extra' FROM documents WHERE doc_id % 17 = 0
       |  UNION ALL
-      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 23 = 0)""".stripMargin
+      |  SELECT doc_id + 2 * $offSql, text FROM documents WHERE doc_id % 23 = 0)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) =>
@@ -360,7 +381,7 @@ object TextQueries {
     "text_repetition" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select("doc_id", "text")
       val aug = d.unionAll(d.filter(col("doc_id") % 19 === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
+        .select((col("doc_id") + 3 * plantOff(s, dir)).as("doc_id"),
           concat(col("text"), lit(" "), col("text")).as("text")))
       TextAnalysis.repetitionScore(aug).orderBy("doc_id")
     }),
@@ -370,12 +391,13 @@ object TextQueries {
     // exact copies (containment 1 both ways)
     "dedup_containment" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val off = plantOff(s, dir)
       val aug = d
         .unionAll(d.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 300000).as("doc_id"),
+          .select((col("doc_id") + 3 * off).as("doc_id"),
             concat_ws(" ", slice(split(col("text"), " ", -1), 1, 12)).as("text")))
         .unionAll(d.filter(col("doc_id") % 23 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 2 * off).as("doc_id"), col("text")))
       Dedup.wordGramContainment(aug, threshold = 0.9).orderBy("doc_a", "doc_b")
     }),
 
@@ -385,13 +407,14 @@ object TextQueries {
     // survive with frac_punct_lines = 1
     "text_boilerplate" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val off = plantOff(s, dir)
       val aug = d
         .unionAll(d.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 400000).as("doc_id"),
+          .select((col("doc_id") + 4 * off).as("doc_id"),
             concat(lit("please enable javascript to continue\n{ \"consent\": true }\nwe use cookies on this site\n"),
               col("text")).as("text")))
         .unionAll(d.filter(col("doc_id") % 31 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"),
+          .select((col("doc_id") + 5 * off).as("doc_id"),
             concat(lit("the quick brown fox jumps over the lazy dog.\n"),
               col("text"), lit(" and that is the end of it.")).as("text")))
       TextAnalysis.boilerplateFilter(aug).orderBy("doc_id")
@@ -403,17 +426,18 @@ object TextQueries {
       TextAnalysis.temperatureResample(Tables(s, dir, "documents"), col("lang"))
         .orderBy("doc_id")),
 
-    // batch = the synthetic augment rows (ids ≥ 100000), corpus = the
+    // batch = the synthetic augment rows (ids ≥ off), corpus = the
     // raw table: the batch is probed against the corpus band index +
     // itself; oracle = the full-corpus pair set restricted to pairs
     // touching the batch
     "dedup_incremental" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val off = plantOff(s, dir)
       val incoming = d.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + off).as("doc_id"),
           concat(col("text"), lit(" neardup extra")).as("text"))
         .unionAll(d.filter(col("doc_id") % 23 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"), col("text").as("text")))
+          .select((col("doc_id") + 2 * off).as("doc_id"), col("text").as("text")))
       Dedup.incrementalNearDups(d, incoming, threshold = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
@@ -484,11 +508,12 @@ object TextQueries {
     // end-to-end (banding AND threshold losses both count as missed)
     "dedup_eval" -> ((s, dir) => {
       val d = Tables(s, dir, "documents").select("doc_id")
+      val off = plantOff(s, dir)
       val planted = d.filter(col("doc_id") % 17 === 0)
-        .select(col("doc_id").as("doc_a"), (col("doc_id") + 100000).as("doc_b"),
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + off).as("doc_b"),
           lit("near").as("kind"))
         .unionAll(d.filter(col("doc_id") % 23 === 0)
-          .select(col("doc_id").as("doc_a"), (col("doc_id") + 200000).as("doc_b"),
+          .select(col("doc_id").as("doc_a"), (col("doc_id") + 2 * off).as("doc_b"),
             lit("exact").as("kind")))
       Dedup.nearDupRecallReport(
           Dedup.wordGramNearDupsPoly(docsAug(s, dir), threshold = 0.5), planted)
@@ -1466,15 +1491,15 @@ object TextQueries {
          |ORDER BY span""".stripMargin,
 
     "text_repetition" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 300000, text || ' ' || text FROM documents
+        |  SELECT doc_id + 3 * $offSql, text || ' ' || text FROM documents
         |  WHERE doc_id % 19 = 0),
         |words AS (
         |  SELECT doc_id, w, i FROM (
-        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w,
-        |           generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS i
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w,
+        |           generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
         |    FROM docs) WHERE w <> ''),
         |g AS (
         |  SELECT doc_id,
@@ -1519,11 +1544,11 @@ object TextQueries {
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 300000,
+         |  SELECT doc_id + 3 * $offSql,
          |    array_to_string((string_split(text, ' '))[1:12], ' ')
          |  FROM documents WHERE doc_id % 11 = 0
          |  UNION ALL
-         |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 23 = 0),
+         |  SELECT doc_id + 2 * $offSql, text FROM documents WHERE doc_id % 23 = 0),
          |${wordGramPolyCandCte(3, 1)},
          |pairs AS (
          |  SELECT i.doc_a, i.doc_b,
@@ -1535,23 +1560,23 @@ object TextQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_boilerplate" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 400000,
+        |  SELECT doc_id + 4 * $offSql,
         |    'please enable javascript to continue' || chr(10) ||
         |    '{ "consent": true }' || chr(10) ||
         |    'we use cookies on this site' || chr(10) || text
         |  FROM documents WHERE doc_id % 13 = 0
         |  UNION ALL
-        |  SELECT doc_id + 500000,
+        |  SELECT doc_id + 5 * $offSql,
         |    'the quick brown fox jumps over the lazy dog.' || chr(10) ||
         |    text || ' and that is the end of it.'
         |  FROM documents WHERE doc_id % 31 = 0),
         |b AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_words,
         |    CAST(len(list_filter(string_split(text, chr(10)),
         |      l -> substr(l, length(l), 1) IN ('.', '!', '?'))) AS BIGINT) AS n_punct_lines,
         |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
@@ -1600,14 +1625,14 @@ object TextQueries {
          |FROM sig ORDER BY doc_id""".stripMargin,
 
     // the full-corpus poly pair set restricted to pairs touching the
-    // incoming batch (ids ≥ 100000) — band index, caps, and verify are
+    // incoming batch (ids ≥ off) — band index, caps, and verify are
     // population-identical between the incremental probe and the full
     // self-join, so the restriction IS the incremental result
     "dedup_incremental" ->
       s"""WITH $augSql,
          |${wordGramPolyPairsCte(0.5)}
          |SELECT doc_a, doc_b, jaccard FROM pairs
-         |WHERE doc_a >= 100000 OR doc_b >= 100000
+         |WHERE doc_a >= $offSql OR doc_b >= $offSql
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // deterministic shuffle: shard = h % 16, pos = rank on (h, id)
@@ -1669,10 +1694,10 @@ object TextQueries {
       s"""WITH $augSql,
          |${wordGramPolyPairsCte(0.5)},
          |planted AS (
-         |  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b, 'near' AS kind
+         |  SELECT doc_id AS doc_a, doc_id + $offSql AS doc_b, 'near' AS kind
          |  FROM documents WHERE doc_id % 17 = 0
          |  UNION ALL
-         |  SELECT doc_id AS doc_a, doc_id + 200000 AS doc_b, 'exact' AS kind
+         |  SELECT doc_id AS doc_a, doc_id + 2 * $offSql AS doc_b, 'exact' AS kind
          |  FROM documents WHERE doc_id % 23 = 0),
          |hits AS (
          |  SELECT p.kind, p.doc_a, p.doc_b,
