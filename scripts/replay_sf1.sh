@@ -13,6 +13,20 @@ SF_DIR=${1:-/tmp/sf1}
 OUT=${2:-/tmp/verify_sf1}
 exec 9>/tmp/graft_replay.lock
 flock 9
+# Sweep stale scenario/temp dirs BEFORE starting: the r11 replay's one
+# in-sweep failure was the DuckDB oracle ENOSPC'ing on temp spill into a
+# /tmp holding 21 GB of dead warehouse dirs from earlier runs. Only
+# known graft-owned prefixes, and only dirs idle >30 min (the lock keeps
+# out concurrent replays, but a bench started by habit without the lock
+# must not lose a live dir under it).
+for p in graft- cdc- rgp- bloomprobe pqprobe servebench verify_ vr12 \
+         bench- duck_tmp keepprobe annprobe; do
+  find /tmp -maxdepth 1 -name "${p}*" -mmin +30 \
+    \( -type d -o -type f \) -exec rm -rf {} + 2>/dev/null || true
+done
+# Spark's own shuffle/block dirs from crashed runs are the other bulk
+find /tmp -maxdepth 1 \( -name 'spark-*' -o -name 'blockmgr-*' \) \
+  -mmin +30 -exec rm -rf {} + 2>/dev/null || true
 # the jdk17AddOpens list from build.sbt (it is built programmatically
 # there, so extract the module names rather than literal flags; empty is
 # fine — Spark 4.1.2 runs on this image's JDK 17 without them, they are

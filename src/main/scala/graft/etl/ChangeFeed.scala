@@ -472,9 +472,6 @@ object ChangeFeed {
     def frontier(): Long = checkpointAppliedThrough(checkpointDir, logDir)
   }
 
-  private val entryPathRe = """"path":"([^"]+)"""".r
-  private val entryBatchRe = """"batchId":(-?\d+)""".r
-
   private[etl] def checkpointAppliedThrough(checkpointDir: String,
                                             logDir: String): Long = {
     val commits = Paths.get(checkpointDir, "commits")
@@ -490,27 +487,22 @@ object ChangeFeed {
     val srcDir = Paths.get(checkpointDir, "sources", "0")
     if (maxCommitted < 0 || !Files.isDirectory(srcDir)) return Long.MinValue
     // every file the source log attributes to a COMMITTED batch, keyed
-    // by its "t<version>/<name>" suffix (the entries store full URIs;
-    // compacted log files restate older entries with their original
-    // batch stamps, so reading every ledger file is safe)
+    // by its "t<version>/<name>" suffix. The ledger is read through
+    // Spark's OWN FileStreamSourceLog (replacing r11's "path"/"batchId"
+    // regexes over the private JSON format): the class that WRITES the
+    // log also parses its version header, compaction layout (a
+    // N.compact file restates every prior entry, allFiles() reads the
+    // newest compact + later deltas), and any future format evolution.
     val seen = scala.collection.mutable.HashSet[String]()
-    val files = Files.list(srcDir)
-    // ledger files only ("0", "1", "9.compact") — the local FS also
-    // plants binary .crc sidecars that are not UTF-8
-    try files.iterator().asScala.filter { f =>
-      Files.isRegularFile(f) &&
-        f.getFileName.toString.matches("""\d+(\.compact)?""")
-    }.foreach { f =>
-      Files.readAllLines(f).asScala.foreach { line =>
-        if (entryBatchRe.findFirstMatchIn(line)
-            .exists(_.group(1).toLong <= maxCommitted))
-          entryPathRe.findFirstMatchIn(line).foreach { m =>
-            val parts = java.net.URLDecoder.decode(m.group(1), "UTF-8")
-              .split('/')
-            if (parts.length >= 2) seen += parts.takeRight(2).mkString("/")
-          }
+    val log = new org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog(
+      org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog.VERSION,
+      org.apache.spark.sql.SparkSession.active, srcDir.toString)
+    log.allFiles().foreach { e =>
+      if (e.batchId <= maxCommitted) {
+        val parts = e.sparkPath.toUri.getPath.split('/')
+        if (parts.length >= 2) seen += parts.takeRight(2).mkString("/")
       }
-    } finally files.close()
+    }
     def dataFiles(v: Long): Seq[String] = {
       val dir = Paths.get(logDir, s"t$v")
       if (!Files.isDirectory(dir)) return Nil

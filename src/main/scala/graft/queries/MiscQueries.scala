@@ -1285,6 +1285,71 @@ object MiscQueries {
       slow.read("cust").orderBy("c_custkey")
     }),
 
+    // RETENTION IN THE CONSUME LOOP (r12): changeFeedReplicaRetained
+    // vacuums the log's dead prefix after every applied micro-batch —
+    // GC is continuous, not an operational ritual. The replay is
+    // multi-commit (v1→v2→v3→back-to-v1) across two drain calls on one
+    // checkpoint, with a LEDGERED PEER registered: drain 1 reclaims the
+    // v2 transition (peer's mark proves it applied), drain 2 reclaims
+    // v3 WHILE draining v4 — the log shrinks under the live stream and
+    // the replica still converges. Output is the replica's final image;
+    // the oracle is the raw customer table (the full-circle v4 image) —
+    // the hash certifies in-loop GC never ate a consumer's future input.
+    "q_stream_retention" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      val c = Tables(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val v2 = cdfV2(c)
+      val v3 = cdfV3(v2)
+      val metaSchema = StructType(Seq(
+        StructField("tbl", StringType), StructField("ver", LongType)))
+      def mkWh(tag: String, withMeta: Boolean) = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory(tag).toString,
+        Map("cust" -> c.schema) ++
+          (if (withMeta) Map("meta" -> metaSchema) else Map.empty),
+        partitionSpec = Map.empty,
+        bucketSpec = Map("cust" -> ("c_custkey", 8)))
+      val src = mkWh("graft-sret-src", withMeta = false)
+      Seq(c, v2, v3).foreach { img =>
+        val t = src.begin(); t.overwrite("cust", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-sret-log").toString
+      ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), logDir)
+      val Seq(_, ver2, ver3) = src.versions()
+      // ledgered peer, caught up through v2 before the stream starts
+      val peerWh = mkWh("graft-sret-peer", withMeta = true)
+      locally { val t = peerWh.begin(); t.overwrite("cust", c); t.commit() }
+      val group = Seq(ChangeFeed.GroupTable("cust", Seq("c_custkey"), logDir))
+      ChangeFeed.replicateGroup(peerWh, group, "meta",
+        throughVersion = Some(ver2))
+      val peer = ChangeFeed.ReplicaFrontier(peerWh, "meta", "cust")
+      // streaming replica, retention wired into its loop
+      val rep = mkWh("graft-sret-rep", withMeta = false)
+      locally { val t = rep.begin(); t.overwrite("cust", c); t.commit() }
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-sret-ckpt").toString
+      val gc1 = StreamingOps.changeFeedReplicaRetained(s, rep, "cust",
+        Seq("c_custkey"), logDir, ckpt, Seq(peer))
+      require(gc1 == Seq(ver2) &&
+          ChangeFeed.loggedVersions(logDir) == Seq(ver3),
+        s"drain 1 must GC exactly the peer-applied v2 prefix, got $gc1")
+      // full circle: restore the original image, catch the peer up from
+      // the GC'd log, then drain again — the in-batch retention pass
+      // reclaims v3 while the stream applies v4
+      locally { val t = src.begin(); t.overwrite("cust", c); t.commit() }
+      ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), logDir)
+      val ver4 = src.versions().last
+      ChangeFeed.replicateGroup(peerWh, group, "meta")
+      val gc2 = StreamingOps.changeFeedReplicaRetained(s, rep, "cust",
+        Seq("c_custkey"), logDir, ckpt, Seq(peer))
+      require(gc2 == Seq(ver3) &&
+          ChangeFeed.loggedVersions(logDir) == Seq(ver4),
+        s"drain 2 must GC v3 while draining v4, got $gc2")
+      rep.read("cust").orderBy("c_custkey")
+    }),
+
     // STREAMING CDC, historized form: the same 3-version source feeds
     // StreamingOps.changeFeedScd2 — per logged version, one
     // bucket-pruned delta-apply (Scd2.applyChangesWarehouse) into a
@@ -1712,6 +1777,13 @@ object MiscQueries {
         |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
         |    AS VARCHAR) AS total_bal
         |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the full-circle v4 image IS the raw customer table — the streamed
+    // replica must land there despite its own drain loop GC'ing the log
+    // underneath it (continuous retention, r12)
+    "q_stream_retention" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // direct recompute of the FINAL (v3) image — the slow replica must
     // land there despite two interleaved ledger-driven vacuums

@@ -929,6 +929,41 @@ object StreamingOps {
     }
   }
 
+  /** [[changeFeedReplica]] with CONTINUOUS log GC: after every applied
+    * micro-batch — and once more when the drain finishes — the log's
+    * dead prefix is vacuumed through [[graft.etl.ChangeFeed.retention]]
+    * using this stream's OWN checkpoint frontier plus any registered
+    * `peers`, making retention part of the consume loop instead of a
+    * separate operational ritual. Safety is inherited, not re-argued:
+    * the in-batch frontier counts only COMMITTED batches, so the
+    * in-flight batch's input files are always above the horizon, and
+    * one slow peer (or this stream's own lag) pins the prefix exactly
+    * as in manual [[graft.etl.ChangeFeed.retention]]. The final pass
+    * after `awaitTermination` reclaims the last batch's prefix (its
+    * commit marker lands only after its foreachBatch returns).
+    * Returns the log versions vacuumed across the drain, ascending.
+    */
+  def changeFeedReplicaRetained(spark: SparkSession, wh: graft.etl.Warehouse,
+                                table: String, keys: Seq[String],
+                                logDir: String, checkpointDir: String,
+                                peers: Seq[graft.etl.ChangeFeed.LogConsumer] = Nil)
+      : Seq[Long] = {
+    import graft.etl.ChangeFeed
+    val logSch = ChangeFeed.logSchema(wh.schemas(table), keys)
+    val self = ChangeFeed.CheckpointFrontier(checkpointDir, logDir)
+    val vacuumed = scala.collection.mutable.ArrayBuffer[Long]()
+    drainLog(spark, logDir, logSch, checkpointDir) { batch =>
+      if (!batch.isEmpty) {
+        val txn = wh.begin()
+        if (ChangeFeed.applyNetBatch(txn, table, keys, batch)) txn.commit()
+        else txn.discard()
+        vacuumed ++= ChangeFeed.retention(logDir, self +: peers)
+      }
+    }
+    vacuumed ++= ChangeFeed.retention(logDir, self +: peers)
+    vacuumed.toSeq
+  }
+
   /** PRODUCTION CDC consumer #4: maintain a stored MinHash
     * [[graft.operators.Dedup.signatureStore]] from a document table's
     * change log — the ingestion path for INCREMENTAL near-dup

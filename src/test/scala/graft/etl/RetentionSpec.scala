@@ -170,6 +170,55 @@ class RetentionSpec extends AnyFunSuite {
       "a catch-up's in-flight write must survive the vacuum")
   }
 
+  test("checkpoint frontier reads THROUGH source-log compaction") {
+    // r12: the frontier is read via Spark's own FileStreamSourceLog;
+    // this pins the case the r11 regex parser was never proven on — a
+    // ledger that has COMPACTED (a N.compact file restating all prior
+    // entries, later deltas stacked on top), and a reader configured
+    // with a DIFFERENT compact interval than the writer (the reader
+    // must derive the writer's interval from the file names).
+    val key = "spark.sql.streaming.fileSource.log.compactInterval"
+    spark.conf.set(key, "3")
+    try {
+      val src = mkWh("ret-csrc")
+      val rep = mkWh("ret-crep")
+      val logDir = Files.createTempDirectory("ret-clog").toString
+      val ckpt = Files.createTempDirectory("ret-cckpt").toString
+      commit(src, img1)
+      commit(rep, img1)
+      // 6 one-transition drains → batches 0..5 → compacts at 2 and 5
+      var last = img1
+      (1 to 6).foreach { i =>
+        last = img((1L, 10L + i), (2L, 20L + i), (6L, 60L + i))
+        commit(src, last)
+        ChangeFeed.materializeLog(src, "t", keys, logDir)
+        StreamingOps.changeFeedReplica(spark, rep, "t", keys, logDir, ckpt)
+      }
+      val vs = src.versions()
+      val ledger = Paths.get(ckpt, "sources", "0")
+      val names = {
+        val s = Files.list(ledger)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+      assert(names.exists(_.endsWith(".compact")),
+        s"fixture must exercise a compacted ledger, got $names")
+      assert(same(rep.read("t"), last))
+      // read back under the DEFAULT interval (10): the writer used 3
+      spark.conf.unset(key)
+      assert(ChangeFeed.CheckpointFrontier(ckpt, logDir).frontier() ==
+        vs.last)
+      // retention through the compacted ledger: everything but the
+      // newest transition is dead (the log holds transitions v2..v7 —
+      // the seed commit v1 has no transition dir)
+      assert(ChangeFeed.retention(logDir,
+        Seq(ChangeFeed.CheckpointFrontier(ckpt, logDir))) == vs.tail.init)
+      assert(ChangeFeed.loggedVersions(logDir) == Seq(vs.last))
+    } finally spark.conf.unset(key)
+  }
+
   test("retention demands a non-empty consumer set") {
     val (_, logDir, _) = sourceAndLog()
     intercept[IllegalArgumentException] {
