@@ -237,6 +237,49 @@ object Dedup {
     smallPairs.unionAll(bigPairs).distinct()
   }
 
+  /** The cap ladder [[autoBucketCap]] picks from: power-of-two rungs up
+    * to the historic 256 default. A fixed ladder (rather than an exact
+    * integer search) keeps the derivation trivially mirrorable in an
+    * oracle and stable under census noise.
+    */
+  val BucketCapLadder: Seq[Int] = Seq(8, 16, 32, 64, 128, 256)
+
+  /** Derive the banding bucket cap from a CANDIDATE BUDGET instead of a
+    * hand constant (r11 finding: on template-dense corpora candidate
+    * volume below the cap is quadratic in bucket occupancy — a 3×
+    * corpus grew candidates 6.4× — and tightening 256→64 cut sf3
+    * wall-clock 5.5×; the dial worked but had to be discovered by
+    * hand). Chooses the LARGEST ladder rung whose worst-case candidate
+    * volume fits `perDocBudget × nDocs`, where a bucket of size b
+    * contributes b·(b-1)/2 pairs below the cap and b-1 anchor pairs
+    * above it — the exact enumeration [[cappedPairs]] performs.
+    *
+    * Cost: one aggregation over the bands frame (same key as the
+    * pairing shuffle) collapsed to a bucket-size histogram; the collect
+    * is one row per DISTINCT bucket size — bounded by the largest
+    * bucket, not the corpus. nDocs comes from the census itself
+    * (Σ bn·k = bandsPerDoc · nDocs), so no extra corpus action.
+    * Monotone: a larger budget can only derive an equal-or-larger cap
+    * (spec-pinned).
+    */
+  def autoBucketCap(bands: DataFrame, bucketCols: Seq[String],
+                    perDocBudget: Int, bandsPerDoc: Int = 8,
+                    ladder: Seq[Int] = BucketCapLadder): Int = {
+    require(perDocBudget > 0 && bandsPerDoc > 0 && ladder.nonEmpty,
+      "autoBucketCap needs a positive budget, band count, and a ladder")
+    val hist = bands.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("bn"))
+      .groupBy("bn").agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = hist.map { case (bn, k) => bn * k }.sum / bandsPerDoc
+    val budget = perDocBudget.toLong * nDocs
+    def vol(c: Int): Long = hist.map { case (bn, k) =>
+      (if (bn <= c) bn * (bn - 1) / 2 else bn - 1) * k
+    }.sum
+    val sorted = ladder.sorted
+    sorted.filter(c => vol(c) <= budget).lastOption.getOrElse(sorted.head)
+  }
+
   /** Exact Jaccard over hashed shingle sets, evaluated only for
     * candidate pairs.
     */
@@ -465,7 +508,8 @@ object Dedup {
     */
   def wordGramContainment(docs: DataFrame, threshold: Double = 0.9, n: Int = 3,
                           maxBucket: Int = 256,
-                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                          textCol: String = "text", idCol: String = "doc_id",
+                          candidateBudgetPerDoc: Option[Int] = None): DataFrame = {
     import graft.functions.QWordGrams
     val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
       .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
@@ -473,10 +517,20 @@ object Dedup {
       .select(col(idCol), QWordGrams.polySigCol(col("t"), n).as("ms"))
       .select(col(idCol) +:
         (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
-    val bands = sig.select(col(idCol),
+    val bands0 = sig.select(col(idCol),
       posexplode(array((0 until 8).map(j => col(s"m$j").cast("string")): _*))
         .as(Seq("band_id", "band")))
-    val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket, idCol).cache()
+    // budgeted cap (r12): derive the bucket cap from the corpus's own
+    // band census instead of the hand constant — a template-dense
+    // corpus (the quadratic-candidate regime) tightens itself. The
+    // bands frame is cached because the census and the pairing both
+    // read it (one signature pass, not two).
+    val bands =
+      if (candidateBudgetPerDoc.isDefined) bands0.cache() else bands0
+    val cap = candidateBudgetPerDoc
+      .map(b => autoBucketCap(bands, Seq("band_id", "band"), b))
+      .getOrElse(maxBucket)
+    val cand = cappedPairs(bands, Seq("band_id", "band"), cap, idCol).cache()
     val docHashes = candDocSets(cand, base,
       QWordGrams.polyHashesCol(col("t"), n), idCol)
     val overlap = col("n_inter").cast("double") /

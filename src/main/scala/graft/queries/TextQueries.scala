@@ -398,7 +398,12 @@ object TextQueries {
             concat_ws(" ", slice(split(col("text"), " ", -1), 1, 12)).as("text")))
         .unionAll(d.filter(col("doc_id") % 23 === 0)
           .select((col("doc_id") + 2 * off).as("doc_id"), col("text")))
-      Dedup.wordGramContainment(aug, threshold = 0.9).orderBy("doc_a", "doc_b")
+      // budgeted cap (r12): the bucket cap is DERIVED from the corpus's
+      // band census (≤64 candidates/doc) instead of the hand constant —
+      // the oracle mirrors the same ladder derivation
+      Dedup.wordGramContainment(aug, threshold = 0.9,
+          candidateBudgetPerDoc = Some(64))
+        .orderBy("doc_a", "doc_b")
     }),
 
     // the corpus is single-line prose, so the boilerplate cases are
@@ -665,30 +670,50 @@ object TextQueries {
        |  FROM grams GROUP BY doc_id)""".stripMargin
   }
 
-  private def wordGramPolyCandCte(n: Int = 3, bandSize: Int = 2) = {
+  private def wordGramPolyCandCte(n: Int = 3, bandSize: Int = 2,
+                                  autoCapPerDoc: Option[Int] = None) = {
     val bandSelects = (0 until 8 / bandSize).map { b =>
       val cat = (b * bandSize until (b + 1) * bandSize)
         .map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band_id, $cat AS band FROM sig"
     }.mkString("\n  UNION ALL\n  ")
+    // the budgeted-cap mirror of Dedup.autoBucketCap: bucket-size
+    // census → worst-case candidate volume per ladder rung → largest
+    // rung within perDoc × nDocs (nDocs = Σ bn·k / bands-per-doc)
+    val capCtes = autoCapPerDoc.map { perDoc =>
+      val bandsPerDoc = 8 / bandSize
+      s"""census AS MATERIALIZED (SELECT bn, count(*) AS k FROM bsize GROUP BY 1),
+         |capv AS MATERIALIZED (
+         |  SELECT coalesce(max(c), 8) AS cap FROM (
+         |    SELECT l.c AS c,
+         |      sum(CASE WHEN n.bn <= l.c THEN n.bn * (n.bn - 1) // 2
+         |               ELSE n.bn - 1 END * n.k) AS v
+         |    FROM (VALUES (8), (16), (32), (64), (128), (256)) l(c), census n
+         |    GROUP BY 1) vols
+         |  WHERE vols.v <= $perDoc * (SELECT sum(bn * k) // $bandsPerDoc
+         |                             FROM census)),
+         |""".stripMargin
+    }.getOrElse("")
+    val capSql =
+      if (autoCapPerDoc.isDefined) "(SELECT cap FROM capv)" else "256"
     s"""${wordGramSigCte(n)},
        |hashes AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM grams),
        |bands AS MATERIALIZED (
        |  $bandSelects),
        |bsize AS MATERIALIZED (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
        |          FROM bands GROUP BY 1, 2),
-       |cand AS (
+       |${capCtes}cand AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |    FROM bands a
        |    JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
        |                AND a.doc_id < b.doc_id
-       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band AND s.bn <= 256
+       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band AND s.bn <= $capSql
        |    UNION ALL
        |    SELECT s.anchor AS doc_a, a.doc_id AS doc_b
        |    FROM bands a
        |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
-       |    WHERE s.bn > 256 AND a.doc_id > s.anchor)),
+       |    WHERE s.bn > $capSql AND a.doc_id > s.anchor)),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
        |  FROM cand c
@@ -1539,7 +1564,8 @@ object TextQueries {
         |ORDER BY smp_key, smp_rank""".stripMargin,
 
     // same poly-gram scaffold as dedup_minhash, bandSize 1, overlap
-    // coefficient (÷ smaller set) instead of Jaccard
+    // coefficient (÷ smaller set) instead of Jaccard; bucket cap
+    // derived from the band census at ≤64 candidates/doc (r12)
     "dedup_containment" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
@@ -1549,7 +1575,7 @@ object TextQueries {
          |  FROM documents WHERE doc_id % 11 = 0
          |  UNION ALL
          |  SELECT doc_id + 2 * $offSql, text FROM documents WHERE doc_id % 23 = 0),
-         |${wordGramPolyCandCte(3, 1)},
+         |${wordGramPolyCandCte(3, 1, autoCapPerDoc = Some(64))},
          |pairs AS (
          |  SELECT i.doc_a, i.doc_b,
          |    CAST(i.n_inter AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE) AS overlap

@@ -137,6 +137,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)), "Jaccard at 0.5 should miss the snippet pair")
   }
 
+  test("autoBucketCap: budget-monotone ladder over a known census") {
+    // synthetic census: one bucket of 40, ten of 4, 100 singletons
+    // (180 band rows; bandsPerDoc=8 -> nDocs = 22)
+    // vol(8)=vol(16)=vol(32)=99 (the 40-bucket anchors: 39; tens: 10*6)
+    // vol(64)=vol(128)=vol(256)=840 (40-bucket enumerates: 780)
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows =
+      (1 to 40).map(i => (0, "A", i.toLong)) ++
+      (for (b <- 1 to 10; i <- 1 to 4) yield (1, s"B$b", (100 * b + i).toLong)) ++
+      (1 to 100).map(i => (2, s"S$i", (10000 + i).toLong))
+    val bands = rows.toDF("band_id", "band", "doc_id")
+    def capAt(perDoc: Int) =
+      Dedup.autoBucketCap(bands, Seq("band_id", "band"), perDoc)
+    // nDocs = 180/8 = 22; budgets 4*22=88 < 99 -> floor rung;
+    // 5*22=110 covers vol 99 but not 840 -> 32; 40*22=880 >= 840 -> 256
+    assert(capAt(4) == 8, "under-budget must land on the floor rung")
+    assert(capAt(5) == 32)
+    assert(capAt(40) == 256)
+    // monotone: larger budget never derives a smaller cap
+    val caps = (1 to 50).map(capAt)
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b },
+      s"cap must be nondecreasing in budget, got $caps")
+  }
+
+  test("budgeted containment matches the fixed-cap result it derives") {
+    val auto = Dedup.wordGramContainment(contDocs, threshold = 0.9,
+        candidateBudgetPerDoc = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fixed = Dedup.wordGramContainment(contDocs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // tiny corpus: every bucket is under every rung, so the budgeted
+    // path must reproduce the fixed-cap output exactly
+    assert(auto == fixed, s"auto=$auto fixed=$fixed")
+  }
+
   // ---- boilerplate ----
 
   test("boilerplate filter drops js/cookie/brace docs, keeps prose") {
