@@ -72,6 +72,33 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** I/O CALIBRATION (round-12): the pure-CPU `calib` cannot see
+    * disk/page-cache drift — round 11 burned a hand A/B proving a 39%
+    * raw regression was I/O-shaped machine drift at near-equal CPU
+    * calib. This probe is fixed I/O work with the same shape every
+    * invocation: scan + hash a PINNED ~190 MB incompressible parquet
+    * (three xxhash64 columns — random bits defeat compression, so
+    * decode bytes are stable). Generated once per machine and reused
+    * (`_SUCCESS`-gated); the per-cycle min lands in the artifact as
+    * `calib_io` next to `calib`, so round-over-round comparisons can
+    * normalize by BOTH axes instead of requiring a same-day A/B.
+    */
+  private val IoCalibPath = "/tmp/graft_io_calib_v1"
+  private def ensureIoCalibFile(spark: SparkSession): Unit =
+    if (!new java.io.File(IoCalibPath, "_SUCCESS").isFile) {
+      spark.range(0L, 8L << 20, 1L, 8)
+        .selectExpr("xxhash64(id) as a", "xxhash64(id, id) as b",
+          "xxhash64(id, id, id) as c")
+        .write.mode("overwrite").parquet(IoCalibPath)
+    }
+  private def calibrateIo(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.read.parquet(IoCalibPath)
+      .selectExpr("sum(xxhash64(a, b, c) % 1000000)")
+      .head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   // explicit ROOT locale: the `f` interpolator uses the JVM default
   // locale, and a comma-decimal locale would emit invalid JSON
   private def jnum(v: Double): String =
@@ -137,6 +164,7 @@ object Bench {
       import org.json4s.jackson.JsonMethods
       val j = JsonMethods.parse(detail)
       val calib = (j \ "calib").values.toString.toDouble
+      val calibIo = (j \ "calib_io").values.toString.toDouble
       val queries = (j \ "queries") match {
         case JObject(fields) => fields.map { case (k, v) =>
           k -> JsonMethods.compact(JsonMethods.render(v))
@@ -150,36 +178,42 @@ object Bench {
             case JInt(i) => i.toDouble
             case other => other.values.toString.toDouble
           }
-        })
+        }, calibIo)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val allQ = famResults.flatMap(_._3)
-    val mins: Map[String, Double] = famResults.flatMap { case (_, _, qs, ms) =>
+    val mins: Map[String, Double] = famResults.flatMap { case (_, _, qs, ms, _) =>
       qs.map(_._1).zip(ms)
     }.toMap
     val total = mins.values.sum
     val calib = famResults.map(_._2).min
-    val famCalib = famResults.map { case (f, c, _, _) => "\"" + f + "\":" + jnum(c) }
+    val calibIo = famResults.map(_._5).min
+    val famCalib = famResults.map { case (f, c, _, _, _) => "\"" + f + "\":" + jnum(c) }
+      .mkString("{", ",", "}")
+    val famCalibIo = famResults.map { case (f, _, _, _, ci) => "\"" + f + "\":" + jnum(ci) }
       .mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","calib":${jnum(calib)},""" +
+      s""""calib_io":${jnum(calibIo)},""" +
       s""""fresh_jvm_per_family":true,"family_calib":$famCalib,""" +
+      s""""family_calib_io":$famCalibIo,""" +
       s""""note":"each family measured in an isolated JVM (r10 lesson: one long same-JVM sweep inflated late queries up to 10x on GC/code-cache pressure)",""" +
       s""""n_queries":${allQ.size},"sf":"$sfDir","queries":{""" +
       allQ.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",") + "}}"
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes("UTF-8"))
-    for ((fam, _, qs, ms) <- famResults) {
+    for ((fam, _, qs, ms, _) <- famResults) {
       val worst = qs.map(_._1).zip(ms).maxBy(_._2)
       println(f"[bench-family] $fam: n=${qs.size} total=${jnum(ms.sum)}s " +
         f"worst=${worst._1}:${jnum(worst._2)}s (fresh JVM)")
     }
     val slowest = mins.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    val famJson = famResults.map { case (f, _, _, ms) => "\"" + f + "\":" + jnum(ms.sum) }
+    val famJson = famResults.map { case (f, _, _, ms, _) => "\"" + f + "\":" + jnum(ms.sum) }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","calib":${jnum(calib)},""" +
+      s""""calib_io":${jnum(calibIo)},""" +
       s""""fresh_jvm_per_family":true,"n_queries":${allQ.size},"queries":$slowest,""" +
       s""""queries_elided":${math.max(0, allQ.size - 12)},"families":$famJson,""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
@@ -228,6 +262,7 @@ object Bench {
 
     // warm-up: session, file listing, codegen paths
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    ensureIoCalibFile(spark)
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // optional args = query-name subset (local iteration; driver passes
@@ -244,8 +279,10 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     var calibSamples = Vector.empty[Double]
+    var calibIoSamples = Vector.empty[Double]
     for (_ <- 1 to runs) {
       calibSamples = calibSamples :+ calibrate(spark, cpus.toInt)
+      calibIoSamples = calibIoSamples :+ calibrateIo(spark)
       for ((name, fn) <- ordered) {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -263,6 +300,7 @@ object Bench {
     val results = ordered.map { case (name, _) => name -> samples(name) }
     val total = results.map(_._2.min).sum
     val calib = calibSamples.min
+    val calibIo = calibIoSamples.min
 
     // full artifact → file (the 2000-char harness tail can't hold a
     // 130-query map; BENCH_DETAIL.json is the complete record)
@@ -272,7 +310,10 @@ object Bench {
     }.mkString(",")
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","calib":${jnum(calib)},""" +
-      s""""calib_runs":[${calibSamples.map(jnum).mkString(",")}],"n_queries":${results.size},""" +
+      s""""calib_runs":[${calibSamples.map(jnum).mkString(",")}],""" +
+      s""""calib_io":${jnum(calibIo)},""" +
+      s""""calib_io_runs":[${calibIoSamples.map(jnum).mkString(",")}],""" +
+      s""""n_queries":${results.size},""" +
       s""""sf":"$sfDir","queries":{$detail}}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, (fullJson + "\n").getBytes("UTF-8"))
@@ -296,6 +337,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","calib":${jnum(calib)},""" +
+      s""""calib_io":${jnum(calibIo)},""" +
       s""""n_queries":${results.size},"queries":$slowest,"queries_elided":${math.max(0, results.size - 12)},""" +
       s""""families":$famJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
   }
