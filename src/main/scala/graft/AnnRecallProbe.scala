@@ -157,6 +157,24 @@ object AnnRecallProbe {
       val scanFrac = nprobe.toDouble / nLists
       f"""{"nprobe":$nprobe,"scan_frac":$scanFrac%.4f,"plain_recall_bp":$plainBp%.0f,"rerank16_recall_bp":$rerankBp%.0f,"plain_secs":$tP%.2f,"rerank_secs":$tR%.2f}"""
     }
+    // code-resolution dial: on a TIGHT-cluster corpus plain ADC recall
+    // is limited by within-cluster code discrimination (the candidate
+    // set is right — the rerank ceiling above proves routing — but m=8
+    // residual codes can't ORDER ~100 near-identical cluster-mates, so
+    // plain top-k ≈ a random k of the cluster). Doubling the subspaces
+    // doubles code resolution at 2× code bytes — the production lever
+    // when plain-ADC ordering matters more than index size.
+    val m2 = m * 2
+    val cwC2 = Similarity.ivfpqLearnedCodebooks(clustered, coPred,
+      prodSeedPred, m2).localCheckpoint()
+    val idxC2 = Similarity.ivfpqIndexLearned(clustered, coPred, cwC2, m2)
+      .localCheckpoint()
+    val clusterCellsM2 = Seq(1, 4).map { nprobe =>
+      val (plainBp, tP) = time(meanBpC(
+        Similarity.ivfpqSearchStoredLearned(idxC2, clustered, qPred, coPred,
+          cwC2, m2, k, nprobe)))
+      f"""{"nprobe":$nprobe,"m":$m2,"plain_recall_bp":$plainBp%.0f,"plain_secs":$tP%.2f}"""
+    }
     println(s"""{"probe":"ann_recall_curve","sf":"$sfDir","n_vectors":$n,"n_lists":$nLists,"m":$m,"k":$k,"overscan":4,"cells":[
 ${cells.mkString(",\n")}],
 "overscan_cells_nprobe8":[
@@ -168,7 +186,9 @@ ${prodOsCells.mkString(",\n")}],
 "planted_twin_cells":[
 ${twinCells.mkString(",\n")}],
 "clustered_corpus_cells":{"n_centers":$nCenters,"dim":$dim,"cells":[
-${clusterCells.mkString(",\n")}]}}}""")
+${clusterCells.mkString(",\n")}],
+"m16_cells":[
+${clusterCellsM2.mkString(",\n")}]}}}""")
     spark.stop()
   }
 }
