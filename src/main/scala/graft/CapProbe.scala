@@ -49,6 +49,10 @@ object CapProbe {
       val (pairs, secs) = time(mk(aug).count())
       f"""{"cell":"$tag","n_docs":$nDocs,"pairs":$pairs,"secs":$secs%.2f}"""
     }
+    // untimed warm-up at the tight dial: the first containment run in a
+    // JVM pays JIT/codegen for the whole pipeline — without this the
+    // first CELL carries it and the A/B reads as a cap effect
+    run("warmup")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 64))
     val cells = Seq(
       run("budget64perdoc")(a => Dedup.wordGramContainment(a, 0.9,
         candidateBudgetPerDoc = Some(64))),
