@@ -280,6 +280,21 @@ object Dedup {
     sorted.filter(c => vol(c) <= budget).lastOption.getOrElse(sorted.head)
   }
 
+  /** Resolve a banded pipeline's effective bucket cap: the caller's
+    * fixed `maxBucket`, or the [[autoBucketCap]]-derived rung when
+    * `budgetPerDoc` is set — in which case the bands frame is cached,
+    * because the census and the pairing both read it (one signature
+    * pass, not two). Shared by every banded near-dup pipeline.
+    */
+  private def resolveCap(bands: DataFrame, maxBucket: Int,
+                         budgetPerDoc: Option[Int], bandsPerDoc: Int)
+      : (DataFrame, Int) = budgetPerDoc match {
+    case Some(b) =>
+      val cached = bands.cache()
+      (cached, autoBucketCap(cached, Seq("band_id", "band"), b, bandsPerDoc))
+    case None => (bands, maxBucket)
+  }
+
   /** Exact Jaccard over hashed shingle sets, evaluated only for
     * candidate pairs.
     */
@@ -351,7 +366,8 @@ object Dedup {
     */
   def charGramNearDups(docs: DataFrame, threshold: Double, n: Int = 5,
                        bandSize: Int = 4, maxBucket: Int = 256,
-                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                       textCol: String = "text", idCol: String = "doc_id",
+                       candidateBudgetPerDoc: Option[Int] = None): DataFrame = {
     import graft.functions.QCharGrams
     require(8 % bandSize == 0, "bandSize must divide 8")
     val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
@@ -360,9 +376,11 @@ object Dedup {
       .select(col(idCol), QCharGrams.minhashCol(col("t"), n).as("mh"))
       .select(col(idCol) +:
         (0 until 8).map(j => element_at(col("mh"), j + 1).as(s"m$j")): _*)
-    val bands = sig.select(col(idCol),
-      posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band")))
-    val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket).cache()
+    val (bands, cap) = resolveCap(
+      sig.select(col(idCol),
+        posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band"))),
+      maxBucket, candidateBudgetPerDoc, 8 / bandSize)
+    val cand = cappedPairs(bands, Seq("band_id", "band"), cap).cache()
     // per-CANDIDATE-doc sorted gram sets, kept as arrays: the verify is
     // then one scalar merge-intersect per pair (QSortedIntersectCount) —
     // no explode, no (id, hash) shuffle join, no per-pair aggregate.
@@ -433,7 +451,8 @@ object Dedup {
     */
   def wordGramNearDups(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
                        bandSize: Int = 2, maxBucket: Int = 256,
-                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                       textCol: String = "text", idCol: String = "doc_id",
+                       candidateBudgetPerDoc: Option[Int] = None): DataFrame = {
     import graft.functions.QWordGrams
     val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
       .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
@@ -441,8 +460,9 @@ object Dedup {
       .select(col(idCol), QWordGrams.sigCol(col("t"), n).as("ms"))
       .select(col(idCol) +:
         (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
-    val bands = signatureBands(sig, bandSize, idCol)
-    val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket, idCol).cache()
+    val (bands, cap) = resolveCap(signatureBands(sig, bandSize, idCol),
+      maxBucket, candidateBudgetPerDoc, 8 / bandSize)
+    val cand = cappedPairs(bands, Seq("band_id", "band"), cap, idCol).cache()
     val docHashes = candDocSets(cand, base,
       QWordGrams.hashesCol(col("t"), n), idCol)
     arrayJaccardVerify(cand, docHashes, threshold)
@@ -464,7 +484,8 @@ object Dedup {
     */
   def wordGramNearDupsPoly(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
                            bandSize: Int = 2, maxBucket: Int = 256,
-                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                           textCol: String = "text", idCol: String = "doc_id",
+                           candidateBudgetPerDoc: Option[Int] = None): DataFrame = {
     import graft.functions.QWordGrams
     require(8 % bandSize == 0, "bandSize must divide 8")
     val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
@@ -473,9 +494,11 @@ object Dedup {
       .select(col(idCol), QWordGrams.polySigCol(col("t"), n).as("ms"))
       .select(col(idCol) +:
         (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
-    val bands = sig.select(col(idCol),
-      posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band")))
-    val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket, idCol).cache()
+    val (bands, cap) = resolveCap(
+      sig.select(col(idCol),
+        posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band"))),
+      maxBucket, candidateBudgetPerDoc, 8 / bandSize)
+    val cand = cappedPairs(bands, Seq("band_id", "band"), cap, idCol).cache()
     val docHashes = candDocSets(cand, base,
       QWordGrams.polyHashesCol(col("t"), n), idCol)
     arrayJaccardVerify(cand, docHashes, threshold)
@@ -517,19 +540,14 @@ object Dedup {
       .select(col(idCol), QWordGrams.polySigCol(col("t"), n).as("ms"))
       .select(col(idCol) +:
         (0 until 8).map(j => element_at(col("ms"), j + 1).as(s"m$j")): _*)
-    val bands0 = sig.select(col(idCol),
-      posexplode(array((0 until 8).map(j => col(s"m$j").cast("string")): _*))
-        .as(Seq("band_id", "band")))
     // budgeted cap (r12): derive the bucket cap from the corpus's own
     // band census instead of the hand constant — a template-dense
-    // corpus (the quadratic-candidate regime) tightens itself. The
-    // bands frame is cached because the census and the pairing both
-    // read it (one signature pass, not two).
-    val bands =
-      if (candidateBudgetPerDoc.isDefined) bands0.cache() else bands0
-    val cap = candidateBudgetPerDoc
-      .map(b => autoBucketCap(bands, Seq("band_id", "band"), b))
-      .getOrElse(maxBucket)
+    // corpus (the quadratic-candidate regime) tightens itself
+    val (bands, cap) = resolveCap(
+      sig.select(col(idCol),
+        posexplode(array((0 until 8).map(j => col(s"m$j").cast("string")): _*))
+          .as(Seq("band_id", "band"))),
+      maxBucket, candidateBudgetPerDoc, 8)
     val cand = cappedPairs(bands, Seq("band_id", "band"), cap, idCol).cache()
     val docHashes = candDocSets(cand, base,
       QWordGrams.polyHashesCol(col("t"), n), idCol)

@@ -172,6 +172,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(auto == fixed, s"auto=$auto fixed=$fixed")
   }
 
+  test("budgeted cap is family-wide: word/poly/char pipelines unchanged under-cap") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.wordGramNearDups(contDocs, 0.3,
+        candidateBudgetPerDoc = Some(64))) ==
+      pairs(Dedup.wordGramNearDups(contDocs, 0.3)))
+    assert(pairs(Dedup.wordGramNearDupsPoly(contDocs, 0.3,
+        candidateBudgetPerDoc = Some(64))) ==
+      pairs(Dedup.wordGramNearDupsPoly(contDocs, 0.3)))
+    assert(pairs(Dedup.charGramNearDups(contDocs, 0.5,
+        candidateBudgetPerDoc = Some(64))) ==
+      pairs(Dedup.charGramNearDups(contDocs, 0.5)))
+  }
+
   // ---- boilerplate ----
 
   test("boilerplate filter drops js/cookie/brace docs, keeps prose") {
