@@ -143,4 +143,81 @@ object EventAnalytics {
           .as("twa"),
         col("wtot").as("observed_micros"))
   }
+
+  /** MULTI-TOUCH ATTRIBUTION: credit each conversion's value to the
+    * touch events (views, clicks, …) that preceded it within a lookback
+    * window, under the three standard models at once — first-touch,
+    * last-touch, and linear — reported per touch type.
+    *
+    * Each event finds its NEXT conversion with one reverse running-min
+    * window over the user's timeline (no event×conversion self-join on
+    * the touch side): ordered by (ts, id) DESC with an explicit ROWS
+    * frame, the running min of conversion timestamps at the current row
+    * is exactly "the earliest conversion at-or-after me" — determinism
+    * under timestamp ties comes from the id in the sort, and the ROWS
+    * frame keeps both engines' tie semantics identical (RANGE would
+    * include same-ts peers asymmetrically). Touches outside
+    * `windowDays` of their conversion drop; per conversion group
+    * (user, conv_ts) one more window pass ranks touches from both ends
+    * and counts them — same user partitioning, no extra shuffle.
+    *
+    * Money stays integral: conversion value becomes CENTS
+    * (floor(v·100+0.5), one double product both engines round
+    * identically), the linear model splits by INTEGER division (each
+    * touch gets cents div n; the sub-cent remainder is dropped rather
+    * than float-smeared), first/last assign the full cents to the
+    * boundary touch. Concurrent same-timestamp conversions collapse to
+    * the min-id one per (user, ts) so the credited value is unique.
+    *
+    * Scale shape: the windows cost ONE event-log exchange on the user
+    * key; joining the per-touch frame to conversion values is a
+    * key-shuffle of conversion-sized rows on (user, conv_ts); the final
+    * aggregate is touch-type-sized. Nothing is driver-side, nothing is
+    * quadratic in the log.
+    */
+  def attribution(events: DataFrame, touchTypes: Seq[String],
+                  convType: String, userCol: String = "user_id",
+                  tsCol: String = "ts", idCol: String = "event_id",
+                  typeCol: String = "event_type",
+                  valueCol: String = "value",
+                  windowDays: Int = 7): DataFrame = {
+    // integral microseconds throughout (the q_twap/q_asof idiom): the
+    // source column may carry sub-microsecond precision in other
+    // engines, and ordering/compares must not depend on it
+    val winMicros = windowDays.toLong * 86400L * 1000000L
+    val base = events.withColumn("tus", unix_micros(col(tsCol)))
+    val wNext = Window.partitionBy(col(userCol))
+      .orderBy(col("tus").desc, col(idCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touches = base
+      .withColumn("conv_tus",
+        min(when(col(typeCol) === convType, col("tus"))).over(wNext))
+      .filter(col(typeCol).isin(touchTypes: _*) &&
+        col("conv_tus").isNotNull &&
+        col("conv_tus") <= col("tus") + lit(winMicros))
+    val wConv = Window.partitionBy(col(userCol), col("conv_tus"))
+    val ranked = touches
+      .withColumn("n_t", count(lit(1)).over(wConv))
+      .withColumn("rn_a", row_number().over(
+        wConv.orderBy(col("tus").asc, col(idCol).asc)))
+      .withColumn("rn_d", row_number().over(
+        wConv.orderBy(col("tus").desc, col(idCol).desc)))
+      .select(col(userCol), col("conv_tus"), col(typeCol).as("touch_type"),
+        col("n_t"), col("rn_a"), col("rn_d"))
+    val convs = base.filter(col(typeCol) === convType)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(userCol), col("tus")).orderBy(col(idCol))))
+      .filter(col("rn") === 1)
+      .select(col(userCol), col("tus").as("conv_tus"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("bigint")
+          .as("cents"))
+    ranked.join(convs, Seq(userCol, "conv_tus"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rn_a") === 1, col("cents")).otherwise(0L))
+          .as("first_cents"),
+        sum(when(col("rn_d") === 1, col("cents")).otherwise(0L))
+          .as("last_cents"),
+        sum(expr("cents div n_t")).as("linear_cents"))
+  }
 }

@@ -186,6 +186,14 @@ object MiscQueries {
           tieBreakCols = Seq("event_id"))
         .orderBy("user_id")),
 
+    // Multi-touch attribution: purchase value credited to the
+    // preceding view/click/signup touches within 7 days under
+    // first-touch / last-touch / linear, in exact integer cents
+    "q_attribution" -> ((s, dir) =>
+      graft.operators.EventAnalytics.attribution(Tables(s, dir, "events"),
+          Seq("click", "signup", "view"), "purchase")
+        .orderBy("touch_type")),
+
     // Semi-structured: JSON field extraction from the props column
     "q_json_extract" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -2622,6 +2630,48 @@ object MiscQueries {
         |    / CAST(sum(dur) AS DOUBLE), 6) AS twa,
         |  CAST(sum(dur) AS BIGINT) AS observed_micros
         |FROM d WHERE dur IS NOT NULL AND dur > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // next-conversion via reverse running-min over (ts, id) DESC with an
+    // explicit ROWS frame (tie semantics identical to Spark's); linear
+    // credit by integer division, same-ts conversions collapse to min id
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus, event_type,
+        |    value
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, event_id, tus, event_type,
+        |    min(CASE WHEN event_type = 'purchase' THEN tus END)
+        |      OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_tus
+        |  FROM e),
+        |touches AS (
+        |  SELECT user_id, conv_tus, event_type,
+        |    count(*) OVER (PARTITION BY user_id, conv_tus) AS n_t,
+        |    row_number() OVER (PARTITION BY user_id, conv_tus
+        |      ORDER BY tus, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, conv_tus
+        |      ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM tagged
+        |  WHERE event_type IN ('click', 'signup', 'view')
+        |    AND conv_tus IS NOT NULL
+        |    AND conv_tus <= tus + 604800000000),
+        |convs AS (
+        |  SELECT user_id, tus AS conv_tus,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM (SELECT user_id, tus, value,
+        |          row_number() OVER (PARTITION BY user_id, tus
+        |            ORDER BY event_id) AS rn
+        |        FROM e WHERE event_type = 'purchase')
+        |  WHERE rn = 1)
+        |SELECT t.event_type AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE WHEN rn_a = 1 THEN cents ELSE 0 END) AS BIGINT) AS first_cents,
+        |  CAST(sum(CASE WHEN rn_d = 1 THEN cents ELSE 0 END) AS BIGINT) AS last_cents,
+        |  CAST(sum(cents // n_t) AS BIGINT) AS linear_cents
+        |FROM touches t
+        |JOIN convs c ON c.user_id = t.user_id AND c.conv_tus = t.conv_tus
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup" ->

@@ -28,6 +28,54 @@ object SimilarityQueries {
       |  UNION ALL
       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 29 = 0)""".stripMargin
 
+  /** Deterministic CLUSTERED corpus derived from the embeddings table:
+    * N/12 centers (rows 0..N/12-1), member i = center(i % (N/12)) +
+    * own/16 — all DOUBLE arithmetic in the same operation order as the
+    * oracle's `clustered` CTE (one exact-by-exponent-shift division,
+    * one rounded addition), so quantization agrees bit for bit.
+    * Intra-cluster spacing is ~||a-b||/16 of a raw pair vs ~the full
+    * inter-center distance: tight, well-separated clusters — the
+    * corpus shape SCALING_r12 §1 argues real embedding data has, here
+    * made driver-gateable. The cluster COUNT scales with the corpus
+    * (~12 members each at any SF — corpora grow in topics, not only in
+    * dups per topic), which keeps the true top-5 inside the rerank
+    * overscan at every scale; fixed-count clusters would grow past the
+    * candidate budget and re-enter §1's code-saturation regime.
+    */
+  private val nClustersMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def nClusters(s: SparkSession, dir: String): Long =
+    nClustersMemo.computeIfAbsent(dir, _ =>
+      math.max(Tables(s, dir, "embeddings").count() / 12L, 1L)).longValue
+
+  private def clusteredEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val nc = nClusters(s, dir)
+    val centers = e.filter(col("vec_id") < nc)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    e.withColumn("c_id", col("vec_id") % nc)
+      .join(broadcast(centers), Seq("c_id"))
+      .select(col("vec_id"),
+        zip_with(col("c_emb"), col("embedding"),
+          (c, o) => c.cast("double") + o.cast("double") / lit(16.0))
+          .as("embedding"))
+  }
+
+  /** SQL form of [[nClusters]] — a scalar subquery DuckDB folds once. */
+  private val ncSql = "(SELECT greatest(count(*) // 12, 1) FROM embeddings)"
+
+  private val clusteredSql =
+    s"""eflat AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |clustered AS (
+      |  SELECT e.vec_id,
+      |    list(CAST(c.x AS DOUBLE) + CAST(e.x AS DOUBLE) / 16.0 ORDER BY e.i)
+      |      AS embedding
+      |  FROM eflat e JOIN eflat c ON c.vec_id = e.vec_id % $ncSql AND c.i = e.i
+      |  GROUP BY e.vec_id)""".stripMargin
+
   /** Quantized oracle scaffold: `qv` keeps each vector as a BIGINT list
     * (dot products via `list_dot_product` — the per-dimension-join
     * formulation materialized |A|·|B|·dims rows and spilled DuckDB over
@@ -117,6 +165,22 @@ object SimilarityQueries {
           col("vec_id") % 78 === 5,
           m = 8, k = 5, nprobe = 2, overscan = 4)
         .orderBy("query_id", "rnk")),
+
+    // recall@5 of the PRODUCTION chain (learned codebooks + rerank) on
+    // a CLUSTERED corpus — the driver-gated form of SCALING_r12 §1's
+    // probe claim: routing keeps tight clusters together and the exact
+    // re-rank orders the cluster-mates, so recall is high at a partial
+    // scan. Corpus, chain, ground truth, and the recall join are all
+    // mirrored exactly in the oracle (basis points, integer div).
+    "ann_recall_clustered" -> ((s, dir) => {
+      val emb = clusteredEmb(s, dir)
+      Similarity.annRecallReport(
+          Similarity.ivfpqTopKLearnedReranked(emb,
+            col("vec_id") % 50 === 7, col("vec_id") % 125 === 11,
+            col("vec_id") % 78 === 5, m = 8, k = 5, nprobe = 2, overscan = 4),
+          Similarity.bruteForceTopKL2(emb, col("vec_id") % 50 === 7, k = 5))
+        .orderBy("query_id")
+    }),
 
     // measured recall@5 of plain IVF-PQ vs the exact integer-L2² ground
     // truth — the quality number the "recall < 1 by construction"
@@ -420,68 +484,38 @@ object SimilarityQueries {
     "ann_ivfpq_prod" ->
       s"""WITH ${flatSql("embeddings")},
          |$ivfpqResidualCte,
-         |cw0 AS (SELECT vec_id AS cw_id, i, rq FROM res WHERE vec_id % 78 = 5),
-         |sd0 AS (
-         |  SELECT e.vec_id, w.cw_id, (e.i - 1) // 8 AS s,
-         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
-         |  FROM res e JOIN cw0 w ON w.i = e.i
-         |  GROUP BY 1, 2, 3),
-         |asg0 AS (
-         |  SELECT vec_id, s, cw_id FROM (
-         |    SELECT vec_id, s, cw_id,
-         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
-         |    FROM sd0) WHERE r = 1),
-         |cw1 AS (
-         |  SELECT a.cw_id, e.i,
-         |    CAST(floor(CAST(sum(e.rq) AS DOUBLE) / count(*)) AS BIGINT) AS rq
-         |  FROM asg0 a JOIN res e
-         |    ON e.vec_id = a.vec_id AND (e.i - 1) // 8 = a.s
-         |  GROUP BY 1, 2),
-         |sd1 AS (
-         |  SELECT e.vec_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
-         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
-         |  FROM res e JOIN cw1 w ON w.i = e.i
-         |  GROUP BY 1, 2, 3, 4),
-         |codes AS (
-         |  SELECT vec_id, co_id, s, cw_id AS code FROM (
-         |    SELECT vec_id, co_id, s, cw_id,
-         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
-         |    FROM sd1) WHERE r = 1),
-         |probes AS (SELECT vec_id AS query_id, co_id FROM ar
-         |           WHERE vec_id % 250 = 7 AND r <= 2),
-         |qres AS (
-         |  SELECT p.query_id, p.co_id, f.i, f.q - c.q AS rq
-         |  FROM probes p JOIN flat f ON f.vec_id = p.query_id
-         |                JOIN co c ON c.co_id = p.co_id AND c.i = f.i),
-         |dt AS (
-         |  SELECT e.query_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
-         |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
-         |  FROM qres e JOIN cw1 w ON w.i = e.i
-         |  GROUP BY 1, 2, 3, 4),
-         |approx AS (
-         |  SELECT t.query_id, c.vec_id AS hit_id, CAST(sum(t.d) AS BIGINT) AS adist
-         |  FROM codes c JOIN dt t
-         |    ON t.co_id = c.co_id AND t.s = c.s AND t.cw_id = c.code
-         |  WHERE c.vec_id <> t.query_id
-         |  GROUP BY 1, 2),
-         |cand AS (
+         |${ivfpqLearnedFoundCte("vec_id % 250 = 7")}
+         |SELECT query_id, hit_id, dist, rnk FROM found
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // clustered-corpus recall of the production chain: the SAME learned
+    // chain over the `clustered` CTE (center + own/16, double-exact),
+    // exact ground truth over the same corpus, recall in basis points
+    "ann_recall_clustered" ->
+      s"""WITH $clusteredSql,
+         |${flatSql("clustered")},
+         |$ivfpqResidualCte,
+         |${ivfpqLearnedFoundCte("vec_id % 50 = 7")},
+         |exd AS (
+         |  SELECT qf.vec_id AS query_id, a.vec_id AS hit_id,
+         |    CAST(nq.nrm + na.nrm - 2 * list_dot_product(qf.qv, a.qv) AS BIGINT) AS dist
+         |  FROM qv qf JOIN qv a ON a.vec_id <> qf.vec_id
+         |  JOIN norms nq ON nq.vec_id = qf.vec_id
+         |  JOIN norms na ON na.vec_id = a.vec_id
+         |  WHERE qf.vec_id % 50 = 7),
+         |exact AS (
          |  SELECT query_id, hit_id FROM (
          |    SELECT query_id, hit_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS r
-         |    FROM approx) WHERE r <= 20),
-         |rr AS (
-         |  SELECT c.query_id, c.hit_id,
-         |    CAST(nq.nrm + nh.nrm - 2 * list_dot_product(fq.qv, fh.qv) AS BIGINT) AS dist
-         |  FROM cand c
-         |  JOIN qv fq ON fq.vec_id = c.query_id
-         |  JOIN qv fh ON fh.vec_id = c.hit_id
-         |  JOIN norms nq ON nq.vec_id = c.query_id
-         |  JOIN norms nh ON nh.vec_id = c.hit_id)
-         |SELECT query_id, hit_id, dist, rnk FROM (
-         |  SELECT query_id, hit_id, dist,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS rnk
-         |  FROM rr) WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS r
+         |    FROM exd) WHERE r <= 5)
+         |SELECT e.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN f.hit_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  (10000 * CAST(sum(CASE WHEN f.hit_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+         |    // CAST(count(*) AS BIGINT) AS recall_bp
+         |FROM exact e LEFT JOIN (SELECT DISTINCT query_id, hit_id FROM found) f
+         |  ON f.query_id = e.query_id AND f.hit_id = e.hit_id
+         |GROUP BY 1 ORDER BY e.query_id""".stripMargin,
 
     // measured recall@5 of plain IVF-PQ against the exact integer-L2²
     // ground truth, per query, in exact basis points
@@ -820,6 +854,79 @@ object SimilarityQueries {
     * rq)`. Factored so the fixture-codebook chain and the learned-
     * codebook (ann_ivfpq_prod) chain cannot drift on routing.
     */
+  /** The learned-codebook production chain (ann_ivfpq_prod's body),
+    * parameterized over the query predicate so the plain-corpus gate
+    * and the clustered-corpus recall gate share one text: seed
+    * residuals % 78 = 5 refined by one exact floor-mean Lloyd step,
+    * residual PQ encode, nprobe-2 probing, overscan-20 ADC scan, exact
+    * integer-L2² re-rank. Expects `flat`/`qv`/`norms` (from
+    * [[flatSql]]) and `res`/`ar`/`co` (from [[ivfpqResidualCte]]) in
+    * scope; ends in `found(query_id, hit_id, dist, rnk)`, rnk ≤ 5.
+    */
+  private def ivfpqLearnedFoundCte(queryFilter: String): String =
+    s"""cw0 AS (SELECT vec_id AS cw_id, i, rq FROM res WHERE vec_id % 78 = 5),
+       |sd0 AS (
+       |  SELECT e.vec_id, w.cw_id, (e.i - 1) // 8 AS s,
+       |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+       |  FROM res e JOIN cw0 w ON w.i = e.i
+       |  GROUP BY 1, 2, 3),
+       |asg0 AS (
+       |  SELECT vec_id, s, cw_id FROM (
+       |    SELECT vec_id, s, cw_id,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+       |    FROM sd0) WHERE r = 1),
+       |cw1 AS (
+       |  SELECT a.cw_id, e.i,
+       |    CAST(floor(CAST(sum(e.rq) AS DOUBLE) / count(*)) AS BIGINT) AS rq
+       |  FROM asg0 a JOIN res e
+       |    ON e.vec_id = a.vec_id AND (e.i - 1) // 8 = a.s
+       |  GROUP BY 1, 2),
+       |sd1 AS (
+       |  SELECT e.vec_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+       |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+       |  FROM res e JOIN cw1 w ON w.i = e.i
+       |  GROUP BY 1, 2, 3, 4),
+       |codes AS (
+       |  SELECT vec_id, co_id, s, cw_id AS code FROM (
+       |    SELECT vec_id, co_id, s, cw_id,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+       |    FROM sd1) WHERE r = 1),
+       |probes AS (SELECT vec_id AS query_id, co_id FROM ar
+       |           WHERE $queryFilter AND r <= 2),
+       |qres AS (
+       |  SELECT p.query_id, p.co_id, f.i, f.q - c.q AS rq
+       |  FROM probes p JOIN flat f ON f.vec_id = p.query_id
+       |                JOIN co c ON c.co_id = p.co_id AND c.i = f.i),
+       |dt AS (
+       |  SELECT e.query_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+       |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+       |  FROM qres e JOIN cw1 w ON w.i = e.i
+       |  GROUP BY 1, 2, 3, 4),
+       |approx AS (
+       |  SELECT t.query_id, c.vec_id AS hit_id, CAST(sum(t.d) AS BIGINT) AS adist
+       |  FROM codes c JOIN dt t
+       |    ON t.co_id = c.co_id AND t.s = c.s AND t.cw_id = c.code
+       |  WHERE c.vec_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, hit_id FROM (
+       |    SELECT query_id, hit_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS r
+       |    FROM approx) WHERE r <= 20),
+       |rr AS (
+       |  SELECT c.query_id, c.hit_id,
+       |    CAST(nq.nrm + nh.nrm - 2 * list_dot_product(fq.qv, fh.qv) AS BIGINT) AS dist
+       |  FROM cand c
+       |  JOIN qv fq ON fq.vec_id = c.query_id
+       |  JOIN qv fh ON fh.vec_id = c.hit_id
+       |  JOIN norms nq ON nq.vec_id = c.query_id
+       |  JOIN norms nh ON nh.vec_id = c.hit_id),
+       |found AS (
+       |  SELECT query_id, hit_id, dist, rnk FROM (
+       |    SELECT query_id, hit_id, dist,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS rnk
+       |    FROM rr) WHERE rnk <= 5)""".stripMargin
+
   private def ivfpqResidualCte: String =
     """co AS (SELECT vec_id AS co_id, i, q FROM flat WHERE vec_id % 125 = 11),
       |ad AS (

@@ -41,6 +41,7 @@ class SuiteAuditSpec extends AnyFunSuite {
     "ann_ivfpq_rerank", // same chain + broadcast candidate re-rank joins
     "ann_ivfpq_prod", // learned-codebook chain: same codebook broadcasts
     "ann_recall", // same chain + broadcast-queries exact ground truth
+    "ann_recall_clustered", // same: broadcast-queries exact ground truth
     "dedup_semantic", // IVF: every vector × broadcast coarse codebook
     "dedup_semantic2", // two-level routing: coarse-codebook broadcasts
     "q_tpch_q11", // scalar total-value threshold (single-row broadcast)

@@ -84,6 +84,36 @@ class AnnRerankSpec extends AnyFunSuite {
     emb.unpersist(); exact.unpersist()
   }
 
+  test("clustered corpus: production chain recall@5 stays high at partial scan") {
+    // the ann_recall_clustered corpus shape: N/12 tight clusters
+    // (center + own/16), production knobs — routing keeps clusters
+    // together and the exact re-rank orders the cluster-mates, so
+    // recall must be high even though only nprobe of the coarse lists
+    // are scanned (the driver hash gate pins the exact per-query
+    // values; this pins the QUALITY floor the gate encodes)
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val nc = math.max(e.count() / 12L, 1L)
+    val centers = e.filter(col("vec_id") < nc)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val clustered = e.withColumn("c_id", col("vec_id") % nc)
+      .join(broadcast(centers), Seq("c_id"))
+      .select(col("vec_id"),
+        zip_with(col("c_emb"), col("embedding"),
+          (c, o) => c.cast("double") + o.cast("double") / lit(16.0))
+          .as("embedding")).cache()
+    val qPred = col("vec_id") % 50 === 7
+    val bp = meanRecallBp(
+      Similarity.ivfpqTopKLearnedReranked(clustered, qPred,
+        col("vec_id") % 125 === 11, col("vec_id") % 78 === 5,
+        m = 8, k = 5, nprobe = 2, overscan = 4),
+      Similarity.bruteForceTopKL2(clustered, qPred, k = 5))
+    info(f"clustered mean rerank recall@5: $bp%.0f bp")
+    assert(bp >= 9000.0,
+      f"clustered-corpus recall collapsed: $bp%.0f bp < 9000 bp")
+    clustered.unpersist()
+  }
+
   test("recall report arithmetic: basis points, exact div, missing hits count zero") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
       .toDF("query_id", "hit_id")

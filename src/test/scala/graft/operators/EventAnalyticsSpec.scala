@@ -69,4 +69,47 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.head.getDouble(1) == 1.0)
     assert(r.head.getLong(2) == 10000000L)
   }
+
+  test("attribution: first/last/linear credit, window cutoff, tie semantics") {
+    def evA(rows: (Long, Long, Long, String, Double)*) =
+      rows.toSeq.toDF("event_id", "us", "user_id", "event_type", "value")
+        .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+          "event_type", "value")
+    val day = 86400L * 1000000L
+    val events = evA(
+      // u1: three touches then a 1.00 purchase — linear 100 div 3 = 33 each
+      (1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "click", 0.0),
+      (3L, 3000L, 1L, "signup", 0.0), (4L, 4000L, 1L, "purchase", 1.0),
+      // u2: view 8 days before the purchase (outside the 7-day window),
+      // click AFTER it (no next conversion) — neither attributes
+      (5L, 0L, 2L, "view", 0.0), (6L, 8L * day, 2L, "purchase", 1.0),
+      (7L, 8L * day + 1L, 2L, "click", 0.0),
+      // u3: click at the SAME micro as the purchase, smaller id — the
+      // ROWS frame over (ts, id) DESC sees the purchase -> attributed
+      (10L, 5000L, 3L, "click", 0.0), (11L, 5000L, 3L, "purchase", 2.0),
+      // u4: click at the same micro but LARGER id than the purchase —
+      // the frame does not reach it -> dropped
+      (20L, 6000L, 4L, "purchase", 3.0), (21L, 6000L, 4L, "click", 0.0),
+      // u5: two same-micro purchases collapse to the min-id one (4.00)
+      (29L, 6500L, 5L, "view", 0.0),
+      (30L, 7000L, 5L, "purchase", 4.0), (31L, 7000L, 5L, "purchase", 5.0),
+      // u6: the view credits its NEAREST next purchase (1.00), not the 9.00
+      (40L, 1000L, 6L, "view", 0.0), (41L, 2000L, 6L, "purchase", 1.0),
+      (42L, 9000L, 6L, "purchase", 9.0))
+    val got = EventAnalytics
+      .attribution(events, Seq("click", "signup", "view"), "purchase")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    //                      n     first  last  linear
+    assert(got("view") == ((3L, 600L, 500L, 533L)))
+    assert(got("click") == ((2L, 200L, 200L, 233L)))
+    assert(got("signup") == ((1L, 0L, 100L, 33L)))
+    // conservation: first and last each distribute every attributed
+    // conversion's cents exactly once (800 total); linear loses only
+    // the integer-division remainder (u1's 100 -> 3x33)
+    assert(got.values.map(_._2).sum == 800L)
+    assert(got.values.map(_._3).sum == 800L)
+    assert(got.values.map(_._4).sum == 799L)
+  }
 }
