@@ -37,6 +37,49 @@ object TextQueries {
   /** SQL form of [[plantOff]] — a scalar subquery DuckDB folds once. */
   private val offSql = "(SELECT (max(doc_id) // 100000 + 1) * 100000 FROM documents)"
 
+  /** The relational aHash chain (mm_imagehash's body), shared with the
+    * mm_dedup gate so the two cannot drift: expects an
+    * `img(doc_id, src, fmt, w, h)` CTE in scope — pixel formulas run on
+    * `src`, so a planted duplicate id reuses its source image's pixels —
+    * and ends in `ah(doc_id, fmt, w, h, b0, b1, b2, b3)`.
+    */
+  private val aHashChainSql =
+    """px AS (
+      |  SELECT i.doc_id, i.fmt, i.w, i.h,
+      |    CASE WHEN i.fmt = 'png'
+      |         THEN (i.src * 53 + ys.y * i.w + xs.x) % 256
+      |         ELSE ((i.src * 31 + ys.y * 3 * i.w + 3 * xs.x) % 256
+      |             + (i.src * 31 + ys.y * 3 * i.w + 3 * xs.x + 1) % 256
+      |             + (i.src * 31 + ys.y * 3 * i.w + 3 * xs.x + 2) % 256)
+      |    END AS v,
+      |    ((8 * ys.y) // i.h) * 8 + (8 * xs.x) // i.w AS p
+      |  FROM img i,
+      |       unnest(generate_series(0, i.w - 1)) AS xs(x),
+      |       unnest(generate_series(0, i.h - 1)) AS ys(y)),
+      |cells AS (
+      |  SELECT doc_id, fmt, w, h, p,
+      |    CAST(sum(v) AS BIGINT) AS cs, count(*) AS cc
+      |  FROM px GROUP BY 1, 2, 3, 4, 5),
+      |tot AS (
+      |  SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts,
+      |    CAST(sum(cc) AS BIGINT) AS tc
+      |  FROM cells GROUP BY 1),
+      |bits AS (
+      |  SELECT c.doc_id, c.fmt, c.w, c.h, c.p // 16 AS j,
+      |    CASE WHEN c.cs * t.tc > t.ts * c.cc
+      |         THEN (1 << (c.p % 16)) ELSE 0 END AS contrib
+      |  FROM cells c JOIN tot t USING (doc_id)),
+      |bnd AS (
+      |  SELECT doc_id, fmt, w, h, j, CAST(sum(contrib) AS BIGINT) AS bv
+      |  FROM bits GROUP BY 1, 2, 3, 4, 5),
+      |ah AS (
+      |  SELECT doc_id, fmt, w, h,
+      |    coalesce(max(CASE WHEN j = 0 THEN bv END), 0) AS b0,
+      |    coalesce(max(CASE WHEN j = 1 THEN bv END), 0) AS b1,
+      |    coalesce(max(CASE WHEN j = 2 THEN bv END), 0) AS b2,
+      |    coalesce(max(CASE WHEN j = 3 THEN bv END), 0) AS b3
+      |  FROM bnd GROUP BY 1, 2, 3, 4)""".stripMargin
+
   private def docsAug(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir, "documents").select("doc_id", "text")
     val off = plantOff(s, dir)
@@ -543,6 +586,21 @@ object TextQueries {
         Multimodal.attachMediaPayload(Tables(s, dir, "documents"))
           .filter(col("fmt") =!= "wav"))
         .orderBy("doc_id")),
+
+    // image near-dup over the aHash: planted exact-duplicate payloads
+    // (every 25th image re-id'd at a derived collision-free offset),
+    // banded capped candidates, exact 64-bit Hamming <= 3 — the
+    // multimodal member of the dedup family (text/embedding/image all
+    // block-then-verify, never all-pairs)
+    "mm_dedup" -> ((s, dir) => {
+      val media = Multimodal.attachMediaPayload(Tables(s, dir, "documents"))
+        .filter(col("fmt") =!= "wav")
+      val off = plantOff(s, dir)
+      val aug = media.unionAll(media.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(off)))
+      Multimodal.imageHashPairs(Multimodal.imageAHash(aug))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // frame-level energy / peak / zero-crossings over the real decoded
     // waveform; the oracle regenerates the parametric samples, so the
@@ -1772,45 +1830,59 @@ object TextQueries {
     // mm_patches, 8x8 grid, cross-multiplied cell-vs-image comparison,
     // bits packed per 16-bit band (1 << (p % 16) stays tiny — exact)
     "mm_imagehash" ->
-      """WITH img AS (
-        |  SELECT doc_id,
+      s"""WITH img AS (
+        |  SELECT doc_id, doc_id AS src,
         |    CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
         |    doc_id % 16 + 4 AS w, doc_id % 9 + 3 AS h
         |  FROM documents WHERE doc_id % 3 <> 1),
-        |px AS (
-        |  SELECT i.doc_id, i.fmt, i.w, i.h,
-        |    CASE WHEN i.fmt = 'png'
-        |         THEN (i.doc_id * 53 + ys.y * i.w + xs.x) % 256
-        |         ELSE ((i.doc_id * 31 + ys.y * 3 * i.w + 3 * xs.x) % 256
-        |             + (i.doc_id * 31 + ys.y * 3 * i.w + 3 * xs.x + 1) % 256
-        |             + (i.doc_id * 31 + ys.y * 3 * i.w + 3 * xs.x + 2) % 256)
-        |    END AS v,
-        |    ((8 * ys.y) // i.h) * 8 + (8 * xs.x) // i.w AS p
-        |  FROM img i,
-        |       unnest(generate_series(0, i.w - 1)) AS xs(x),
-        |       unnest(generate_series(0, i.h - 1)) AS ys(y)),
-        |cells AS (
-        |  SELECT doc_id, fmt, w, h, p,
-        |    CAST(sum(v) AS BIGINT) AS cs, count(*) AS cc
-        |  FROM px GROUP BY 1, 2, 3, 4, 5),
-        |tot AS (
-        |  SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts,
-        |    CAST(sum(cc) AS BIGINT) AS tc
-        |  FROM cells GROUP BY 1),
-        |bits AS (
-        |  SELECT c.doc_id, c.fmt, c.w, c.h, c.p // 16 AS j,
-        |    CASE WHEN c.cs * t.tc > t.ts * c.cc
-        |         THEN (1 << (c.p % 16)) ELSE 0 END AS contrib
-        |  FROM cells c JOIN tot t USING (doc_id)),
+        |$aHashChainSql
+        |SELECT doc_id, fmt, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, b0, b1, b2, b3
+        |FROM ah ORDER BY doc_id""".stripMargin,
+
+    // image near-dup: the SAME aHash chain over a corpus with planted
+    // exact-duplicate images (payload of every 25th image under a
+    // derived collision-free id), candidates via the capped band
+    // buckets, exact 64-bit Hamming <= 3 on the survivors
+    "mm_dedup" ->
+      s"""WITH img AS (
+        |  SELECT b.doc_id, b.src,
+        |    CASE WHEN b.src % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+        |    b.src % 16 + 4 AS w, b.src % 9 + 3 AS h
+        |  FROM (
+        |    SELECT doc_id, doc_id AS src FROM documents WHERE doc_id % 3 <> 1
+        |    UNION ALL
+        |    SELECT doc_id + $offSql, doc_id FROM documents
+        |    WHERE doc_id % 3 <> 1 AND doc_id % 25 = 0) b),
+        |$aHashChainSql,
         |bands AS (
-        |  SELECT doc_id, fmt, w, h, j, CAST(sum(contrib) AS BIGINT) AS bv
-        |  FROM bits GROUP BY 1, 2, 3, 4, 5)
-        |SELECT doc_id, fmt, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |  coalesce(max(CASE WHEN j = 0 THEN bv END), 0) AS b0,
-        |  coalesce(max(CASE WHEN j = 1 THEN bv END), 0) AS b1,
-        |  coalesce(max(CASE WHEN j = 2 THEN bv END), 0) AS b2,
-        |  coalesce(max(CASE WHEN j = 3 THEN bv END), 0) AS b3
-        |FROM bands GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+        |  SELECT doc_id, 0 AS band_id, b0 AS band FROM ah
+        |  UNION ALL SELECT doc_id, 1, b1 FROM ah
+        |  UNION ALL SELECT doc_id, 2, b2 FROM ah
+        |  UNION ALL SELECT doc_id, 3, b3 FROM ah),
+        |bsize AS (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
+        |          FROM bands GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM bands a
+        |    JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+        |                AND a.doc_id < b.doc_id
+        |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
+        |                AND s.bn <= 256
+        |    UNION ALL
+        |    SELECT s.anchor AS doc_a, a.doc_id AS doc_b
+        |    FROM bands a
+        |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
+        |    WHERE s.bn > 256 AND a.doc_id > s.anchor))
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        |      AS BIGINT) AS hamming
+        |  FROM cand c JOIN ah x ON x.doc_id = c.doc_a
+        |              JOIN ah y ON y.doc_id = c.doc_b)
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     // per-frame waveform features vs the closed-form samples
     // (id·131 + k·17) % 65536 − 32768, frames of 16; zero crossings =
