@@ -220,4 +220,35 @@ object EventAnalytics {
           .as("last_cents"),
         sum(expr("cents div n_t")).as("linear_cents"))
   }
+
+  /** FIRST-ORDER TRANSITION MATRIX over each user's event sequence —
+    * the Markov-chain summary behind next-action prediction, journey
+    * maps, and anomaly baselines ("error after purchase spiked"). Each
+    * consecutive pair of a user's events (ordered by integral
+    * microseconds, id tie-break) is one (from, to) observation; output
+    * is count + row-normalized probability in integer BASIS POINTS
+    * (exact div — no float compare in a gate built on this).
+    *
+    * Scale shape: ONE event-log exchange on the user key for the lead
+    * window, then the aggregate collapses to |types|² rows; the
+    * row-total normalization is a window over that tiny frame. Nothing
+    * downstream of the one exchange is larger than the type vocabulary
+    * squared.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", idCol: String = "event_id",
+                       typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p_bp", expr("(10000 * n) div row_total"))
+      .select("from_type", "to_type", "n", "p_bp")
+  }
 }

@@ -194,6 +194,12 @@ object MiscQueries {
           Seq("click", "signup", "view"), "purchase")
         .orderBy("touch_type")),
 
+    // First-order transition matrix over user event sequences: count +
+    // row-normalized probability in exact basis points
+    "q_transitions" -> ((s, dir) =>
+      graft.operators.EventAnalytics.transitionMatrix(Tables(s, dir, "events"))
+        .orderBy("from_type", "to_type")),
+
     // Semi-structured: JSON field extraction from the props column
     "q_json_extract" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -2673,6 +2679,25 @@ object MiscQueries {
         |FROM touches t
         |JOIN convs c ON c.user_id = t.user_id AND c.conv_tus = t.conv_tus
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // consecutive event pairs per user (integral-micros order, id
+    // tie-break); probabilities row-normalized in exact basis points
+    "q_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  (10000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS p_bp
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

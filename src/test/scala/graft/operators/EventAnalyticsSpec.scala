@@ -112,4 +112,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum == 800L)
     assert(got.values.map(_._4).sum == 799L)
   }
+
+  test("transitionMatrix: per-user consecutive pairs, row-normalized basis points") {
+    val events = Seq(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
+      (3L, 3000L, 1L, "view"), (4L, 4000L, 1L, "purchase"),
+      (10L, 1000L, 2L, "click"), (11L, 2000L, 2L, "view"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type")
+    val got = EventAnalytics.transitionMatrix(events)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // view row: 2 transitions split 1/1 -> 5000 bp each; click row: both
+    // users go click->view -> 10000 bp; no cross-user pair (u2's click
+    // never chains to u1's view)
+    assert(got == Map(
+      ("view", "click") -> ((1L, 5000L)),
+      ("view", "purchase") -> ((1L, 5000L)),
+      ("click", "view") -> ((2L, 10000L))))
+  }
 }
