@@ -200,6 +200,22 @@ object MiscQueries {
       graft.operators.EventAnalytics.transitionMatrix(Tables(s, dir, "events"))
         .orderBy("from_type", "to_type")),
 
+    // Market-basket association pairs over lineitem: co-occurrence
+    // support + lift vs independence in exact basis points
+    "q_basket" -> ((s, dir) =>
+      graft.operators.RetailAnalytics
+        .pairAssociations(Tables(s, dir, "lineitem"), minSupport = 2L)
+        .orderBy(org.apache.spark.sql.functions.desc("support"),
+          org.apache.spark.sql.functions.col("item_a"),
+          org.apache.spark.sql.functions.col("item_b"))
+        .limit(200)),
+
+    // RFM segmentation grid: equal-frequency quintiles on recency /
+    // frequency / monetary, customer count + exact cents per cell
+    "q_rfm" -> ((s, dir) =>
+      graft.operators.RetailAnalytics.rfm(Tables(s, dir, "orders"))
+        .orderBy("r", "f", "m")),
+
     // Semi-structured: JSON field extraction from the props column
     "q_json_extract" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -2698,6 +2714,60 @@ object MiscQueries {
         |  (10000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
         |    AS p_bp
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // basket pairs: support counts DISTINCT orders containing both
+    // items; lift_bp = floor(10000 * support * n_orders / (c_a * c_b))
+    "q_basket" ->
+      """WITH i AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM i),
+        |cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM i GROUP BY 1),
+        |p AS (
+        |  SELECT a.pk AS item_a, b.pk AS item_b,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item_a, item_b, support,
+        |  (10000 * support * n_orders) // (ca.c * cb.c) AS lift_bp
+        |FROM p CROSS JOIN n
+        |JOIN cnt ca ON ca.pk = p.item_a
+        |JOIN cnt cb ON cb.pk = p.item_b
+        |ORDER BY support DESC, item_a, item_b LIMIT 200""".stripMargin,
+
+    // RFM: equal-frequency buckets via strict-rank over the value
+    // histogram (ties share a bucket); r flipped so 5 = most recent;
+    // monetary bucketed on whole dollars, reported in exact cents
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS cust, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor_d FROM orders),
+        |base AS (
+        |  SELECT cust, date_diff('day', last_d, anchor_d) AS rec, freq,
+        |    cents, cents // 100 AS dollars
+        |  FROM per CROSS JOIN a),
+        |br AS (SELECT v, least(5, 1 + (5 * coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) //
+        |    sum(n) OVER ()) AS b
+        |  FROM (SELECT rec AS v, count(*) AS n FROM base GROUP BY 1)),
+        |bf AS (SELECT v, least(5, 1 + (5 * coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) //
+        |    sum(n) OVER ()) AS b
+        |  FROM (SELECT freq AS v, count(*) AS n FROM base GROUP BY 1)),
+        |bd AS (SELECT v, least(5, 1 + (5 * coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) //
+        |    sum(n) OVER ()) AS b
+        |  FROM (SELECT dollars AS v, count(*) AS n FROM base GROUP BY 1))
+        |SELECT CAST(6 - br.b AS INTEGER) AS r, CAST(bf.b AS INTEGER) AS f,
+        |  CAST(bd.b AS INTEGER) AS m, CAST(count(*) AS BIGINT) AS customers,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM base
+        |JOIN br ON br.v = base.rec
+        |JOIN bf ON bf.v = base.freq
+        |JOIN bd ON bd.v = base.dollars
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

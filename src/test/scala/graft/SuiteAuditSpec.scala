@@ -50,6 +50,8 @@ class SuiteAuditSpec extends AnyFunSuite {
     // crossed into the per-row stage — one row × data, not data × data
     "q_profile", "q_profile_approx", // single-row profile agg branches
     "q_zorder", // global min/max bounds row for the curve interleave
+    "q_basket", // global order-count row crossed into the pair frame
+    "q_rfm", // anchor-date row crossed into the per-customer frame
     "text_bm25", // corpus N/avgdl stats row
     "text_budget", "text_lenstats", "text_perplexity", "text_quantile",
     "text_sweep", "text_tempsample", "text_topterms" // cutoff/stats rows
