@@ -235,6 +235,100 @@ object EventAnalytics {
     * downstream of the one exchange is larger than the type vocabulary
     * squared.
     */
+  /** DAILY-VOLUME ANOMALY SCORE: each (day, event type)'s count against
+    * the MEDIAN of its trailing `lookback` observed days — the
+    * robust-baseline monitor behind "errors spiked today" alerts (a
+    * trailing mean would let one earlier spike poison its own baseline;
+    * the median won't). Deviation is exact: 2·median of k integers is
+    * the SUM OF THE TWO MIDDLE ORDER STATISTICS (equal when k is odd) —
+    * BIGINT throughout, so dev_bp = (20000·n) div med2 never touches
+    * float. Spark's median/percentile aggregates reject window frames,
+    * so the frame materializes as a sorted array (≤ lookback elements)
+    * and the middles index into it. Days with an empty trailing frame
+    * (the first per type) drop.
+    *
+    * Flags are fixed odds: spike ≥ 1.5× the baseline (dev_bp ≥ 15000),
+    * drop ≤ 0.6× (dev_bp ≤ 6000).
+    *
+    * Scale shape: the event log collapses to (day, type) counts in one
+    * aggregation — the rolling median window runs over that tiny frame
+    * (days × types), partitioned by type. Nothing after the first
+    * aggregate is data-sized.
+    */
+  def dailyAnomaly(events: DataFrame, tsCol: String = "ts",
+                   typeCol: String = "event_type",
+                   lookback: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    events
+      .groupBy(col(tsCol).cast("date").as("day"),
+        col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("trail", array_sort(collect_list(col("n")).over(w)))
+      .filter(size(col("trail")) > 0)
+      .withColumn("med2",
+        expr("""element_at(trail, CAST(((size(trail) - 1) div 2) + 1 AS INT)) +
+                element_at(trail, CAST((size(trail) div 2) + 1 AS INT))"""))
+      .withColumn("dev_bp", expr("(20000 * n) div med2"))
+      .select(col("day"), col("event_type"), col("n"), col("med2"),
+        col("dev_bp"),
+        when(col("dev_bp") >= 15000, lit("spike"))
+          .when(col("dev_bp") <= 6000, lit("drop"))
+          .otherwise(lit("normal")).as("flag"))
+  }
+
+  /** A/B EXPERIMENT READOUT in exact integers: users split into two
+    * variants by a deterministic id rule, conversion = at least
+    * `minEvents` `convType` events, and the 2×2 association strength as the
+    * chi-square statistic in MICRO units — χ²·1e6 = (1e6·N·(ad−bc)²)
+    * div (row·col products). The cross term ad−bc stays BIGINT (exact
+    * to ~6e9 users); the wide product runs in DECIMAL(38,0) — 38
+    * digits of headroom, exact past any population that still needs a
+    * significance test — and the integral divide lands back in BIGINT.
+    * χ² ≥ 3.841 (3841459 micro) is the usual p<0.05 line; the caller
+    * compares, this reports. A zero margin (nobody / everybody
+    * converted, or an empty variant) makes χ² undefined — it comes
+    * back null.
+    *
+    * Scale shape: one aggregation of the event log on the user key
+    * (conversion flag per user), then a 2-row aggregate; the 2×2 math
+    * runs on a single row.
+    */
+  def abTest(events: DataFrame, convType: String,
+             userCol: String = "user_id",
+             typeCol: String = "event_type",
+             minEvents: Long = 1L): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("uid"))
+      .agg(sum(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .as("n_conv"))
+      .withColumn("converted",
+        when(col("n_conv") >= minEvents, 1L).otherwise(0L))
+      .withColumn("variant", expr("uid % 2"))
+    perUser
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("users_a"),
+        sum(when(col("variant") === 0, col("converted")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("users_b"),
+        sum(when(col("variant") === 1, col("converted")).otherwise(0L))
+          .as("conv_b"))
+      .select(col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
+        expr("(10000 * conv_a) div users_a").as("cr_a_bp"),
+        expr("(10000 * conv_b) div users_b").as("cr_b_bp"),
+        // a = conv_a, b = users_a - conv_a, c = conv_b, d = users_b - conv_b
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (users_a + users_b) *
+                 CAST(conv_a * (users_b - conv_b) -
+                      conv_b * (users_a - conv_a) AS DECIMAL(38,0)) *
+                 CAST(conv_a * (users_b - conv_b) -
+                      conv_b * (users_a - conv_a) AS DECIMAL(38,0)))
+                div (CAST(users_a AS DECIMAL(38,0)) * users_b *
+                     (conv_a + conv_b) *
+                     (users_a + users_b - conv_a - conv_b)) AS BIGINT)""")
+          .as("chi2_micro"))
+  }
+
   def transitionMatrix(events: DataFrame, userCol: String = "user_id",
                        tsCol: String = "ts", idCol: String = "event_id",
                        typeCol: String = "event_type"): DataFrame = {

@@ -200,6 +200,18 @@ object MiscQueries {
       graft.operators.EventAnalytics.transitionMatrix(Tables(s, dir, "events"))
         .orderBy("from_type", "to_type")),
 
+    // Daily volume vs trailing-median baseline per event type, exact
+    // basis-point deviation + spike/drop flags
+    "q_anomaly" -> ((s, dir) =>
+      graft.operators.EventAnalytics.dailyAnomaly(Tables(s, dir, "events"))
+        .orderBy("event_type", "day")),
+
+    // A/B readout: parity-split variants, conversion = >= 13 purchases,
+    // 2x2 chi-square in exact micro units
+    "q_abtest" -> ((s, dir) =>
+      graft.operators.EventAnalytics.abTest(
+        Tables(s, dir, "events"), "purchase", minEvents = 13L)),
+
     // Market-basket association pairs over lineitem: co-occurrence
     // support + lift vs independence in exact basis points
     "q_basket" -> ((s, dir) =>
@@ -2714,6 +2726,61 @@ object MiscQueries {
         |  (10000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
         |    AS p_bp
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // trailing-median baseline: med2 = sum of the two middle order
+    // stats of the <=7 trailing daily counts (exact 2*median)
+    "q_anomaly" ->
+      """WITH d AS (
+        |  SELECT CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT day, event_type, n,
+        |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS trail
+        |  FROM d),
+        |x AS (
+        |  SELECT day, event_type, n,
+        |    trail[CAST((len(trail)-1)//2 + 1 AS INT)] +
+        |    trail[CAST(len(trail)//2 + 1 AS INT)] AS med2
+        |  FROM m WHERE len(trail) > 0)
+        |SELECT day, event_type, n, med2, (20000*n)//med2 AS dev_bp,
+        |  CASE WHEN (20000*n)//med2 >= 15000 THEN 'spike'
+        |       WHEN (20000*n)//med2 <= 6000 THEN 'drop'
+        |       ELSE 'normal' END AS flag
+        |FROM x ORDER BY event_type, day""".stripMargin,
+
+    // 2x2 chi-square in micro units; wide product in HUGEINT mirrors
+    // the engine's DECIMAL(38,0) headroom
+    "q_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 13 THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS users_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS users_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM u)
+        |SELECT users_a, conv_a, users_b, conv_b,
+        |  (10000 * conv_a) // users_a AS cr_a_bp,
+        |  (10000 * conv_b) // users_b AS cr_b_bp,
+        |  CAST((1000000::HUGEINT * (users_a + users_b) *
+        |        (conv_a * (users_b - conv_b) -
+        |         conv_b * (users_a - conv_a))::HUGEINT *
+        |        (conv_a * (users_b - conv_b) -
+        |         conv_b * (users_a - conv_a))::HUGEINT)
+        |       // (users_a::HUGEINT * users_b * (conv_a + conv_b) *
+        |           (users_a + users_b - conv_a - conv_b)) AS BIGINT)
+        |    AS chi2_micro
+        |FROM s""".stripMargin,
 
     // basket pairs: support counts DISTINCT orders containing both
     // items; lift_bp = floor(10000 * support * n_orders / (c_a * c_b))

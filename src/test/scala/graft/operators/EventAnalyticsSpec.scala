@@ -113,6 +113,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._4).sum == 799L)
   }
 
+  test("dailyAnomaly: trailing-median baseline, half-integral medians exact") {
+    // one type, 4 days with counts 10, 20, 10, 30: day1 has no trailing
+    // frame and drops; day2 baseline med2=20; day3 trailing {10,20} ->
+    // median 15 -> med2=30; day4 trailing {10,20,10} -> med2=20
+    val rows = Seq((1, 10), (2, 20), (3, 10), (4, 30)).flatMap {
+      case (d, n) => (1 to n).map(i =>
+        (d.toLong * 1000000L + i, s"2024-03-0$d 12:00:00", "e"))
+    }
+    val events = rows.toDF("event_id", "s", "event_type")
+      .selectExpr("event_id", "CAST(s AS TIMESTAMP) AS ts", "event_type")
+    val got = EventAnalytics.dailyAnomaly(events, lookback = 7)
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(got == Map(
+      "2024-03-02" -> ((20L, 20L, 20000L, "spike")),
+      "2024-03-03" -> ((10L, 30L, 6666L, "normal")),
+      "2024-03-04" -> ((30L, 20L, 30000L, "spike"))))
+  }
+
+  test("abTest: 2x2 chi-square in exact micro units") {
+    // variant by uid parity: A = {0 converted, 2 not}, B = {1, 3 both
+    // converted} -> a=1 b=1 c=2 d=0, N=4, chi2 = 4*(0-2)^2/(2*2*3*1)
+    // = 4/3 -> 1333333 micro
+    val events = Seq(
+      (0L, "purchase"), (2L, "view"), (1L, "purchase"), (3L, "purchase"))
+      .toDF("user_id", "event_type")
+    val r = EventAnalytics.abTest(events, "purchase").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 2L)))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((5000L, 10000L, 1333333L)))
+  }
+
   test("transitionMatrix: per-user consecutive pairs, row-normalized basis points") {
     val events = Seq(
       (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
