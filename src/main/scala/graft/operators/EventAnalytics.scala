@@ -334,15 +334,23 @@ object EventAnalytics {
                        typeCol: String = "event_type"): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(unix_micros(col(tsCol)), col(idCol))
-    events
+    transitionAgg(events
       .select(col(typeCol).as("from_type"),
         lead(col(typeCol), 1).over(w).as("to_type"))
-      .filter(col("to_type").isNotNull)
+      .filter(col("to_type").isNotNull))
+  }
+
+  /** The aggregation tail of [[transitionMatrix]] over an already-built
+    * (from_type, to_type) pair frame — shared with the streaming twin
+    * ([[graft.streaming.StreamingOps.streamingTransitions]]), whose
+    * stateful fold emits the pairs instead of a lead window.
+    */
+  def transitionAgg(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
       .withColumn("row_total",
         sum("n").over(Window.partitionBy("from_type")))
       .withColumn("p_bp", expr("(10000 * n) div row_total"))
       .select("from_type", "to_type", "n", "p_bp")
-  }
 }

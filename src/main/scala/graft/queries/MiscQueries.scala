@@ -200,6 +200,12 @@ object MiscQueries {
       graft.operators.EventAnalytics.transitionMatrix(Tables(s, dir, "events"))
         .orderBy("from_type", "to_type")),
 
+    // Streaming twin: per-user last-event state, drained with
+    // AvailableNow; pair-for-pair the batch lead window
+    "q_stream_transitions" -> ((s, dir) =>
+      StreamingOps.streamingTransitions(s, dir)
+        .orderBy("from_type", "to_type")),
+
     // Daily volume vs trailing-median baseline per event type, exact
     // basis-point deviation + spike/drop flags
     "q_anomaly" -> ((s, dir) =>
@@ -1678,6 +1684,26 @@ object MiscQueries {
         .withColumn("c_custkey", col("c_custkey") + 10000000L))
 
   /** The oracle-side mirror of [[cdfV2]], as a WITH-clause body. */
+  /** Shared by q_transitions and q_stream_transitions: the drained
+    * streaming fold is pair-for-pair the batch lead window.
+    */
+  private val transitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus, event_type
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS to_type
+      |  FROM e),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  (10000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS p_bp
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   private val cdfV2Sql: String =
     """v2 AS (
       |  SELECT c_custkey, c_name,
@@ -2710,22 +2736,11 @@ object MiscQueries {
 
     // consecutive event pairs per user (integral-micros order, id
     // tie-break); probabilities row-normalized in exact basis points
-    "q_transitions" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus, event_type
-        |  FROM events),
-        |p AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY tus, event_id) AS to_type
-        |  FROM e),
-        |c AS (
-        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, n,
-        |  (10000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
-        |    AS p_bp
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_transitions" -> transitionsSql,
+
+    // the streaming fold drained to completion is pair-for-pair the
+    // batch operator, so it shares the oracle
+    "q_stream_transitions" -> transitionsSql,
 
     // trailing-median baseline: med2 = sum of the two middle order
     // stats of the <=7 trailing daily counts (exact 2*median)

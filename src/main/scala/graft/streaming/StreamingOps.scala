@@ -574,6 +574,81 @@ object StreamingOps {
       } else Iterator.empty
   }
 
+  /** STREAMING transition matrix — the continuous twin of
+    * [[graft.operators.EventAnalytics.transitionMatrix]]: per-user
+    * state holds the LAST SEEN event ((ts, id, type) — the (ts, id)
+    * pair is the same total order the batch lead window sorts by);
+    * each micro-batch folds its events through it in that order,
+    * emitting one (from, to) pair per consecutive step, including the
+    * bridge pair from the stored last event into the batch's first.
+    * The drained pair stream then runs through the batch operator's
+    * own aggregation tail, so count + basis-point math is shared, not
+    * duplicated.
+    *
+    * Equivalence contract (spec-asserted, same as the streaming
+    * funnel): identical to the batch operator whenever arrival order
+    * respects event time across micro-batches — within a batch any
+    * order is fine, events sort before folding. An event arriving
+    * BEHIND the stored last event chains forward from it anyway
+    * (admit-forward-only); re-splicing history would need unbounded
+    * per-user state.
+    *
+    * Scale shape: state is ONE row per active user; each micro-batch
+    * shuffles only its own events on the user key; pair emission is
+    * linear in batch size.
+    */
+  def streamingTransitions(spark: SparkSession, dir: String,
+                           statePartitions: Int = 8): DataFrame =
+    streamingTransitionsFrom(eventsStream(spark, dir), statePartitions)
+
+  /** [[streamingTransitions]] over a caller-built events stream (the
+    * spec entry point — boundary tests feed a multi-file source with
+    * maxFilesPerTrigger to force state to carry across batches).
+    */
+  def streamingTransitionsFrom(events: DataFrame,
+                               statePartitions: Int = 8): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val pairs = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(transitionFoldFn)
+      .toDF("from_type", "to_type")
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val q = pairs.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.EventAnalytics.transitionAgg(spark.table(name))
+  }
+
+  /** The per-user fold behind [[streamingTransitions]]: state =
+    * (last tsu, last event_id, last type); batch events fold in
+    * (tsu, id) order, each emitting the pair from its predecessor.
+    */
+  private[streaming] def transitionFoldFn:
+      (Long, Iterator[(Long, Long, Long, String)],
+       org.apache.spark.sql.streaming.GroupState[(Long, Long, String)]) =>
+        Iterator[(String, String)] = {
+    (_, rows, state) =>
+      var last = state.getOption.getOrElse((-1L, -1L, null: String))
+      val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tsu, id, et) =>
+        if (last._3 != null) out += ((last._3, et))
+        last = (tsu, id, et)
+      }
+      if (last._3 != null) state.update(last)
+      out.iterator
+  }
+
   /** NATIVE session-window streaming aggregation: Spark's
     * `session_window(ts, gap)` merges each user's events into dynamic
     * [first_ts, last_ts + gap) windows inside the streaming state
