@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import graft.TestSpark
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
@@ -62,5 +63,49 @@ class StreamingTransitionsSpec extends AnyFunSuite {
     // the bridge pairs specifically: click->purchase and view->click
     val got = rows(streamed).map(t => (t._1, t._2))
     assert(got.contains(("click", "purchase")) && got.contains(("view", "click")))
+  }
+
+  test("random (tsu,id)-ordered splits with timestamp ties == batch, 5 seeds") {
+    // the equivalence contract says arrival order must respect the
+    // (tsu, id) total order — so ANY split of the sorted sequence must
+    // reproduce the batch matrix exactly, including ties straddling a
+    // boundary (same tsu, consecutive ids in different batches)
+    val types = Seq("view", "click", "purchase", "error")
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 120).map { id =>
+        // tsu drawn from a SMALL range to force plenty of ties
+        (id.toLong, rnd.nextInt(8).toLong * 1000000L,
+          rnd.nextInt(6).toLong, types(rnd.nextInt(types.size)))
+      }
+      val ordered = events.sortBy(e => (e._2, e._1))
+      val cut1 = 1 + rnd.nextInt(118)
+      val cut2 = cut1 + 1 + rnd.nextInt(119 - cut1)
+      val dir = Files.createTempDirectory(s"strans-p$seed").toString
+      Seq(ordered.slice(0, cut1), ordered.slice(cut1, cut2),
+        ordered.slice(cut2, ordered.size)).zipWithIndex.foreach {
+        case (chunk, i) =>
+          chunk.map { case (id, us, user, et) =>
+            (id, new java.sql.Timestamp(us / 1000), user, et)
+          }.toDF("event_id", "ts", "user_id", "event_type")
+            .coalesce(1).write.parquet(s"$dir/f$i")
+          // pin mtime order on the part FILES (the source sorts files,
+          // not dirs) so the triggers fire f0, f1, f2
+          val walk = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(s"$dir/f$i"))
+          try walk.iterator().asScala.foreach(p =>
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(
+                1000000L + i * 60000L)))
+          finally walk.close()
+      }
+      val streamed = StreamingOps.streamingTransitionsFrom(
+        stream(s"$dir/*/", maxFilesPerTrigger = Some(1)))
+      val batch = graft.operators.EventAnalytics.transitionMatrix(
+        events.map { case (id, us, user, et) =>
+          (id, new java.sql.Timestamp(us / 1000), user, et)
+        }.toDF("event_id", "ts", "user_id", "event_type"))
+      assert(rows(streamed) == rows(batch), s"seed $seed diverged")
+    }
   }
 }
