@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.etl.{Scd1, Scd2}
+import graft.etl.{Scd1, Scd2, Scd3}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -157,6 +157,31 @@ object CoreQueries {
             col("c_acctbal"), col("c_mktsegment")))
       Scd1.mergeTagged(dim, snapshot, Seq("c_custkey"),
           Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- SCD3 limited history: same snapshot recipe as the Type-1
+    // merge, dim seeded with a planted prev on every 5th balance; each
+    // tracked column's prev takes the outgoing value on change and
+    // carries over otherwise
+    "q_scd3_merge" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val dim = c.select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") - lit(50.0))
+          .as("prev_c_acctbal"),
+        lit(null).cast(StringType).as("prev_c_mktsegment"))
+      val snapshot = c.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast(StringType))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionAll(c.filter(col("c_custkey") % 13 === 0)
+          .select(col("c_custkey") + lit(1000000L), col("c_acctbal"),
+            col("c_mktsegment")))
+      Scd3.merge(dim, snapshot, Seq("c_custkey"),
+          Seq("c_acctbal", "c_mktsegment"))
         .orderBy("c_custkey")
     }),
 
@@ -408,6 +433,43 @@ object CoreQueries {
         |      ELSE 'unchanged' END AS action
         |FROM snapshot s LEFT JOIN dim d ON s.c_custkey = d.c_custkey
         |ORDER BY s.c_custkey""".stripMargin,
+
+    // Type-3 carry: prev_<col> = outgoing value on change, carried prev
+    // otherwise, NULL on insert; deletes drop (snapshot semantics)
+    "q_scd3_merge" ->
+      """WITH dim AS (
+        | SELECT c_custkey, c_acctbal, c_mktsegment,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal - 50.0 END
+        |    AS prev_c_acctbal,
+        |  CAST(NULL AS VARCHAR) AS prev_c_mktsegment
+        | FROM customer),
+        |snapshot AS (
+        | SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |       ELSE c_mktsegment END AS c_mktsegment
+        | FROM customer WHERE c_custkey % 10 <> 0
+        | UNION ALL
+        | SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment,
+        | CASE WHEN d.c_custkey IS NULL THEN NULL
+        |      WHEN s.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |        THEN d.c_acctbal
+        |      ELSE d.prev_c_acctbal END AS prev_c_acctbal,
+        | CASE WHEN d.c_custkey IS NULL THEN NULL
+        |      WHEN s.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+        |        THEN d.c_mktsegment
+        |      ELSE d.prev_c_mktsegment END AS prev_c_mktsegment,
+        | CASE WHEN d.c_custkey IS NULL THEN 'insert'
+        |      WHEN s.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |        OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+        |        THEN 'update'
+        |      ELSE 'unchanged' END AS action
+        |FROM snapshot s LEFT JOIN dim d ON s.c_custkey = d.c_custkey
+        |ORDER BY s.c_custkey""".stripMargin,
+
     "q_scd2_merge" ->
       """WITH day1 AS (
         | SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
