@@ -340,6 +340,38 @@ object EventAnalytics {
       .filter(col("to_type").isNotNull))
   }
 
+  /** K-STEP PATH MINING: every window of `steps` consecutive events in
+    * a user's timeline becomes one `a>b>c` path string, counted across
+    * users — the "common journeys" view one order up from
+    * [[transitionMatrix]] (which is `steps` = 2 before normalization).
+    * The caller ranks/limits; the path grammar (`>`-joined types) keeps
+    * the output a plain string column.
+    *
+    * Scale shape: the `steps - 1` leads share ONE window spec, so the
+    * plan pays a single event-log exchange on the user key and stacks
+    * the leads over it; the aggregate collapses to at most
+    * |types|^steps rows.
+    */
+  def pathMining(events: DataFrame, steps: Int = 3,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 idCol: String = "event_id",
+                 typeCol: String = "event_type"): DataFrame = {
+    require(steps >= 2, "a path needs at least two steps")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_micros(col(tsCol)), col(idCol))
+    val legs = (1 until steps).map(i => lead(col(typeCol), i).over(w))
+    // concat (not concat_ws): null legs must null the whole path, and
+    // the LAST leg being non-null implies all earlier legs are too
+    // (lead(i) has a row wherever lead(i+1) does)
+    val path = concat((col(typeCol) +: legs.flatMap(l =>
+      Seq(lit(">"), l))): _*)
+    events
+      .select(path.as("path"), legs.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** The aggregation tail of [[transitionMatrix]] over an already-built
     * (from_type, to_type) pair frame — shared with the streaming twin
     * ([[graft.streaming.StreamingOps.streamingTransitions]]), whose

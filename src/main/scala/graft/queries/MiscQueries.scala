@@ -200,6 +200,14 @@ object MiscQueries {
       graft.operators.EventAnalytics.transitionMatrix(Tables(s, dir, "events"))
         .orderBy("from_type", "to_type")),
 
+    // Top 3-step journeys across users: stacked leads over one user
+    // window, counted, top 50 under a total (n desc, path) order
+    "q_paths" -> ((s, dir) =>
+      graft.operators.EventAnalytics.pathMining(Tables(s, dir, "events"))
+        .orderBy(org.apache.spark.sql.functions.desc("n"),
+          org.apache.spark.sql.functions.col("path"))
+        .limit(50)),
+
     // Streaming twin: per-user last-event state, drained with
     // AvailableNow; pair-for-pair the batch lead window
     "q_stream_transitions" -> ((s, dir) =>
@@ -2741,6 +2749,21 @@ object MiscQueries {
     // the streaming fold drained to completion is pair-for-pair the
     // batch operator, so it shares the oracle
     "q_stream_transitions" -> transitionsSql,
+
+    // every 3 consecutive events per user -> one a>b>c path; the
+    // (n DESC, path) order is total, so LIMIT is deterministic
+    "q_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)//1000 AS tus, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |    || '>' || lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS l2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id))
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE l2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 50""".stripMargin,
 
     // trailing-median baseline: med2 = sum of the two middle order
     // stats of the <=7 trailing daily counts (exact 2*median)

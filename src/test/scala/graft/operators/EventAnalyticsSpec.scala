@@ -133,6 +133,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "2024-03-04" -> ((30L, 20L, 30000L, "spike"))))
   }
 
+  test("pathMining: sliding 3-windows per user, no cross-user paths") {
+    val events = Seq(
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
+      (3L, 3000L, 1L, "view"), (4L, 4000L, 1L, "purchase"),
+      (10L, 1000L, 2L, "view"), (11L, 2000L, 2L, "click"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .selectExpr("event_id", "timestamp_micros(us) AS ts", "user_id",
+        "event_type")
+    val got = EventAnalytics.pathMining(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // u1's 4 events yield exactly 2 sliding trigrams; u2 has only 2
+    // events -> no trigram, and no path bridges into u1's timeline
+    assert(got == Map(
+      "view>click>view" -> 1L, "click>view>purchase" -> 1L))
+  }
+
   test("abTest: 2x2 chi-square in exact micro units") {
     // variant by uid parity: A = {0 converted, 2 not}, B = {1, 3 both
     // converted} -> a=1 b=1 c=2 d=0, N=4, chi2 = 4*(0-2)^2/(2*2*3*1)
