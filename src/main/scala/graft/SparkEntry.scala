@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, MiscQueries, RefQueries, SimilarityQueries, StatsQueries, TextQueries, TpchQueries}
+import graft.queries.{CoreQueries, MiscQueries, RefQueries, SeriesQueries, SimilarityQueries, StatsQueries, TextQueries, TpchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,6 +18,7 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (MiscQueries.queries, MiscQueries.oracles),
       (StatsQueries.queries, StatsQueries.oracles),
+      (SeriesQueries.queries, SeriesQueries.oracles),
       (TpchQueries.queries, TpchQueries.oracles),
       (RefQueries.queries, RefQueries.oracles))
 

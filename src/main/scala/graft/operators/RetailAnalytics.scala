@@ -125,4 +125,98 @@ object RetailAnalytics {
       .groupBy("r", "f", "m")
       .agg(count(lit(1)).as("customers"), sum(col("cents")).as("cents"))
   }
+
+  /** PARETO / REVENUE-CONCENTRATION DECILES: customers bucketed into
+    * spend deciles (1 = biggest spenders), with each decile's share of
+    * total revenue and the running "top-d deciles hold X%" curve, both
+    * in exact basis points — the "do 20% of customers carry 80%?" view.
+    *
+    * Deciles come from [[eqFreqBuckets]] over the NEGATED whole-dollar
+    * histogram (desc order, ties share a bucket), so the one global
+    * window sorts |distinct dollar values| rows, never customers; the
+    * cumulative curve is a window over at most 10 decile rows.
+    */
+  def paretoDeciles(orders: DataFrame, custCol: String = "o_custkey",
+                    priceCol: String = "o_totalprice",
+                    k: Int = 10): DataFrame = {
+    val per = orders.groupBy(col(custCol).as("cust"))
+      .agg(sum(floor(col(priceCol) * lit(100.0) + lit(0.5)).cast("bigint"))
+        .as("cents"))
+      .withColumn("neg_dollars", -expr("cents div 100"))
+    val buckets = broadcast(
+      eqFreqBuckets(per.select(col("neg_dollars")), "neg_dollars", k))
+    val byDecile = per
+      .join(buckets.withColumnRenamed("v", "neg_dollars")
+        .withColumnRenamed("bucket", "decile"), "neg_dollars")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("customers"), sum(col("cents")).as("cents"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byDecile
+      .withColumn("total", sum(col("cents")).over(all))
+      .withColumn("cum", sum(col("cents")).over(cum))
+      .select(col("decile"), col("customers"), col("cents"),
+        expr("(10000 * cents) div total").as("share_bp"),
+        expr("(10000 * cum) div total").as("cum_share_bp"))
+  }
+
+  /** GINI COEFFICIENT of customer spend, exact basis points: G =
+    * (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted values —
+    * computed WITHOUT a per-entity rank. Grouping to the whole-dollar
+    * histogram, a tie run of c equal values starting at global rank r₀
+    * contributes v·(c·r₀ + c(c−1)/2) to Σ rᵢxᵢ (the rank sum inside a
+    * run is arithmetic, and equal values make the order inside the run
+    * irrelevant), so one histogram window yields the exact rank-weighted
+    * sum. Wide products run in DECIMAL(38,0) — n·Σx overflows BIGINT
+    * long before a 100 TB order log runs out of customers.
+    */
+  def gini(orders: DataFrame, custCol: String = "o_custkey",
+           priceCol: String = "o_totalprice"): DataFrame = {
+    val hist = orders.groupBy(col(custCol).as("cust"))
+      .agg(sum(floor(col(priceCol) * lit(100.0) + lit(0.5)).cast("bigint"))
+        .as("cents"))
+      .groupBy(expr("cents div 100").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+    hist
+      .withColumn("r0", coalesce(sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+      .select(col("v"), col("c"), col("r0"))
+      .agg(sum(col("c")).as("n_cust"),
+        sum(col("v").cast("decimal(38,0)") * col("c")).as("s"),
+        sum(col("v").cast("decimal(38,0)") *
+          (col("c") * col("r0") + expr("(c * (c - 1)) div 2")))
+          .as("rank_sum"))
+      .select(col("n_cust"), col("s").cast("long").as("dollars"),
+        expr("""CAST((CAST(10000 AS DECIMAL(38,0)) *
+                 (2 * rank_sum - (n_cust + 1) * s))
+                div (CAST(n_cust AS DECIMAL(38,0)) * s) AS BIGINT)""")
+          .as("gini_bp"))
+  }
+
+  /** HERFINDAHL–HIRSCHMAN INDEX of customer-spend concentration per
+    * market segment, exact: HHI·10⁸ = (10⁸ · Σ cᵢ²) div (Σ cᵢ)² over
+    * per-customer whole-dollar spend cᵢ within the segment — 10⁸ = a
+    * monopoly, 10⁸/n = perfect fragmentation. One shuffle to the
+    * (segment, customer) grain, one to the segment; squares and the
+    * scaled divide run in DECIMAL(38,0).
+    */
+  def hhi(orders: DataFrame, segCol: String = "o_orderpriority",
+          custCol: String = "o_custkey",
+          priceCol: String = "o_totalprice"): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    orders.groupBy(col(segCol).as("segment"), col(custCol).as("cust"))
+      .agg(sum(floor(col(priceCol) * lit(100.0) + lit(0.5)).cast("bigint"))
+        .as("cents"))
+      .withColumn("dollars", expr("cents div 100"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(d(col("dollars"))).as("s"),
+        sum(d(col("dollars")) * d(col("dollars"))).as("ssq"))
+      .select(col("segment"), col("n_cust"),
+        expr("""CAST((CAST(100000000 AS DECIMAL(38,0)) * ssq)
+                div (s * s) AS BIGINT)""").as("hhi"))
+  }
 }
