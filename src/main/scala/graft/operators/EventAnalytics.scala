@@ -257,13 +257,22 @@ object EventAnalytics {
     */
   def dailyAnomaly(events: DataFrame, tsCol: String = "ts",
                    typeCol: String = "event_type",
-                   lookback: Int = 7): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-lookback, -1)
-    events
+                   lookback: Int = 7): DataFrame =
+    anomalyTail(events
       .groupBy(col(tsCol).cast("date").as("day"),
         col(typeCol).as("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), lookback)
+
+  /** The trailing-median tail of [[dailyAnomaly]] over an already-built
+    * (day, event_type, n) daily-count frame — shared with the streaming
+    * twin ([[graft.streaming.StreamingOps.streamingDailyAnomaly]]),
+    * whose stateful streaming aggregation builds the counts instead of
+    * a batch groupBy.
+    */
+  def anomalyTail(daily: DataFrame, lookback: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    daily
       .withColumn("trail", array_sort(collect_list(col("n")).over(w)))
       .filter(size(col("trail")) > 0)
       .withColumn("med2",

@@ -220,6 +220,12 @@ object MiscQueries {
       graft.operators.EventAnalytics.dailyAnomaly(Tables(s, dir, "events"))
         .orderBy("event_type", "day")),
 
+    // Streaming twin: stateful (day, type) counting in complete mode,
+    // the shared trailing-median tail over the drained state
+    "q_stream_anomaly" -> ((s, dir) =>
+      StreamingOps.streamingDailyAnomaly(s, dir)
+        .orderBy("event_type", "day")),
+
     // A/B readout: parity-split variants, conversion = >= 13 purchases,
     // 2x2 chi-square in exact micro units
     "q_abtest" -> ((s, dir) =>
@@ -1712,6 +1718,31 @@ object MiscQueries {
       |    AS p_bp
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** Shared by q_anomaly and q_stream_anomaly: the streaming twin's
+    * complete-mode daily-count state drained to the end IS the batch
+    * daily frame, and both run the same trailing-median tail.
+    */
+  private val anomalySql: String =
+    """WITH d AS (
+      |  SELECT CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day,
+      |    event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT day, event_type, n,
+      |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS trail
+      |  FROM d),
+      |x AS (
+      |  SELECT day, event_type, n,
+      |    trail[CAST((len(trail)-1)//2 + 1 AS INT)] +
+      |    trail[CAST(len(trail)//2 + 1 AS INT)] AS med2
+      |  FROM m WHERE len(trail) > 0)
+      |SELECT day, event_type, n, med2, (20000*n)//med2 AS dev_bp,
+      |  CASE WHEN (20000*n)//med2 >= 15000 THEN 'spike'
+      |       WHEN (20000*n)//med2 <= 6000 THEN 'drop'
+      |       ELSE 'normal' END AS flag
+      |FROM x ORDER BY event_type, day""".stripMargin
+
   private val cdfV2Sql: String =
     """v2 AS (
       |  SELECT c_custkey, c_name,
@@ -2767,26 +2798,11 @@ object MiscQueries {
 
     // trailing-median baseline: med2 = sum of the two middle order
     // stats of the <=7 trailing daily counts (exact 2*median)
-    "q_anomaly" ->
-      """WITH d AS (
-        |  SELECT CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day,
-        |    event_type, CAST(count(*) AS BIGINT) AS n
-        |  FROM events GROUP BY 1, 2),
-        |m AS (
-        |  SELECT day, event_type, n,
-        |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS trail
-        |  FROM d),
-        |x AS (
-        |  SELECT day, event_type, n,
-        |    trail[CAST((len(trail)-1)//2 + 1 AS INT)] +
-        |    trail[CAST(len(trail)//2 + 1 AS INT)] AS med2
-        |  FROM m WHERE len(trail) > 0)
-        |SELECT day, event_type, n, med2, (20000*n)//med2 AS dev_bp,
-        |  CASE WHEN (20000*n)//med2 >= 15000 THEN 'spike'
-        |       WHEN (20000*n)//med2 <= 6000 THEN 'drop'
-        |       ELSE 'normal' END AS flag
-        |FROM x ORDER BY event_type, day""".stripMargin,
+    "q_anomaly" -> anomalySql,
+
+    // the complete-mode streaming state drained to the end is the
+    // batch daily frame, so the twin shares the oracle
+    "q_stream_anomaly" -> anomalySql,
 
     // 2x2 chi-square in micro units; wide product in HUGEINT mirrors
     // the engine's DECIMAL(38,0) headroom

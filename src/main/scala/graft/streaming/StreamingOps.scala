@@ -630,6 +630,44 @@ object StreamingOps {
     graft.operators.EventAnalytics.transitionAgg(spark.table(name))
   }
 
+  /** Streaming twin of [[graft.operators.EventAnalytics.dailyAnomaly]]:
+    * the data-sized pass — collapsing the event stream to (day, type)
+    * counts — runs as a stateful streaming aggregation (complete mode,
+    * so late files for an already-seen day merge into its count), and
+    * the trailing-median tail runs over the drained daily frame via the
+    * shared [[graft.operators.EventAnalytics.anomalyTail]]. Because the
+    * state is the daily-count table itself, the result after ANY batch
+    * split equals the batch operator — the contract the spec pins.
+    *
+    * Scale shape: state is one row per (day, type) — calendar-bounded,
+    * not data-sized; the tail's window never sees the event log.
+    */
+  def streamingDailyAnomaly(spark: SparkSession, dir: String,
+                            statePartitions: Int = 8): DataFrame =
+    streamingDailyAnomalyFrom(eventsStream(spark, dir), statePartitions)
+
+  /** [[streamingDailyAnomaly]] over a caller-built events stream (the
+    * spec entry point — multi-file sources with maxFilesPerTrigger
+    * force counts to accumulate across batches).
+    */
+  def streamingDailyAnomalyFrom(events: DataFrame,
+                                statePartitions: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    val daily = events
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val q = daily.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.operators.EventAnalytics.anomalyTail(spark.table(name))
+  }
+
   /** The per-user fold behind [[streamingTransitions]]: state =
     * (last tsu, last event_id, last type); batch events fold in
     * (tsu, id) order, each emitting the pair from its predecessor.
