@@ -130,6 +130,41 @@ object GraphMetrics {
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
   }
 
+  /** BOUNDED-HOP REACHABILITY — BFS distances from a seed set through
+    * the undirected graph, out to `maxHops`: the "blast radius" of
+    * flagged documents through a near-dup graph (a decontamination
+    * primitive — one leaked benchmark doc taints every close paraphrase
+    * within k hops, not just its direct neighbors).
+    *
+    * Frontier expansion, one hash join per hop: frontier ⋈ edges gives
+    * the next ring, the anti-join against the visited set keeps the
+    * first (= minimal) distance, and each ring is checkpointed so the
+    * loop's plan stays flat (the [[prCore]] lineage rule). maxHops
+    * bounds the rounds, so the whole walk is `maxHops` joins over
+    * frontier-sized frames — never an all-pairs closure.
+    */
+  def reachWithin(pairs: DataFrame, sources: DataFrame, maxHops: Int,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32, "bounded BFS: 1..32 hops")
+    val e = oriented(pairs)
+    val edges = checkpointed(
+      e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"))))
+    var dist = checkpointed(sources.select(col(idCol).as("id")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist.select("id")
+    for (h <- 1 to maxHops) {
+      val next = checkpointed(
+        frontier.join(edges, frontier("id") === edges("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(dist.select("id"), Seq("id"), "left_anti")
+          .withColumn("dist", lit(h.toLong)))
+      dist = checkpointed(dist.unionAll(next))
+      frontier = next.select("id")
+    }
+    dist.withColumnRenamed("id", idCol)
+  }
+
   /** All triangles, one row each, vertices sorted (x < y < z). */
   def triangles(pairs: DataFrame): DataFrame = {
     val e = oriented(pairs)

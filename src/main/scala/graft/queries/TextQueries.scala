@@ -242,6 +242,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Contamination blast radius: BFS distances from flagged seed docs
+    // (every 97th id) through the near-dup graph, out to 4 hops — one
+    // leaked doc taints its whole paraphrase neighborhood
+    "dedup_reach" -> ((s, dir) => {
+      val aug = docsAug(s, dir).cache()
+      graft.operators.GraphMetrics.reachWithin(
+          Dedup.wordGramNearDupsPoly(aug, threshold = 0.5),
+          aug.select("doc_id").filter(col("doc_id") % 97 === 0),
+          maxHops = 4)
+        .orderBy("doc_id")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1039,6 +1051,24 @@ object TextQueries {
     // convergence trace: same generated iteration body, 10 deep,
     // per-iteration Σ|Δrank| in exact micro-units
     "dedup_pagerank_conv" -> prConvOracleSql(10),
+
+    // bounded recursive walk: min distance within 4 hops; the UNION
+    // (not UNION ALL) recursion dedups (id, d) states so dense
+    // clusters don't multiply paths
+    "dedup_reach" ->
+      s"""WITH RECURSIVE $augSql,
+         |${wordGramPolyPairsCte(0.5)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE doc_a <> doc_b
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE doc_a <> doc_b),
+         |walk AS (
+         |  SELECT doc_id AS id, 0 AS d FROM docs WHERE doc_id % 97 = 0
+         |  UNION
+         |  SELECT e.dst AS id, w.d + 1 AS d FROM walk w
+         |  JOIN edges e ON e.src = w.id WHERE w.d < 4)
+         |SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
+         |FROM walk GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_triangles" -> trianglesOracleSql,
     // degree orientation is fan-out strategy, not semantics: the exact

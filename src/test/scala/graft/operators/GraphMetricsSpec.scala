@@ -146,4 +146,25 @@ class GraphMetricsSpec extends AnyFunSuite {
     GraphMetrics.releaseCaches()
     assert(persisted <= base, "releaseCaches must drain every tracked frame")
   }
+
+  test("reachWithin: BFS hop distances, minimal over multiple paths, hop cap") {
+    // chain 1-2-3-4-5 plus shortcut 1-3; island 8-9. From seed {1} at
+    // maxHops 3: 1@0, 2@1, 3@1 (shortcut beats the 2-hop chain), 4@2,
+    // 5@3; island unreached. Reversed/duplicate pairs must not matter.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L),
+      (3L, 1L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val seeds = Seq(1L).toDF("doc_id")
+    val got = GraphMetrics.reachWithin(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // hop cap binds: at maxHops 2 node 5 drops
+    val capped = GraphMetrics.reachWithin(edges, seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // multiple seeds: distances are min over the seed set
+    val two = GraphMetrics.reachWithin(edges,
+        Seq(1L, 5L).toDF("doc_id"), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
