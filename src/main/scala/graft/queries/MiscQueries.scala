@@ -226,6 +226,11 @@ object MiscQueries {
       StreamingOps.streamingDailyAnomaly(s, dir)
         .orderBy("event_type", "day")),
 
+    // Streaming heavy hitters: complete-mode per-user counts, top 50
+    // under the total (n desc, user) order on the drained state
+    "q_stream_topk" -> ((s, dir) =>
+      StreamingOps.streamingTopK(s, dir, k = 50)),
+
     // A/B readout: parity-split variants, conversion = >= 13 purchases,
     // 2x2 chi-square in exact micro units
     "q_abtest" -> ((s, dir) =>
@@ -2803,6 +2808,13 @@ object MiscQueries {
     // the complete-mode streaming state drained to the end is the
     // batch daily frame, so the twin shares the oracle
     "q_stream_anomaly" -> anomalySql,
+
+    // drained complete-mode counts == the batch group-by; the
+    // (n desc, user) order is total, so LIMIT is deterministic
+    "q_stream_topk" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1
+        |ORDER BY n DESC, user_id LIMIT 50""".stripMargin,
 
     // 2x2 chi-square in micro units; wide product in HUGEINT mirrors
     // the engine's DECIMAL(38,0) headroom

@@ -668,6 +668,38 @@ object StreamingOps {
     graft.operators.EventAnalytics.anomalyTail(spark.table(name))
   }
 
+  /** STREAMING TOP-K heavy hitters: per-user event counts maintained as
+    * complete-mode streaming state (late batches merge into the same
+    * user row), ranked under the total (n desc, user) order on the
+    * drained table — the "top users right now" dashboard feed. Because
+    * the state IS the count table, any batch split yields exactly the
+    * batch group-by, which is the equivalence the spec pins.
+    *
+    * Scale shape: state is one row per user (entity-bounded);
+    * the rank+limit runs on the drained aggregate, never the log.
+    */
+  def streamingTopK(spark: SparkSession, dir: String, k: Int = 50,
+                    statePartitions: Int = 8): DataFrame =
+    streamingTopKFrom(eventsStream(spark, dir), k, statePartitions)
+
+  /** [[streamingTopK]] over a caller-built events stream. */
+  def streamingTopKFrom(events: DataFrame, k: Int = 50,
+                        statePartitions: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val name = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitions) {
+      val q = counts.writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .orderBy(col("n").desc, col("user_id")).limit(k)
+  }
+
   /** The per-user fold behind [[streamingTransitions]]: state =
     * (last tsu, last event_id, last type); batch events fold in
     * (tsu, id) order, each emitting the pair from its predecessor.

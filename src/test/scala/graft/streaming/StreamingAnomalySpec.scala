@@ -62,4 +62,20 @@ class StreamingAnomalySpec extends AnyFunSuite {
     val d2 = rows(streamed).filter(_._1 == "2024-01-02")
     assert(d2 == Set(("2024-01-02", "click", 5L, 8L, 12500L, "normal")))
   }
+
+  test("streaming top-k: counts accumulate across batches, ties break by user") {
+    val dir = Files.createTempDirectory("stopk").toString
+    val uschema = StructType(Seq(StructField("user_id", LongType)))
+    def f(users: Long*) = users.toDF("user_id")
+    // u1: 2+2 across batches = 4; u2: 3 in one batch; u3: 1+2 = 3
+    // top-2 must read (u1,4),(u2,3) — the u2/u3 tie breaks to lower id,
+    // and a per-batch append would leave u1 at 2, behind u2
+    f(1L, 1L, 2L, 2L, 2L, 3L).coalesce(1).write.parquet(s"$dir/f1")
+    f(1L, 1L, 3L, 3L).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(uschema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*/")
+    val got = StreamingOps.streamingTopKFrom(stream, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 4L), (2L, 3L)))
+  }
 }
