@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality audit — the dbt-style `not_null` /
@@ -87,5 +88,87 @@ object DataQuality {
     val failed = array(rowRules.map(r =>
       when(violated(r), lit(r.name)).otherwise(lit(null))): _*)
     df.withColumn("failed_rules", filter(failed, _.isNotNull))
+  }
+
+  /** Tags every event with which HALF of the table's day range it falls
+    * in (0 = first half, 1 = second): the self-sufficient "did the data
+    * shift?" split — the span is a single-row broadcast, so no second
+    * scan and nothing data-sized crosses the join.
+    */
+  private def withHalf(events: DataFrame, tsCol: String): DataFrame = {
+    val day = col(tsCol).cast("date")
+    val span = events.agg(min(day).as("d0"), max(day).as("d1"))
+    events.crossJoin(broadcast(span))
+      .withColumn("half",
+        when(datediff(day, col("d0")) * 2 <= datediff(col("d1"), col("d0")),
+          lit(0)).otherwise(lit(1)))
+  }
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift test, exact: per series, the
+    * max ECDF gap between the first and second half of the time range,
+    * on values quantized to cents — D·10⁴ = (10⁴ · max|c₁N₂ − c₂N₁|)
+    * div (N₁N₂), where c are cumulative counts over the sorted value
+    * histogram. The quantization is what makes this 100 TB-shaped: the
+    * per-series cumsum window runs over the CENT histogram (bounded by
+    * the value range), never the event log — and KS of the binned
+    * distributions is itself exact (D of the true ECDFs differs by at
+    * most the mass inside one cent). Wide products run in
+    * DECIMAL(38,0); HUGEINT mirrors them in the oracle.
+    */
+  def ksDrift(events: DataFrame, tsCol: String = "ts",
+              typeCol: String = "event_type",
+              valueCol: String = "value"): DataFrame = {
+    val hist = withHalf(events, tsCol)
+      .groupBy(col(typeCol).as("event_type"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("bigint").as("v"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("h2"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("c1", sum(col("h1")).over(wCum))
+      .withColumn("c2", sum(col("h2")).over(wCum))
+      .withColumn("n1", sum(col("h1")).over(wAll))
+      .withColumn("n2", sum(col("h2")).over(wAll))
+      .withColumn("term", abs(col("c1").cast("decimal(38,0)") * col("n2") -
+        col("c2").cast("decimal(38,0)") * col("n1")))
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("term")).as("mx"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("""CAST((CAST(10000 AS DECIMAL(38,0)) * mx)
+                div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""")
+          .as("ks_bp"))
+  }
+
+  /** POPULATION STABILITY INDEX drift terms: how the event-type MIX
+    * shifted between the two halves of the time range. Shares are
+    * emitted both exactly (basis points, integral) and as the classic
+    * PSI contribution (p₁−p₂)·ln(p₁/p₂) per type at round(…, 6) — the
+    * shares themselves are single IEEE divides of exact counts, so the
+    * one libm `ln` is the only inexact op and the rounding absorbs it
+    * (the corr-matrix determinism recipe). A type absent from either
+    * half yields a null psi_term (its classic PSI is undefined) while
+    * the exact shares still report. Σ of the terms is the headline PSI;
+    * emitting per-type terms keeps the gate free of order-dependent
+    * double summation AND tells the operator which segment moved.
+    */
+  def psiDrift(events: DataFrame, tsCol: String = "ts",
+               typeCol: String = "event_type"): DataFrame = {
+    val perType = withHalf(events, tsCol)
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n2"))
+    val tot = perType.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    val p1 = col("n1").cast("double") / col("t1").cast("double")
+    val p2 = col("n2").cast("double") / col("t2").cast("double")
+    perType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("(10000 * n1) div t1").as("share1_bp"),
+        expr("(10000 * n2) div t2").as("share2_bp"),
+        when(col("n1") > 0 && col("n2") > 0,
+          round((p1 - p2) * log(p1 / p2), 6)).as("psi_term"))
   }
 }

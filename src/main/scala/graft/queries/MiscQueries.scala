@@ -231,6 +231,19 @@ object MiscQueries {
     "q_stream_topk" -> ((s, dir) =>
       StreamingOps.streamingTopK(s, dir, k = 50)),
 
+    // Distribution drift, two-sample exact KS: max ECDF gap between the
+    // first and second half of the time range, per type, on the cent
+    // histogram — D in exact basis points
+    "q_ks" -> ((s, dir) =>
+      graft.operators.DataQuality.ksDrift(Tables(s, dir, "events"))
+        .orderBy("event_type")),
+
+    // Population-mix drift: exact half-vs-half shares in bp + the
+    // per-type PSI contribution at round(., 6)
+    "q_drift" -> ((s, dir) =>
+      graft.operators.DataQuality.psiDrift(Tables(s, dir, "events"))
+        .orderBy("event_type")),
+
     // A/B readout: parity-split variants, conversion = >= 13 purchases,
     // 2x2 chi-square in exact micro units
     "q_abtest" -> ((s, dir) =>
@@ -2815,6 +2828,70 @@ object MiscQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1
         |ORDER BY n DESC, user_id LIMIT 50""".stripMargin,
+
+    // exact binned KS: cumulative counts over the per-type cent
+    // histogram; D*1e4 = (1e4 * max|c1*N2 - c2*N1|) // (N1*N2)
+    "q_ks" ->
+      """WITH sp AS (
+        |  SELECT min(CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE)) AS d0,
+        |         max(CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE)) AS d1
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN 2 * date_diff('day', d0,
+        |        CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE))
+        |      <= date_diff('day', d0, d1) THEN 0 ELSE 1 END AS half
+        |  FROM events CROSS JOIN sp),
+        |g AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h2
+        |  FROM h GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(sum(h1) OVER w AS BIGINT) AS c1,
+        |    CAST(sum(h2) OVER w AS BIGINT) AS c2,
+        |    CAST(sum(h1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+        |    CAST(sum(h2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT event_type, n1, n2,
+        |    max(abs(c1::HUGEINT * n2 - c2::HUGEINT * n1)) AS mx
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT event_type, n1, n2,
+        |  CAST((10000::HUGEINT * mx) // (n1::HUGEINT * n2) AS BIGINT) AS ks_bp
+        |FROM m WHERE n1 > 0 AND n2 > 0 ORDER BY event_type""".stripMargin,
+
+    // PSI terms: exact bp shares; the one libm ln rounds at 6dp
+    "q_drift" ->
+      """WITH sp AS (
+        |  SELECT min(CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE)) AS d0,
+        |         max(CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE)) AS d1
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    CASE WHEN 2 * date_diff('day', d0,
+        |        CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE))
+        |      <= date_diff('day', d0, d1) THEN 0 ELSE 1 END AS half
+        |  FROM events CROSS JOIN sp),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM h GROUP BY 1),
+        |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+        |             CAST(sum(n2) AS BIGINT) AS t2 FROM g)
+        |SELECT event_type, n1, n2,
+        |  (10000 * n1) // t1 AS share1_bp,
+        |  (10000 * n2) // t2 AS share2_bp,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    round((CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE) -
+        |           CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)) *
+        |      ln((CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)) /
+        |         (CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE))), 6) END AS psi_term
+        |FROM g CROSS JOIN t ORDER BY event_type""".stripMargin,
 
     // 2x2 chi-square in micro units; wide product in HUGEINT mirrors
     // the engine's DECIMAL(38,0) headroom

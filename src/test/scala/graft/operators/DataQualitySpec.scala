@@ -60,4 +60,52 @@ class DataQualitySpec extends AnyFunSuite {
       (1L, 5.0, Nil), (2L, 3.0, List("fk_not_null")),
       (3L, -1.0, List("v_non_negative")), (4L, 2.0, Nil)), s"$out")
   }
+
+  private def driftEvents(rows: (String, String, Double)*) =
+    rows.map { case (d, tpe, v) => (s"$d 12:00:00", tpe, v) }
+      .toDF("t", "event_type", "value")
+      .selectExpr("CAST(t AS TIMESTAMP) AS ts", "event_type", "value")
+
+  test("ksDrift: exact max ECDF gap on the cent histogram") {
+    // type x: half0 cents {1,2,3,4}, half1 {3,4,5,6} -> D = 1/2;
+    // type y identical halves -> D = 0
+    val d0 = "2024-01-01"; val d1 = "2024-01-02" // span 1: d0->half0, d1->half1
+    val ev = driftEvents(
+      (d0, "x", 0.01), (d0, "x", 0.02), (d0, "x", 0.03), (d0, "x", 0.04),
+      (d1, "x", 0.03), (d1, "x", 0.04), (d1, "x", 0.05), (d1, "x", 0.06),
+      (d0, "y", 0.10), (d1, "y", 0.10))
+    val got = DataQuality.ksDrift(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("x" -> ((4L, 4L, 5000L)), "y" -> ((1L, 1L, 0L))))
+  }
+
+  test("ksDrift: a one-sided series drops (no test without both halves)") {
+    val ev = driftEvents(("2024-01-01", "x", 1.0), ("2024-01-02", "x", 2.0),
+      ("2024-01-01", "only_first", 1.0))
+    val types = DataQuality.ksDrift(ev).collect().map(_.getString(0)).toSet
+    assert(types == Set("x"))
+  }
+
+  test("psiDrift: exact shares, classic term, null when a half is empty") {
+    // half0 mix a:3 b:1, half1 a:1 b:3 -> psi term both
+    // (0.75-0.25)*ln(3) = 0.549306; c only in half1 -> null term.
+    // totals t1=4, t2=5 (c adds one to half1)
+    val ev = driftEvents(
+      ("2024-01-01", "a", 1.0), ("2024-01-01", "a", 1.0),
+      ("2024-01-01", "a", 1.0), ("2024-01-01", "b", 1.0),
+      ("2024-01-02", "a", 1.0), ("2024-01-02", "b", 1.0),
+      ("2024-01-02", "b", 1.0), ("2024-01-02", "b", 1.0),
+      ("2024-01-02", "c", 1.0))
+    val got = DataQuality.psiDrift(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    val pa = math.rint((0.75 - 0.2) * math.log(0.75 / 0.2) * 1e6) / 1e6
+    val pb = math.rint((0.25 - 0.6) * math.log(0.25 / 0.6) * 1e6) / 1e6
+    assert(got == Map(
+      "a" -> ((3L, 1L, 7500L, 2000L, Some(pa))),
+      "b" -> ((1L, 3L, 2500L, 6000L, Some(pb))),
+      "c" -> ((0L, 1L, 0L, 2000L, None))))
+  }
 }
