@@ -143,6 +143,48 @@ object DataQuality {
           .as("ks_bp"))
   }
 
+  /** WASSERSTEIN-1 (earth-mover) drift, exact: per series, the area
+    * between the two halves' ECDFs over the cent histogram — the
+    * integral companion to [[ksDrift]]'s max gap (KS sees the worst
+    * point; W₁ sees total displaced mass, in value units). With cumsum
+    * counts c over sorted cent values and gap Δv to the next value,
+    * W₁ · N₁N₂ = Σ |c₁N₂ − c₂N₁| · Δv exactly (beyond the last value
+    * both CDFs are 1, contributing nothing), emitted as
+    * w1_centi_cents = (100 · Σ) div (N₁N₂) — W₁ in hundredths of a
+    * cent. Same scale shape as [[ksDrift]]: everything after the one
+    * log aggregation runs over the bounded cent histogram.
+    */
+  def wassersteinDrift(events: DataFrame, tsCol: String = "ts",
+                       typeCol: String = "event_type",
+                       valueCol: String = "value"): DataFrame = {
+    val hist = withHalf(events, tsCol)
+      .groupBy(col(typeCol).as("event_type"),
+        floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("bigint").as("v"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("h2"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("c1", sum(col("h1")).over(wCum))
+      .withColumn("c2", sum(col("h2")).over(wCum))
+      .withColumn("dv", lead(col("v"), 1).over(ord) - col("v"))
+      .withColumn("n1", sum(col("h1")).over(wAll))
+      .withColumn("n2", sum(col("h2")).over(wAll))
+      .withColumn("term",
+        abs(col("c1").cast("decimal(38,0)") * col("n2") -
+          col("c2").cast("decimal(38,0)") * col("n1")) *
+          coalesce(col("dv"), lit(0L)))
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        sum(col("term")).as("area"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("""CAST((CAST(100 AS DECIMAL(38,0)) * area)
+                div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)""")
+          .as("w1_centi_cents"))
+  }
+
   /** POPULATION STABILITY INDEX drift terms: how the event-type MIX
     * shifted between the two halves of the time range. Shares are
     * emitted both exactly (basis points, integral) and as the classic

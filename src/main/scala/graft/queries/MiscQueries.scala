@@ -244,6 +244,13 @@ object MiscQueries {
       graft.operators.DataQuality.psiDrift(Tables(s, dir, "events"))
         .orderBy("event_type")),
 
+    // Wasserstein-1 drift: the exact area between the two halves'
+    // ECDFs over the cent histogram — total displaced mass where KS
+    // reports only the worst point
+    "q_wasserstein" -> ((s, dir) =>
+      graft.operators.DataQuality.wassersteinDrift(Tables(s, dir, "events"))
+        .orderBy("event_type")),
+
     // A/B readout: parity-split variants, conversion = >= 13 purchases,
     // 2x2 chi-square in exact micro units
     "q_abtest" -> ((s, dir) =>
@@ -2862,6 +2869,46 @@ object MiscQueries {
         |  FROM c GROUP BY 1, 2, 3)
         |SELECT event_type, n1, n2,
         |  CAST((10000::HUGEINT * mx) // (n1::HUGEINT * n2) AS BIGINT) AS ks_bp
+        |FROM m WHERE n1 > 0 AND n2 > 0 ORDER BY event_type""".stripMargin,
+
+    // exact W1: area between ECDFs = sum |c1*N2 - c2*N1| * gap-to-next
+    // over the cent histogram, scaled to hundredths of a cent
+    "q_wasserstein" ->
+      """WITH sp AS (
+        |  SELECT min(CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE)) AS d0,
+        |         max(CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE)) AS d1
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN 2 * date_diff('day', d0,
+        |        CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE))
+        |      <= date_diff('day', d0, d1) THEN 0 ELSE 1 END AS half
+        |  FROM events CROSS JOIN sp),
+        |g AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h2
+        |  FROM h GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(sum(h1) OVER w AS BIGINT) AS c1,
+        |    CAST(sum(h2) OVER w AS BIGINT) AS c2,
+        |    lead(v) OVER w2 - v AS dv,
+        |    CAST(sum(h1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+        |    CAST(sum(h2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        |  FROM g WINDOW
+        |    w AS (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    w2 AS (PARTITION BY event_type ORDER BY v)),
+        |m AS (
+        |  SELECT event_type, n1, n2,
+        |    sum(abs(c1::HUGEINT * n2 - c2::HUGEINT * n1) *
+        |        coalesce(dv, 0)) AS area
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT event_type, n1, n2,
+        |  CAST((100::HUGEINT * area) // (n1::HUGEINT * n2) AS BIGINT)
+        |    AS w1_centi_cents
         |FROM m WHERE n1 > 0 AND n2 > 0 ORDER BY event_type""".stripMargin,
 
     // PSI terms: exact bp shares; the one libm ln rounds at 6dp

@@ -52,7 +52,7 @@ class SuiteAuditSpec extends AnyFunSuite {
     "q_zorder", // global min/max bounds row for the curve interleave
     "q_basket", // global order-count row crossed into the pair frame
     "q_rfm", // anchor-date row crossed into the per-customer frame
-    "q_ks", "q_drift", // day-span row crossed in for the half split
+    "q_ks", "q_drift", "q_wasserstein", // day-span row for the half split
     "text_bm25", // corpus N/avgdl stats row
     "text_budget", "text_lenstats", "text_perplexity", "text_quantile",
     "text_sweep", "text_tempsample", "text_topterms" // cutoff/stats rows

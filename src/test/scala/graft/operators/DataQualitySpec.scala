@@ -87,6 +87,22 @@ class DataQualitySpec extends AnyFunSuite {
     assert(types == Set("x"))
   }
 
+  test("wassersteinDrift: exact ECDF area on the cent histogram") {
+    // type x: half0 cents {1,2,3,4}, half1 {3,4,5,6} — two ECDFs offset
+    // by 2 cents: W1 = 2.0 cents -> 200 centi-cents. Gaps: at v=1..5
+    // |F1-F2| = .25,.5,.5,.5,.25 each over dv=1 -> area 2.0. Identical
+    // halves (type y) read 0.
+    val d0 = "2024-01-01"; val d1 = "2024-01-02"
+    val ev = driftEvents(
+      (d0, "x", 0.01), (d0, "x", 0.02), (d0, "x", 0.03), (d0, "x", 0.04),
+      (d1, "x", 0.03), (d1, "x", 0.04), (d1, "x", 0.05), (d1, "x", 0.06),
+      (d0, "y", 0.10), (d1, "y", 0.10))
+    val got = DataQuality.wassersteinDrift(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("x" -> ((4L, 4L, 200L)), "y" -> ((1L, 1L, 0L))))
+  }
+
   test("psiDrift: exact shares, classic term, null when a half is empty") {
     // half0 mix a:3 b:1, half1 a:1 b:3 -> psi term both
     // (0.75-0.25)*ln(3) = 0.549306; c only in half1 -> null term.
