@@ -84,6 +84,62 @@ object EventAnalytics {
         stages.indices.tail.map(i => min(col(s"q$i")).as(s"u$i")): _*)
   }
 
+  /** SESSION-SCOPED FUNNEL: [[funnel]]'s ordered-stage conversion, but
+    * the chain must complete inside ONE session (30-min-gap fold, the
+    * [[graft.streaming.StreamingOps.sessionize]] strict-> rule) — the
+    * "did the visit convert" metric, where the plain funnel answers
+    * "did the user ever convert". Counts are SESSIONS reaching each
+    * stage. Stage semantics are exactly [[funnelUsers]]'s: a stage
+    * event qualifies only STRICTLY after the previous stage's earliest
+    * qualified time, evaluated within the session.
+    *
+    * Plan: the session fold is one exchange on the user key; the
+    * staged running mins repartition to (user, session) — both
+    * exchanges user-dominated, the aggregate collapses to one row per
+    * session then |stages| rows.
+    */
+  def sessionFunnel(events: DataFrame, stages: Seq[String],
+                    gapMinutes: Int = 30, userCol: String = "user_id",
+                    tsCol: String = "ts", idCol: String = "event_id",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val wUser = Window.partitionBy(col(userCol))
+      .orderBy(col("__tsu"), col(idCol))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val sessioned = events
+      .select(col(userCol), col(idCol), unix_micros(col(tsCol)).as("__tsu"),
+        col(typeCol).as("__et"))
+      .withColumn("__prev", lag(col("__tsu"), 1).over(wUser))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("__tsu") - col("__prev") > gapUs, 1).otherwise(0))
+      .withColumn("__sess", sum(col("__new")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, 0)))
+    // RANGE default frame (all tsu peers included), matching funnel:
+    // tie order never changes a running min
+    val w = Window.partitionBy(col(userCol), col("__sess"))
+      .orderBy(col("__tsu"))
+    var staged = sessioned
+      .withColumn("q0", when(col("__et") === stages.head, col("__tsu")))
+    stages.tail.zipWithIndex.foreach { case (st, i) =>
+      val prevMin = min(col(s"q$i")).over(w)
+      staged = staged.withColumn(s"q${i + 1}",
+        when(col("__et") === st && prevMin.isNotNull &&
+          col("__tsu") > prevMin, col("__tsu")))
+    }
+    val perSession = staged
+      .groupBy(col(userCol), col("__sess"))
+      .agg(min(col("q0")).as("u0"),
+        stages.indices.tail.map(i => min(col(s"q$i")).as(s"u$i")): _*)
+    val totals = perSession.agg(count(col("u0")).as("c0"),
+      stages.indices.tail.map(i => count(col(s"u$i")).as(s"c$i")): _*)
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("stage"), lit(st).as("event_type"),
+        col(s"c$i").as("sessions"))
+    }
+    totals.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.sessions"))
+  }
+
   /** COHORT RETENTION: users grouped by the period of their FIRST
     * event (the cohort), counted once per period they were active in —
     * the (cohort, period, active_users) triangle behind every

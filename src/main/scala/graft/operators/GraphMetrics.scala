@@ -150,19 +150,22 @@ object GraphMetrics {
     val edges = checkpointed(
       e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst"))))
-    var dist = checkpointed(sources.select(col(idCol).as("id")).distinct()
-      .withColumn("dist", lit(0L)))
-    var frontier = dist.select("id")
+    // one checkpoint per RING only — the visited set stays a union plan
+    // over already-flat rings (≤ maxHops legs), so no frame
+    // materializes twice
+    val rings = scala.collection.mutable.ArrayBuffer(
+      checkpointed(sources.select(col(idCol).as("id")).distinct()
+        .withColumn("dist", lit(0L))))
     for (h <- 1 to maxHops) {
-      val next = checkpointed(
+      val frontier = rings.last.select("id")
+      val visited = rings.map(_.select("id")).reduce(_ unionAll _)
+      rings += checkpointed(
         frontier.join(edges, frontier("id") === edges("src"))
           .select(col("dst").as("id")).distinct()
-          .join(dist.select("id"), Seq("id"), "left_anti")
+          .join(visited, Seq("id"), "left_anti")
           .withColumn("dist", lit(h.toLong)))
-      dist = checkpointed(dist.unionAll(next))
-      frontier = next.select("id")
     }
-    dist.withColumnRenamed("id", idCol)
+    rings.reduce(_ unionAll _).withColumnRenamed("id", idCol)
   }
 
   /** All triangles, one row each, vertices sorted (x < y < z). */

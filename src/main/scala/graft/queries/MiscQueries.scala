@@ -140,6 +140,14 @@ object MiscQueries {
           Seq("view", "click", "purchase"), "user_id", "ts", "event_type")
         .orderBy("stage")),
 
+    // Session-scoped funnel: the same ordered chain, but it must
+    // complete inside one 30-min-gap session — sessions reaching each
+    // stage ("did the visit convert", not "did the user ever convert")
+    "q_funnel_session" -> ((s, dir) =>
+      graft.operators.EventAnalytics.sessionFunnel(Tables(s, dir, "events"),
+          Seq("view", "click", "purchase"), gapMinutes = 30)
+        .orderBy("stage")),
+
     // Per-user funnel frame: earliest qualified timestamp per stage
     // (the row-level view behind q_funnel's counts)
     "q_funnel_users" -> ((s, dir) =>
@@ -2662,6 +2670,51 @@ object MiscQueries {
         |    min(q1) AS u1, min(q2) AS u2
         |  FROM s3 GROUP BY 1)
         |SELECT 1 AS stage, 'view' AS event_type, count(u0) AS users FROM u
+        |UNION ALL
+        |SELECT 2, 'click', count(u1) FROM u
+        |UNION ALL
+        |SELECT 3, 'purchase', count(u2) FROM u
+        |ORDER BY stage""".stripMargin,
+
+    // the q_funnel staged mins inside (user, session) partitions; the
+    // session fold is the q_sessionize strict-gap rule
+    "q_funnel_session" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts)//1000 AS tus
+        |  FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, tus,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |s1 AS (
+        |  SELECT user_id, sess, event_type, tus,
+        |    min(CASE WHEN event_type = 'view' THEN tus END)
+        |      OVER (PARTITION BY user_id, sess ORDER BY tus) AS m0
+        |  FROM s),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND m0 IS NOT NULL
+        |                   AND tus > m0 THEN tus END AS q1
+        |  FROM s1),
+        |s2m AS (
+        |  SELECT *, min(q1) OVER (PARTITION BY user_id, sess ORDER BY tus)
+        |    AS m1
+        |  FROM s2),
+        |s3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND m1 IS NOT NULL
+        |                   AND tus > m1 THEN tus END AS q2
+        |  FROM s2m),
+        |u AS (
+        |  SELECT user_id, sess,
+        |    min(CASE WHEN event_type = 'view' THEN tus END) AS u0,
+        |    min(q1) AS u1, min(q2) AS u2
+        |  FROM s3 GROUP BY 1, 2)
+        |SELECT 1 AS stage, 'view' AS event_type, count(u0) AS sessions FROM u
         |UNION ALL
         |SELECT 2, 'click', count(u1) FROM u
         |UNION ALL

@@ -16,6 +16,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     rows.toSeq.toDF("user_id", "us", "event_type")
       .selectExpr("user_id", "timestamp_micros(us) AS ts", "event_type")
 
+  test("sessionFunnel: the chain must complete inside one session") {
+    def ev(id: Long, us: Long, user: Long, et: String) =
+      (id, new java.sql.Timestamp(us / 1000), user, et)
+    val gapUs = 30L * 60L * 1000000L
+    // u1 session 1: view -> click -> purchase (full chain, one visit);
+    // u1 session 2 (after the gap): purchase alone — must NOT count
+    //   (its chain restarts; the user-level funnel WOULD credit it);
+    // u2: view in session 1, click only after the gap — the click's
+    //   session has no view, so stage 2 is never reached.
+    val events = Seq(
+      ev(1, 1000000L, 1, "view"), ev(2, 2000000L, 1, "click"),
+      ev(3, 3000000L, 1, "purchase"),
+      ev(4, 3000000L + gapUs + 1000000L, 1, "purchase"),
+      ev(5, 1000000L, 2, "view"),
+      ev(6, 1000000L + gapUs + 1000000L, 2, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventAnalytics.sessionFunnel(events,
+        Seq("view", "click", "purchase"), gapMinutes = 30)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // sessions: u1s1 (view+click+purchase), u1s2 (purchase), u2s1
+    // (view), u2s2 (click) -> stage1: 2 sessions saw a view; stage2: 1;
+    // stage3: 1
+    assert(got == Map(1 -> 2L, 2 -> 1L, 3 -> 1L))
+    // control: the USER-level funnel credits u2's cross-session click
+    val userLevel = EventAnalytics.funnel(events,
+        Seq("view", "click", "purchase"), "user_id", "ts", "event_type")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(userLevel == Map(1 -> 2L, 2 -> 2L, 3 -> 1L))
+  }
+
   test("funnel: stages count only strictly after the previous stage") {
     val events = ev(
       // u1 converts fully in order
