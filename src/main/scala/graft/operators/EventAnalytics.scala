@@ -43,8 +43,16 @@ object EventAnalytics {
     * qualify (strict `>`).
     */
   def funnel(events: DataFrame, stages: Seq[String], userCol: String,
-             tsCol: String, typeCol: String): DataFrame = {
-    val totals = funnelUsers(events, stages, userCol, tsCol, typeCol).agg(
+             tsCol: String, typeCol: String): DataFrame =
+    funnelTotals(funnelUsers(events, stages, userCol, tsCol, typeCol), stages)
+
+  /** The per-stage counting tail of [[funnel]] over an already-built
+    * per-user stage frame (u0..u{k-1}) — shared with the streaming twin
+    * ([[graft.streaming.StreamingOps.streamingFunnel]]), whose stateful
+    * fold builds the frame instead of the stacked batch windows.
+    */
+  def funnelTotals(fu: DataFrame, stages: Seq[String]): DataFrame = {
+    val totals = fu.agg(
       count(col("u0")).as("c0"),
       stages.indices.tail.map(i => count(col(s"u$i")).as(s"c$i")): _*)
     val rows = stages.zipWithIndex.map { case (st, i) =>

@@ -140,6 +140,12 @@ object MiscQueries {
           Seq("view", "click", "purchase"), "user_id", "ts", "event_type")
         .orderBy("stage")),
 
+    // Streaming funnel twin: the stateful per-user fold's stage frame
+    // through the batch operator's counting tail (shared oracle)
+    "q_stream_funnel" -> ((s, dir) =>
+      StreamingOps.streamingFunnel(s, dir, Seq("view", "click", "purchase"))
+        .orderBy("stage")),
+
     // Session-scoped funnel: the same ordered chain, but it must
     // complete inside one 30-min-gap session — sessions reaching each
     // stage ("did the visit convert", not "did the user ever convert")
@@ -1751,6 +1757,40 @@ object MiscQueries {
       |    AS p_bp
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** Shared by q_funnel and q_stream_funnel: the stateful funnel fold
+    * drained in event-time order == the batch stacked windows.
+    */
+  private val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus FROM events),
+      |s1 AS (
+      |  SELECT user_id, event_type, tus,
+      |    min(CASE WHEN event_type = 'view' THEN tus END)
+      |      OVER (PARTITION BY user_id ORDER BY tus) AS m0
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND m0 IS NOT NULL
+      |                   AND tus > m0 THEN tus END AS q1
+      |  FROM s1),
+      |s2m AS (
+      |  SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY tus) AS m1
+      |  FROM s2),
+      |s3 AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' AND m1 IS NOT NULL
+      |                   AND tus > m1 THEN tus END AS q2
+      |  FROM s2m),
+      |u AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN tus END) AS u0,
+      |    min(q1) AS u1, min(q2) AS u2
+      |  FROM s3 GROUP BY 1)
+      |SELECT 1 AS stage, 'view' AS event_type, count(u0) AS users FROM u
+      |UNION ALL
+      |SELECT 2, 'click', count(u1) FROM u
+      |UNION ALL
+      |SELECT 3, 'purchase', count(u2) FROM u
+      |ORDER BY stage""".stripMargin
+
   /** Shared by q_anomaly and q_stream_anomaly: the streaming twin's
     * complete-mode daily-count state drained to the end IS the batch
     * daily frame, and both run the same trailing-median tail.
@@ -2645,36 +2685,11 @@ object MiscQueries {
 
     // mirrors EventAnalytics.funnel: running-min chain per stage over
     // the default RANGE frame (tie semantics identical in both engines)
-    "q_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, epoch_ns(ts)//1000 AS tus FROM events),
-        |s1 AS (
-        |  SELECT user_id, event_type, tus,
-        |    min(CASE WHEN event_type = 'view' THEN tus END)
-        |      OVER (PARTITION BY user_id ORDER BY tus) AS m0
-        |  FROM e),
-        |s2 AS (
-        |  SELECT *, CASE WHEN event_type = 'click' AND m0 IS NOT NULL
-        |                   AND tus > m0 THEN tus END AS q1
-        |  FROM s1),
-        |s2m AS (
-        |  SELECT *, min(q1) OVER (PARTITION BY user_id ORDER BY tus) AS m1
-        |  FROM s2),
-        |s3 AS (
-        |  SELECT *, CASE WHEN event_type = 'purchase' AND m1 IS NOT NULL
-        |                   AND tus > m1 THEN tus END AS q2
-        |  FROM s2m),
-        |u AS (
-        |  SELECT user_id,
-        |    min(CASE WHEN event_type = 'view' THEN tus END) AS u0,
-        |    min(q1) AS u1, min(q2) AS u2
-        |  FROM s3 GROUP BY 1)
-        |SELECT 1 AS stage, 'view' AS event_type, count(u0) AS users FROM u
-        |UNION ALL
-        |SELECT 2, 'click', count(u1) FROM u
-        |UNION ALL
-        |SELECT 3, 'purchase', count(u2) FROM u
-        |ORDER BY stage""".stripMargin,
+    "q_funnel" -> funnelSql,
+
+    // the streamed fold drained in event-time order builds the same
+    // per-user stage frame, and the counting tail is shared code
+    "q_stream_funnel" -> funnelSql,
 
     // the q_funnel staged mins inside (user, session) partitions; the
     // session fold is the q_sessionize strict-gap rule

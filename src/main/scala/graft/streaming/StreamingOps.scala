@@ -543,6 +543,17 @@ object StreamingOps {
           element_at(col("stages"), i + 1)).as(s"u$i")): _*)
   }
 
+  /** The driver-gated form of [[streamingFunnelUsers]]: the per-user
+    * stage frame from the stateful fold, counted through the batch
+    * operator's own [[graft.operators.EventAnalytics.funnelTotals]]
+    * tail (shared code AND shared oracle — the sf parquet arrives as
+    * one in-order batch, so the equivalence contract holds exactly).
+    */
+  def streamingFunnel(spark: SparkSession, dir: String,
+                      stages: Seq[String]): DataFrame =
+    graft.operators.EventAnalytics.funnelTotals(
+      streamingFunnelUsers(eventsStream(spark, dir), stages), stages)
+
   /** The per-user fold behind [[streamingFunnelUsers]]: state =
     * (earliest qualified ts per stage, -1 unset; emission seq). Events
     * fold in ts order; stage 0 takes its running min, stage k
