@@ -61,19 +61,30 @@ object SimilarityQueries {
           .as("embedding"))
   }
 
-  /** SQL form of [[nClusters]] — a scalar subquery DuckDB folds once. */
-  private val ncSql = "(SELECT greatest(count(*) // 12, 1) FROM embeddings)"
-
+  /** SQL form of [[nClusters]], hoisted into a CTE and CROSS JOINed so
+    * the cluster key is a PLAIN COLUMN before it reaches the join. The
+    * previous inline form — `ON c.vec_id = e.vec_id % (SELECT …)` — hid
+    * the key behind a scalar subquery, DuckDB could not hash-partition
+    * on it, and the center join degenerated to a nested loop: eflat ×
+    * eflat = 1.6e12 comparisons at sf1 (measured: >16 CPU-hours,
+    * unfinished; the hoisted form builds the same corpus in ~1 s).
+    * Invisible at sf0.01 (1.6e10 comparisons) — a pure corpus-scaling
+    * trap in the ORACLE, not the engine.
+    */
   private val clusteredSql =
-    s"""eflat AS (
+    s"""nck AS (SELECT greatest(count(*) // 12, 1) AS nc FROM embeddings),
+      |eflat AS (
       |  SELECT vec_id, unnest(embedding) AS x,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings),
-      |clustered AS (
+      |ecent AS (
+      |  SELECT e.vec_id, e.i, e.x, e.vec_id % nck.nc AS cid
+      |  FROM eflat e CROSS JOIN nck),
+      |clustered AS MATERIALIZED (
       |  SELECT e.vec_id,
       |    list(CAST(c.x AS DOUBLE) + CAST(e.x AS DOUBLE) / 16.0 ORDER BY e.i)
       |      AS embedding
-      |  FROM eflat e JOIN eflat c ON c.vec_id = e.vec_id % $ncSql AND c.i = e.i
+      |  FROM ecent e JOIN eflat c ON c.vec_id = e.cid AND c.i = e.i
       |  GROUP BY e.vec_id)""".stripMargin
 
   /** Quantized oracle scaffold: `qv` keeps each vector as a BIGINT list
