@@ -207,9 +207,14 @@ object DataQuality {
     val p1 = col("n1").cast("double") / col("t1").cast("double")
     val p2 = col("n2").cast("double") / col("t2").cast("double")
     perType.crossJoin(broadcast(tot))
+      // A corpus spanning a single day puts every row in half 0, so
+      // t2 = 0 — guard each integral div so the degenerate case reports
+      // a null share (DuckDB `//` by 0 is NULL) instead of throwing
+      // under ANSI mode, the same degradation ksDrift/wassersteinDrift
+      // already have via their n1 > 0 AND n2 > 0 filters.
       .select(col("event_type"), col("n1"), col("n2"),
-        expr("(10000 * n1) div t1").as("share1_bp"),
-        expr("(10000 * n2) div t2").as("share2_bp"),
+        when(col("t1") > 0, expr("(10000 * n1) div t1")).as("share1_bp"),
+        when(col("t2") > 0, expr("(10000 * n2) div t2")).as("share2_bp"),
         when(col("n1") > 0 && col("n2") > 0,
           round((p1 - p2) * log(p1 / p2), 6)).as("psi_term"))
   }

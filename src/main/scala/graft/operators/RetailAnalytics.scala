@@ -189,10 +189,16 @@ object RetailAnalytics {
         sum(col("v").cast("decimal(38,0)") *
           (col("c") * col("r0") + expr("(c * (c - 1)) div 2")))
           .as("rank_sum"))
+      // If every customer's spend rounds to $0, s = 0 and the DECIMAL
+      // div would throw under ANSI mode while DuckDB yields NULL —
+      // emit null for the degenerate corpus (Gini of an all-zero
+      // distribution is undefined), same convention as
+      // Similarity.cosine's zero-norm guard.
       .select(col("n_cust"), col("s").cast("long").as("dollars"),
-        expr("""CAST((CAST(10000 AS DECIMAL(38,0)) *
-                 (2 * rank_sum - (n_cust + 1) * s))
-                div (CAST(n_cust AS DECIMAL(38,0)) * s) AS BIGINT)""")
+        when(col("s") > 0,
+          expr("""CAST((CAST(10000 AS DECIMAL(38,0)) *
+                   (2 * rank_sum - (n_cust + 1) * s))
+                  div (CAST(n_cust AS DECIMAL(38,0)) * s) AS BIGINT)"""))
           .as("gini_bp"))
   }
 
@@ -215,8 +221,11 @@ object RetailAnalytics {
       .agg(count(lit(1)).as("n_cust"),
         sum(d(col("dollars"))).as("s"),
         sum(d(col("dollars")) * d(col("dollars"))).as("ssq"))
+      // Same zero-total-spend guard as gini: HHI over an all-zero
+      // segment is undefined → null, not an ANSI divide-by-zero.
       .select(col("segment"), col("n_cust"),
-        expr("""CAST((CAST(100000000 AS DECIMAL(38,0)) * ssq)
-                div (s * s) AS BIGINT)""").as("hhi"))
+        when(col("s") > 0,
+          expr("""CAST((CAST(100000000 AS DECIMAL(38,0)) * ssq)
+                  div (s * s) AS BIGINT)""")).as("hhi"))
   }
 }

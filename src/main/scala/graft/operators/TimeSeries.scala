@@ -76,13 +76,20 @@ object TimeSeries {
         sum(d("n") * d("n")).as("sxx"),
         sum(d("n") * d("prev")).as("sxy"),
         sum(d("prev") * d("prev")).as("syy"))
+      .withColumn("vx", col("np").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+      .withColumn("vy", col("np").cast("double") * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double"))
+      // Constant series (or np=1) make a variance 0 → 0/0; the classic
+      // autocorrelation is undefined there, so emit null — matching the
+      // DuckDB oracle's NaN (canonicalized to null by the gate) instead
+      // of letting the divide blow up. Same guard shape as
+      // Stats.regression's deny =!= 0 guard.
       .select(col("event_type"), col("np"),
-        round((col("np").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          (sqrt(col("np").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")) *
-            sqrt(col("np").cast("double") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))), 6)
+        when(col("vx") > 0.0 && col("vy") > 0.0,
+          round((col("np").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("vx")) * sqrt(col("vy"))), 6))
           .as("autocorr"))
   }
 

@@ -124,4 +124,22 @@ class DataQualitySpec extends AnyFunSuite {
       "b" -> ((1L, 3L, 2500L, 6000L, Some(pb))),
       "c" -> ((0L, 1L, 0L, 2000L, None))))
   }
+
+  test("psiDrift: a single-day corpus degrades to null shares, no throw") {
+    // one day -> every row lands in half 0 (2*0 <= 0), t2 = 0; the
+    // second-half share and the psi term must be null, not an ANSI
+    // divide-by-zero, matching ksDrift/wassersteinDrift's degradation.
+    val ev = driftEvents(
+      ("2024-01-01", "a", 1.0), ("2024-01-01", "a", 1.0),
+      ("2024-01-01", "b", 1.0))
+    val got = DataQuality.psiDrift(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.isNullAt(5)))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 0L, Some(6666L), None, true)),
+      "b" -> ((1L, 0L, Some(3333L), None, true))))
+  }
 }

@@ -45,6 +45,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(0).getDouble(2) == -1.0)
   }
 
+  test("autocorr: constant series and single-pair series read null, no throw") {
+    // constant daily counts -> both variances 0 -> undefined, null
+    val const = TimeSeries.autocorr(events(
+        ("2024-01-01", "click", 2), ("2024-01-02", "click", 2),
+        ("2024-01-03", "click", 2))).collect()
+    assert(const.length == 1 && const(0).getLong(1) == 2L &&
+      const(0).isNullAt(2))
+    // two observed days -> np = 1 -> variance identically 0 -> null
+    val pair = TimeSeries.autocorr(events(
+        ("2024-01-01", "click", 1), ("2024-01-02", "click", 3))).collect()
+    assert(pair.length == 1 && pair(0).getLong(1) == 1L &&
+      pair(0).isNullAt(2))
+  }
+
   test("seasonality: index is volume share over calendar share, in bp") {
     // two Mondays at 3 events, one Tuesday at 2: Monday carries 6/8 of
     // volume on 2/3 of days -> 11250 bp; Tuesday 2/8 on 1/3 -> 7500
@@ -104,6 +118,18 @@ class TimeSeriesSpec extends AnyFunSuite {
     val r = RetailAnalytics.gini(skew).collect()(0)
     assert(r.getLong(0) == 2L && r.getLong(1) == 10L &&
       r.getLong(2) == 5000L)
+  }
+
+  test("gini/hhi: all-sub-dollar spend reads null, no ANSI divide") {
+    // every customer's spend rounds to $0 -> total s = 0 -> the ratio
+    // is undefined; both metrics must emit null instead of throwing.
+    val tiny = Seq((1L, 0.40), (2L, 0.25)).toDF("o_custkey", "o_totalprice")
+    val g = RetailAnalytics.gini(tiny).collect()(0)
+    assert(g.getLong(0) == 2L && g.getLong(1) == 0L && g.isNullAt(2))
+    val seg = Seq(("1-URGENT", 1L, 0.40), ("1-URGENT", 2L, 0.25))
+      .toDF("o_orderpriority", "o_custkey", "o_totalprice")
+    val h = RetailAnalytics.hhi(seg).collect()(0)
+    assert(h.getLong(1) == 2L && h.isNullAt(2))
   }
 
   test("hhi: monopoly reads 1e8, an even split reads 1e8/n") {
