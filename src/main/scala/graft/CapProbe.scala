@@ -52,12 +52,16 @@ object CapProbe {
     // untimed warm-up at the tight dial: the first containment run in a
     // JVM pays JIT/codegen for the whole pipeline — without this the
     // first CELL carries it and the A/B reads as a cap effect
-    run("warmup")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 64))
+    run("warmup")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 64,
+      candidateBudgetPerDoc = None))
     val cells = Seq(
       run("budget64perdoc")(a => Dedup.wordGramContainment(a, 0.9,
         candidateBudgetPerDoc = Some(64))),
-      run("fixed64")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 64)),
-      run("fixed256")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 256)))
+      run("fixed64")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 64,
+        candidateBudgetPerDoc = None)),
+      run("fixed256")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 256,
+        candidateBudgetPerDoc = None)),
+      run("default")(a => Dedup.wordGramContainment(a, 0.9)))
     println(s"""{"probe":"containment_cap","sf":"$sfDir","cells":[
 ${cells.mkString(",\n")}]}""")
     spark.stop()

@@ -122,7 +122,8 @@ object KeepProbe {
       // workload coupling, the tighter cap flattens it; a plan-shape
       // problem would not care
       val (_, tCap) = time {
-        operators.Dedup.wordGramContainment(a, threshold = 0.9, maxBucket = 64)
+        operators.Dedup.wordGramContainment(a, threshold = 0.9, maxBucket = 64,
+            candidateBudgetPerDoc = None)
           .count()
       }
       a.unpersist()

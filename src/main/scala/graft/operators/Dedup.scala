@@ -244,6 +244,21 @@ object Dedup {
     */
   val BucketCapLadder: Seq[Int] = Seq(8, 16, 32, 64, 128, 256)
 
+  /** Default per-document candidate budget — the POLICY default on
+    * every banded near-dup pipeline since r13. r11–r12 measured that a
+    * fixed bucket cap is the wrong default on template-dense corpora
+    * (candidate volume below the cap is quadratic in bucket occupancy:
+    * a 3× corpus grew candidates 6.4×), while the budget-DERIVED cap
+    * landed exactly on the hand-measured optimal dial at 5.4× the fixed
+    * default's speed. 64 is the dial those measurements validated; on
+    * ordinary corpora every bucket sits under every ladder rung and the
+    * derived cap reproduces the fixed-256 output bit-for-bit
+    * (spec-pinned). Pass `candidateBudgetPerDoc = None` to force a
+    * fixed `maxBucket` — the escape hatch for corpora whose dup density
+    * is known a priori.
+    */
+  val DefaultCandidateBudget: Option[Int] = Some(64)
+
   /** Derive the banding bucket cap from a CANDIDATE BUDGET instead of a
     * hand constant (r11 finding: on template-dense corpora candidate
     * volume below the cap is quadratic in bucket occupancy — a 3×
@@ -286,12 +301,13 @@ object Dedup {
     * because the census and the pairing both read it (one signature
     * pass, not two). Shared by every banded near-dup pipeline.
     */
-  private def resolveCap(bands: DataFrame, maxBucket: Int,
-                         budgetPerDoc: Option[Int], bandsPerDoc: Int)
+  private[operators] def resolveCap(bands: DataFrame, maxBucket: Int,
+                                    budgetPerDoc: Option[Int], bandsPerDoc: Int,
+                                    bucketCols: Seq[String] = Seq("band_id", "band"))
       : (DataFrame, Int) = budgetPerDoc match {
     case Some(b) =>
       val cached = bands.cache()
-      (cached, autoBucketCap(cached, Seq("band_id", "band"), b, bandsPerDoc))
+      (cached, autoBucketCap(cached, bucketCols, b, bandsPerDoc))
     case None => (bands, maxBucket)
   }
 
@@ -338,10 +354,13 @@ object Dedup {
     * (AND-width) on corpora whose baseline similarity is high.
     */
   def lshNearDups(shinglesDf: DataFrame, threshold: Double,
-                  bandSize: Int = 2, maxBucket: Int = 256): DataFrame = {
+                  bandSize: Int = 2, maxBucket: Int = 256,
+                  candidateBudgetPerDoc: Option[Int] = DefaultCandidateBudget)
+      : DataFrame = {
     val raw = shingleHashes(shinglesDf).cache()
-    val bands = signatureBands(minhashSignature(raw), bandSize)
-    val cand = cappedPairs(bands, Seq("band_id", "band"), maxBucket).cache()
+    val (bands, cap) = resolveCap(signatureBands(minhashSignature(raw), bandSize),
+      maxBucket, candidateBudgetPerDoc, 8 / bandSize)
+    val cand = cappedPairs(bands, Seq("band_id", "band"), cap).cache()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .unionAll(cand.select(col("doc_b").as("doc_id"))).distinct()
     val hashes = raw.join(candDocs, Seq("doc_id"), "left_semi").distinct().cache()
@@ -367,7 +386,7 @@ object Dedup {
   def charGramNearDups(docs: DataFrame, threshold: Double, n: Int = 5,
                        bandSize: Int = 4, maxBucket: Int = 256,
                        textCol: String = "text", idCol: String = "doc_id",
-                       candidateBudgetPerDoc: Option[Int] = None): DataFrame = {
+                       candidateBudgetPerDoc: Option[Int] = DefaultCandidateBudget): DataFrame = {
     import graft.functions.QCharGrams
     require(8 % bandSize == 0, "bandSize must divide 8")
     val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
@@ -452,7 +471,7 @@ object Dedup {
   def wordGramNearDups(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
                        bandSize: Int = 2, maxBucket: Int = 256,
                        textCol: String = "text", idCol: String = "doc_id",
-                       candidateBudgetPerDoc: Option[Int] = None): DataFrame = {
+                       candidateBudgetPerDoc: Option[Int] = DefaultCandidateBudget): DataFrame = {
     import graft.functions.QWordGrams
     val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
       .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
@@ -485,7 +504,7 @@ object Dedup {
   def wordGramNearDupsPoly(docs: DataFrame, threshold: Double = 0.5, n: Int = 3,
                            bandSize: Int = 2, maxBucket: Int = 256,
                            textCol: String = "text", idCol: String = "doc_id",
-                           candidateBudgetPerDoc: Option[Int] = None): DataFrame = {
+                           candidateBudgetPerDoc: Option[Int] = DefaultCandidateBudget): DataFrame = {
     import graft.functions.QWordGrams
     require(8 % bandSize == 0, "bandSize must divide 8")
     val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
@@ -532,7 +551,7 @@ object Dedup {
   def wordGramContainment(docs: DataFrame, threshold: Double = 0.9, n: Int = 3,
                           maxBucket: Int = 256,
                           textCol: String = "text", idCol: String = "doc_id",
-                          candidateBudgetPerDoc: Option[Int] = None): DataFrame = {
+                          candidateBudgetPerDoc: Option[Int] = DefaultCandidateBudget): DataFrame = {
     import graft.functions.QWordGrams
     val base = docs.select(col(idCol), lower(col(textCol)).as("t"))
       .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
@@ -583,9 +602,12 @@ object Dedup {
   def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
                           threshold: Double = 0.5, n: Int = 3,
                           bandSize: Int = 2, maxBucket: Int = 256,
-                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+                          textCol: String = "text", idCol: String = "doc_id",
+                          candidateBudgetPerDoc: Option[Int] =
+                            DefaultCandidateBudget): DataFrame =
     incrementalNearDupsStored(signatureStore(existing, n, textCol, idCol),
-      existing, incoming, threshold, n, bandSize, maxBucket, textCol, idCol)
+      existing, incoming, threshold, n, bandSize, maxBucket, textCol, idCol,
+      candidateBudgetPerDoc)
 
   /** The SIGNATURE STORE row for every document: the 8 polynomial
     * MinHash family minima, one row per doc, 8 BIGINTs — what the
@@ -616,7 +638,9 @@ object Dedup {
                                 incoming: DataFrame,
                                 threshold: Double = 0.5, n: Int = 3,
                                 bandSize: Int = 2, maxBucket: Int = 256,
-                                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                                textCol: String = "text", idCol: String = "doc_id",
+                                candidateBudgetPerDoc: Option[Int] =
+                                  DefaultCandidateBudget): DataFrame = {
     require(8 % bandSize == 0, "bandSize must divide 8")
     def prep(df: DataFrame) =
       df.select(col(idCol), lower(col(textCol)).as("t"))
@@ -628,8 +652,17 @@ object Dedup {
     val base = prep(existing).unionAll(prep(incoming))
     val sig = store.withColumn("is_new", lit(false)).unionByName(
       signatureStore(incoming, n, textCol, idCol).withColumn("is_new", lit(true)))
-    val bands = sig.select(col(idCol), col("is_new"),
-      posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band")))
+    // The cap census runs over the COMBINED (store + incoming) bands —
+    // the same census the batch path would compute on the full corpus,
+    // so the contract ("exactly the full-corpus pairs restricted to
+    // incoming-touching") holds under the budget default too. At scale
+    // the census is one extra aggregation per batch over 8-BIGINT rows;
+    // a production store would maintain the bucket-size histogram
+    // incrementally alongside the signatures.
+    val (bands, cap) = resolveCap(
+      sig.select(col(idCol), col("is_new"),
+        posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band"))),
+      maxBucket, candidateBudgetPerDoc, 8 / bandSize)
     // one exchange on the bucket key: size + anchor(id, flag) per row
     // (at scale these stats are maintained in the store, not recomputed)
     val w = Window.partitionBy("band_id", "band")
@@ -639,8 +672,8 @@ object Dedup {
       .cache()
     // ≤cap: probe the bucket with NEW rows only; (least, greatest)
     // normalization makes new×new pairs single and ordered
-    val small = rows.filter(col("is_new") && col("bn") <= maxBucket)
-      .join(rows.filter(col("bn") <= maxBucket)
+    val small = rows.filter(col("is_new") && col("bn") <= cap)
+      .join(rows.filter(col("bn") <= cap)
           .select(col("band_id"), col("band"), col(idCol).as("other")),
         Seq("band_id", "band"))
       .filter(col(idCol) =!= col("other"))
@@ -648,7 +681,7 @@ object Dedup {
         greatest(col(idCol), col("other")).as("doc_b"))
     // >cap: anchor pairs, kept iff an endpoint is new
     val big = rows
-      .filter(col("bn") > maxBucket && col(idCol) > col("anchor")(idCol) &&
+      .filter(col("bn") > cap && col(idCol) > col("anchor")(idCol) &&
         (col("is_new") || col("anchor")("is_new")))
       .select(col("anchor")(idCol).as("doc_a"), col(idCol).as("doc_b"))
     val cand = small.unionAll(big).distinct().cache()
@@ -1027,7 +1060,9 @@ object Dedup {
     * trade: such buckets are near-dup clusters already).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-                      maxBucket: Int = 256, idCol: String = "doc_id"): DataFrame = {
+                      maxBucket: Int = 256, idCol: String = "doc_id",
+                      candidateBudgetPerDoc: Option[Int] = DefaultCandidateBudget)
+      : DataFrame = {
     // The bit string is packed into two BIGINT halves here (one conv()
     // per doc) so the per-pair Hamming distance is two xor + bit_count
     // ops instead of 64 substring comparisons.
@@ -1043,9 +1078,12 @@ object Dedup {
         graft.functions.QSimHash.sigCol(lower(col("text"))).as("simhash"))
       .withColumn("hi", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
       .withColumn("lo", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"))
-    val bands = sig.select(col(idCol), col("hi"), col("lo"),
-      explode(array((0 until 4).map(k =>
-        substring(col("simhash"), 1 + 16 * k, 16)): _*)).as("band"))
+    val (bands, cap) = resolveCap(
+      sig.select(col(idCol), col("hi"), col("lo"),
+        explode(array((0 until 4).map(k =>
+          substring(col("simhash"), 1 + 16 * k, 16)): _*)).as("band")),
+      maxBucket, candidateBudgetPerDoc, bandsPerDoc = 4,
+      bucketCols = Seq("band"))
     // same one-exchange shape as [[cappedPairs]], with the (hi, lo)
     // halves riding along: the Window computes bucket size, anchor id
     // AND the anchor's signature halves (min_by over the same exchange),
@@ -1059,12 +1097,12 @@ object Dedup {
         min_by(col("hi"), col(idCol)).over(w).as("hi_anchor"),
         min_by(col("lo"), col(idCol)).over(w).as("lo_anchor"))
       .cache()
-    val cand = rows.filter(col("bn") <= maxBucket)
+    val cand = rows.filter(col("bn") <= cap)
       .groupBy(col("band"))
       .agg(sort_array(collect_list(struct(col(idCol), col("hi"), col("lo")))).as("ms"))
       .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
       // slice is 1-based: partners of the element at 0-based i start at i+2
-      .select(col("a"), explode(slice(col("ms"), col("i") + lit(2), lit(maxBucket))).as("b"))
+      .select(col("a"), explode(slice(col("ms"), col("i") + lit(2), lit(cap))).as("b"))
       .select(col(s"a.$idCol").as("doc_a"), col("a.hi").as("hi_a"), col("a.lo").as("lo_a"),
         col(s"b.$idCol").as("doc_b"), col("b.hi").as("hi_b"), col("b.lo").as("lo_b"))
       // a doc whose signature repeats a 16-bit quarter appears TWICE in
@@ -1073,7 +1111,7 @@ object Dedup {
       // oracle's a.doc_id < b.doc_id predicate never emits those
       .filter(col("doc_a") =!= col("doc_b"))
     val bigCand = rows
-      .filter(col("bn") > maxBucket && col(idCol) > col("anchor"))
+      .filter(col("bn") > cap && col(idCol) > col("anchor"))
       .select(col("anchor").as("doc_a"), col("hi_anchor").as("hi_a"),
         col("lo_anchor").as("lo_a"),
         col(idCol).as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))

@@ -600,11 +600,15 @@ object Multimodal {
     * all pairs.
     */
   def imageHashPairs(hashes: DataFrame, maxHamming: Int = 3,
-                     maxBucket: Int = 256): DataFrame = {
+                     maxBucket: Int = 256,
+                     candidateBudgetPerDoc: Option[Int] =
+                       Dedup.DefaultCandidateBudget): DataFrame = {
     val bandCols = Seq("b0", "b1", "b2", "b3")
-    val bands = hashes.select(col("doc_id"),
-      posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band")))
-    val cand = Dedup.cappedPairs(bands, Seq("band_id", "band"), maxBucket)
+    val (bands, cap) = Dedup.resolveCap(
+      hashes.select(col("doc_id"),
+        posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band"))),
+      maxBucket, candidateBudgetPerDoc, bandsPerDoc = 4)
+    val cand = Dedup.cappedPairs(bands, Seq("band_id", "band"), cap)
     val h = hashes.select(col("doc_id") +: bandCols.map(col): _*)
     val withSides = cand
       .join(h.toDF("doc_a" +: bandCols.map("a_" + _): _*), Seq("doc_a"))

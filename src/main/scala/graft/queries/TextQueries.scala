@@ -453,11 +453,10 @@ object TextQueries {
             concat_ws(" ", slice(split(col("text"), " ", -1), 1, 12)).as("text")))
         .unionAll(d.filter(col("doc_id") % 23 === 0)
           .select((col("doc_id") + 2 * off).as("doc_id"), col("text")))
-      // budgeted cap (r12): the bucket cap is DERIVED from the corpus's
-      // band census (≤64 candidates/doc) instead of the hand constant —
-      // the oracle mirrors the same ladder derivation
-      Dedup.wordGramContainment(aug, threshold = 0.9,
-          candidateBudgetPerDoc = Some(64))
+      // budgeted cap: the bucket cap is DERIVED from the corpus's band
+      // census (≤64 candidates/doc) — since r13 that's the library-wide
+      // DEFAULT; the oracle mirrors the same ladder derivation
+      Dedup.wordGramContainment(aug, threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -665,18 +664,19 @@ object TextQueries {
        |  $bandSelects),
        |bsize AS MATERIALIZED (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
        |          FROM bands GROUP BY 1, 2),
-       |cand AS (
+       |${capvCtesSql(64, 8 / bandSize)}cand AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |    FROM bands a
        |    JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
        |                AND a.doc_id < b.doc_id
-       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band AND s.bn <= 256
+       |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
+       |                AND s.bn <= (SELECT cap FROM capv)
        |    UNION ALL
        |    SELECT s.anchor AS doc_a, a.doc_id AS doc_b
        |    FROM bands a
        |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
-       |    WHERE s.bn > 256 AND a.doc_id > s.anchor)),
+       |    WHERE s.bn > (SELECT cap FROM capv) AND a.doc_id > s.anchor)),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
        |  FROM cand c
@@ -740,8 +740,34 @@ object TextQueries {
        |  FROM grams GROUP BY doc_id)""".stripMargin
   }
 
+  /** The budgeted-cap mirror of Dedup.autoBucketCap, shared by every
+    * banded oracle (word-gram, char-gram, simhash, image-hash):
+    * bucket-size census over a `bsize(… , bn)` CTE → worst-case
+    * candidate volume per ladder rung → the largest rung within
+    * perDoc × nDocs (nDocs = Σ bn·k / bands-per-doc). Band-key columns
+    * don't matter here — the census collapses to sizes — so one body
+    * serves all families; only `bandsPerDoc` varies.
+    */
+  private def capvCtesSql(perDoc: Int, bandsPerDoc: Int): String =
+    s"""census AS MATERIALIZED (SELECT bn, count(*) AS k FROM bsize GROUP BY 1),
+       |capv AS MATERIALIZED (
+       |  SELECT coalesce(max(c), 8) AS cap FROM (
+       |    SELECT l.c AS c,
+       |      sum(CASE WHEN n.bn <= l.c THEN n.bn * (n.bn - 1) // 2
+       |               ELSE n.bn - 1 END * n.k) AS v
+       |    FROM (VALUES (8), (16), (32), (64), (128), (256)) l(c), census n
+       |    GROUP BY 1) vols
+       |  WHERE vols.v <= $perDoc * (SELECT sum(bn * k) // $bandsPerDoc
+       |                             FROM census)),
+       |""".stripMargin
+
+  /** r13: the engine's banded pipelines default to the budget-derived
+    * cap (Dedup.DefaultCandidateBudget = 64/doc), so the oracle default
+    * mirrors the same derivation; pass None only for an entry that
+    * explicitly pins the fixed-cap escape hatch.
+    */
   private def wordGramPolyCandCte(n: Int = 3, bandSize: Int = 2,
-                                  autoCapPerDoc: Option[Int] = None) = {
+                                  autoCapPerDoc: Option[Int] = Some(64)) = {
     val bandSelects = (0 until 8 / bandSize).map { b =>
       val cat = (b * bandSize until (b + 1) * bandSize)
         .map(j => s"CAST(m$j AS VARCHAR)").mkString(" || ':' || ")
@@ -750,20 +776,7 @@ object TextQueries {
     // the budgeted-cap mirror of Dedup.autoBucketCap: bucket-size
     // census → worst-case candidate volume per ladder rung → largest
     // rung within perDoc × nDocs (nDocs = Σ bn·k / bands-per-doc)
-    val capCtes = autoCapPerDoc.map { perDoc =>
-      val bandsPerDoc = 8 / bandSize
-      s"""census AS MATERIALIZED (SELECT bn, count(*) AS k FROM bsize GROUP BY 1),
-         |capv AS MATERIALIZED (
-         |  SELECT coalesce(max(c), 8) AS cap FROM (
-         |    SELECT l.c AS c,
-         |      sum(CASE WHEN n.bn <= l.c THEN n.bn * (n.bn - 1) // 2
-         |               ELSE n.bn - 1 END * n.k) AS v
-         |    FROM (VALUES (8), (16), (32), (64), (128), (256)) l(c), census n
-         |    GROUP BY 1) vols
-         |  WHERE vols.v <= $perDoc * (SELECT sum(bn * k) // $bandsPerDoc
-         |                             FROM census)),
-         |""".stripMargin
-    }.getOrElse("")
+    val capCtes = autoCapPerDoc.map(capvCtesSql(_, 8 / bandSize)).getOrElse("")
     val capSql =
       if (autoCapPerDoc.isDefined) "(SELECT cap FROM capv)" else "256"
     s"""${wordGramSigCte(n)},
@@ -1097,22 +1110,22 @@ object TextQueries {
          |bands AS (
          |  SELECT doc_id, simhash, substr(simhash, CAST(1 + 16 * k.k AS INT), 16) AS band
          |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS k) k),
-         |bsize AS (SELECT band, count(*) AS bn, min(doc_id) AS anchor
+         |bsize AS MATERIALIZED (SELECT band, count(*) AS bn, min(doc_id) AS anchor
          |          FROM bands GROUP BY band),
-         |cand AS (
+         |${capvCtesSql(64, 4)}cand AS (
          |  SELECT DISTINCT doc_a, sig_a, doc_b, sig_b FROM (
          |    SELECT a.doc_id AS doc_a, a.simhash AS sig_a,
          |           b.doc_id AS doc_b, b.simhash AS sig_b
          |    FROM bands a
          |    JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-         |    JOIN bsize s ON s.band = a.band AND s.bn <= 256
+         |    JOIN bsize s ON s.band = a.band AND s.bn <= (SELECT cap FROM capv)
          |    UNION ALL
          |    SELECT s.anchor AS doc_a, sa.simhash AS sig_a,
          |           a.doc_id AS doc_b, a.simhash AS sig_b
          |    FROM bands a
          |    JOIN bsize s ON s.band = a.band
          |    JOIN sig sa ON sa.doc_id = s.anchor
-         |    WHERE s.bn > 256 AND a.doc_id > s.anchor)),
+         |    WHERE s.bn > (SELECT cap FROM capv) AND a.doc_id > s.anchor)),
          |ham AS (
          |  SELECT doc_a, doc_b,
          |    (SELECT count(*) FROM unnest(generate_series(1, 64)) AS t(p)
@@ -1890,21 +1903,21 @@ object TextQueries {
         |  UNION ALL SELECT doc_id, 1, b1 FROM ah
         |  UNION ALL SELECT doc_id, 2, b2 FROM ah
         |  UNION ALL SELECT doc_id, 3, b3 FROM ah),
-        |bsize AS (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
+        |bsize AS MATERIALIZED (SELECT band_id, band, count(*) AS bn, min(doc_id) AS anchor
         |          FROM bands GROUP BY 1, 2),
-        |cand AS (
+        |${capvCtesSql(64, 4)}cand AS (
         |  SELECT DISTINCT doc_a, doc_b FROM (
         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |    FROM bands a
         |    JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
         |                AND a.doc_id < b.doc_id
         |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
-        |                AND s.bn <= 256
+        |                AND s.bn <= (SELECT cap FROM capv)
         |    UNION ALL
         |    SELECT s.anchor AS doc_a, a.doc_id AS doc_b
         |    FROM bands a
         |    JOIN bsize s ON s.band_id = a.band_id AND s.band = a.band
-        |    WHERE s.bn > 256 AND a.doc_id > s.anchor))
+        |    WHERE s.bn > (SELECT cap FROM capv) AND a.doc_id > s.anchor))
         |SELECT doc_a, doc_b, hamming FROM (
         |  SELECT c.doc_a, c.doc_b,
         |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))

@@ -165,25 +165,36 @@ class CurationOpsSpec extends AnyFunSuite {
     val auto = Dedup.wordGramContainment(contDocs, threshold = 0.9,
         candidateBudgetPerDoc = Some(64))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val fixed = Dedup.wordGramContainment(contDocs, threshold = 0.9)
+    val fixed = Dedup.wordGramContainment(contDocs, threshold = 0.9,
+        candidateBudgetPerDoc = None)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // tiny corpus: every bucket is under every rung, so the budgeted
     // path must reproduce the fixed-cap output exactly
     assert(auto == fixed, s"auto=$auto fixed=$fixed")
   }
 
-  test("budgeted cap is family-wide: word/poly/char pipelines unchanged under-cap") {
+  test("budget is the DEFAULT: bare calls == fixed-cap output under-cap, " +
+    "every banded family") {
+    // r13 policy pin: the no-argument form of every banded pipeline
+    // derives its cap from the census (DefaultCandidateBudget), and on
+    // an under-cap corpus that must reproduce the fixed-256 escape
+    // hatch (candidateBudgetPerDoc = None) exactly.
+    assert(Dedup.DefaultCandidateBudget == Some(64))
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs(Dedup.wordGramNearDups(contDocs, 0.3,
-        candidateBudgetPerDoc = Some(64))) ==
-      pairs(Dedup.wordGramNearDups(contDocs, 0.3)))
-    assert(pairs(Dedup.wordGramNearDupsPoly(contDocs, 0.3,
-        candidateBudgetPerDoc = Some(64))) ==
-      pairs(Dedup.wordGramNearDupsPoly(contDocs, 0.3)))
-    assert(pairs(Dedup.charGramNearDups(contDocs, 0.5,
-        candidateBudgetPerDoc = Some(64))) ==
-      pairs(Dedup.charGramNearDups(contDocs, 0.5)))
+    assert(pairs(Dedup.wordGramNearDups(contDocs, 0.3)) ==
+      pairs(Dedup.wordGramNearDups(contDocs, 0.3, candidateBudgetPerDoc = None)))
+    assert(pairs(Dedup.wordGramNearDupsPoly(contDocs, 0.3)) ==
+      pairs(Dedup.wordGramNearDupsPoly(contDocs, 0.3, candidateBudgetPerDoc = None)))
+    assert(pairs(Dedup.charGramNearDups(contDocs, 0.5)) ==
+      pairs(Dedup.charGramNearDups(contDocs, 0.5, candidateBudgetPerDoc = None)))
+    assert(pairs(Dedup.wordGramContainment(contDocs, 0.9)) ==
+      pairs(Dedup.wordGramContainment(contDocs, 0.9, candidateBudgetPerDoc = None)))
+    assert(pairs(Dedup.minhashNearDups(contDocs, 0.3)) ==
+      pairs(Dedup.lshNearDups(Dedup.shingles(contDocs), 0.3,
+        candidateBudgetPerDoc = None)))
+    assert(pairs(Dedup.simhashNearDups(contDocs)) ==
+      pairs(Dedup.simhashNearDups(contDocs, candidateBudgetPerDoc = None)))
   }
 
   // ---- boilerplate ----

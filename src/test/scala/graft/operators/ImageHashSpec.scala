@@ -57,7 +57,8 @@ class ImageHashSpec extends AnyFunSuite {
     val df = (1 to 30).map(i => (i.toLong, "bmp", Multimodal.encodeBmp(4)))
       .toDF("doc_id", "fmt", "payload")
     val pairs = Multimodal.imageHashPairs(
-        Multimodal.imageAHash(df), maxHamming = 3, maxBucket = 8)
+        Multimodal.imageAHash(df), maxHamming = 3, maxBucket = 8,
+        candidateBudgetPerDoc = None)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == (2 to 30).map(i => (1L, i.toLong, 0L)).toSet)
   }

@@ -116,11 +116,12 @@ class OperatorsSpec extends AnyFunSuite {
     // All docs share all 8 sketch hashes; anchor is doc 1; expect exactly
     // N-1 pairs (1, i) instead of N*(N-1)/2 = 1.1M.
     val pairs = Dedup.lshNearDups(Dedup.shingles(many), threshold = 0.5,
-      maxBucket = 100).collect()
+      maxBucket = 100, candidateBudgetPerDoc = None).collect()
     assert(pairs.length == 1499, s"got ${pairs.length} pairs")
     assert(pairs.forall(r => r.getLong(0) == 1L && r.getDouble(2) == 1.0))
     // simhash path under the same degenerate corpus
-    val sPairs = Dedup.simhashNearDups(many, maxBucket = 100).collect()
+    val sPairs = Dedup.simhashNearDups(many, maxBucket = 100,
+      candidateBudgetPerDoc = None).collect()
     assert(sPairs.length == 1499, s"got ${sPairs.length} simhash pairs")
     assert(sPairs.forall(r => r.getLong(0) == 1L && r.getInt(2) == 0))
   }
