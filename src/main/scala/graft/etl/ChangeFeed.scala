@@ -493,16 +493,11 @@ object ChangeFeed {
     // log also parses its version header, compaction layout (a
     // N.compact file restates every prior entry, allFiles() reads the
     // newest compact + later deltas), and any future format evolution.
+    // The private-API construction itself lives in graftbridge.Bridge
+    // with the other Spark-internals converters (r12 verdict item 6).
     val seen = scala.collection.mutable.HashSet[String]()
-    val log = new org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog(
-      org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog.VERSION,
-      org.apache.spark.sql.SparkSession.active, srcDir.toString)
-    log.allFiles().foreach { e =>
-      if (e.batchId <= maxCommitted) {
-        val parts = e.sparkPath.toUri.getPath.split('/')
-        if (parts.length >= 2) seen += parts.takeRight(2).mkString("/")
-      }
-    }
+    seen ++= org.apache.spark.sql.graftbridge.Bridge.committedSourceFiles(
+      org.apache.spark.sql.SparkSession.active, srcDir.toString, maxCommitted)
     def dataFiles(v: Long): Seq[String] = {
       val dir = Paths.get(logDir, s"t$v")
       if (!Files.isDirectory(dir)) return Nil

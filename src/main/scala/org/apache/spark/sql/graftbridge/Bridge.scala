@@ -48,4 +48,28 @@ object Bridge {
   def toInternalRows(df: DataFrame)
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.queryExecution.toRdd.map(_.copy())
+
+  /** Every "t<version>/<name>"-suffixed file a FileStreamSource
+    * checkpoint's source ledger attributes to a batch ≤ `maxBatchId` —
+    * read through Spark's OWN `FileStreamSourceLog` (the class that
+    * WRITES the ledger also parses its version header, compaction
+    * layout, and any future format evolution). This is the one
+    * streaming-internals touch in the library
+    * ([[graft.etl.ChangeFeed.CheckpointFrontier]]); constructing the
+    * `private[sql]`-package class lives here with the other
+    * private-API converters so a Spark upgrade breaks ONE auditable
+    * file, loudly, at compile time.
+    */
+  def committedSourceFiles(spark: SparkSession, sourceLogDir: String,
+                           maxBatchId: Long): Seq[String] = {
+    import org.apache.spark.sql.execution.streaming.runtime.FileStreamSourceLog
+    val log = new FileStreamSourceLog(FileStreamSourceLog.VERSION, spark,
+      sourceLogDir)
+    log.allFiles().iterator
+      .filter(_.batchId <= maxBatchId)
+      .map(_.sparkPath.toUri.getPath.split('/'))
+      .collect { case parts if parts.length >= 2 =>
+        parts.takeRight(2).mkString("/") }
+      .toSeq
+  }
 }
