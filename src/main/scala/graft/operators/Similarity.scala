@@ -656,6 +656,136 @@ object Similarity {
       ivfpqTopK(embeddings, queryPred, coarsePred, pqPred, m, k * overscan, nprobe),
       k)
 
+  /** RECALL-vs-nprobe LADDER at the production knobs (learned
+    * per-subspace codebooks, ADC scan, exact re-rank): micro-averaged
+    * recall@k in exact basis points for each ladder rung, measured on
+    * the `samplePred` queries against the exact integer-L2² ground
+    * truth. The r12 SCALING table, institutionalized: codebooks and
+    * index are built ONCE (checkpointed — codebook-sized artifacts)
+    * and every rung re-searches the stored codes, so the ladder costs
+    * |ladder| probe/scan passes plus one brute-force pass over the
+    * SAMPLE only. At 100 TB the sample is the lever: ground truth is
+    * O(|sample|·N) reading int8-quantized vectors, everything else is
+    * code-sized. Output: (nprobe, n_exact, n_found, recall_bp),
+    * recall_bp = (10000 · Σfound) div (Σexact) — integral, so gates
+    * built on this never compare floats.
+    */
+  def nprobeRecallLadder(embeddings: DataFrame, samplePred: Column,
+                         coarsePred: Column, seedPred: Column, m: Int,
+                         k: Int, ladder: Seq[Int] = Seq(1, 2, 4),
+                         overscan: Int = 4): DataFrame = {
+    val (cw, idx) = learnedBuild(embeddings, coarsePred, seedPred, m)
+    ladderRecalls(embeddings, samplePred, coarsePred, cw, idx, m, k, ladder,
+      overscan)
+  }
+
+  /** The shared build: learned codebooks + stored codes, checkpointed
+    * (both are codebook/code-sized artifacts referenced by every rung).
+    */
+  private def learnedBuild(embeddings: DataFrame, coarsePred: Column,
+                           seedPred: Column, m: Int): (DataFrame, DataFrame) = {
+    val cw = ivfpqLearnedCodebooks(embeddings, coarsePred, seedPred, m)
+      .localCheckpoint()
+    (cw, ivfpqIndexLearned(embeddings, coarsePred, cw, m).localCheckpoint())
+  }
+
+  private def ladderRecalls(embeddings: DataFrame, pred: Column,
+                            coarsePred: Column, cw: DataFrame, idx: DataFrame,
+                            m: Int, k: Int, ladder: Seq[Int],
+                            overscan: Int): DataFrame = {
+    require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
+      "nprobe ladder must be ascending and duplicate-free")
+    val exact = bruteForceTopKL2(embeddings, pred, k).cache()
+    ladder.map { np =>
+      val found = exactRerank(embeddings,
+        ivfpqSearchStoredLearned(idx, embeddings, pred, coarsePred,
+          cw, m, k * overscan, np), k)
+      annRecallReport(found, exact)
+        .agg(coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("n_found")), lit(0L)).as("n_found"))
+        .select(lit(np).as("nprobe"), col("n_exact"), col("n_found"),
+          expr("CASE WHEN n_exact > 0 THEN (10000 * n_found) div n_exact END")
+            .as("recall_bp"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The AUTOTUNE DECISION as a relation — the gate-able artifact
+    * behind [[searchWithRecallTarget]]: one row per ladder rung with
+    * the measured sample recall, a `chosen` flag on the rung the
+    * target picks (smallest rung with sample recall ≥ `targetBp`, top
+    * rung as the fallback), and — on the chosen rung only — the
+    * recall the choice ACHIEVES on the disjoint `evalPred` queries
+    * (the honest number: the tuner never saw them). Build runs once;
+    * both ladders search the same stored codes.
+    */
+  def autotuneReport(embeddings: DataFrame, samplePred: Column,
+                     evalPred: Column, coarsePred: Column, seedPred: Column,
+                     m: Int, k: Int, targetBp: Int,
+                     ladder: Seq[Int] = Seq(1, 2, 4),
+                     overscan: Int = 4): DataFrame = {
+    val (cw, idx) = learnedBuild(embeddings, coarsePred, seedPred, m)
+    val sample = ladderRecalls(embeddings, samplePred, coarsePred, cw, idx,
+      m, k, ladder, overscan)
+    val eval = ladderRecalls(embeddings, evalPred, coarsePred, cw, idx,
+        m, k, ladder, overscan)
+      .select(col("nprobe"), col("recall_bp").as("eval_recall_bp"))
+    val pick = sample.agg(
+        min(when(col("recall_bp") >= targetBp, col("nprobe"))).as("qual"),
+        max(col("nprobe")).as("top"))
+      .select(coalesce(col("qual"), col("top")).as("chosen_np"))
+    sample.crossJoin(broadcast(pick))
+      .join(eval, Seq("nprobe"))
+      .select(col("nprobe"), col("n_exact"), col("n_found"),
+        col("recall_bp").as("sample_recall_bp"),
+        (col("nprobe") === col("chosen_np")).as("chosen"),
+        when(col("nprobe") === col("chosen_np"), col("eval_recall_bp"))
+          .as("eval_recall_bp"))
+  }
+
+  /** SEARCH AT A RECALL TARGET — the production ask is "give me ≥95%
+    * recall", not "nprobe = 8": measure recall@k on the held-out
+    * `samplePred` queries rung by rung up the ladder (early-stopping at
+    * the first rung that meets `targetBp`; the build is shared across
+    * rungs), then run the real `queryPred` search at the chosen rung.
+    * Falls back to the ladder's TOP rung when no rung meets the target
+    * (the caller asked for more recall than the index can give — the
+    * honest move is max effort, not silent failure). Output: the
+    * re-ranked top-k (query_id, hit_id, dist, rnk) plus the constant
+    * (nprobe, sample_recall_bp) columns documenting the choice.
+    */
+  def searchWithRecallTarget(embeddings: DataFrame, queryPred: Column,
+                             samplePred: Column, coarsePred: Column,
+                             seedPred: Column, m: Int, k: Int, targetBp: Int,
+                             ladder: Seq[Int] = Seq(1, 2, 4),
+                             overscan: Int = 4): DataFrame = {
+    require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
+      "nprobe ladder must be ascending and duplicate-free")
+    val (cw, idx) = learnedBuild(embeddings, coarsePred, seedPred, m)
+    val exact = bruteForceTopKL2(embeddings, samplePred, k).cache()
+    // one scalar per evaluated rung crosses the driver — bounded by the
+    // ladder length, never by the corpus
+    def recallBp(np: Int): Long = {
+      val r = annRecallReport(
+          exactRerank(embeddings,
+            ivfpqSearchStoredLearned(idx, embeddings, samplePred, coarsePred,
+              cw, m, k * overscan, np), k), exact)
+        .agg(coalesce(sum(col("n_exact")), lit(0L)),
+          coalesce(sum(col("n_found")), lit(0L))).head()
+      if (r.getLong(0) > 0) 10000L * r.getLong(1) / r.getLong(0) else 0L
+    }
+    var chosen = ladder.head
+    var achieved = recallBp(chosen)
+    val it = ladder.tail.iterator
+    while (achieved < targetBp && it.hasNext) {
+      chosen = it.next(); achieved = recallBp(chosen)
+    }
+    exactRerank(embeddings,
+        ivfpqSearchStoredLearned(idx, embeddings, queryPred, coarsePred,
+          cw, m, k * overscan, chosen), k)
+      .withColumn("nprobe", lit(chosen))
+      .withColumn("sample_recall_bp", lit(achieved))
+  }
+
   /** RECALL@k REPORT for an ANN pass against the exact ground truth —
     * the embedding-space analogue of [[Dedup.nearDupRecallReport]]: a
     * user tuning nprobe/m/overscan gets a measured quality curve, not a

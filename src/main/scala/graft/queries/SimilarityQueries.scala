@@ -99,15 +99,15 @@ object SimilarityQueries {
     * BIGINT sums it replaces.
     */
   private def flatSql(src: String) =
-    s"""qv AS (
+    s"""qv AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
        |  FROM $src),
-       |flat AS (
+       |flat AS MATERIALIZED (
        |  SELECT vec_id, unnest(qv) AS q, generate_subscripts(qv, 1) AS i
        |  FROM qv),
-       |norms AS (SELECT vec_id, list_dot_product(qv, qv) AS nrm FROM qv)""".stripMargin
+       |norms AS MATERIALIZED (SELECT vec_id, list_dot_product(qv, qv) AS nrm FROM qv)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "ann_brute" -> ((s, dir) =>
@@ -192,6 +192,36 @@ object SimilarityQueries {
           Similarity.bruteForceTopKL2(emb, col("vec_id") % 50 === 7, k = 5))
         .orderBy("query_id")
     }),
+
+    // recall-targeted nprobe autotuning (r13): the recall-vs-nprobe
+    // ladder measured on held-out sample queries, the smallest rung
+    // meeting the 90% target chosen relationally, and the choice scored
+    // on a DISJOINT eval query set — SCALING_r12 §1's hand-computed
+    // table institutionalized as a hash-gated artifact. Clustered
+    // fixture: routing structure exists, so a small rung can clear the
+    // target and the ladder is a real decision.
+    "ann_autotune" -> ((s, dir) =>
+      Similarity.autotuneReport(clusteredEmb(s, dir),
+          samplePred = col("vec_id") % 50 === 7,
+          evalPred = col("vec_id") % 50 === 19,
+          coarsePred = col("vec_id") % 125 === 11,
+          seedPred = col("vec_id") % 78 === 5,
+          m = 8, k = 5, targetBp = 9000)
+        .orderBy("nprobe")),
+
+    // the same autotune on the near-uniform NOISE corpus — the fixture
+    // where plain routing recall is information-theoretically capped by
+    // scan fraction, so the ladder typically exhausts and falls back to
+    // its top rung: the fallback path is part of the contract
+    "ann_autotune_noise" -> ((s, dir) =>
+      Similarity.autotuneReport(
+          Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+          samplePred = col("vec_id") % 50 === 7,
+          evalPred = col("vec_id") % 50 === 19,
+          coarsePred = col("vec_id") % 125 === 11,
+          seedPred = col("vec_id") % 78 === 5,
+          m = 8, k = 5, targetBp = 9000)
+        .orderBy("nprobe")),
 
     // measured recall@5 of plain IVF-PQ vs the exact integer-L2² ground
     // truth — the quality number the "recall < 1 by construction"
@@ -502,6 +532,9 @@ object SimilarityQueries {
     // clustered-corpus recall of the production chain: the SAME learned
     // chain over the `clustered` CTE (center + own/16, double-exact),
     // exact ground truth over the same corpus, recall in basis points
+    "ann_autotune" -> autotuneOracleSql(clustered = true),
+    "ann_autotune_noise" -> autotuneOracleSql(clustered = false),
+
     "ann_recall_clustered" ->
       s"""WITH $clusteredSql,
          |${flatSql("clustered")},
@@ -874,69 +907,150 @@ object SimilarityQueries {
     * [[flatSql]]) and `res`/`ar`/`co` (from [[ivfpqResidualCte]]) in
     * scope; ends in `found(query_id, hit_id, dist, rnk)`, rnk ≤ 5.
     */
+  /** The ann_autotune oracle: six suffixed search chains (3 ladder
+    * rungs × sample/eval query sets) over ONE materialized learned
+    * index, two brute-force ground truths, per-rung micro recall,
+    * the relational rung choice (min qualifying, top fallback), and
+    * eval recall surfaced on the chosen rung only — the exact mirror
+    * of Similarity.autotuneReport at (m=8, k=5, overscan=4,
+    * ladder 1/2/4, target 9000 bp).
+    */
+  private def autotuneOracleSql(clustered: Boolean): String = {
+    val src = if (clustered) "clustered" else "embeddings"
+    val pre = if (clustered) s"$clusteredSql,\n" else ""
+    val rungs = Seq(1, 2, 4)
+    val searches = (for (r <- rungs; (set, filt) <- Seq(
+        "s" -> "vec_id % 50 = 7", "e" -> "vec_id % 50 = 19")) yield
+      ivfpqLearnedSearchCte(s"_$set$r", filt, nprobe = r, candK = 20, k = 5))
+      .mkString(",\n")
+    def exactCtes(set: String, filt: String) =
+      s"""exd_$set AS (
+         |  SELECT qf.vec_id AS query_id, a.vec_id AS hit_id,
+         |    CAST(nq.nrm + na.nrm - 2 * list_dot_product(qf.qv, a.qv) AS BIGINT) AS dist
+         |  FROM qv qf JOIN qv a ON a.vec_id <> qf.vec_id
+         |  JOIN norms nq ON nq.vec_id = qf.vec_id
+         |  JOIN norms na ON na.vec_id = a.vec_id
+         |  WHERE qf.$filt),
+         |exact_$set AS MATERIALIZED (
+         |  SELECT query_id, hit_id FROM (
+         |    SELECT query_id, hit_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS r
+         |    FROM exd_$set) WHERE r <= 5)""".stripMargin
+    def recCtes(set: String) = rungs.map { r =>
+      s"""rec_$set$r AS (
+         |  SELECT $r AS nprobe, CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(sum(CASE WHEN f.hit_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_found
+         |  FROM exact_$set e
+         |  LEFT JOIN (SELECT DISTINCT query_id, hit_id FROM found_$set$r) f
+         |    ON f.query_id = e.query_id AND f.hit_id = e.hit_id)""".stripMargin
+    }.mkString(",\n") +
+      s""",\nrec_$set AS (${rungs.map(r => s"SELECT * FROM rec_$set$r")
+        .mkString("\n  UNION ALL ")})"""
+    s"""WITH $pre${flatSql(src)},
+       |$ivfpqResidualCte,
+       |$ivfpqLearnedIndexCte,
+       |$searches,
+       |${exactCtes("s", "vec_id % 50 = 7")},
+       |${exactCtes("e", "vec_id % 50 = 19")},
+       |${recCtes("s")},
+       |${recCtes("e")},
+       |pick AS (
+       |  SELECT coalesce(
+       |    min(CASE WHEN (10000 * n_found) // n_exact >= 9000 THEN nprobe END),
+       |    max(nprobe)) AS chosen_np
+       |  FROM rec_s)
+       |SELECT s.nprobe, s.n_exact, s.n_found,
+       |  (10000 * s.n_found) // s.n_exact AS sample_recall_bp,
+       |  s.nprobe = p.chosen_np AS chosen,
+       |  CASE WHEN s.nprobe = p.chosen_np
+       |       THEN (10000 * e.n_found) // e.n_exact END AS eval_recall_bp
+       |FROM rec_s s JOIN rec_e e ON e.nprobe = s.nprobe, pick p
+       |ORDER BY s.nprobe""".stripMargin
+  }
+
   private def ivfpqLearnedFoundCte(queryFilter: String): String =
-    s"""cw0 AS (SELECT vec_id AS cw_id, i, rq FROM res WHERE vec_id % 78 = 5),
-       |sd0 AS (
-       |  SELECT e.vec_id, w.cw_id, (e.i - 1) // 8 AS s,
-       |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
-       |  FROM res e JOIN cw0 w ON w.i = e.i
-       |  GROUP BY 1, 2, 3),
-       |asg0 AS (
-       |  SELECT vec_id, s, cw_id FROM (
-       |    SELECT vec_id, s, cw_id,
-       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
-       |    FROM sd0) WHERE r = 1),
-       |cw1 AS (
-       |  SELECT a.cw_id, e.i,
-       |    CAST(floor(CAST(sum(e.rq) AS DOUBLE) / count(*)) AS BIGINT) AS rq
-       |  FROM asg0 a JOIN res e
-       |    ON e.vec_id = a.vec_id AND (e.i - 1) // 8 = a.s
-       |  GROUP BY 1, 2),
-       |sd1 AS (
-       |  SELECT e.vec_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
-       |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
-       |  FROM res e JOIN cw1 w ON w.i = e.i
-       |  GROUP BY 1, 2, 3, 4),
-       |codes AS (
-       |  SELECT vec_id, co_id, s, cw_id AS code FROM (
-       |    SELECT vec_id, co_id, s, cw_id,
-       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
-       |    FROM sd1) WHERE r = 1),
-       |probes AS (SELECT vec_id AS query_id, co_id FROM ar
-       |           WHERE $queryFilter AND r <= 2),
-       |qres AS (
+    s"""$ivfpqLearnedIndexCte,
+       |${ivfpqLearnedSearchCte("", queryFilter, nprobe = 2, candK = 20, k = 5)}""".stripMargin
+
+  /** Rung-independent half of the learned-codebook chain (seed cells →
+    * one floor-mean Lloyd step → corpus codes) — MATERIALIZED so a
+    * multi-rung oracle (the ann_autotune nprobe ladder) trains and
+    * encodes once, not once per searched rung.
+    */
+  private def ivfpqLearnedIndexCte: String =
+    """cw0 AS (SELECT vec_id AS cw_id, i, rq FROM res WHERE vec_id % 78 = 5),
+      |sd0 AS (
+      |  SELECT e.vec_id, w.cw_id, (e.i - 1) // 8 AS s,
+      |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+      |  FROM res e JOIN cw0 w ON w.i = e.i
+      |  GROUP BY 1, 2, 3),
+      |asg0 AS (
+      |  SELECT vec_id, s, cw_id FROM (
+      |    SELECT vec_id, s, cw_id,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+      |    FROM sd0) WHERE r = 1),
+      |cw1 AS MATERIALIZED (
+      |  SELECT a.cw_id, e.i,
+      |    CAST(floor(CAST(sum(e.rq) AS DOUBLE) / count(*)) AS BIGINT) AS rq
+      |  FROM asg0 a JOIN res e
+      |    ON e.vec_id = a.vec_id AND (e.i - 1) // 8 = a.s
+      |  GROUP BY 1, 2),
+      |sd1 AS (
+      |  SELECT e.vec_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
+      |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
+      |  FROM res e JOIN cw1 w ON w.i = e.i
+      |  GROUP BY 1, 2, 3, 4),
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id, co_id, s, cw_id AS code FROM (
+      |    SELECT vec_id, co_id, s, cw_id,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cw_id) AS r
+      |    FROM sd1) WHERE r = 1)""".stripMargin
+
+  /** The searched half, parameterized by probe width and candidate
+    * depth and SUFFIXED so several rungs coexist in one oracle: emits
+    * `found$sfx(query_id, hit_id, dist, rnk ≤ $k)` over the shared
+    * [[ivfpqLearnedIndexCte]] artifacts — exactly
+    * Similarity.ivfpqSearchStoredLearned + exactRerank at
+    * (nprobe, candK = k·overscan).
+    */
+  private def ivfpqLearnedSearchCte(sfx: String, queryFilter: String,
+                                    nprobe: Int, candK: Int, k: Int): String =
+    s"""probes$sfx AS (SELECT vec_id AS query_id, co_id FROM ar
+       |           WHERE $queryFilter AND r <= $nprobe),
+       |qres$sfx AS (
        |  SELECT p.query_id, p.co_id, f.i, f.q - c.q AS rq
-       |  FROM probes p JOIN flat f ON f.vec_id = p.query_id
+       |  FROM probes$sfx p JOIN flat f ON f.vec_id = p.query_id
        |                JOIN co c ON c.co_id = p.co_id AND c.i = f.i),
-       |dt AS (
+       |dt$sfx AS (
        |  SELECT e.query_id, e.co_id, w.cw_id, (e.i - 1) // 8 AS s,
        |    sum((e.rq - w.rq) * (e.rq - w.rq)) AS d
-       |  FROM qres e JOIN cw1 w ON w.i = e.i
+       |  FROM qres$sfx e JOIN cw1 w ON w.i = e.i
        |  GROUP BY 1, 2, 3, 4),
-       |approx AS (
+       |approx$sfx AS (
        |  SELECT t.query_id, c.vec_id AS hit_id, CAST(sum(t.d) AS BIGINT) AS adist
-       |  FROM codes c JOIN dt t
+       |  FROM codes c JOIN dt$sfx t
        |    ON t.co_id = c.co_id AND t.s = c.s AND t.cw_id = c.code
        |  WHERE c.vec_id <> t.query_id
        |  GROUP BY 1, 2),
-       |cand AS (
+       |cand$sfx AS (
        |  SELECT query_id, hit_id FROM (
        |    SELECT query_id, hit_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY adist, hit_id) AS r
-       |    FROM approx) WHERE r <= 20),
-       |rr AS (
+       |    FROM approx$sfx) WHERE r <= $candK),
+       |rr$sfx AS (
        |  SELECT c.query_id, c.hit_id,
        |    CAST(nq.nrm + nh.nrm - 2 * list_dot_product(fq.qv, fh.qv) AS BIGINT) AS dist
-       |  FROM cand c
+       |  FROM cand$sfx c
        |  JOIN qv fq ON fq.vec_id = c.query_id
        |  JOIN qv fh ON fh.vec_id = c.hit_id
        |  JOIN norms nq ON nq.vec_id = c.query_id
        |  JOIN norms nh ON nh.vec_id = c.hit_id),
-       |found AS (
+       |found$sfx AS (
        |  SELECT query_id, hit_id, dist, rnk FROM (
        |    SELECT query_id, hit_id, dist,
        |      row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS rnk
-       |    FROM rr) WHERE rnk <= 5)""".stripMargin
+       |    FROM rr$sfx) WHERE rnk <= $k)""".stripMargin
 
   private def ivfpqResidualCte: String =
     """co AS (SELECT vec_id AS co_id, i, q FROM flat WHERE vec_id % 125 = 11),
@@ -944,12 +1058,12 @@ object SimilarityQueries {
       |  SELECT f.vec_id, c.co_id, sum((f.q - c.q) * (f.q - c.q)) AS d
       |  FROM flat f JOIN co c ON c.i = f.i
       |  GROUP BY 1, 2),
-      |ar AS (
+      |ar AS MATERIALIZED (
       |  SELECT vec_id, co_id,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, co_id) AS r
       |  FROM ad),
       |assigned AS (SELECT vec_id, co_id FROM ar WHERE r = 1),
-      |res AS (
+      |res AS MATERIALIZED (
       |  SELECT f.vec_id, a.co_id, f.i, f.q - c.q AS rq
       |  FROM flat f JOIN assigned a ON a.vec_id = f.vec_id
       |              JOIN co c ON c.co_id = a.co_id AND c.i = f.i)""".stripMargin

@@ -123,4 +123,47 @@ class AnnRerankSpec extends AnyFunSuite {
     assert(r(1L) == ((3L, 1L, 3333L))) // 1 of 3 found -> 3333 bp (floor)
     assert(r(2L) == ((1L, 1L, 10000L)))
   }
+
+  test("autotune: report choice == searchWithRecallTarget, fallback on " +
+    "unattainable target, chosen search == fixed-nprobe search") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").cache()
+    val sPred = col("vec_id") % 50 === 7
+    val ePred = col("vec_id") % 50 === 19
+    val coPred = col("vec_id") % 125 === 11
+    val seedPred = col("vec_id") % 78 === 5
+    val rep = Similarity.autotuneReport(emb, sPred, ePred, coPred, seedPred,
+        m = 8, k = 5, targetBp = 2000)
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getBoolean(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).sortBy(_._1)
+    assert(rep.map(_._1).toSeq == Seq(1, 2, 4))
+    // exactly one chosen rung: the smallest meeting the target, else top
+    assert(rep.count(_._3) == 1, s"$rep")
+    val chosen = rep.find(_._3).get
+    val qualifying = rep.filter(_._2 >= 2000L).map(_._1)
+    assert(chosen._1 == (if (qualifying.nonEmpty) qualifying.min else 4),
+      s"$rep")
+    // eval recall is surfaced on the chosen rung ONLY
+    assert(rep.forall(r => r._4.isDefined == r._3), s"$rep")
+    // the production entry point lands on the same rung and emits
+    // exactly the fixed-nprobe production search at it
+    val search = Similarity.searchWithRecallTarget(emb, ePred, sPred,
+      coPred, seedPred, m = 8, k = 5, targetBp = 2000)
+    assert(search.select("nprobe").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(chosen._1))
+    val got = search.select("query_id", "hit_id", "dist", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val fixed = Similarity.ivfpqTopKLearnedReranked(emb, ePred, coPred,
+        seedPred, m = 8, k = 5, nprobe = chosen._1, overscan = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(got == fixed)
+    // a target no rung can reach falls back to the ladder's TOP rung
+    val fb = Similarity.searchWithRecallTarget(emb, ePred, sPred, coPred,
+      seedPred, m = 8, k = 5, targetBp = 10001)
+    assert(fb.select("nprobe").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(4))
+    emb.unpersist()
+  }
 }
