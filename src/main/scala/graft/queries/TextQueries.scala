@@ -598,6 +598,59 @@ object TextQueries {
           .filter(col("fmt") =!= "wav"))
         .orderBy("doc_id")),
 
+    // STREAMED image-hash store maintenance, e2e (r13): the media table
+    // evolves across 3 warehouse commits (insert wave, delete wave, a
+    // payload UPDATE on the %5==2 slice re-sourced from doc_id+3 — same
+    // fmt, different pixels), the change log drives
+    // StreamingOps.changeFeedImageHashStore — deletes/updates drop
+    // store rows, arrivals decode + aHash and append. The oracle
+    // recomputes the aHash table COLD from the final image's
+    // closed-form pixel formulas, so the hash certifies
+    // streamed-maintenance ≡ cold-rebuild (and that updates re-hash).
+    "q_stream_mm" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      import org.apache.spark.sql.types._
+      val ids = Tables(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 =!= 1) // image docs only (no wav)
+      val media = Multimodal.attachMediaPayload(ids)
+      // final image: the %5==2 slice re-sourced from doc_id + 3 (+3 is
+      // ≡ 0 mod 3, so the fmt is stable and never lands on wav)
+      val updated = Multimodal.attachMediaPayload(
+          ids.filter(col("doc_id") % 5 === 2)
+            .select((col("doc_id") + 3).as("doc_id")))
+        .select((col("doc_id") - 3).as("doc_id"), col("fmt"), col("payload"))
+      val finalImg = media.filter(col("doc_id") % 5 =!= 2).unionByName(updated)
+      val v1 = media.filter(col("doc_id") % 3 === 0)
+      val v2 = media.filter(!(col("doc_id") % 9 === 0))
+      val src = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-smm-src").toString,
+        Map("media" -> media.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("media" -> ("doc_id", 8)))
+      Seq(media.limit(0), v1, v2, finalImg).foreach { img =>
+        val t = src.begin(); t.overwrite("media", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-smm-log").toString
+      ChangeFeed.materializeLog(src, "media", Seq("doc_id"), logDir)
+      val storeSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("fmt", StringType),
+        StructField("width", LongType), StructField("height", LongType)) ++
+        (0 until 4).map(j => StructField(s"b$j", LongType)))
+      val storeWh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-smm-idx").toString,
+        Map("hashstore" -> storeSchema), partitionSpec = Map.empty,
+        bucketSpec = Map.empty)
+      locally {
+        val t = storeWh.begin()
+        t.overwrite("hashstore", storeWh.emptyDf("hashstore")); t.commit()
+      }
+      StreamingOps.changeFeedImageHashStore(s, storeWh, "hashstore",
+        media.schema, logDir,
+        java.nio.file.Files.createTempDirectory("graft-smm-ckpt").toString)
+      storeWh.read("hashstore").orderBy("doc_id")
+    }),
+
     // image near-dup over the aHash: planted exact-duplicate payloads
     // (every 25th image re-id'd at a derived collision-free offset),
     // banded capped candidates, exact 64-bit Hamming <= 3 — the
@@ -1878,6 +1931,23 @@ object TextQueries {
         |    CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
         |    doc_id % 16 + 4 AS w, doc_id % 9 + 3 AS h
         |  FROM documents WHERE doc_id % 3 <> 1),
+        |$aHashChainSql
+        |SELECT doc_id, fmt, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height, b0, b1, b2, b3
+        |FROM ah ORDER BY doc_id""".stripMargin,
+
+    // cold rebuild of the aHash table over the FINAL media image (the
+    // %5==2 slice re-sourced from doc_id+3) — the streamed store's
+    // maintenance must land exactly here
+    "q_stream_mm" ->
+      s"""WITH img AS (
+        |  SELECT doc_id, src,
+        |    CASE WHEN src % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+        |    src % 16 + 4 AS w, src % 9 + 3 AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 5 = 2 THEN doc_id + 3 ELSE doc_id END AS src
+        |    FROM documents WHERE doc_id % 3 <> 1) b),
         |$aHashChainSql
         |SELECT doc_id, fmt, CAST(w AS BIGINT) AS width,
         |  CAST(h AS BIGINT) AS height, b0, b1, b2, b3

@@ -1167,6 +1167,56 @@ object StreamingOps {
     }
   }
 
+  /** PRODUCTION CDC consumer #5: maintain a stored
+    * [[graft.operators.Multimodal.imageAHash]] table from a media
+    * table's change log — the MULTIMODAL twin of
+    * [[changeFeedSignatureStore]]: at 100 TB, new images must hash at
+    * INGEST (per-batch churn cost), never via corpus re-scans, and
+    * until r13 images had no incremental path at all. Per micro-batch
+    * the logged transitions fold to net per-key deltas; net-deleted
+    * and net-updated doc_ids drop their hash rows (an edited image
+    * must re-hash — a stale aHash would band it into its OLD near-dup
+    * buckets), then inserts/after-images decode + hash and append,
+    * anti-joined against the pruned store so redelivery cannot
+    * duplicate a row. Non-image payloads (wav) contribute no row —
+    * the same exclusion the batch mm_imagehash gate applies. The
+    * stored table feeds [[graft.operators.Multimodal.imageHashPairs]]
+    * exactly like the signature store feeds incremental text dedup.
+    *
+    * Exactly-once EFFECT by CONVERGENCE like the other consumers; the
+    * streamed store is row-equal to a cold [[Multimodal.imageAHash]]
+    * of the final image (spec-pinned, and the `q_stream_mm` driver
+    * gate hashes it).
+    */
+  def changeFeedImageHashStore(spark: SparkSession, wh: graft.etl.Warehouse,
+                               storeTable: String, mediaSchema: StructType,
+                               logDir: String,
+                               checkpointDir: String): Unit = {
+    import graft.etl.ChangeFeed
+    import graft.operators.Multimodal
+    val logSch = ChangeFeed.logSchema(mediaSchema, Seq("doc_id"))
+    drainLog(spark, logDir, logSch, checkpointDir) { batch =>
+      if (!batch.isEmpty) {
+        val net = ChangeFeed.netChanges(batch, Seq("doc_id")).persist()
+        try {
+          val gone = net
+            .filter(col("change_type").isin("delete", "update_post"))
+            .select("doc_id")
+          val arrived = net
+            .filter(col("change_type").isin("insert", "update_post"))
+            .select("doc_id", "fmt", "payload")
+            .filter(col("fmt") =!= "wav")
+          val txn = wh.begin()
+          val pruned = txn.read(storeTable).join(gone, Seq("doc_id"), "left_anti")
+          val appended = Multimodal.imageAHash(arrived)
+            .join(pruned.select("doc_id"), Seq("doc_id"), "left_anti")
+          txn.overwrite(storeTable, pruned.unionByName(appended))
+          txn.commit()
+        } finally net.unpersist()
+      }
+    }
+  }
+
   /** PRODUCTION CDC consumer #3: maintain a stored
     * [[graft.operators.Similarity.ivfpqIndex]] from an embedding
     * table's change log — the ingestion path for a vector-search

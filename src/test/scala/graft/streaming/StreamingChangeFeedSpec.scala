@@ -452,6 +452,70 @@ class StreamingChangeFeedSpec extends AnyFunSuite {
     assert(storeRows == streamed, "full re-replay did not converge")
   }
 
+  test("changeFeedImageHashStore: streamed store == cold rebuild through " +
+    "inserts/updates/deletes; wav excluded; full re-replay converges") {
+    import graft.operators.Multimodal
+    // media payloads derive deterministically from a SOURCE id, so an
+    // UPDATE is modeled by re-sourcing a doc's payload from src = id+3
+    // (≡ 0 mod 3: fmt stable, never wav)
+    def media(ids: Seq[Long], resourced: Set[Long] = Set.empty): DataFrame = {
+      val base = Multimodal.attachMediaPayload(
+        ids.filterNot(resourced).toDF("doc_id"))
+      if (resourced.isEmpty) base
+      else base.unionByName(Multimodal.attachMediaPayload(
+          resourced.toSeq.map(_ + 3).toDF("doc_id"))
+        .select((col("doc_id") - 3).as("doc_id"), col("fmt"), col("payload")))
+    }
+    val mediaSchema = media(Seq(0L)).schema
+    val v1Ids = (0L to 20L)                      // ids %3==1 are wav
+    val v2Ids = (0L to 24L).filterNot(_ == 9L)   // ins 21-24, del 9
+    val v3Ids = (0L to 26L).filterNot(_ == 9L)
+    val bump = Set(12L)                          // payload update in v3
+    val src = new Warehouse(spark,
+      Files.createTempDirectory("smm-src").toString,
+      Map("media" -> mediaSchema), partitionSpec = Map.empty,
+      bucketSpec = Map("media" -> ("doc_id", 4)))
+    Seq(media(Nil), media(v1Ids), media(v2Ids), media(v3Ids, bump))
+      .foreach { d => val t = src.begin(); t.overwrite("media", d); t.commit() }
+    val logDir = Files.createTempDirectory("smm-log").toString
+    ChangeFeed.materializeLog(src, "media", Seq("doc_id"), logDir)
+    val storeSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("fmt", StringType),
+      StructField("width", LongType), StructField("height", LongType)) ++
+      (0 until 4).map(j => StructField(s"b$j", LongType)))
+    val storeWh = new Warehouse(spark,
+      Files.createTempDirectory("smm-idx").toString,
+      Map("hashstore" -> storeSchema), partitionSpec = Map.empty,
+      bucketSpec = Map.empty)
+    locally {
+      val t = storeWh.begin()
+      t.overwrite("hashstore", storeWh.emptyDf("hashstore")); t.commit()
+    }
+    def drain(ckpt: String): Unit =
+      StreamingOps.changeFeedImageHashStore(spark, storeWh, "hashstore",
+        mediaSchema, logDir, ckpt)
+    drain(Files.createTempDirectory("smm-ck1").toString)
+    def storeRows = storeWh.read("hashstore")
+      .collect().map(_.toString).sorted.toSeq
+    val cold = Multimodal.imageAHash(
+        media(v3Ids, bump).filter(col("fmt") =!= "wav"))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = storeRows
+    assert(streamed.nonEmpty && streamed == cold,
+      s"streamed store != cold rebuild\n streamed=$streamed\n cold=$cold")
+    assert(!streamed.exists(_.startsWith("[9,")), "deleted doc 9 still in store")
+    assert(!streamed.exists(_.contains("wav")), "wav payload hashed")
+    // the updated doc must carry the hash of its NEW pixels
+    val stale = Multimodal.imageAHash(
+        media(v3Ids).filter(col("doc_id") === 12L))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.filter(_.startsWith("[12,")) != stale,
+      "update did not re-hash (aHash matches the pre-update payload)")
+    // FULL redelivery onto the current store converges
+    drain(Files.createTempDirectory("smm-ck2").toString)
+    assert(storeRows == streamed, "full re-replay did not converge")
+  }
+
   test("a zero-change transition commits an empty marked dir and advances the mark") {
     val wh = mkWh()
     val logDir = Files.createTempDirectory("cdf-log").toString
