@@ -103,6 +103,33 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got == Map("x" -> ((4L, 4L, 200L)), "y" -> ((1L, 1L, 0L))))
   }
 
+  test("planted location shift: W1 reads the shift exactly, KS the " +
+    "displaced mass; doubling the shift doubles W1 and pins KS") {
+    // the sensitivity pin (r12 ADVICE item 7): the bench fixture's
+    // halves are near-identical, so the gates only proved AGREEMENT —
+    // this plants a known pure location shift Δ into half 2 and asserts
+    // the measured magnitudes equal the planted ones.
+    val half0 = Seq(1.0, 2.0, 3.0, 4.0)
+    def shifted(delta: Double) = driftEvents(
+      (half0.map(v => ("2024-01-01", "x", v)) ++
+        half0.map(v => ("2024-01-02", "x", v + delta))): _*)
+    // Δ = $0.50: W1 of a pure shift IS Δ -> 50 cents -> 5000 centi-cents;
+    // KS: each order statistic displaces 1/n = 1/4 of the mass -> 2500 bp
+    val w1 = DataQuality.wassersteinDrift(shifted(0.5)).collect()(0)
+    assert((w1.getLong(1), w1.getLong(2), w1.getLong(3)) == ((4L, 4L, 5000L)))
+    assert(DataQuality.ksDrift(shifted(0.5)).collect()(0).getLong(3) == 2500L)
+    // Δ = $1.00: W1 doubles to 10000 centi-cents, KS stays 2500 bp —
+    // the location-shift signature (total displaced mass grows, the
+    // worst single-point gap does not)
+    val w2 = DataQuality.wassersteinDrift(shifted(1.0)).collect()(0)
+    assert(w2.getLong(3) == 10000L)
+    assert(DataQuality.ksDrift(shifted(1.0)).collect()(0).getLong(3) == 2500L)
+    // zero shift reads zero on both
+    val w0 = DataQuality.wassersteinDrift(shifted(0.0)).collect()(0)
+    assert(w0.getLong(3) == 0L)
+    assert(DataQuality.ksDrift(shifted(0.0)).collect()(0).getLong(3) == 0L)
+  }
+
   test("psiDrift: exact shares, classic term, null when a half is empty") {
     // half0 mix a:3 b:1, half1 a:1 b:3 -> psi term both
     // (0.75-0.25)*ln(3) = 0.549306; c only in half1 -> null term.
