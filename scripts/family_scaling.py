@@ -14,12 +14,19 @@ import math
 import sys
 
 
+def _mins(d: dict) -> dict:
+    """Accept both the compact one-line artifact ({name: secs}) and the
+    full BENCH_DETAIL format ({name: {"min": secs, "spread": ...}})."""
+    return {k: (v["min"] if isinstance(v, dict) else v)
+            for k, v in d["queries"].items()}
+
+
 def main() -> None:
     a = json.load(open(sys.argv[1]))
     b = json.load(open(sys.argv[2]))
     ratio = float(sys.argv[3])
     coupled = set(sys.argv[4:])
-    qa, qb = a["queries"], b["queries"]
+    qa, qb = _mins(a), _mins(b)
     floor_a, floor_b = a.get("calib", 0.0), b.get("calib", 0.0)
     fams = {}
     print(f"{'query':28s} {'sf1':>8s} {'sf3':>8s} {'alpha':>6s}  flag")
