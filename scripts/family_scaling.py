@@ -29,7 +29,7 @@ def main() -> None:
     qa, qb = _mins(a), _mins(b)
     floor_a, floor_b = a.get("calib", 0.0), b.get("calib", 0.0)
     fams = {}
-    print(f"{'query':28s} {'sf1':>8s} {'sf3':>8s} {'alpha':>6s}  flag")
+    print(f"{'query':28s} {'t1':>8s} {'t2':>8s} {'alpha':>6s}  flag")
     for name in sorted(qa, key=lambda n: -qb.get(n, 0)):
         if name not in qb:
             continue
@@ -46,8 +46,8 @@ def main() -> None:
     for fam, cells in sorted(fams.items()):
         s1, s2 = sum(c[0] for c in cells), sum(c[1] for c in cells)
         alpha = math.log(s2 / s1) / math.log(ratio)
-        print(f"family {fam:8s} (excl. coupled): sf1={s1:8.1f}s "
-              f"sf3={s2:8.1f}s alpha={alpha:5.2f} n={len(cells)}")
+        print(f"family {fam:8s} (excl. coupled): t1={s1:8.1f}s "
+              f"t2={s2:8.1f}s alpha={alpha:5.2f} n={len(cells)}")
 
 
 if __name__ == "__main__":
