@@ -387,18 +387,28 @@ object EventAnalytics {
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("users_b"),
         sum(when(col("variant") === 1, col("converted")).otherwise(0L))
           .as("conv_b"))
+      // degenerate-margin guards (the r13 convention): an empty
+      // variant leaves its rate undefined, and a zero χ² margin
+      // (empty variant, zero conversions, or universal conversion)
+      // leaves the statistic undefined — emit null like the oracle's
+      // NULL instead of an ANSI divide-by-zero
       .select(col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
-        expr("(10000 * conv_a) div users_a").as("cr_a_bp"),
-        expr("(10000 * conv_b) div users_b").as("cr_b_bp"),
+        when(col("users_a") > 0, expr("(10000 * conv_a) div users_a"))
+          .as("cr_a_bp"),
+        when(col("users_b") > 0, expr("(10000 * conv_b) div users_b"))
+          .as("cr_b_bp"),
         // a = conv_a, b = users_a - conv_a, c = conv_b, d = users_b - conv_b
-        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (users_a + users_b) *
+        when(col("users_a") > 0 && col("users_b") > 0 &&
+            col("conv_a") + col("conv_b") > 0 &&
+            col("users_a") + col("users_b") > col("conv_a") + col("conv_b"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (users_a + users_b) *
                  CAST(conv_a * (users_b - conv_b) -
                       conv_b * (users_a - conv_a) AS DECIMAL(38,0)) *
                  CAST(conv_a * (users_b - conv_b) -
                       conv_b * (users_a - conv_a) AS DECIMAL(38,0)))
                 div (CAST(users_a AS DECIMAL(38,0)) * users_b *
                      (conv_a + conv_b) *
-                     (users_a + users_b - conv_a - conv_b)) AS BIGINT)""")
+                     (users_a + users_b - conv_a - conv_b)) AS BIGINT)"""))
           .as("chi2_micro"))
   }
 

@@ -157,9 +157,13 @@ object RetailAnalytics {
     byDecile
       .withColumn("total", sum(col("cents")).over(all))
       .withColumn("cum", sum(col("cents")).over(cum))
+      // an all-zero-spend corpus makes total = 0: shares of nothing are
+      // undefined → null (the gini/hhi degenerate-divide convention)
       .select(col("decile"), col("customers"), col("cents"),
-        expr("(10000 * cents) div total").as("share_bp"),
-        expr("(10000 * cum) div total").as("cum_share_bp"))
+        when(col("total") > 0, expr("(10000 * cents) div total"))
+          .as("share_bp"),
+        when(col("total") > 0, expr("(10000 * cum) div total"))
+          .as("cum_share_bp"))
   }
 
   /** GINI COEFFICIENT of customer spend, exact basis points: G =

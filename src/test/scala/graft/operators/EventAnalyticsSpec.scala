@@ -193,6 +193,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ((5000L, 10000L, 1333333L)))
   }
 
+  test("abTest: degenerate margins read null, no ANSI divide") {
+    // every uid even -> variant B empty: cr_b and chi2 undefined -> null
+    val oneSided = Seq((0L, "purchase"), (2L, "view"), (4L, "purchase"))
+      .toDF("user_id", "event_type")
+    val r1 = EventAnalytics.abTest(oneSided, "purchase").collect().head
+    assert(r1.getLong(2) == 0L && r1.getLong(4) == 6666L &&
+      r1.isNullAt(5) && r1.isNullAt(6))
+    // both variants present but NOBODY converts -> rates 0, chi2 null
+    // (zero conversion margin)
+    val noConv = Seq((0L, "view"), (1L, "view"))
+      .toDF("user_id", "event_type")
+    val r2 = EventAnalytics.abTest(noConv, "purchase").collect().head
+    assert(r2.getLong(4) == 0L && r2.getLong(5) == 0L && r2.isNullAt(6))
+    // EVERYBODY converts -> rates 10000, chi2 null (zero non-conversion
+    // margin)
+    val allConv = Seq((0L, "purchase"), (1L, "purchase"))
+      .toDF("user_id", "event_type")
+    val r3 = EventAnalytics.abTest(allConv, "purchase").collect().head
+    assert(r3.getLong(4) == 10000L && r3.getLong(5) == 10000L &&
+      r3.isNullAt(6))
+  }
+
   test("transitionMatrix: per-user consecutive pairs, row-normalized basis points") {
     val events = Seq(
       (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),

@@ -120,6 +120,14 @@ class TimeSeriesSpec extends AnyFunSuite {
       r.getLong(2) == 5000L)
   }
 
+  test("pareto: all-zero-cent spend reads null shares, no ANSI divide") {
+    // every price rounds to 0 cents -> total 0 -> shares of nothing are
+    // undefined -> null, matching the oracle's NULL
+    val tiny = Seq((1L, 0.004), (2L, 0.003)).toDF("o_custkey", "o_totalprice")
+    val got = RetailAnalytics.paretoDeciles(tiny).collect()
+    assert(got.nonEmpty && got.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("gini/hhi: all-sub-dollar spend reads null, no ANSI divide") {
     // every customer's spend rounds to $0 -> total s = 0 -> the ratio
     // is undefined; both metrics must emit null instead of throwing.
