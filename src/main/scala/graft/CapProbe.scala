@@ -54,14 +54,18 @@ object CapProbe {
     // first CELL carries it and the A/B reads as a cap effect
     run("warmup")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 64,
       candidateBudgetPerDoc = None))
+    // `default` runs BEFORE the 70-second fixed256 cell: the r13 sf3
+    // run measured the default cell 5 s slower than the identical
+    // explicit-budget cell purely from same-JVM ordering (it ran last,
+    // after fixed256's allocation churn)
     val cells = Seq(
       run("budget64perdoc")(a => Dedup.wordGramContainment(a, 0.9,
         candidateBudgetPerDoc = Some(64))),
+      run("default")(a => Dedup.wordGramContainment(a, 0.9)),
       run("fixed64")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 64,
         candidateBudgetPerDoc = None)),
       run("fixed256")(a => Dedup.wordGramContainment(a, 0.9, maxBucket = 256,
-        candidateBudgetPerDoc = None)),
-      run("default")(a => Dedup.wordGramContainment(a, 0.9)))
+        candidateBudgetPerDoc = None)))
     println(s"""{"probe":"containment_cap","sf":"$sfDir","cells":[
 ${cells.mkString(",\n")}]}""")
     spark.stop()
