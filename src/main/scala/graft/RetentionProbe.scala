@@ -78,7 +78,11 @@ object RetentionProbe {
       val logDir = Files.createTempDirectory(s"rp-$tag-log").toString
       val (_, tLog) = time(
         ChangeFeed.materializeLog(src, "cust", Seq("c_custkey"), logDir))
-      val Seq(_, ver2, _) = src.versions()
+      val versions = src.versions()
+      require(versions.length == 3,
+        s"retention probe scaffold expects the 3 commits it just made, " +
+          s"got ${versions.length}: $versions")
+      val ver2 = versions(1)
       val group = Seq(ChangeFeed.GroupTable("cust", Seq("c_custkey"), logDir))
       val (peer, tPeer) = time {
         val w = mkWh(s"rp-$tag-peer", withMeta = true)

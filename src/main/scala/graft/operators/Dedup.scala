@@ -286,26 +286,61 @@ object Dedup {
       .agg(count(lit(1)).as("bn"))
       .groupBy("bn").agg(count(lit(1)).as("k"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    capFromHistogram(hist.toIndexedSeq, perDocBudget, bandsPerDoc, ladder)
+  }
+
+  /** The pure cap derivation [[autoBucketCap]] runs after its census —
+    * exposed so a MAINTAINED bucket-size histogram (the streaming
+    * signature-store path, which cannot afford a per-batch full-store
+    * census) derives bit-identical caps from the same arithmetic. An
+    * EMPTY histogram returns the ladder's smallest rung — the same
+    * value the SQL oracle's `coalesce(max(cap), 8)` fallback reads
+    * (no data ⇒ no pairs under any cap, so the choice is inert, but
+    * the documented derivation-mirror invariant holds for all inputs).
+    */
+  def capFromHistogram(hist: Seq[(Long, Long)], perDocBudget: Int,
+                       bandsPerDoc: Int = 8,
+                       ladder: Seq[Int] = BucketCapLadder): Int = {
+    require(perDocBudget > 0 && bandsPerDoc > 0 && ladder.nonEmpty,
+      "capFromHistogram needs a positive budget, band count, and a ladder")
+    val sorted = ladder.sorted
+    if (hist.isEmpty) return sorted.head
     val nDocs = hist.map { case (bn, k) => bn * k }.sum / bandsPerDoc
     val budget = perDocBudget.toLong * nDocs
     def vol(c: Int): Long = hist.map { case (bn, k) =>
       (if (bn <= c) bn * (bn - 1) / 2 else bn - 1) * k
     }.sum
-    val sorted = ladder.sorted
     sorted.filter(c => vol(c) <= budget).lastOption.getOrElse(sorted.head)
   }
+
+  /** The `maxBucket` value every banded pipeline defaults to — kept as
+    * a named constant so [[resolveCap]] can detect when a caller pinned
+    * BOTH knobs (an explicit `maxBucket` while the budget default is
+    * live would be silently ignored — rejected instead).
+    */
+  val DefaultMaxBucket: Int = 256
 
   /** Resolve a banded pipeline's effective bucket cap: the caller's
     * fixed `maxBucket`, or the [[autoBucketCap]]-derived rung when
     * `budgetPerDoc` is set — in which case the bands frame is cached,
     * because the census and the pairing both read it (one signature
     * pass, not two). Shared by every banded near-dup pipeline.
+    *
+    * The two knobs are MUTUALLY EXCLUSIVE: with the budget default
+    * live ([[DefaultCandidateBudget]]) an explicit non-default
+    * `maxBucket` would be silently ignored (the cap derives from the
+    * census instead), so that combination is rejected — pass
+    * `candidateBudgetPerDoc = None` to pin a fixed cap.
     */
   private[operators] def resolveCap(bands: DataFrame, maxBucket: Int,
                                     budgetPerDoc: Option[Int], bandsPerDoc: Int,
                                     bucketCols: Seq[String] = Seq("band_id", "band"))
       : (DataFrame, Int) = budgetPerDoc match {
     case Some(b) =>
+      require(maxBucket == DefaultMaxBucket,
+        s"maxBucket = $maxBucket would be ignored: the candidate budget ($b/doc) " +
+          "derives the cap from the band census; pass candidateBudgetPerDoc = None " +
+          "to use a fixed cap")
       val cached = bands.cache()
       (cached, autoBucketCap(cached, bucketCols, b, bandsPerDoc))
     case None => (bands, maxBucket)

@@ -695,18 +695,29 @@ object Similarity {
                             overscan: Int): DataFrame = {
     require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
       "nprobe ladder must be ascending and duplicate-free")
+    // each rung collapses to ONE (n_exact, n_found) row, so the rungs
+    // evaluate eagerly here and the ground-truth cache is released in
+    // the finally — repeated autotune calls in one session no longer
+    // accumulate executor storage memory
     val exact = bruteForceTopKL2(embeddings, pred, k).cache()
-    ladder.map { np =>
-      val found = exactRerank(embeddings,
-        ivfpqSearchStoredLearned(idx, embeddings, pred, coarsePred,
-          cw, m, k * overscan, np), k)
-      annRecallReport(found, exact)
-        .agg(coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"),
-          coalesce(sum(col("n_found")), lit(0L)).as("n_found"))
-        .select(lit(np).as("nprobe"), col("n_exact"), col("n_found"),
-          expr("CASE WHEN n_exact > 0 THEN (10000 * n_found) div n_exact END")
-            .as("recall_bp"))
-    }.reduce(_ unionAll _)
+    val counts = try {
+      ladder.map { np =>
+        val found = exactRerank(embeddings,
+          ivfpqSearchStoredLearned(idx, embeddings, pred, coarsePred,
+            cw, m, k * overscan, np), k)
+        val r = annRecallReport(found, exact)
+          .agg(coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"),
+            coalesce(sum(col("n_found")), lit(0L)).as("n_found"))
+          .head()
+        (np, r.getLong(0), r.getLong(1))
+      }
+    } finally exact.unpersist()
+    val sp = embeddings.sparkSession
+    import sp.implicits._
+    counts.toDF("nprobe", "n_exact", "n_found")
+      .select(col("nprobe"), col("n_exact"), col("n_found"),
+        expr("CASE WHEN n_exact > 0 THEN (10000 * n_found) div n_exact END")
+          .as("recall_bp"))
   }
 
   /** The AUTOTUNE DECISION as a relation — the gate-able artifact
@@ -774,11 +785,14 @@ object Similarity {
       if (r.getLong(0) > 0) 10000L * r.getLong(1) / r.getLong(0) else 0L
     }
     var chosen = ladder.head
-    var achieved = recallBp(chosen)
-    val it = ladder.tail.iterator
-    while (achieved < targetBp && it.hasNext) {
-      chosen = it.next(); achieved = recallBp(chosen)
-    }
+    var achieved = 0L
+    try {
+      achieved = recallBp(chosen)
+      val it = ladder.tail.iterator
+      while (achieved < targetBp && it.hasNext) {
+        chosen = it.next(); achieved = recallBp(chosen)
+      }
+    } finally exact.unpersist()
     exactRerank(embeddings,
         ivfpqSearchStoredLearned(idx, embeddings, queryPred, coarsePred,
           cw, m, k * overscan, chosen), k)

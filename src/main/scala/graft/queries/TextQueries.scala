@@ -799,7 +799,11 @@ object TextQueries {
     * candidate volume per ladder rung → the largest rung within
     * perDoc × nDocs (nDocs = Σ bn·k / bands-per-doc). Band-key columns
     * don't matter here — the census collapses to sizes — so one body
-    * serves all families; only `bandsPerDoc` varies.
+    * serves all families; only `bandsPerDoc` varies. The empty-census
+    * fallback `coalesce(max(c), 8)` is the exact mirror of
+    * Dedup.capFromHistogram's empty-histogram branch (ladder's smallest
+    * rung) — aligned in r14 so the derivation-mirror invariant holds
+    * for ALL inputs, not just non-empty corpora.
     */
   private def capvCtesSql(perDoc: Int, bandsPerDoc: Int): String =
     s"""census AS MATERIALIZED (SELECT bn, count(*) AS k FROM bsize GROUP BY 1),

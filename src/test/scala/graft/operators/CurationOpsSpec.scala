@@ -161,6 +161,34 @@ class CurationOpsSpec extends AnyFunSuite {
       s"cap must be nondecreasing in budget, got $caps")
   }
 
+  test("capFromHistogram: empty census lands on the ladder floor, " +
+    "mirroring the oracle's coalesce(max(c), 8) fallback (r14 ADVICE)") {
+    assert(Dedup.capFromHistogram(Nil, perDocBudget = 64) ==
+      Dedup.BucketCapLadder.min)
+    // and through the DataFrame census path too (empty bands frame)
+    val bands = Seq.empty[(Int, String, Long)].toDF("band_id", "band", "doc_id")
+    assert(Dedup.autoBucketCap(bands, Seq("band_id", "band"), 64) ==
+      Dedup.BucketCapLadder.min)
+    // the DataFrame census and the pure-histogram core agree on a
+    // non-trivial census (one 40-bucket, bandsPerDoc 8)
+    val rows = (1 to 40).map(i => (0, "A", i.toLong))
+    assert(Dedup.autoBucketCap(rows.toDF("band_id", "band", "doc_id"),
+      Seq("band_id", "band"), 5) ==
+      Dedup.capFromHistogram(Seq((40L, 1L)), 5))
+  }
+
+  test("maxBucket and the live budget default are mutually exclusive " +
+    "(r14 ADVICE): an explicit cap that would be silently ignored throws") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshNearDups(Dedup.shingles(contDocs), threshold = 0.5,
+        maxBucket = 100).collect()
+    }
+    assert(e.getMessage.contains("candidateBudgetPerDoc = None"))
+    // the escape hatch still works
+    Dedup.lshNearDups(Dedup.shingles(contDocs), threshold = 0.5,
+      maxBucket = 100, candidateBudgetPerDoc = None).collect()
+  }
+
   test("budgeted containment matches the fixed-cap result it derives") {
     val auto = Dedup.wordGramContainment(contDocs, threshold = 0.9,
         candidateBudgetPerDoc = Some(64))
