@@ -171,4 +171,39 @@ object Scd1 {
           .otherwise(col("d.processed_dt")).as("processed_dt"))
     s.join(d, on, "full").select(cols: _*)
   }
+
+  /** [[mergeAuditIncremental]] as a WAREHOUSE write with the nightly
+    * Pipeline's bucket-pruning discipline: when the dim is bucketed by
+    * the (single) merge key, [[changedKeyBuckets]] finds the buckets
+    * holding inserted/changed keys (delete detection off — absence
+    * from a delta means "unchanged"), BOTH merge inputs prune to those
+    * buckets, and only their files rewrite — the rest hard-link
+    * byte-identically ([[Txn.overwriteBuckets]]). A delta that changes
+    * nothing (e.g. an at-least-once replay of an already-applied
+    * batch) writes nothing at all; an unbucketed dim falls back to the
+    * full-image overwrite. Shared by the streamed CDC upsert
+    * ([[graft.streaming.StreamingOps.scd1UpsertStream]]) so continuous
+    * ingestion pays churn-sized writes like the nightly run does.
+    */
+  def upsertIncrementalWarehouse(txn: Txn, table: String, delta: DataFrame,
+                                 keys: Seq[String], compareCols: Seq[String],
+                                 runTs: java.sql.Timestamp): Unit = {
+    val dimDf = txn.read(table)
+    txn.wh.bucketSpec.get(table) match {
+      case Some((bucketKey, n)) if keys == Seq(bucketKey) &&
+          txn.currentDirs(table).length == 1 =>
+        val touched = changedKeyBuckets(dimDf, delta, keys, compareCols, n,
+          deletesVisible = false)
+        if (touched.nonEmpty) {
+          val inT = inBuckets(keys, n, touched.toIndexedSeq)
+          txn.overwriteBuckets(table,
+            mergeAuditIncremental(dimDf.filter(inT), delta.filter(inT),
+              keys, compareCols, runTs),
+            touched.toIndexedSeq)
+        }
+      case _ =>
+        txn.overwrite(table,
+          mergeAuditIncremental(dimDf, delta, keys, compareCols, runTs))
+    }
+  }
 }

@@ -916,6 +916,57 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
     } else pending(Warehouse.dvKey(table)) = Seq(dvDir)
   }
 
+  /** CHURN-SIZED keyed upsert — the write primitive behind the CDC
+    * store consumers (signature store, image-hash store, ANN index):
+    * drop the `gone` keys' rows and append `build(pruned)`'s new rows,
+    * rewriting ONLY the key-hash buckets the delta touches when the
+    * table is bucketed by `key` — every other bucket's files hard-link
+    * byte-identically into the fresh dir via [[overwriteBuckets]].
+    * Per call, write bytes are proportional to the delta's bucket
+    * footprint, not the table. The delta-sized `gone ∪ arrived` key
+    * set derives the touched buckets (driver result bounded by the
+    * bucket count); `build` sees the table pruned to those buckets,
+    * which is equivalent for both an anti-join idempotence guard and
+    * the appends because every appended row's key must be an `arrived`
+    * key and so hashes into a touched bucket by construction (caller
+    * contract). An unbucketed table falls back to a full overwrite
+    * (same rows, table-sized write). An empty delta writes nothing.
+    *
+    * File-count note: when the write executes inside a streaming
+    * foreachBatch-derived plan, the optimizer has been observed to
+    * elide the pre-write exchange and keep only the required bucket
+    * sort, so a TOUCHED bucket's rows may land in one file per union
+    * branch of `build`'s output (2 here: carried ∪ appended) instead
+    * of exactly one. Bounded (branch count, not data), rewritten
+    * wholesale on the bucket's next touch, and handled by every
+    * reader ([[Warehouse.readBucketedDir]] groups a bucket's files
+    * into one partition) and by bucket maintenance
+    * ([[Warehouse.copyUntouchedBuckets]] walks all files) — the only
+    * cost is Spark not trusting SORTED BY metadata for multi-file
+    * buckets. Spec-pinned in StreamingChurnWriteSpec.
+    */
+  def pruneAppendKeyed(table: String, key: String, gone: DataFrame,
+                       arrived: DataFrame,
+                       build: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{hash, lit => l, pmod}
+    wh.bucketSpec.get(table) match {
+      case Some((bucketKey, n)) if bucketKey == key &&
+          currentDirs(table).length == 1 =>
+        val touched = gone.select(org.apache.spark.sql.functions.col(key))
+          .unionByName(arrived.select(org.apache.spark.sql.functions.col(key)))
+          .select(pmod(hash(org.apache.spark.sql.functions.col(key)), l(n)).as("b"))
+          .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+        if (touched.nonEmpty) {
+          val inT = Scd1.inBuckets(Seq(key), n, touched)
+          val pruned = read(table).filter(inT)
+            .join(gone, Seq(key), "left_anti")
+          overwriteBuckets(table, build(pruned), touched)
+        }
+      case _ =>
+        overwrite(table, build(read(table).join(gone, Seq(key), "left_anti")))
+    }
+  }
+
   /** Targeted DELETE (GDPR erasure, bad-batch retraction): remove the
     * rows matching `predicate`, keeping everything else — including
     * rows where the predicate is NULL (SQL DELETE semantics: only

@@ -277,7 +277,8 @@ object SimilarityQueries {
       val idxWh = new Warehouse(s,
         java.nio.file.Files.createTempDirectory("graft-sann-idx").toString,
         Map("annidx" -> idxSchema), partitionSpec = Map.empty,
-        bucketSpec = Map.empty)
+        // bucketed by the index key (r14): churn-sized micro-batch writes
+        bucketSpec = Map("annidx" -> ("vec_id", 8)))
       locally {
         val t = idxWh.begin()
         t.overwrite("annidx", idxWh.emptyDf("annidx")); t.commit()

@@ -533,7 +533,10 @@ object TextQueries {
       val storeWh = new Warehouse(s,
         java.nio.file.Files.createTempDirectory("graft-sdd-idx").toString,
         Map("sigstore" -> storeSchema), partitionSpec = Map.empty,
-        bucketSpec = Map.empty)
+        // bucketed by the store key (r14): per micro-batch the consumer
+        // rewrites only the buckets the churn touches, hard-linking the
+        // rest — write bytes ~ churn, not store
+        bucketSpec = Map("sigstore" -> ("doc_id", 8)))
       locally {
         val t = storeWh.begin()
         t.overwrite("sigstore", storeWh.emptyDf("sigstore")); t.commit()
@@ -640,7 +643,8 @@ object TextQueries {
       val storeWh = new Warehouse(s,
         java.nio.file.Files.createTempDirectory("graft-smm-idx").toString,
         Map("hashstore" -> storeSchema), partitionSpec = Map.empty,
-        bucketSpec = Map.empty)
+        // bucketed by the store key (r14): churn-sized micro-batch writes
+        bucketSpec = Map("hashstore" -> ("doc_id", 8)))
       locally {
         val t = storeWh.begin()
         t.overwrite("hashstore", storeWh.emptyDf("hashstore")); t.commit()

@@ -325,8 +325,14 @@ object StreamingOps {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         val txn = wh.begin()
-        txn.overwrite(table, graft.etl.Scd1.mergeAuditIncremental(
-          txn.read(table), compacted, keys, compareCols, runTsFor(batchId)))
+        // bucket-pruned write when the dim is bucketed by the merge key
+        // (the nightly Pipeline's exact discipline): only the buckets
+        // holding inserted/changed keys rewrite, the rest hard-link —
+        // per batch the write is churn-sized, not dim-sized. A batch
+        // that changes nothing (e.g. an at-least-once replay of an
+        // already-applied delta) writes nothing at all.
+        graft.etl.Scd1.upsertIncrementalWarehouse(txn, table, compacted,
+          keys, compareCols, runTsFor(batchId))
         txn.commit()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1139,6 +1145,14 @@ object StreamingOps {
     * [[graft.operators.Dedup.signatureStore]] of the final image
     * (spec-pinned, and the `q_stream_dedup` driver gate hashes it).
     */
+  /** The churn-sized store write the CDC store consumers share —
+    * see [[graft.etl.Txn.pruneAppendKeyed]].
+    */
+  private def storeUpsert(txn: graft.etl.Txn, table: String, key: String,
+                          gone: DataFrame, arrived: DataFrame,
+                          build: DataFrame => DataFrame): Unit =
+    txn.pruneAppendKeyed(table, key, gone, arrived, build)
+
   def changeFeedSignatureStore(spark: SparkSession, wh: graft.etl.Warehouse,
                                storeTable: String, docSchema: StructType,
                                n: Int, logDir: String,
@@ -1157,10 +1171,9 @@ object StreamingOps {
             .filter(col("change_type").isin("insert", "update_post"))
             .select("doc_id", "text")
           val txn = wh.begin()
-          val pruned = txn.read(storeTable).join(gone, Seq("doc_id"), "left_anti")
-          val appended = Dedup.signatureStore(arrived, n)
-            .join(pruned.select("doc_id"), Seq("doc_id"), "left_anti")
-          txn.overwrite(storeTable, pruned.unionByName(appended))
+          storeUpsert(txn, storeTable, "doc_id", gone, arrived.select("doc_id"),
+            pruned => pruned.unionByName(Dedup.signatureStore(arrived, n)
+              .join(pruned.select("doc_id"), Seq("doc_id"), "left_anti")))
           txn.commit()
         } finally net.unpersist()
       }
@@ -1207,10 +1220,9 @@ object StreamingOps {
             .select("doc_id", "fmt", "payload")
             .filter(col("fmt") =!= "wav")
           val txn = wh.begin()
-          val pruned = txn.read(storeTable).join(gone, Seq("doc_id"), "left_anti")
-          val appended = Multimodal.imageAHash(arrived)
-            .join(pruned.select("doc_id"), Seq("doc_id"), "left_anti")
-          txn.overwrite(storeTable, pruned.unionByName(appended))
+          storeUpsert(txn, storeTable, "doc_id", gone, arrived.select("doc_id"),
+            pruned => pruned.unionByName(Multimodal.imageAHash(arrived)
+              .join(pruned.select("doc_id"), Seq("doc_id"), "left_anti")))
           txn.commit()
         } finally net.unpersist()
       }
@@ -1265,9 +1277,9 @@ object StreamingOps {
             .filter(col("change_type").isin("insert", "update_post"))
             .select("vec_id", "embedding")
           val txn = wh.begin()
-          val pruned = txn.read(indexTable).join(gone, Seq("vec_id"), "left_anti")
-          txn.overwrite(indexTable, Similarity.ivfpqIndexAppend(
-            pruned, seedEmbeddings, added, coarsePred, pqPred, m))
+          storeUpsert(txn, indexTable, "vec_id", gone, added.select("vec_id"),
+            pruned => Similarity.ivfpqIndexAppend(
+              pruned, seedEmbeddings, added, coarsePred, pqPred, m))
           txn.commit()
         } finally net.unpersist()
       }
