@@ -948,22 +948,37 @@ class Txn private[etl] (private[etl] val wh: Warehouse) {
   def pruneAppendKeyed(table: String, key: String, gone: DataFrame,
                        arrived: DataFrame,
                        build: DataFrame => DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{hash, lit => l, pmod}
+    val keys = gone.select(org.apache.spark.sql.functions.col(key))
+      .unionByName(arrived.select(org.apache.spark.sql.functions.col(key)))
+    bucketSlice(table, key, keys) match {
+      case (slice, Some(touched)) =>
+        if (touched.nonEmpty)
+          overwriteBuckets(table,
+            build(slice.join(gone, Seq(key), "left_anti")), touched)
+      case (full, None) =>
+        overwrite(table, build(full.join(gone, Seq(key), "left_anti")))
+    }
+  }
+
+  /** The read-side companion of [[overwriteBuckets]]: the table
+    * restricted to the key-hash buckets `keysDf` touches, plus the
+    * touched bucket list, when the bucketed partial path applies
+    * (table bucketed by `key`, one current dir — the same guard every
+    * bucket-pruned writer uses). Otherwise the full table and `None`.
+    * The touched derivation collects one row per DISTINCT bucket —
+    * bounded by the bucket count, never the delta.
+    */
+  def bucketSlice(table: String, key: String, keysDf: DataFrame)
+      : (DataFrame, Option[IndexedSeq[Int]]) = {
+    import org.apache.spark.sql.functions.{col, hash, lit => l, pmod}
     wh.bucketSpec.get(table) match {
       case Some((bucketKey, n)) if bucketKey == key &&
           currentDirs(table).length == 1 =>
-        val touched = gone.select(org.apache.spark.sql.functions.col(key))
-          .unionByName(arrived.select(org.apache.spark.sql.functions.col(key)))
-          .select(pmod(hash(org.apache.spark.sql.functions.col(key)), l(n)).as("b"))
+        val touched = keysDf
+          .select(pmod(hash(col(key)), l(n)).as("b"))
           .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
-        if (touched.nonEmpty) {
-          val inT = Scd1.inBuckets(Seq(key), n, touched)
-          val pruned = read(table).filter(inT)
-            .join(gone, Seq(key), "left_anti")
-          overwriteBuckets(table, build(pruned), touched)
-        }
-      case _ =>
-        overwrite(table, build(read(table).join(gone, Seq(key), "left_anti")))
+        (read(table).filter(Scd1.inBuckets(Seq(key), n, touched)), Some(touched))
+      case _ => (read(table), None)
     }
   }
 

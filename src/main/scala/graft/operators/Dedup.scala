@@ -313,6 +313,55 @@ object Dedup {
     sorted.filter(c => vol(c) <= budget).lastOption.getOrElse(sorted.head)
   }
 
+  /** One (id, bkey) row per band of each signature-store row —
+    * `bkey = band_id || '|' || band` flattens the two-column bucket key
+    * into the single string key the MAINTAINED census tables are keyed
+    * (and bucketed) by. Pure function of the stored 8 BIGINTs, so the
+    * CDC consumer derives band deltas from exactly the rows it
+    * adds/removes, never from a corpus scan.
+    */
+  def storeBands(store: DataFrame, bandSize: Int = 2,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(8 % bandSize == 0, "bandSize must divide 8")
+    store.select(col(idCol),
+        posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band")))
+      .select(col(idCol), concat_ws("|", col("band_id"), col("band")).as("bkey"))
+  }
+
+  /** Derive the banding bucket cap for an incremental batch from the
+    * MAINTAINED census instead of re-aggregating the stored bands:
+    * `storeHist` is the store's bucket-size histogram (kept store-side
+    * by the CDC consumer), `storeCounts` its per-bucket counts (only
+    * the buckets the incoming bands touch are read — the caller may
+    * pass a bucket-pruned slice), `incomingBands` the batch's (bkey)
+    * rows. The combined (store + incoming) histogram is the maintained
+    * one adjusted per incoming-touched bucket (old size leaves, old +
+    * incoming enters) — bit-equal to [[autoBucketCap]]'s full recompute
+    * over the combined bands (spec-pinned), at batch-sized cost: one
+    * batch-side aggregation, one lookup join, a driver merge bounded by
+    * distinct (old, new) size pairs.
+    */
+  def capFromMaintainedCensus(storeHist: Seq[(Long, Long)],
+                              storeCounts: DataFrame,
+                              incomingBands: DataFrame, perDocBudget: Int,
+                              bandsPerDoc: Int = 4,
+                              ladder: Seq[Int] = BucketCapLadder): Int = {
+    val adj = incomingBands.groupBy("bkey").agg(count(lit(1)).as("ic"))
+      .join(storeCounts.select(col("bkey"), col("cnt")), Seq("bkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("oldc"),
+        (coalesce(col("cnt"), lit(0L)) + col("ic")).as("newc"))
+      .groupBy("oldc", "newc").agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hist = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    storeHist.foreach { case (bn, k) => hist(bn) += k }
+    adj.foreach { case (oldc, newc, m) =>
+      if (oldc > 0) hist(oldc) -= m
+      hist(newc) += m
+    }
+    capFromHistogram(hist.toSeq.filter(_._2 > 0), perDocBudget, bandsPerDoc,
+      ladder)
+  }
+
   /** The `maxBucket` value every banded pipeline defaults to — kept as
     * a named constant so [[resolveCap]] can detect when a caller pinned
     * BOTH knobs (an explicit `maxBucket` while the budget default is
@@ -692,12 +741,48 @@ object Dedup {
     // so the contract ("exactly the full-corpus pairs restricted to
     // incoming-touching") holds under the budget default too. At scale
     // the census is one extra aggregation per batch over 8-BIGINT rows;
-    // a production store would maintain the bucket-size histogram
-    // incrementally alongside the signatures.
+    // a production store maintains the census incrementally alongside
+    // the signatures instead — [[incrementalNearDupsStoredWithCap]]
+    // takes the cap that [[capFromMaintainedCensus]] derives from the
+    // maintained tables (bit-equal to this recompute, spec-pinned) and
+    // skips this full pass.
     val (bands, cap) = resolveCap(
       sig.select(col(idCol), col("is_new"),
         posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band"))),
       maxBucket, candidateBudgetPerDoc, 8 / bandSize)
+    incrementalCore(base, bands, cap, threshold, n, idCol)
+  }
+
+  /** [[incrementalNearDupsStored]] with the bucket cap supplied by the
+    * caller instead of recomputed from a full (store + incoming) band
+    * census — the production shape once the census is MAINTAINED: the
+    * CDC consumer keeps per-bucket counts + the bucket-size histogram
+    * store-side (updated in the same txn as the signatures), the caller
+    * derives `cap` via [[capFromMaintainedCensus]] (batch-sized work),
+    * and this method never aggregates the stored bands. Identical
+    * output to the recomputing form at the same cap (spec-pinned).
+    */
+  def incrementalNearDupsStoredWithCap(store: DataFrame, existing: DataFrame,
+                                       incoming: DataFrame, cap: Int,
+                                       threshold: Double = 0.5, n: Int = 3,
+                                       bandSize: Int = 2,
+                                       textCol: String = "text",
+                                       idCol: String = "doc_id"): DataFrame = {
+    require(8 % bandSize == 0, "bandSize must divide 8")
+    def prep(df: DataFrame) =
+      df.select(col(idCol), lower(col(textCol)).as("t"))
+        .filter(size(filter(split(col("t"), "\\s+"), w => w =!= "")) >= n)
+    val base = prep(existing).unionAll(prep(incoming))
+    val sig = store.withColumn("is_new", lit(false)).unionByName(
+      signatureStore(incoming, n, textCol, idCol).withColumn("is_new", lit(true)))
+    val bands = sig.select(col(idCol), col("is_new"),
+      posexplode(array(polyBandCols(bandSize): _*)).as(Seq("band_id", "band")))
+    incrementalCore(base, bands, cap, threshold, n, idCol)
+  }
+
+  private def incrementalCore(base: DataFrame, bands: DataFrame, cap: Int,
+                              threshold: Double, n: Int,
+                              idCol: String): DataFrame = {
     // one exchange on the bucket key: size + anchor(id, flag) per row
     // (at scale these stats are maintained in the store, not recomputed)
     val w = Window.partitionBy("band_id", "band")

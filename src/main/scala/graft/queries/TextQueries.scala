@@ -547,6 +547,60 @@ object TextQueries {
       storeWh.read("sigstore").orderBy("doc_id")
     }),
 
+    // MAINTAINED band census, e2e (r14): the same 3-commit document
+    // evolution drives StreamingOps.changeFeedSignatureStoreCensus,
+    // which keeps the per-bucket band counts (bucketed by bkey) and the
+    // bucket-size histogram in the SAME txn as the signature store —
+    // the cap derivation for incremental near-dup then never aggregates
+    // the stored bands (Dedup.capFromMaintainedCensus). The oracle
+    // recomputes the histogram COLD from the final image's signatures,
+    // so the hash certifies maintained-census ≡ cold-census through
+    // inserts, deletes, and updates.
+    "q_stream_census" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      import org.apache.spark.sql.types._
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val finalImg = d.withColumn("text",
+        when(col("doc_id") % 5 === 2, concat(col("text"), lit(" changed v3")))
+          .otherwise(col("text")))
+      val v1 = d.filter(col("doc_id") % 3 === 0)
+      val v2 = d.filter(col("doc_id") % 3 <= 1 && !(col("doc_id") % 9 === 0))
+      val src = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-scn-src").toString,
+        Map("docs" -> d.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("docs" -> ("doc_id", 8)))
+      Seq(d.limit(0), v1, v2, finalImg).foreach { img =>
+        val t = src.begin(); t.overwrite("docs", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-scn-log").toString
+      ChangeFeed.materializeLog(src, "docs", Seq("doc_id"), logDir)
+      val storeSchema = StructType(StructField("doc_id", LongType) +:
+        (0 until 8).map(j => StructField(s"m$j", LongType)))
+      val countsSchema = StructType(Seq(
+        StructField("bkey", StringType), StructField("cnt", LongType)))
+      val histSchema = StructType(Seq(
+        StructField("bn", LongType), StructField("k", LongType)))
+      val storeWh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-scn-idx").toString,
+        Map("sigstore" -> storeSchema, "bandcounts" -> countsSchema,
+          "bandhist" -> histSchema),
+        partitionSpec = Map.empty,
+        bucketSpec = Map("sigstore" -> ("doc_id", 8),
+          "bandcounts" -> ("bkey", 8)))
+      locally {
+        val t = storeWh.begin()
+        Seq("sigstore", "bandcounts", "bandhist").foreach(tb =>
+          t.overwrite(tb, storeWh.emptyDf(tb)))
+        t.commit()
+      }
+      StreamingOps.changeFeedSignatureStoreCensus(s, storeWh, "sigstore",
+        "bandcounts", "bandhist", d.schema, n = 3, logDir,
+        java.nio.file.Files.createTempDirectory("graft-scn-ckpt").toString)
+      storeWh.read("bandhist").orderBy("bn")
+    }),
+
     "text_shard" -> ((s, dir) =>
       TextAnalysis.corpusShard(Tables(s, dir, "documents").select("doc_id"),
           nShards = 16)
@@ -1811,6 +1865,28 @@ object TextQueries {
          |${wordGramSigCte(3)}
          |SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7
          |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // cold band-census histogram over the final image's signature
+    // store: 4 bands per doc (bkey = band_id | m2b : m2b+1), bucket
+    // sizes, then size histogram — the streamed, incrementally
+    // maintained bandhist table must land exactly here
+    "q_stream_census" -> {
+      val bands = (0 until 4).map(b =>
+        s"""SELECT doc_id, '$b|' || CAST(m${2 * b} AS VARCHAR) || ':' ||
+           |  CAST(m${2 * b + 1} AS VARCHAR) AS bkey FROM sig""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 5 = 2 THEN ' changed v3' ELSE '' END AS text
+         |  FROM documents),
+         |${wordGramSigCte(3)},
+         |bands AS (
+         |  $bands),
+         |bsize AS (SELECT bkey, CAST(count(*) AS BIGINT) AS bn
+         |          FROM bands GROUP BY 1)
+         |SELECT bn, CAST(count(*) AS BIGINT) AS k
+         |FROM bsize GROUP BY 1 ORDER BY bn""".stripMargin
+    },
 
     // the full-corpus poly pair set restricted to pairs touching the
     // incoming batch (ids ≥ off) — band index, caps, and verify are

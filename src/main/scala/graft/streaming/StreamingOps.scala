@@ -1180,6 +1180,120 @@ object StreamingOps {
     }
   }
 
+  /** [[changeFeedSignatureStore]] WITH the band census maintained
+    * store-side (r13 verdict item 2): alongside the signature store,
+    * the same transaction keeps `countsTable` — per band-bucket counts
+    * (`bkey`, `cnt`), bucketed by `bkey` so lookups and rewrites prune
+    * to the batch's buckets — and `histTable`, the bucket-size
+    * histogram (`bn`, `k`; one row per DISTINCT bucket size, tiny).
+    * [[graft.operators.Dedup.capFromMaintainedCensus]] then derives the
+    * batch's banding cap from these tables at batch-sized cost and
+    * [[graft.operators.Dedup.incrementalNearDupsStoredWithCap]] runs
+    * the probe — no per-batch aggregation over the stored bands ever
+    * happens (the full-census recompute the plain
+    * `incrementalNearDupsStored` performs, fine at fixture scale, a
+    * full store scan per micro-batch at 100 TB).
+    *
+    * Maintenance is exact, not approximate: band deltas derive from
+    * exactly the rows the batch removes (store rows of net-deleted /
+    * net-updated keys) and appends, so maintained counts == a cold
+    * census of the store at every commit, and the histogram moves by
+    * (old size leaves, new size enters) per touched bucket —
+    * spec-pinned equal to recomputes through inserts, updates,
+    * deletes, and redelivery (where add/remove deltas cancel exactly).
+    */
+  def changeFeedSignatureStoreCensus(spark: SparkSession,
+                                     wh: graft.etl.Warehouse,
+                                     storeTable: String, countsTable: String,
+                                     histTable: String,
+                                     docSchema: StructType, n: Int,
+                                     logDir: String, checkpointDir: String,
+                                     bandSize: Int = 2): Unit = {
+    import graft.etl.ChangeFeed
+    import graft.operators.Dedup
+    val logSch = ChangeFeed.logSchema(docSchema, Seq("doc_id"))
+    drainLog(spark, logDir, logSch, checkpointDir) { batch =>
+      if (!batch.isEmpty) {
+        val net = ChangeFeed.netChanges(batch, Seq("doc_id")).persist()
+        try {
+          val gone = net
+            .filter(col("change_type").isin("delete", "update_post"))
+            .select("doc_id")
+          val arrived = net
+            .filter(col("change_type").isin("insert", "update_post"))
+            .select("doc_id", "text")
+          val txn = wh.begin()
+          val (slice, touched) = txn.bucketSlice(storeTable, "doc_id",
+            gone.unionByName(arrived.select("doc_id")))
+          if (touched.forall(_.nonEmpty)) {
+            // removed/appended are the EXACT row deltas of this batch's
+            // store write — the census moves by their bands and nothing
+            // else (a redelivered no-op batch cancels to zero deltas)
+            val removed = slice.join(gone, Seq("doc_id"), "left_semi").persist()
+            val pruned = slice.join(gone, Seq("doc_id"), "left_anti")
+            val appended = Dedup.signatureStore(arrived, n)
+              .join(pruned.select("doc_id"), Seq("doc_id"), "left_anti").persist()
+            try {
+              touched match {
+                case Some(t) =>
+                  txn.overwriteBuckets(storeTable, pruned.unionByName(appended), t)
+                case None =>
+                  txn.overwrite(storeTable, pruned.unionByName(appended))
+              }
+              maintainBandCensus(txn, countsTable, histTable,
+                Dedup.storeBands(removed, bandSize).select("bkey"),
+                Dedup.storeBands(appended, bandSize).select("bkey"))
+              txn.commit()
+            } finally { removed.unpersist(); appended.unpersist() }
+          } else txn.discard()
+        } finally net.unpersist()
+      }
+    }
+  }
+
+  /** Fold a batch's band deltas into the maintained census tables —
+    * per-bucket counts rewritten bucket-pruned (the counts table is
+    * bucketed by `bkey`), the size histogram (tiny) by a full-outer
+    * merge. All inputs are batch-sized; the counts table contributes
+    * only the touched buckets' files.
+    */
+  private def maintainBandCensus(txn: graft.etl.Txn, countsTable: String,
+                                 histTable: String, removedBands: DataFrame,
+                                 addedBands: DataFrame): Unit = {
+    val delta = removedBands.withColumn("d", lit(-1L))
+      .unionByName(addedBands.withColumn("d", lit(1L)))
+      .groupBy("bkey").agg(sum(col("d")).as("d"))
+      .filter(col("d") =!= 0L)
+    val (slice, touched) = txn.bucketSlice(countsTable, "bkey",
+      delta.select("bkey"))
+    if (touched.exists(_.isEmpty)) return // no net band movement
+    val joined = delta.join(slice, Seq("bkey"), "left")
+      .select(col("bkey"), coalesce(col("cnt"), lit(0L)).as("oldc"),
+        (coalesce(col("cnt"), lit(0L)) + col("d")).as("newc"))
+      .persist()
+    try {
+      val newCounts = joined.filter(col("newc") > 0)
+        .select(col("bkey"), col("newc").as("cnt"))
+      val pruned = slice.join(joined.select("bkey"), Seq("bkey"), "left_anti")
+      touched match {
+        case Some(t) =>
+          txn.overwriteBuckets(countsTable, pruned.unionByName(newCounts), t)
+        case None =>
+          txn.overwrite(countsTable, pruned.unionByName(newCounts))
+      }
+      val histDelta = joined
+        .select(col("oldc").as("bn"), lit(-1L).as("dk")).filter(col("bn") > 0)
+        .unionByName(joined
+          .select(col("newc").as("bn"), lit(1L).as("dk")).filter(col("bn") > 0))
+        .groupBy("bn").agg(sum(col("dk")).as("dk")).filter(col("dk") =!= 0L)
+      val newHist = txn.read(histTable).join(histDelta, Seq("bn"), "full")
+        .select(col("bn"),
+          (coalesce(col("k"), lit(0L)) + coalesce(col("dk"), lit(0L))).as("k"))
+        .filter(col("k") > 0)
+      txn.overwrite(histTable, newHist)
+    } finally joined.unpersist()
+  }
+
   /** PRODUCTION CDC consumer #5: maintain a stored
     * [[graft.operators.Multimodal.imageAHash]] table from a media
     * table's change log — the MULTIMODAL twin of
