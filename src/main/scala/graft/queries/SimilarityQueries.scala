@@ -209,6 +209,31 @@ object SimilarityQueries {
           m = 8, k = 5, targetBp = 9000)
         .orderBy("nprobe")),
 
+    // autotune over the STORED index with an NLIST-RELATIVE ladder
+    // (r14): the codebooks + code table are built once and passed in —
+    // the production tuner tunes the index the CDC consumer already
+    // maintains, never rebuilding — and the rungs are fractions of
+    // nlist (12.5% / 25% / 50% of lists, deduplicated after the
+    // max(1, nlist·f div 10000) conversion), so "probe 1/8th of the
+    // lists" means the same thing at every corpus scale where an
+    // absolute Seq(1,2,4) silently shrinks to a vanishing scan
+    // fraction. The oracle derives the SAME rungs from its own nlist
+    // count (scalar subqueries), so the hash gates the rung
+    // derivation, the searches, and the decision end to end.
+    "ann_autotune_stored" -> ((s, dir) => {
+      val emb = clusteredEmb(s, dir)
+      val coarse = col("vec_id") % 125 === 11
+      val cw = Similarity.ivfpqLearnedCodebooks(emb, coarse,
+        col("vec_id") % 78 === 5, m = 8).localCheckpoint()
+      val idx = Similarity.ivfpqIndexLearned(emb, coarse, cw, m = 8)
+        .localCheckpoint()
+      Similarity.autotuneReportStored(emb, idx, cw,
+          samplePred = col("vec_id") % 50 === 7,
+          evalPred = col("vec_id") % 50 === 19,
+          coarsePred = coarse, m = 8, k = 5, targetBp = 9000)
+        .orderBy("nprobe")
+    }),
+
     // the same autotune on the near-uniform NOISE corpus — the fixture
     // where plain routing recall is information-theoretically capped by
     // scan fraction, so the ladder typically exhausts and falls back to
@@ -535,6 +560,7 @@ object SimilarityQueries {
     // exact ground truth over the same corpus, recall in basis points
     "ann_autotune" -> autotuneOracleSql(clustered = true),
     "ann_autotune_noise" -> autotuneOracleSql(clustered = false),
+    "ann_autotune_stored" -> autotuneStoredOracleSql,
 
     "ann_recall_clustered" ->
       s"""WITH $clusteredSql,
@@ -916,13 +942,52 @@ object SimilarityQueries {
     * of Similarity.autotuneReport at (m=8, k=5, overscan=4,
     * ladder 1/2/4, target 9000 bp).
     */
-  private def autotuneOracleSql(clustered: Boolean): String = {
+  private def autotuneOracleSql(clustered: Boolean): String =
+    autotuneOracleBody(clustered,
+      rungSpecs = Seq(1, 2, 4).map(r => (r.toString, r.toString)),
+      extraCtes = "", dedupRungs = false)
+
+  /** The ann_autotune_stored oracle: the SAME decision body, but the
+    * rung nprobes are DERIVED from nlist in SQL (scalar subqueries
+    * over a `rungv` CTE mirroring `max(1, nlist·frac div 10000)`), and
+    * the rung rows are deduplicated after the conversion exactly like
+    * the engine's `.distinct` — so the hash gates the nlist-relative
+    * rung derivation itself, not just searches at fixed knobs.
+    */
+  private def autotuneStoredOracleSql: String = {
+    val fracs = Seq(1250, 2500, 5000)
+    val rungCtes =
+      s"""nlistv AS (SELECT CAST(count(DISTINCT co_id) AS BIGINT) AS nl FROM co),
+         |rungv AS (SELECT
+         |  ${fracs.zipWithIndex.map { case (f, i) =>
+               s"greatest(1, nl * $f // 10000) AS np${i + 1}" }
+             .mkString(",\n  ")}
+         |  FROM nlistv),
+         |""".stripMargin
+    autotuneOracleBody(clustered = true,
+      rungSpecs = fracs.indices.map(i =>
+        (s"f${i + 1}", s"(SELECT np${i + 1} FROM rungv)")),
+      extraCtes = rungCtes, dedupRungs = true)
+  }
+
+  /** Shared autotune-oracle body: one materialized learned index,
+    * one suffixed search chain per (rung, query set), two brute-force
+    * ground truths, per-rung micro recall, the relational decision
+    * (min qualifying rung, top fallback, `target_met`). `rungSpecs`
+    * maps CTE suffix → the rung's nprobe as an SQL expression (a
+    * literal for the absolute ladder, a scalar subquery for the
+    * nlist-relative one); `dedupRungs` collapses rungs that convert
+    * to the same nprobe, mirroring the engine's `.distinct`.
+    */
+  private def autotuneOracleBody(clustered: Boolean,
+                                 rungSpecs: Seq[(String, String)],
+                                 extraCtes: String,
+                                 dedupRungs: Boolean): String = {
     val src = if (clustered) "clustered" else "embeddings"
     val pre = if (clustered) s"$clusteredSql,\n" else ""
-    val rungs = Seq(1, 2, 4)
-    val searches = (for (r <- rungs; (set, filt) <- Seq(
+    val searches = (for ((sfx, np) <- rungSpecs; (set, filt) <- Seq(
         "s" -> "vec_id % 50 = 7", "e" -> "vec_id % 50 = 19")) yield
-      ivfpqLearnedSearchCte(s"_$set$r", filt, nprobe = r, candK = 20, k = 5))
+      ivfpqLearnedSearchCte(s"_$set$sfx", filt, nprobe = np, candK = 20, k = 5))
       .mkString(",\n")
     def exactCtes(set: String, filt: String) =
       s"""exd_$set AS (
@@ -937,42 +1002,48 @@ object SimilarityQueries {
          |    SELECT query_id, hit_id,
          |      row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS r
          |    FROM exd_$set) WHERE r <= 5)""".stripMargin
-    def recCtes(set: String) = rungs.map { r =>
-      s"""rec_$set$r AS (
-         |  SELECT $r AS nprobe, CAST(count(*) AS BIGINT) AS n_exact,
+    def recCtes(set: String) = rungSpecs.map { case (sfx, np) =>
+      s"""rec_$set$sfx AS (
+         |  SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS n_exact,
          |    CAST(sum(CASE WHEN f.hit_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_found
          |  FROM exact_$set e
-         |  LEFT JOIN (SELECT DISTINCT query_id, hit_id FROM found_$set$r) f
+         |  LEFT JOIN (SELECT DISTINCT query_id, hit_id FROM found_$set$sfx) f
          |    ON f.query_id = e.query_id AND f.hit_id = e.hit_id)""".stripMargin
-    }.mkString(",\n") +
-      s""",\nrec_$set AS (${rungs.map(r => s"SELECT * FROM rec_$set$r")
-        .mkString("\n  UNION ALL ")})"""
+    }.mkString(",\n") + {
+      val union = rungSpecs.map { case (sfx, _) => s"SELECT * FROM rec_$set$sfx" }
+        .mkString("\n  UNION ALL ")
+      if (dedupRungs) s",\nrec_$set AS (SELECT DISTINCT * FROM ($union))"
+      else s",\nrec_$set AS ($union)"
+    }
     s"""WITH $pre${flatSql(src)},
        |$ivfpqResidualCte,
        |$ivfpqLearnedIndexCte,
-       |$searches,
+       |$extraCtes$searches,
        |${exactCtes("s", "vec_id % 50 = 7")},
        |${exactCtes("e", "vec_id % 50 = 19")},
        |${recCtes("s")},
        |${recCtes("e")},
        |pick AS (
-       |  SELECT coalesce(
-       |    min(CASE WHEN (10000 * n_found) // n_exact >= 9000 THEN nprobe END),
-       |    max(nprobe)) AS chosen_np
-       |  FROM rec_s)
+       |  SELECT coalesce(qual, top) AS chosen_np, qual IS NOT NULL AS target_met
+       |  FROM (SELECT
+       |    min(CASE WHEN (10000 * n_found) // n_exact >= 9000 THEN nprobe END)
+       |      AS qual,
+       |    max(nprobe) AS top
+       |  FROM rec_s))
        |SELECT s.nprobe, s.n_exact, s.n_found,
        |  (10000 * s.n_found) // s.n_exact AS sample_recall_bp,
        |  s.nprobe = p.chosen_np AS chosen,
        |  CASE WHEN s.nprobe = p.chosen_np
-       |       THEN (10000 * e.n_found) // e.n_exact END AS eval_recall_bp
+       |       THEN (10000 * e.n_found) // e.n_exact END AS eval_recall_bp,
+       |  p.target_met AS target_met
        |FROM rec_s s JOIN rec_e e ON e.nprobe = s.nprobe, pick p
        |ORDER BY s.nprobe""".stripMargin
   }
 
   private def ivfpqLearnedFoundCte(queryFilter: String): String =
     s"""$ivfpqLearnedIndexCte,
-       |${ivfpqLearnedSearchCte("", queryFilter, nprobe = 2, candK = 20, k = 5)}""".stripMargin
+       |${ivfpqLearnedSearchCte("", queryFilter, nprobe = "2", candK = 20, k = 5)}""".stripMargin
 
   /** Rung-independent half of the learned-codebook chain (seed cells →
     * one floor-mean Lloyd step → corpus codes) — MATERIALIZED so a
@@ -1016,7 +1087,7 @@ object SimilarityQueries {
     * (nprobe, candK = k·overscan).
     */
   private def ivfpqLearnedSearchCte(sfx: String, queryFilter: String,
-                                    nprobe: Int, candK: Int, k: Int): String =
+                                    nprobe: String, candK: Int, k: Int): String =
     s"""probes$sfx AS (SELECT vec_id AS query_id, co_id FROM ar
        |           WHERE $queryFilter AND r <= $nprobe),
        |qres$sfx AS (

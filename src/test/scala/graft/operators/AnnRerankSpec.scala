@@ -159,11 +159,59 @@ class AnnRerankSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getInt(3))).toSet
     assert(got == fixed)
-    // a target no rung can reach falls back to the ladder's TOP rung
+    // a target no rung can reach falls back to the ladder's TOP rung —
+    // and SAYS SO: target_met reads false on the fallback branch,
+    // true when a rung genuinely qualified (r14, both branches pinned)
     val fb = Similarity.searchWithRecallTarget(emb, ePred, sPred, coPred,
       seedPred, m = 8, k = 5, targetBp = 10001)
     assert(fb.select("nprobe").distinct().collect()
       .map(_.getInt(0)).toSeq == Seq(4))
+    assert(fb.select("target_met").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false))
+    // ...and agrees with the measured qualifying set on the real target
+    assert(search.select("target_met").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(qualifying.nonEmpty))
+    val fbRep = Similarity.autotuneReport(emb, sPred, ePred, coPred, seedPred,
+      m = 8, k = 5, targetBp = 10001)
+    assert(fbRep.select("target_met").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false),
+      "report must flag the silent-fallback case")
+    // a trivially reachable target reads true (recall ≥ 0 bp always)
+    assert(Similarity.autotuneReport(emb, sPred, ePred, coPred, seedPred,
+        m = 8, k = 5, targetBp = 1)
+      .select("target_met").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(rep.exists(_._2 >= 1L)))
+    emb.unpersist()
+  }
+
+  test("autotuneReportStored: nlist-relative rungs dedupe after conversion " +
+    "and match the absolute-ladder report at the same nprobes") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").cache()
+    val sPred = col("vec_id") % 50 === 7
+    val ePred = col("vec_id") % 50 === 19
+    val coPred = col("vec_id") % 125 === 11
+    val seedPred = col("vec_id") % 78 === 5
+    val nlist = emb.filter(coPred).count()
+    val cw = Similarity.ivfpqLearnedCodebooks(emb, coPred, seedPred, m = 8)
+      .localCheckpoint()
+    val idx = Similarity.ivfpqIndexLearned(emb, coPred, cw, m = 8)
+      .localCheckpoint()
+    val fracs = Seq(1250, 2500, 5000)
+    val expected = fracs.map(f => math.max(1L, nlist * f / 10000).toInt).distinct
+    val stored = Similarity.autotuneReportStored(emb, idx, cw, sPred, ePred,
+        coPred, m = 8, k = 5, targetBp = 2000, ladderFracBp = fracs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(stored.map(_._1).toSeq == expected,
+      s"rungs ${stored.map(_._1).toSeq} != expected $expected (nlist $nlist)")
+    // the same deterministic build runs under autotuneReport, so rows at
+    // the same nprobes are identical — the stored path adds no drift
+    val abs = Similarity.autotuneReport(emb, sPred, ePred, coPred, seedPred,
+        m = 8, k = 5, targetBp = 2000, ladder = expected)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(stored.toSeq == abs.toSeq)
     emb.unpersist()
   }
 }
