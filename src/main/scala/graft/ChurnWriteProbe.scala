@@ -110,8 +110,10 @@ object ChurnWriteProbe {
       f"""{"cell":"$tag","store_files":${dataFiles(dirOf(vs(2))).length},"store_bytes":$seedBytes,"churn_new_bytes":${fresh.map(Files.size).sum},"churn_linked_bytes":${carried.map(Files.size).sum},"churn_new_files":${fresh.length},"seed_secs":$tSeed%.2f,"churn_secs":$tChurn%.2f}"""
     }
 
-    // bucketed cell FIRST (r13 lesson: same-JVM ordering after a heavy
-    // cell inflates the later one)
+    // untimed warmup first (r13 CapProbe lesson: the first cell in a
+    // JVM pays JIT/codegen for the whole pipeline and reads inflated),
+    // then the bucketed cells BEFORE the heavy full-rewrite one
+    cell("warmup", Some(8))
     val cells = Seq(
       cell("bucketed64", Some(64)),
       cell("bucketed16", Some(16)),

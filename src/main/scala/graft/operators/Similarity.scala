@@ -695,23 +695,50 @@ object Similarity {
                             overscan: Int): DataFrame = {
     require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
       "nprobe ladder must be ascending and duplicate-free")
-    // each rung collapses to ONE (n_exact, n_found) row, so the rungs
-    // evaluate eagerly here and the ground-truth cache is released in
-    // the finally — repeated autotune calls in one session no longer
-    // accumulate executor storage memory
+    // the whole ladder evaluates as ONE action (union of one-row aggs):
+    // Catalyst reuses the shared subplans — ground-truth cache, stored
+    // codes, query-side prep — ACROSS rungs via ReusedExchange, which
+    // per-rung eager jobs cannot (r14 bench caught a 3× autotune
+    // regression from exactly that). The collect is ladder-sized; the
+    // cache is released in the finally, so repeated autotune calls in
+    // one session no longer accumulate executor storage memory.
     val exact = bruteForceTopKL2(embeddings, pred, k).cache()
     val counts = try {
-      ladder.map { np =>
-        val found = exactRerank(embeddings,
-          ivfpqSearchStoredLearned(idx, embeddings, pred, coarsePred,
-            cw, m, k * overscan, np), k)
-        val r = annRecallReport(found, exact)
-          .agg(coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"),
-            coalesce(sum(col("n_found")), lit(0L)).as("n_found"))
-          .head()
-        (np, r.getLong(0), r.getLong(1))
-      }
+      rungCountFrames(embeddings, pred, exact, coarsePred, cw, idx, m, k,
+        ladder, overscan)
+        .reduce(_ unionAll _)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     } finally exact.unpersist()
+    localLadder(embeddings, counts)
+  }
+
+  /** One (nprobe, n_exact, n_found) one-row aggregate frame per ladder
+    * rung against `exact` — the caller unions and collects them in a
+    * single action so exchanges shared between rungs (and between the
+    * sample/eval ladders of a report) reuse instead of recomputing.
+    */
+  private def rungCountFrames(embeddings: DataFrame, pred: Column,
+                              exact: DataFrame, coarsePred: Column,
+                              cw: DataFrame, idx: DataFrame, m: Int, k: Int,
+                              ladder: Seq[Int],
+                              overscan: Int): Seq[DataFrame] =
+    ladder.map { np =>
+      val found = exactRerank(embeddings,
+        ivfpqSearchStoredLearned(idx, embeddings, pred, coarsePred,
+          cw, m, k * overscan, np), k)
+      annRecallReport(found, exact)
+        .agg(coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("n_found")), lit(0L)).as("n_found"))
+        .select(lit(np).as("nprobe"), col("n_exact"), col("n_found"))
+    }
+
+  /** The collected rung counts as a local relation with the integral
+    * recall column — driver-sized, so the decision tail's joins and
+    * aggregates never touch the cluster again.
+    */
+  private def localLadder(embeddings: DataFrame,
+                          counts: Seq[(Int, Long, Long)]): DataFrame = {
     val sp = embeddings.sparkSession
     import sp.implicits._
     counts.toDF("nprobe", "n_exact", "n_found")
@@ -784,10 +811,25 @@ object Similarity {
                                  evalPred: Column, coarsePred: Column,
                                  m: Int, k: Int, targetBp: Int,
                                  ladder: Seq[Int], overscan: Int): DataFrame = {
-    val sample = ladderRecalls(embeddings, samplePred, coarsePred, cw, idx,
-      m, k, ladder, overscan)
-    val eval = ladderRecalls(embeddings, evalPred, coarsePred, cw, idx,
-        m, k, ladder, overscan)
+    require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
+      "nprobe ladder must be ascending and duplicate-free")
+    // BOTH ladders (2 query sets × |ladder| rungs) evaluate as one
+    // action so every shared exchange — stored codes, corpus prep, the
+    // two cached ground truths — reuses across all chains
+    val exactS = bruteForceTopKL2(embeddings, samplePred, k).cache()
+    val exactE = bruteForceTopKL2(embeddings, evalPred, k).cache()
+    val n = ladder.length
+    val all = try {
+      (rungCountFrames(embeddings, samplePred, exactS, coarsePred, cw, idx,
+          m, k, ladder, overscan) ++
+        rungCountFrames(embeddings, evalPred, exactE, coarsePred, cw, idx,
+          m, k, ladder, overscan))
+        .reduce(_ unionAll _)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally { exactS.unpersist(); exactE.unpersist() }
+    val sample = localLadder(embeddings, all.take(n))
+    val eval = localLadder(embeddings, all.drop(n))
       .select(col("nprobe"), col("recall_bp").as("eval_recall_bp"))
     val pick = sample.agg(
         min(when(col("recall_bp") >= targetBp, col("nprobe"))).as("qual"),
