@@ -222,7 +222,13 @@ object SimilarityQueries {
     // derivation, the searches, and the decision end to end.
     "ann_autotune_stored" -> ((s, dir) => {
       val emb = clusteredEmb(s, dir)
-      val coarse = col("vec_id") % 125 === 11
+      // the coarse book is PINNED to the sf0.1 id range (a no-op below
+      // sf1): a stored index's nlist is an INDEX property under the
+      // changeFeedAnnIndex fixed-seed contract, not a corpus-coupled
+      // one — and the decoupled-alpha probe showed nlist ∝ N is
+      // exactly what makes flat assignment superlinear (the r14 sf1
+      // replay's one engine+oracle blowup before this pin)
+      val coarse = col("vec_id") % 125 === 11 && col("vec_id") < 2000
       val cw = Similarity.ivfpqLearnedCodebooks(emb, coarse,
         col("vec_id") % 78 === 5, m = 8).localCheckpoint()
       val idx = Similarity.ivfpqIndexLearned(emb, coarse, cw, m = 8)
@@ -956,6 +962,11 @@ object SimilarityQueries {
     */
   private def autotuneStoredOracleSql: String = {
     val fracs = Seq(1250, 2500, 5000)
+    // the pinned coarse book (see the gate comment): nlist stays an
+    // index property instead of growing with the corpus
+    val pinnedResidual = ivfpqResidualCte.replace(
+      "WHERE vec_id % 125 = 11",
+      "WHERE vec_id % 125 = 11 AND vec_id < 2000")
     val rungCtes =
       s"""nlistv AS (SELECT CAST(count(DISTINCT co_id) AS BIGINT) AS nl FROM co),
          |rungv AS (SELECT
@@ -967,7 +978,8 @@ object SimilarityQueries {
     autotuneOracleBody(clustered = true,
       rungSpecs = fracs.indices.map(i =>
         (s"f${i + 1}", s"(SELECT np${i + 1} FROM rungv)")),
-      extraCtes = rungCtes, dedupRungs = true)
+      extraCtes = rungCtes, dedupRungs = true,
+      residualCte = pinnedResidual)
   }
 
   /** Shared autotune-oracle body: one materialized learned index,
@@ -982,7 +994,9 @@ object SimilarityQueries {
   private def autotuneOracleBody(clustered: Boolean,
                                  rungSpecs: Seq[(String, String)],
                                  extraCtes: String,
-                                 dedupRungs: Boolean): String = {
+                                 dedupRungs: Boolean,
+                                 residualCte: String = ivfpqResidualCte)
+      : String = {
     val src = if (clustered) "clustered" else "embeddings"
     val pre = if (clustered) s"$clusteredSql,\n" else ""
     val searches = (for ((sfx, np) <- rungSpecs; (set, filt) <- Seq(
@@ -1017,7 +1031,7 @@ object SimilarityQueries {
       else s",\nrec_$set AS ($union)"
     }
     s"""WITH $pre${flatSql(src)},
-       |$ivfpqResidualCte,
+       |$residualCte,
        |$ivfpqLearnedIndexCte,
        |$extraCtes$searches,
        |${exactCtes("s", "vec_id % 50 = 7")},
