@@ -603,11 +603,44 @@ object Multimodal {
                      maxBucket: Int = 256,
                      candidateBudgetPerDoc: Option[Int] =
                        Dedup.DefaultCandidateBudget): DataFrame = {
-    val bandCols = Seq("b0", "b1", "b2", "b3")
-    val (bands, cap) = Dedup.resolveCap(
-      hashes.select(col("doc_id"),
-        posexplode(array(bandCols.map(col): _*)).as(Seq("band_id", "band"))),
+    val (bands, cap) = Dedup.resolveCap(bandRows(hashes),
       maxBucket, candidateBudgetPerDoc, bandsPerDoc = 4)
+    imageHashPairsCore(hashes, bands, cap, maxHamming)
+  }
+
+  /** [[imageHashPairs]] with the bucket cap supplied by the caller — the
+    * multimodal twin of
+    * [[graft.operators.Dedup.incrementalNearDupsStoredWithCap]]: when
+    * the image-hash store's band census is MAINTAINED
+    * ([[graft.streaming.StreamingOps.changeFeedImageHashStoreCensus]]),
+    * [[graft.operators.Dedup.capFromMaintainedCensus]] derives `cap`
+    * from the census tables at batch-sized cost and this method never
+    * re-aggregates the stored bands. Identical output to the
+    * recomputing form at the same cap (spec-pinned).
+    */
+  def imageHashPairsWithCap(hashes: DataFrame, cap: Int,
+                            maxHamming: Int = 3): DataFrame =
+    imageHashPairsCore(hashes, bandRows(hashes), cap, maxHamming)
+
+  private def bandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"),
+      posexplode(array(Seq("b0", "b1", "b2", "b3").map(col): _*))
+        .as(Seq("band_id", "band")))
+
+  /** One (doc_id, bkey) row per 16-bit aHash band — `bkey` in the same
+    * `band_id || '|' || band` form [[graft.operators.Dedup.storeBands]]
+    * uses, so the maintained-census machinery (counts table bucketed by
+    * `bkey`, size histogram, cap derivation) is shared verbatim between
+    * the text and image stores.
+    */
+  def hashBands(hashes: DataFrame): DataFrame =
+    bandRows(hashes)
+      .select(col("doc_id"),
+        concat_ws("|", col("band_id"), col("band")).as("bkey"))
+
+  private def imageHashPairsCore(hashes: DataFrame, bands: DataFrame,
+                                 cap: Int, maxHamming: Int): DataFrame = {
+    val bandCols = Seq("b0", "b1", "b2", "b3")
     val cand = Dedup.cappedPairs(bands, Seq("band_id", "band"), cap)
     val h = hashes.select(col("doc_id") +: bandCols.map(col): _*)
     val withSides = cand

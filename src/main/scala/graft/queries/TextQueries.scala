@@ -709,6 +709,68 @@ object TextQueries {
       storeWh.read("hashstore").orderBy("doc_id")
     }),
 
+    // MAINTAINED image-band census, e2e (r14): the same 3-commit media
+    // evolution drives StreamingOps.changeFeedImageHashStoreCensus —
+    // the multimodal twin of q_stream_census: the txn that prunes and
+    // appends aHash rows folds their band deltas into the per-bucket
+    // counts (bucketed by bkey) and the size histogram, so image
+    // near-dup ingestion (Multimodal.imageHashPairsWithCap +
+    // Dedup.capFromMaintainedCensus) never re-aggregates the stored
+    // bands. The oracle recomputes the histogram COLD from the final
+    // image's closed-form aHash bands, so the hash certifies
+    // maintained-census ≡ cold-census through inserts, deletes, and
+    // payload updates.
+    "q_stream_mm_census" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      import org.apache.spark.sql.types._
+      val ids = Tables(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 3 =!= 1) // image docs only (no wav)
+      val media = Multimodal.attachMediaPayload(ids)
+      val updated = Multimodal.attachMediaPayload(
+          ids.filter(col("doc_id") % 5 === 2)
+            .select((col("doc_id") + 3).as("doc_id")))
+        .select((col("doc_id") - 3).as("doc_id"), col("fmt"), col("payload"))
+      val finalImg = media.filter(col("doc_id") % 5 =!= 2).unionByName(updated)
+      val v1 = media.filter(col("doc_id") % 3 === 0)
+      val v2 = media.filter(!(col("doc_id") % 9 === 0))
+      val src = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-smc-src").toString,
+        Map("media" -> media.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("media" -> ("doc_id", 8)))
+      Seq(media.limit(0), v1, v2, finalImg).foreach { img =>
+        val t = src.begin(); t.overwrite("media", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-smc-log").toString
+      ChangeFeed.materializeLog(src, "media", Seq("doc_id"), logDir)
+      val storeSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("fmt", StringType),
+        StructField("width", LongType), StructField("height", LongType)) ++
+        (0 until 4).map(j => StructField(s"b$j", LongType)))
+      val countsSchema = StructType(Seq(
+        StructField("bkey", StringType), StructField("cnt", LongType)))
+      val histSchema = StructType(Seq(
+        StructField("bn", LongType), StructField("k", LongType)))
+      val storeWh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-smc-idx").toString,
+        Map("hashstore" -> storeSchema, "bandcounts" -> countsSchema,
+          "bandhist" -> histSchema),
+        partitionSpec = Map.empty,
+        bucketSpec = Map("hashstore" -> ("doc_id", 8),
+          "bandcounts" -> ("bkey", 8)))
+      locally {
+        val t = storeWh.begin()
+        Seq("hashstore", "bandcounts", "bandhist").foreach(tb =>
+          t.overwrite(tb, storeWh.emptyDf(tb)))
+        t.commit()
+      }
+      StreamingOps.changeFeedImageHashStoreCensus(s, storeWh, "hashstore",
+        "bandcounts", "bandhist", media.schema, logDir,
+        java.nio.file.Files.createTempDirectory("graft-smc-ckpt").toString)
+      storeWh.read("bandhist").orderBy("bn")
+    }),
+
     // image near-dup over the aHash: planted exact-duplicate payloads
     // (every 25th image re-id'd at a derived collision-free offset),
     // banded capped candidates, exact 64-bit Hamming <= 3 — the
@@ -2036,6 +2098,30 @@ object TextQueries {
         |SELECT doc_id, fmt, CAST(w AS BIGINT) AS width,
         |  CAST(h AS BIGINT) AS height, b0, b1, b2, b3
         |FROM ah ORDER BY doc_id""".stripMargin,
+
+    // cold band-census histogram over the final media image's aHash
+    // table (same img CTE as q_stream_mm): 4 bands per doc, bucket
+    // sizes, then size histogram — the streamed, incrementally
+    // maintained bandhist table must land exactly here
+    "q_stream_mm_census" ->
+      s"""WITH img AS (
+        |  SELECT doc_id, src,
+        |    CASE WHEN src % 3 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+        |    src % 16 + 4 AS w, src % 9 + 3 AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 5 = 2 THEN doc_id + 3 ELSE doc_id END AS src
+        |    FROM documents WHERE doc_id % 3 <> 1) b),
+        |$aHashChainSql,
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_id, b0 AS band FROM ah
+        |  UNION ALL SELECT doc_id, 1, b1 FROM ah
+        |  UNION ALL SELECT doc_id, 2, b2 FROM ah
+        |  UNION ALL SELECT doc_id, 3, b3 FROM ah),
+        |bsize AS (SELECT band_id, band, CAST(count(*) AS BIGINT) AS bn
+        |          FROM bands GROUP BY 1, 2)
+        |SELECT bn, CAST(count(*) AS BIGINT) AS k
+        |FROM bsize GROUP BY 1 ORDER BY bn""".stripMargin,
 
     // image near-dup: the SAME aHash chain over a corpus with planted
     // exact-duplicate images (payload of every 25th image under a

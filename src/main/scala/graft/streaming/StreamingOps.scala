@@ -1343,6 +1343,64 @@ object StreamingOps {
     }
   }
 
+  /** [[changeFeedImageHashStore]] WITH the band census maintained
+    * store-side — the MULTIMODAL twin of
+    * [[changeFeedSignatureStoreCensus]]: the same transaction that
+    * prunes/appends aHash rows folds their band deltas into the
+    * per-bucket counts table (bucketed by `bkey`) and the bucket-size
+    * histogram, so
+    * [[graft.operators.Multimodal.imageHashPairsWithCap]] +
+    * [[graft.operators.Dedup.capFromMaintainedCensus]] run image
+    * near-dup ingestion without EVER re-aggregating the stored bands.
+    * Same exactness contract: maintained census == cold census at
+    * every commit, redelivery cancels to zero deltas (spec-pinned).
+    */
+  def changeFeedImageHashStoreCensus(spark: SparkSession,
+                                     wh: graft.etl.Warehouse,
+                                     storeTable: String, countsTable: String,
+                                     histTable: String,
+                                     mediaSchema: StructType, logDir: String,
+                                     checkpointDir: String): Unit = {
+    import graft.etl.ChangeFeed
+    import graft.operators.Multimodal
+    val logSch = ChangeFeed.logSchema(mediaSchema, Seq("doc_id"))
+    drainLog(spark, logDir, logSch, checkpointDir) { batch =>
+      if (!batch.isEmpty) {
+        val net = ChangeFeed.netChanges(batch, Seq("doc_id")).persist()
+        try {
+          val gone = net
+            .filter(col("change_type").isin("delete", "update_post"))
+            .select("doc_id")
+          val arrived = net
+            .filter(col("change_type").isin("insert", "update_post"))
+            .select("doc_id", "fmt", "payload")
+            .filter(col("fmt") =!= "wav")
+          val txn = wh.begin()
+          val (slice, touched) = txn.bucketSlice(storeTable, "doc_id",
+            gone.unionByName(arrived.select("doc_id")))
+          if (touched.forall(_.nonEmpty)) {
+            val removed = slice.join(gone, Seq("doc_id"), "left_semi").persist()
+            val pruned = slice.join(gone, Seq("doc_id"), "left_anti")
+            val appended = Multimodal.imageAHash(arrived)
+              .join(pruned.select("doc_id"), Seq("doc_id"), "left_anti").persist()
+            try {
+              touched match {
+                case Some(t) =>
+                  txn.overwriteBuckets(storeTable, pruned.unionByName(appended), t)
+                case None =>
+                  txn.overwrite(storeTable, pruned.unionByName(appended))
+              }
+              maintainBandCensus(txn, countsTable, histTable,
+                Multimodal.hashBands(removed).select("bkey"),
+                Multimodal.hashBands(appended).select("bkey"))
+              txn.commit()
+            } finally { removed.unpersist(); appended.unpersist() }
+          } else txn.discard()
+        } finally net.unpersist()
+      }
+    }
+  }
+
   /** PRODUCTION CDC consumer #3: maintain a stored
     * [[graft.operators.Similarity.ivfpqIndex]] from an embedding
     * table's change log — the ingestion path for a vector-search
