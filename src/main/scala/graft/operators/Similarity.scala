@@ -412,6 +412,56 @@ object Similarity {
     index.unionByName(pqEncode(fresh, coarse, cw, m))
   }
 
+  /** Per-list occupancy of a stored IVF(-PQ) index — (co_id, cnt).
+    * The list sizes ARE the index's health signal: the fullest list
+    * bounds every probe's scan cost, and drift concentrates new
+    * arrivals into few lists when the frozen centroids stop covering
+    * the corpus. Deriving this relation here is a full index scan
+    * (corpus-sized at 100 TB) — the CDC consumer
+    * [[graft.streaming.StreamingOps.changeFeedAnnIndexCensus]]
+    * maintains the same relation incrementally at churn cost (the
+    * table itself is nlist-sized — code-sized, not corpus-sized).
+    */
+  def indexListCounts(index: DataFrame): DataFrame =
+    index.groupBy("co_id").agg(count(lit(1)).as("cnt"))
+
+  /** One-row balance report over an IVF index's per-list occupancy —
+    * the REBUILD DECISION for a CDC-maintained index: arrivals encode
+    * against FROZEN centroids ([[ivfpqIndexAppend]]'s batch-stability
+    * contract), so corpus drift shows up as list imbalance long before
+    * it shows up as recall loss on stale ground truth. All columns are
+    * integral (basis points via integer division) so the relation is
+    * hash-gateable: `max_frac_bp` = fullest list's share of the corpus,
+    * `imbalance_bp` = fullest list vs the perfectly balanced share
+    * (10000 = exactly balanced; NULL on an empty index, matching the
+    * oracle's `//` semantics), `rebuild_recommended` flags
+    * `imbalance_bp > imbalanceThresholdBp`. `nlist` is the CONFIGURED
+    * list count (the coarse book's size — lists with zero members must
+    * count as empty, which the occupancy relation alone cannot see).
+    * The bp products stay in Long range while max_list · nlist <
+    * ~9·10^14 — at larger scales pass pre-scaled counts.
+    */
+  def indexBalanceReport(listCounts: DataFrame, nlist: Long,
+                         imbalanceThresholdBp: Long): DataFrame = {
+    require(nlist > 0, "nlist must be positive (the configured list count)")
+    listCounts.agg(
+        count(lit(1)).as("n_lists_used"),
+        coalesce(sum(col("cnt")), lit(0L)).as("n_vectors"),
+        coalesce(max(col("cnt")), lit(0L)).as("max_list"))
+      .select(
+        lit(nlist).as("n_lists"),
+        col("n_lists_used"),
+        (lit(nlist) - col("n_lists_used")).as("n_lists_empty"),
+        col("n_vectors"),
+        col("max_list"),
+        expr("CASE WHEN n_vectors > 0 THEN (10000 * max_list) div n_vectors END")
+          .as("max_frac_bp"),
+        expr(s"CASE WHEN n_vectors > 0 THEN (10000 * max_list * ${nlist}L) div n_vectors END")
+          .as("imbalance_bp"),
+        expr(s"CASE WHEN n_vectors > 0 THEN (10000 * max_list * ${nlist}L) div n_vectors > ${imbalanceThresholdBp}L END")
+          .as("rebuild_recommended"))
+  }
+
   /** Encode quantized vectors against fixed (coarse, PQ) codebooks →
     * (vec_id, co_id, codes). Per-subspace argmin as m min(struct)
     * aggregates in ONE groupBy at (vector × codeword) grain — no

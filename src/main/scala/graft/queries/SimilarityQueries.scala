@@ -323,6 +323,75 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // MAINTAINED IVF list-occupancy census, e2e (r14): the same
+    // 3-commit embedding evolution drives
+    // StreamingOps.changeFeedAnnIndexCensus — the ANN member of the
+    // maintained-census family: the txn that prunes/appends index rows
+    // folds their co_id deltas into the nlist-sized counts table, so
+    // the rebuild decision (Similarity.indexBalanceReport) never
+    // aggregates the corpus-sized index. The oracle recomputes the
+    // occupancy COLD from the final image's coarse assignment, so the
+    // hash certifies maintained ≡ cold through inserts, the
+    // delete-then-reinsert wave, and updates.
+    "q_stream_ann_census" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, Warehouse}
+      import graft.streaming.StreamingOps
+      import org.apache.spark.sql.types._
+      val emb = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val coPred = col("vec_id") % 125 === 11
+      val pqPred = col("vec_id") % 40 === 3 && col("vec_id") < 2560
+      val seedPred = coPred || pqPred
+      val v1 = emb.filter(col("vec_id") % 3 === 0 || seedPred)
+      val v2 = emb.filter((col("vec_id") % 3 <= 1 &&
+        !(col("vec_id") % 9 === 0 && !seedPred)) || seedPred)
+      val src = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sac-src").toString,
+        Map("emb" -> emb.schema), partitionSpec = Map.empty,
+        bucketSpec = Map("emb" -> ("vec_id", 8)))
+      Seq(emb.limit(0), v1, v2, emb).foreach { img =>
+        val t = src.begin(); t.overwrite("emb", img); t.commit()
+      }
+      val logDir =
+        java.nio.file.Files.createTempDirectory("graft-sac-log").toString
+      ChangeFeed.materializeLog(src, "emb", Seq("vec_id"), logDir)
+      val idxSchema = StructType(Seq(
+        StructField("vec_id", LongType), StructField("co_id", LongType),
+        StructField("codes", ArrayType(LongType))))
+      val lcSchema = StructType(Seq(
+        StructField("co_id", LongType), StructField("cnt", LongType)))
+      val idxWh = new Warehouse(s,
+        java.nio.file.Files.createTempDirectory("graft-sac-idx").toString,
+        Map("annidx" -> idxSchema, "listcounts" -> lcSchema),
+        partitionSpec = Map.empty,
+        bucketSpec = Map("annidx" -> ("vec_id", 8)))
+      locally {
+        val t = idxWh.begin()
+        Seq("annidx", "listcounts").foreach(tb =>
+          t.overwrite(tb, idxWh.emptyDf(tb)))
+        t.commit()
+      }
+      StreamingOps.changeFeedAnnIndexCensus(s, idxWh, "annidx", "listcounts",
+        emb.schema, emb.filter(seedPred), coPred, pqPred, m = 8, logDir,
+        java.nio.file.Files.createTempDirectory("graft-sac-ckpt").toString)
+      idxWh.read("listcounts").orderBy("co_id")
+    }),
+
+    // IVF index balance report — the rebuild decision as a one-row
+    // relation: frozen-centroid CDC maintenance turns corpus drift
+    // into list imbalance, and every column here is integral (bp via
+    // `div`) so the decision itself is under the hash gate. nlist is
+    // the CONFIGURED coarse-book size (empty lists count), derived
+    // driver-side from the seed predicate (seed-sized count).
+    "ann_balance" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val coPred = col("vec_id") % 125 === 11
+      val idx = Similarity.ivfpqIndex(emb, coPred,
+        col("vec_id") % 40 === 3 && col("vec_id") < 2560, m = 8)
+      val nlist = emb.filter(coPred).count()
+      Similarity.indexBalanceReport(Similarity.indexListCounts(idx), nlist,
+        imbalanceThresholdBp = 15000L)
+    }),
+
     "dedup_embed" -> ((s, dir) =>
       Similarity.nearDupPairs(embAug(s, dir), threshold = 0.35)
         .orderBy("vec_a", "vec_b")),
@@ -633,6 +702,42 @@ object SimilarityQueries {
          |SELECT vec_id, co_id,
          |  array_to_string(list(code ORDER BY s), ',') AS codes
          |FROM codes GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+
+    // cold per-list occupancy of the final image's coarse assignment —
+    // the streamed, incrementally maintained listcounts table must land
+    // exactly here
+    "q_stream_ann_census" ->
+      s"""WITH ${flatSql("embeddings")},
+         |$ivfpqResidualCte
+         |SELECT co_id, CAST(count(*) AS BIGINT) AS cnt
+         |FROM assigned GROUP BY 1 ORDER BY co_id""".stripMargin,
+
+    // the balance report recomputed relationally: occupancy from the
+    // cold coarse assignment, nlist from the seed predicate's own
+    // count, every bp column the same integer division the engine runs
+    "ann_balance" ->
+      s"""WITH ${flatSql("embeddings")},
+         |$ivfpqResidualCte,
+         |lc AS (SELECT co_id, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM assigned GROUP BY 1),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lists
+         |       FROM qv WHERE vec_id % 125 = 11),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_lists_used,
+         |          CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_vectors,
+         |          CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_list
+         |        FROM lc)
+         |SELECT nl.n_lists, agg.n_lists_used,
+         |  nl.n_lists - agg.n_lists_used AS n_lists_empty,
+         |  agg.n_vectors, agg.max_list,
+         |  CASE WHEN agg.n_vectors > 0
+         |       THEN (10000 * agg.max_list) // agg.n_vectors END AS max_frac_bp,
+         |  CASE WHEN agg.n_vectors > 0
+         |       THEN (10000 * agg.max_list * nl.n_lists) // agg.n_vectors
+         |       END AS imbalance_bp,
+         |  CASE WHEN agg.n_vectors > 0
+         |       THEN ((10000 * agg.max_list * nl.n_lists) // agg.n_vectors) > 15000
+         |       END AS rebuild_recommended
+         |FROM agg, nl""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH ${flatSql("embeddings")},

@@ -1458,6 +1458,86 @@ object StreamingOps {
     }
   }
 
+  /** [[changeFeedAnnIndex]] WITH the per-list occupancy census
+    * maintained store-side — the ANN member of the maintained-census
+    * family ([[changeFeedSignatureStoreCensus]] /
+    * [[changeFeedImageHashStoreCensus]]): the transaction that
+    * prunes/appends index rows folds their `co_id` deltas into
+    * `listCountsTable`, so
+    * [[graft.operators.Similarity.indexBalanceReport]] (the rebuild
+    * decision for an index whose frozen centroids drift away from the
+    * corpus) reads an nlist-sized table instead of aggregating the
+    * corpus-sized index. Unlike the band censuses the counts table is
+    * CODE-sized (one row per non-empty list), so it is merged and
+    * rewritten whole — no bucketing needed. Same exactness contract:
+    * maintained counts == a cold [[Similarity.indexListCounts]] of the
+    * stored index at every commit; redelivery cancels to zero deltas
+    * (spec-pinned).
+    */
+  def changeFeedAnnIndexCensus(spark: SparkSession, wh: graft.etl.Warehouse,
+                               indexTable: String, listCountsTable: String,
+                               embSchema: StructType,
+                               seedEmbeddings: DataFrame, coarsePred: Column,
+                               pqPred: Column, m: Int, logDir: String,
+                               checkpointDir: String): Unit = {
+    import graft.etl.ChangeFeed
+    import graft.operators.Similarity
+    val logSch = ChangeFeed.logSchema(embSchema, Seq("vec_id"))
+    drainLog(spark, logDir, logSch, checkpointDir) { batch =>
+      if (!batch.isEmpty) {
+        val net = ChangeFeed.netChanges(batch, Seq("vec_id")).persist()
+        try {
+          val gone = net
+            .filter(col("change_type").isin("delete", "update_post"))
+            .select("vec_id")
+          val added = net
+            .filter(col("change_type").isin("insert", "update_post"))
+            .select("vec_id", "embedding")
+          val txn = wh.begin()
+          val (slice, touched) = txn.bucketSlice(indexTable, "vec_id",
+            gone.unionByName(added.select("vec_id")))
+          if (touched.forall(_.nonEmpty)) {
+            val removed = slice.join(gone, Seq("vec_id"), "left_semi").persist()
+            val pruned = slice.join(gone, Seq("vec_id"), "left_anti")
+            val newSlice = Similarity.ivfpqIndexAppend(
+              pruned, seedEmbeddings, added, coarsePred, pqPred, m).persist()
+            val appended = newSlice
+              .join(pruned.select("vec_id"), Seq("vec_id"), "left_anti")
+            try {
+              touched match {
+                case Some(t) => txn.overwriteBuckets(indexTable, newSlice, t)
+                case None    => txn.overwrite(indexTable, newSlice)
+              }
+              maintainListCounts(txn, listCountsTable,
+                removed.select("co_id"), appended.select("co_id"))
+              txn.commit()
+            } finally { removed.unpersist(); newSlice.unpersist() }
+          } else txn.discard()
+        } finally net.unpersist()
+      }
+    }
+  }
+
+  /** Fold a batch's list-membership deltas into the maintained
+    * occupancy table. All inputs are batch-sized; the table itself is
+    * nlist-sized (one row per non-empty list), so a full-outer merge
+    * and whole-table rewrite IS the churn-sized move here — bucketing
+    * a code-sized table would only add fixed costs.
+    */
+  private def maintainListCounts(txn: graft.etl.Txn, table: String,
+                                 removedLists: DataFrame,
+                                 addedLists: DataFrame): Unit = {
+    val delta = removedLists.withColumn("d", lit(-1L))
+      .unionByName(addedLists.withColumn("d", lit(1L)))
+      .groupBy("co_id").agg(sum(col("d")).as("d"))
+      .filter(col("d") =!= 0L)
+    val merged = txn.read(table).join(delta, Seq("co_id"), "full")
+      .select(col("co_id"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+    txn.overwrite(table, merged)
+  }
+
   /** PRODUCTION CDC consumer #2: fold the change stream into an SCD2
     * HISTORY — the replica keeps only the latest image; this keeps
     * every version with its validity interval, maintained at churn

@@ -45,6 +45,7 @@ class SuiteAuditSpec extends AnyFunSuite {
     // same chains per ladder rung + the single-row chosen-rung pick
     "ann_autotune", "ann_autotune_noise",
     "ann_autotune_stored", // same decision tail over the stored index
+    "ann_balance", // codebook broadcasts in the index build it audits
     "dedup_semantic", // IVF: every vector × broadcast coarse codebook
     "dedup_semantic2", // two-level routing: coarse-codebook broadcasts
     "q_tpch_q11", // scalar total-value threshold (single-row broadcast)
