@@ -946,6 +946,14 @@ object StreamingOps {
     * every replayed row. Recovery from a reset is therefore: rebuild
     * the view and the meta table together (one transaction), then
     * restart the stream.
+    *
+    * CHURN-SIZED WRITES: register `viewTable` in the warehouse's
+    * `bucketSpec` on `keys.head` and each refresh rewrites ONLY the
+    * buckets the batch's keys hash to (the per-key merge algebra
+    * cannot move any other row; untouched buckets hard-link
+    * byte-identically) — the view of a large fact is itself large, and
+    * an unbucketed refresh writes all of it per micro-batch.
+    * Spec-pinned in StreamingMvRefreshSpec's bucketed case.
     */
   def streamingMvRefresh(spark: SparkSession, wh: graft.etl.Warehouse,
                          sourceDir: String, srcSchema: StructType,
@@ -972,8 +980,26 @@ object StreamingOps {
           // `prepare` derives view-grain columns the raw stream lacks
           // (e.g. the value bucket of an incremental QUANTILE view) —
           // a map-side projection, applied before the delta refresh
-          txn.overwrite(viewTable, graft.operators.MaterializedAgg.refresh(
-            txn.read(viewTable), prepare(batch), keys, measures))
+          val prepared = prepare(batch)
+          // refresh is strictly per-key (groupBy keys, per-key merge
+          // algebra), so on a view bucketed by keys.head the batch can
+          // only move rows in the buckets its own keys hash to — slice
+          // those, merge the delta into the slice, rewrite only them
+          // (untouched buckets hard-link). The write is then sized by
+          // the batch's KEY SPREAD, not the view: the view of a 100 TB
+          // fact is itself large, and rewriting it whole per
+          // micro-batch is the same store-sized write the CDC store
+          // consumers shed this round. Unbucketed views keep the full
+          // overwrite (bucketSlice's None branch).
+          val (slice, touched) = txn.bucketSlice(viewTable, keys.head,
+            prepared.select(keys.head))
+          val merged = graft.operators.MaterializedAgg.refresh(
+            slice, prepared, keys, measures)
+          touched match {
+            case Some(t) if t.isEmpty => () // empty batch: view untouched
+            case Some(t) => txn.overwriteBuckets(viewTable, merged, t)
+            case None    => txn.overwrite(viewTable, merged)
+          }
           import spark.implicits._
           txn.overwrite(metaTable, Seq(batchId).toDF("last_batch"))
           txn.commit()

@@ -117,4 +117,78 @@ class StreamingMvRefreshSpec extends AnyFunSuite {
     assert(streamed == direct, "streamed histogram must equal the batch build")
     assert(streamed == Set(("a", 50L, 90L)))
   }
+
+  test("bucketed view: a delta rewrites only the buckets its keys hash to; " +
+    "untouched buckets hard-link byte-identically") {
+    import java.nio.file.{Files => JFiles, Path, Paths}
+    def fileKey(p: Path): AnyRef =
+      JFiles.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    def dataFiles(dir: String): Map[String, Path] = {
+      import scala.jdk.CollectionConverters._
+      JFiles.list(Paths.get(dir)).iterator().asScala
+        .filter(p => JFiles.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => p.getFileName.toString -> p).toMap
+    }
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def bucketOf(name: String): Int =
+      name match { case bucketRe(b) => b.toInt }
+
+    val nBuckets = 4
+    val whRoot = Files.createTempDirectory("wh-bmv").toString
+    val srcDir = Files.createTempDirectory("bmv-src").toString
+    val ckpt = Files.createTempDirectory("bmv-ckpt").toString
+    val wh = new Warehouse(spark, whRoot,
+      Map("mv_view" -> viewSchema, "mv_meta" -> metaSchema),
+      partitionSpec = Map.empty,
+      bucketSpec = Map("mv_view" -> ("g", nBuckets)))
+
+    def run(): Unit = {
+      val q = StreamingOps.streamingMvRefresh(spark, wh, srcDir, srcSchema,
+        "mv_view", "mv_meta", Seq("g"), measures, ckpt)
+      q.awaitTermination()
+    }
+
+    // wave 1: 8 groups spread over the buckets
+    val b1 = (0 until 8).flatMap(i =>
+      Seq((s"g$i", i.toLong), (s"g$i", i + 10L))).toDF("g", "v")
+    drop(b1, srcDir, "b1")
+    run()
+    assert(viewRows(wh) == expect(b1))
+    val dirAfter1 = wh.catalog()("mv_view").head
+
+    // wave 2: a delta touching TWO keys only (one existing, one new)
+    val b2 = Seq(("g0", 100L), ("zz", 7L)).toDF("g", "v")
+    drop(b2, srcDir, "b2")
+    run()
+    assert(viewRows(wh) == expect(b1.unionAll(b2)),
+      "bucketed refresh changed the view's content")
+    val dirAfter2 = wh.catalog()("mv_view").head
+    assert(dirAfter2 != dirAfter1, "second refresh committed no view dir")
+
+    val touched = Seq("g0", "zz").map(k =>
+      spark.range(1).select(pmod(hash(lit(k)), lit(nBuckets))).head.getInt(0))
+      .toSet
+    val before = dataFiles(dirAfter1)
+    val after = dataFiles(dirAfter2)
+    val carried = after.filter { case (name, _) => before.contains(name) }
+    carried.foreach { case (name, p) =>
+      assert(!touched.contains(bucketOf(name)),
+        s"touched bucket ${bucketOf(name)} was carried ($name)")
+      assert(fileKey(p) == fileKey(before(name)),
+        s"carried $name is a copy, not a hard link")
+      assert(JFiles.mismatch(p, before(name)) == -1L,
+        s"carried $name not byte-identical")
+    }
+    val untouchedBefore =
+      before.keySet.filterNot(n => touched.contains(bucketOf(n)))
+    assert(untouchedBefore.nonEmpty, "fixture degenerate: no untouched bucket")
+    assert(untouchedBefore.subsetOf(carried.keySet),
+      s"untouched buckets ${untouchedBefore -- carried.keySet} were rewritten")
+    assert((after.keySet -- carried.keySet)
+        .forall(n => touched.contains(bucketOf(n))),
+      "fresh file outside the touched set")
+  }
 }
