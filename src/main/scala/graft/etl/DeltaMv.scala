@@ -67,16 +67,33 @@ object DeltaMv {
               keys: Seq[String], measures: Seq[Measure]): Unit = {
     val baseDirs = txn.currentDirs(baseTable)
     val covered = coverageIn(txn.currentDirs(mvTable))
-    val newView =
-      if (covered.isEmpty || (covered -- baseDirs.toSet).nonEmpty)
-        MaterializedAgg.aggregate(txn.read(baseTable), keys, measures)
-      else {
-        val delta = baseDirs.filterNot(covered)
-        if (delta.isEmpty) return
-        MaterializedAgg.refresh(txn.read(mvTable),
-          wh.readDirs(baseTable, delta), keys, measures)
+    if (covered.isEmpty || (covered -- baseDirs.toSet).nonEmpty)
+      txn.overwrite(mvTable,
+        MaterializedAgg.aggregate(txn.read(baseTable), keys, measures))
+    else {
+      val delta = baseDirs.filterNot(covered)
+      if (delta.isEmpty) return
+      val deltaRows = wh.readDirs(baseTable, delta)
+      // the refresh algebra is strictly per-key, so on a view bucketed
+      // by keys.head the delta can only move rows in the buckets its
+      // own keys hash to — slice those, merge into the slice, rewrite
+      // only them (untouched buckets hard-link). The write then costs
+      // the delta's KEY SPREAD, not the view size. Unbucketed views
+      // (bucketSlice's None branch) keep the full overwrite; a
+      // zero-row delta dir set degenerates to the full form too (the
+      // view content is unchanged either way, and coverage still has
+      // to advance through a committed write).
+      val (slice, touched) = txn.bucketSlice(mvTable, keys.head,
+        deltaRows.select(keys.head))
+      touched match {
+        case Some(t) if t.nonEmpty =>
+          txn.overwriteBuckets(mvTable,
+            MaterializedAgg.refresh(slice, deltaRows, keys, measures), t)
+        case _ =>
+          txn.overwrite(mvTable, MaterializedAgg.refresh(
+            txn.read(mvTable), deltaRows, keys, measures))
       }
-    txn.overwrite(mvTable, newView)
+    }
     writeCoverage(txn.currentDirs(mvTable).head, baseDirs)
   }
 

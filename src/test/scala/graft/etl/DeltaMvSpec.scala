@@ -153,4 +153,74 @@ class DeltaMvSpec extends AnyFunSuite {
     assert(viewRows(wh) == Map("a" -> (1L, 5L)))
     assert(DeltaMv.coverage(wh, "mv") == wh.catalog()("t").toSet)
   }
+
+  test("bucketed view: a delta refresh rewrites only the buckets its keys " +
+    "hash to; untouched buckets hard-link byte-identically") {
+    import java.nio.file.{Files => JFiles, Path, Paths}
+    def fileKey(p: Path): AnyRef =
+      JFiles.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    def dataFiles(dir: String): Map[String, Path] = {
+      import scala.jdk.CollectionConverters._
+      JFiles.list(Paths.get(dir)).iterator().asScala
+        .filter(p => JFiles.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => p.getFileName.toString -> p).toMap
+    }
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    def bucketOf(name: String): Int =
+      name match { case bucketRe(b) => b.toInt }
+
+    val nBuckets = 4
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("deltamv-b").toString,
+      Map("t" -> schema, "mv" -> mvSchema),
+      partitionSpec = Map.empty,
+      bucketSpec = Map("mv" -> ("g", nBuckets)))
+    append(wh, (0 until 8).flatMap(i =>
+      Seq((s"g$i", i.toLong), (s"g$i", i + 10L))))
+    doRefresh(wh) // first refresh: full aggregate, seeds every bucket
+    val dirAfter1 = wh.catalog()("mv").head
+
+    append(wh, Seq(("g0", 100L), ("zz", 7L)))
+    doRefresh(wh)
+    val exp = (0 until 8).map(i =>
+      s"g$i" -> (2L + (if (i == 0) 1L else 0L),
+        2L * i + 10L + (if (i == 0) 100L else 0L))).toMap +
+      ("zz" -> (1L, 7L))
+    assert(viewRows(wh) == exp, "bucketed delta refresh changed the content")
+    assert(DeltaMv.coverage(wh, "mv") == wh.catalog()("t").toSet,
+      "coverage must advance through the bucket-pruned write")
+
+    val dirAfter2 = wh.catalog()("mv").head
+    val touched = Seq("g0", "zz").map(k =>
+      spark.range(1).select(pmod(hash(lit(k)), lit(nBuckets))).head.getInt(0))
+      .toSet
+    val before = dataFiles(dirAfter1)
+    val after = dataFiles(dirAfter2)
+    val carried = after.filter { case (name, _) => before.contains(name) }
+    carried.foreach { case (name, p) =>
+      assert(!touched.contains(bucketOf(name)),
+        s"touched bucket ${bucketOf(name)} was carried ($name)")
+      assert(fileKey(p) == fileKey(before(name)),
+        s"carried $name is a copy, not a hard link")
+      assert(JFiles.mismatch(p, before(name)) == -1L,
+        s"carried $name not byte-identical")
+    }
+    val untouchedBefore =
+      before.keySet.filterNot(n => touched.contains(bucketOf(n)))
+    assert(untouchedBefore.nonEmpty, "fixture degenerate: no untouched bucket")
+    assert(untouchedBefore.subsetOf(carried.keySet),
+      s"untouched buckets ${untouchedBefore -- carried.keySet} were rewritten")
+    assert((after.keySet -- carried.keySet)
+        .forall(n => touched.contains(bucketOf(n))),
+      "fresh file outside the touched set")
+
+    // no-op refresh still writes nothing
+    val catBefore = wh.catalog()("mv")
+    doRefresh(wh)
+    assert(wh.catalog()("mv") == catBefore,
+      "no-op refresh must not rewrite the bucketed view")
+  }
 }
