@@ -110,6 +110,58 @@ object ChurnWriteProbe {
       f"""{"cell":"$tag","store_files":${dataFiles(dirOf(vs(2))).length},"store_bytes":$seedBytes,"churn_new_bytes":${fresh.map(Files.size).sum},"churn_linked_bytes":${carried.map(Files.size).sum},"churn_new_files":${fresh.length},"seed_secs":$tSeed%.2f,"churn_secs":$tChurn%.2f}"""
     }
 
+    // r14: the same write-bytes question for the STREAMED MV refresher
+    // (streamingMvRefresh) — seed a keyed view from lineitem (one row
+    // per orderkey, a view-sized table), then refresh with a delta
+    // touching 8 keys; bucketed views must pay key-spread bytes, the
+    // unbucketed fallback pays the whole view.
+    def mvCell(tag: String, buckets: Option[Int]): String = {
+      import graft.operators.MaterializedAgg.{Count => MCount, Measure, Sum => MSum}
+      val li = Tables(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("v"))
+      val srcSchema = li.schema
+      val viewSchema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("n", LongType),
+        StructField("s", LongType)))
+      val metaSchema = StructType(Seq(StructField("last_batch", LongType)))
+      val measures = Seq(Measure("n", lit(1), MCount),
+        Measure("s", col("v"), MSum))
+      val wh = new Warehouse(spark,
+        Files.createTempDirectory(s"cwp-$tag-wh").toString,
+        Map("mv_view" -> viewSchema, "mv_meta" -> metaSchema),
+        partitionSpec = Map.empty,
+        bucketSpec = buckets.fold(Map.empty[String, (String, Int)])(n =>
+          Map("mv_view" -> ("l_orderkey", n))))
+      val srcDir = Files.createTempDirectory(s"cwp-$tag-srcdir").toString
+      val ckpt = Files.createTempDirectory(s"cwp-$tag-ckpt").toString
+      def drop(df: DataFrame, name: String): Unit = {
+        val tmp = Files.createTempDirectory(s"cwp-$tag-stage").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(srcDir, s"$name.parquet"))
+      }
+      def run(): Double = time {
+        StreamingOps.streamingMvRefresh(spark, wh, srcDir, srcSchema,
+          "mv_view", "mv_meta", Seq("l_orderkey"), measures, ckpt)
+          .awaitTermination()
+      }._2
+      drop(li, "b1")
+      val tSeed = run()
+      val churnKeys = (0 until 8).map(i => i * 193L + 7L)
+      drop(li.filter(col("l_orderkey").isin(churnKeys: _*))
+        .withColumn("v", col("v") + 1L), "b2")
+      val tChurn = run()
+      val vs = wh.versions()
+      require(vs.length == 2, s"expected 2 view commits, got $vs")
+      def dirOf(v: Long) = wh.catalogAsOf(v)("mv_view").head
+      val seedBytes = dataFiles(dirOf(vs(0))).map(Files.size).sum
+      val prevKeys = dataFiles(dirOf(vs(0))).map(fileKey).toSet
+      val (carried, fresh) = dataFiles(dirOf(vs(1)))
+        .partition(p => prevKeys.contains(fileKey(p)))
+      f"""{"cell":"$tag","store_files":${dataFiles(dirOf(vs(1))).length},"store_bytes":$seedBytes,"churn_new_bytes":${fresh.map(Files.size).sum},"churn_linked_bytes":${carried.map(Files.size).sum},"churn_new_files":${fresh.length},"seed_secs":$tSeed%.2f,"churn_secs":$tChurn%.2f}"""
+    }
+
     // untimed warmup first (r13 CapProbe lesson: the first cell in a
     // JVM pays JIT/codegen for the whole pipeline and reads inflated),
     // then the bucketed cells BEFORE the heavy full-rewrite one
@@ -117,7 +169,9 @@ object ChurnWriteProbe {
     val cells = Seq(
       cell("bucketed64", Some(64)),
       cell("bucketed16", Some(16)),
-      cell("unbucketed", None))
+      cell("unbucketed", None),
+      mvCell("mv_bucketed64", Some(64)),
+      mvCell("mv_unbucketed", None))
     println(s"""{"probe":"churn_write","sf":"$sfDir","n_docs":$nDocs,"churn_docs":${churnIds.length},"cells":[
 ${cells.mkString(",\n")}]}""")
     spark.stop()
