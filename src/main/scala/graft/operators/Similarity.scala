@@ -946,6 +946,62 @@ object Similarity {
       .withColumn("target_met", lit(achieved >= targetBp))
   }
 
+  /** [[searchWithRecallTarget]] over PERSISTED (index, codebooks)
+    * artifacts — the production form: [[changeFeedAnnIndex]] maintains
+    * the index at churn cost, so a per-call [[learnedBuild]] (corpus ×
+    * codebook work) is exactly the cost a stored index exists to
+    * avoid. Same decision procedure (early-stopping ladder walk on the
+    * held-out sample, top-rung fallback, honest `target_met`), with
+    * the ladder expressed as FRACTIONS of nlist like
+    * [[autotuneReportStored]] — "probe an eighth of the lists" keeps
+    * its scan-fraction meaning as the corpus and its list count grow,
+    * where an absolute rung list shrinks toward nothing. Output
+    * matches [[searchWithRecallTarget]]: the re-ranked top-k plus the
+    * constant (nprobe, sample_recall_bp, target_met) decision columns
+    * — and is IDENTICAL to it when the caller passes the same
+    * artifacts a fresh build would produce (spec-pinned).
+    */
+  def searchWithRecallTargetStored(embeddings: DataFrame, idx: DataFrame,
+                                   cw: DataFrame, queryPred: Column,
+                                   samplePred: Column, coarsePred: Column,
+                                   m: Int, k: Int, targetBp: Int,
+                                   ladderFracBp: Seq[Int] = Seq(1250, 2500, 5000),
+                                   overscan: Int = 4): DataFrame = {
+    require(ladderFracBp.nonEmpty &&
+        ladderFracBp == ladderFracBp.distinct.sorted &&
+        ladderFracBp.forall(f => f > 0 && f <= 10000),
+      "ladder fractions must be ascending, duplicate-free, in (0, 10000] bp")
+    val nlist = embeddings.filter(coarsePred).count()
+    require(nlist > 0, "coarsePred selects no centroid — empty coarse book")
+    val ladder = ladderFracBp
+      .map(f => math.max(1L, nlist * f / 10000).toInt).distinct
+    val exact = bruteForceTopKL2(embeddings, samplePred, k).cache()
+    def recallBp(np: Int): Long = {
+      val r = annRecallReport(
+          exactRerank(embeddings,
+            ivfpqSearchStoredLearned(idx, embeddings, samplePred, coarsePred,
+              cw, m, k * overscan, np), k), exact)
+        .agg(coalesce(sum(col("n_exact")), lit(0L)),
+          coalesce(sum(col("n_found")), lit(0L))).head()
+      if (r.getLong(0) > 0) 10000L * r.getLong(1) / r.getLong(0) else 0L
+    }
+    var chosen = ladder.head
+    var achieved = 0L
+    try {
+      achieved = recallBp(chosen)
+      val it = ladder.tail.iterator
+      while (achieved < targetBp && it.hasNext) {
+        chosen = it.next(); achieved = recallBp(chosen)
+      }
+    } finally exact.unpersist()
+    exactRerank(embeddings,
+        ivfpqSearchStoredLearned(idx, embeddings, queryPred, coarsePred,
+          cw, m, k * overscan, chosen), k)
+      .withColumn("nprobe", lit(chosen.toLong))
+      .withColumn("sample_recall_bp", lit(achieved))
+      .withColumn("target_met", lit(achieved >= targetBp))
+  }
+
   /** RECALL@k REPORT for an ANN pass against the exact ground truth —
     * the embedding-space analogue of [[Dedup.nearDupRecallReport]]: a
     * user tuning nprobe/m/overscan gets a measured quality curve, not a

@@ -240,6 +240,27 @@ object SimilarityQueries {
         .orderBy("nprobe")
     }),
 
+    // the production SEARCH at a recall target over the same persisted
+    // artifacts: ladder walk on the held-out sample (nlist-relative
+    // rungs), then the real query batch at the chosen rung — the
+    // oracle re-derives the rungs from its own nlist, re-runs the
+    // ladder decision, and searches at the SQL-chosen rung via a
+    // scalar subquery, so the whole decision→search composition is
+    // under one hash
+    "ann_search_stored" -> ((s, dir) => {
+      val emb = clusteredEmb(s, dir)
+      val coarse = col("vec_id") % 125 === 11 && col("vec_id") < 2000
+      val cw = Similarity.ivfpqLearnedCodebooks(emb, coarse,
+        col("vec_id") % 78 === 5, m = 8).localCheckpoint()
+      val idx = Similarity.ivfpqIndexLearned(emb, coarse, cw, m = 8)
+        .localCheckpoint()
+      Similarity.searchWithRecallTargetStored(emb, idx, cw,
+          queryPred = col("vec_id") % 50 === 33,
+          samplePred = col("vec_id") % 50 === 7,
+          coarsePred = coarse, m = 8, k = 5, targetBp = 9000)
+        .orderBy("query_id", "rnk")
+    }),
+
     // the same autotune on the near-uniform NOISE corpus — the fixture
     // where plain routing recall is information-theoretically capped by
     // scan fraction, so the ladder typically exhausts and falls back to
@@ -636,6 +657,7 @@ object SimilarityQueries {
     "ann_autotune" -> autotuneOracleSql(clustered = true),
     "ann_autotune_noise" -> autotuneOracleSql(clustered = false),
     "ann_autotune_stored" -> autotuneStoredOracleSql,
+    "ann_search_stored" -> searchStoredOracleSql,
 
     "ann_recall_clustered" ->
       s"""WITH $clusteredSql,
@@ -1085,6 +1107,80 @@ object SimilarityQueries {
         (s"f${i + 1}", s"(SELECT np${i + 1} FROM rungv)")),
       extraCtes = rungCtes, dedupRungs = true,
       residualCte = pinnedResidual)
+  }
+
+  /** The ann_search_stored oracle: re-derive the nlist-relative rungs
+    * (same `rungv` mirror as the stored autotune), walk the ladder's
+    * sample recalls relationally, pick the smallest qualifying rung
+    * (top-rung fallback, `target_met`), then run the QUERY batch's
+    * full search chain at the chosen rung via a scalar-subquery nprobe
+    * — decision and search hashed as one composition.
+    */
+  private def searchStoredOracleSql: String = {
+    val fracs = Seq(1250, 2500, 5000)
+    val pinnedResidual = ivfpqResidualCte.replace(
+      "WHERE vec_id % 125 = 11",
+      "WHERE vec_id % 125 = 11 AND vec_id < 2000")
+    val rungCtes =
+      s"""nlistv AS (SELECT CAST(count(DISTINCT co_id) AS BIGINT) AS nl FROM co),
+         |rungv AS (SELECT
+         |  ${fracs.zipWithIndex.map { case (f, i) =>
+               s"greatest(1, nl * $f // 10000) AS np${i + 1}" }
+             .mkString(",\n  ")}
+         |  FROM nlistv),
+         |""".stripMargin
+    val rungSpecs = fracs.indices.map(i =>
+      (s"f${i + 1}", s"(SELECT np${i + 1} FROM rungv)"))
+    val searches = rungSpecs.map { case (sfx, np) =>
+      ivfpqLearnedSearchCte(s"_s$sfx", "vec_id % 50 = 7", nprobe = np,
+        candK = 20, k = 5)
+    }.mkString(",\n")
+    val recUnion = rungSpecs.map { case (sfx, _) =>
+      s"SELECT * FROM rec_s$sfx" }.mkString("\n  UNION ALL ")
+    val recs = rungSpecs.map { case (sfx, np) =>
+      s"""rec_s$sfx AS (
+         |  SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(sum(CASE WHEN f.hit_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_found
+         |  FROM exact_s e
+         |  LEFT JOIN (SELECT DISTINCT query_id, hit_id FROM found_s$sfx) f
+         |    ON f.query_id = e.query_id AND f.hit_id = e.hit_id)""".stripMargin
+    }.mkString(",\n") +
+      s",\nrec_s AS (SELECT DISTINCT * FROM ($recUnion))"
+    s"""WITH $clusteredSql,
+       |${flatSql("clustered")},
+       |$pinnedResidual,
+       |$ivfpqLearnedIndexCte,
+       |$rungCtes$searches,
+       |exd_s AS (
+       |  SELECT qf.vec_id AS query_id, a.vec_id AS hit_id,
+       |    CAST(nq.nrm + na.nrm - 2 * list_dot_product(qf.qv, a.qv) AS BIGINT) AS dist
+       |  FROM qv qf JOIN qv a ON a.vec_id <> qf.vec_id
+       |  JOIN norms nq ON nq.vec_id = qf.vec_id
+       |  JOIN norms na ON na.vec_id = a.vec_id
+       |  WHERE qf.vec_id % 50 = 7),
+       |exact_s AS MATERIALIZED (
+       |  SELECT query_id, hit_id FROM (
+       |    SELECT query_id, hit_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, hit_id) AS r
+       |    FROM exd_s) WHERE r <= 5),
+       |$recs,
+       |pick AS (
+       |  SELECT coalesce(qual, top) AS chosen_np, qual IS NOT NULL AS target_met
+       |  FROM (SELECT
+       |    min(CASE WHEN (10000 * n_found) // n_exact >= 9000 THEN nprobe END)
+       |      AS qual,
+       |    max(nprobe) AS top
+       |  FROM rec_s)),
+       |${ivfpqLearnedSearchCte("_q", "vec_id % 50 = 33",
+           nprobe = "(SELECT chosen_np FROM pick)", candK = 20, k = 5)}
+       |SELECT f.query_id, f.hit_id, f.dist, f.rnk,
+       |  p.chosen_np AS nprobe,
+       |  (SELECT (10000 * n_found) // n_exact FROM rec_s
+       |   WHERE nprobe = p.chosen_np) AS sample_recall_bp,
+       |  p.target_met AS target_met
+       |FROM found_q f, pick p
+       |ORDER BY f.query_id, f.rnk""".stripMargin
   }
 
   /** Shared autotune-oracle body: one materialized learned index,

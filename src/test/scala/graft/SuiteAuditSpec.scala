@@ -46,6 +46,7 @@ class SuiteAuditSpec extends AnyFunSuite {
     "ann_autotune", "ann_autotune_noise",
     "ann_autotune_stored", // same decision tail over the stored index
     "ann_balance", // codebook broadcasts in the index build it audits
+    "ann_search_stored", // same stored-search chain + decision constants
     "dedup_semantic", // IVF: every vector × broadcast coarse codebook
     "dedup_semantic2", // two-level routing: coarse-codebook broadcasts
     "q_tpch_q11", // scalar total-value threshold (single-row broadcast)

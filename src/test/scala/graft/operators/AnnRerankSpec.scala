@@ -214,4 +214,42 @@ class AnnRerankSpec extends AnyFunSuite {
     assert(stored.toSeq == abs.toSeq)
     emb.unpersist()
   }
+
+  test("searchWithRecallTargetStored: identical to the rebuilding search " +
+    "at the same artifacts and rungs; fallback flags target_met false") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").cache()
+    val sPred = col("vec_id") % 50 === 7
+    val qPred = col("vec_id") % 50 === 19
+    val coPred = col("vec_id") % 125 === 11
+    val seedPred = col("vec_id") % 78 === 5
+    val nlist = emb.filter(coPred).count()
+    val cw = Similarity.ivfpqLearnedCodebooks(emb, coPred, seedPred, m = 8)
+      .localCheckpoint()
+    val idx = Similarity.ivfpqIndexLearned(emb, coPred, cw, m = 8)
+      .localCheckpoint()
+    val fracs = Seq(1250, 2500, 5000)
+    val expected = fracs.map(f => math.max(1L, nlist * f / 10000).toInt).distinct
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("query_id", "hit_id", "dist", "CAST(rnk AS BIGINT)",
+          "CAST(nprobe AS BIGINT)", "sample_recall_bp", "target_met")
+        .collect().map(_.toString).sorted.toSeq
+    val stored = rows(Similarity.searchWithRecallTargetStored(emb, idx, cw,
+      qPred, sPred, coPred, m = 8, k = 5, targetBp = 2000,
+      ladderFracBp = fracs))
+    // the same deterministic build runs inside the rebuilding form, so
+    // the stored path must add no drift at the equivalent absolute rungs
+    val rebuilt = rows(Similarity.searchWithRecallTarget(emb, qPred, sPred,
+      coPred, seedPred, m = 8, k = 5, targetBp = 2000, ladder = expected))
+    assert(stored.nonEmpty && stored == rebuilt,
+      "stored-artifact search != rebuilding search")
+    // unreachable target: top rung, honest flag
+    val fb = Similarity.searchWithRecallTargetStored(emb, idx, cw, qPred,
+      sPred, coPred, m = 8, k = 5, targetBp = 10001, ladderFracBp = fracs)
+    assert(fb.select("nprobe").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(expected.last.toLong))
+    assert(fb.select("target_met").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false))
+    emb.unpersist()
+  }
 }
