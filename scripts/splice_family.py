@@ -28,10 +28,9 @@ for key in ("family_calib", "family_calib_io"):
     standing.setdefault(key, {})[fam] = fresh[key][fam] \
         if key in fresh and fam in fresh[key] else fresh.get(
             key.replace("family_", ""))
-fams = standing["family_calib"]
-standing["calib"] = round(sum(fams.values()) / len(fams), 3)
-io = standing["family_calib_io"]
-standing["calib_io"] = round(sum(io.values()) / len(io), 3)
+# top-level calib/calib_io stay the STANDING run's own (the parent
+# JVM's calibration, the floor family_scaling.py subtracts) — the
+# spliced family's drift is visible in its family_calib entry instead
 standing["n_queries"] = len(standing["queries"])
 standing["value"] = round(sum(v["min"] for v in standing["queries"].values()), 3)
 json.dump(standing, open(standing_path, "w"))
