@@ -254,6 +254,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // let AQE size the partitions INSIDE cached plans too (upstream
+      // default false): a cached frame otherwise materializes at the
+      // static spark.sql.shuffle.partitions and every downstream read
+      // of it scans that many blocks — measured 3-4× the task count on
+      // cache-heavy queries. Scale-neutral: caches store advisory-sized
+      // partitions instead of a fixed count at any corpus size.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

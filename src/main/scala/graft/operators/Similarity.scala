@@ -336,12 +336,21 @@ object Similarity {
     * centroid — keep=1 is IVF assignment, keep=nprobe is query probing.
     * Input (vec_id, q); output (vec_id, co_id, r).
     */
-  private def coarseResiduals(vecs: DataFrame, coarse: DataFrame, keep: Int): DataFrame = {
+  private def coarseResiduals(vecs: DataFrame, coarse: DataFrame, keep: Int): DataFrame =
+    probeResiduals(vecs, coarse, keep)
+      .select(col("vec_id"), col("co_id"), col("r"))
+
+  /** [[coarseResiduals]] keeping the probe rank `crnk` — the one-pass
+    * ladder ([[ladderCounts]]) scans at the TOP rung once and derives
+    * every smaller rung's candidate set by filtering on this rank, so
+    * the rank must survive the projection.
+    */
+  private def probeResiduals(vecs: DataFrame, coarse: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("cd").asc, col("co_id"))
     vecs.join(broadcast(coarse), lit(true)) // × coarse codebook BY DESIGN
       .withColumn("cd", l2sq(col("q"), col("c")))
       .withColumn("crnk", row_number().over(w)).filter(col("crnk") <= keep)
-      .select(col("vec_id"), col("co_id"),
+      .select(col("vec_id"), col("co_id"), col("crnk"),
         zip_with(col("q"), col("c"), (a, b) => a - b).as("r"))
   }
 
@@ -745,43 +754,93 @@ object Similarity {
                             overscan: Int): DataFrame = {
     require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
       "nprobe ladder must be ascending and duplicate-free")
-    // the whole ladder evaluates as ONE action (union of one-row aggs):
-    // Catalyst reuses the shared subplans — ground-truth cache, stored
-    // codes, query-side prep — ACROSS rungs via ReusedExchange, which
-    // per-rung eager jobs cannot (r14 bench caught a 3× autotune
-    // regression from exactly that). The collect is ladder-sized; the
-    // cache is released in the finally, so repeated autotune calls in
-    // one session no longer accumulate executor storage memory.
     val exact = bruteForceTopKL2(embeddings, pred, k).cache()
-    val counts = try {
-      rungCountFrames(embeddings, pred, exact, coarsePred, cw, idx, m, k,
+    val counts = try
+      ladderCounts(embeddings, pred, exact, coarsePred, cw, idx, m, k,
         ladder, overscan)
-        .reduce(_ unionAll _)
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
-    } finally exact.unpersist()
+    finally exact.unpersist()
     localLadder(embeddings, counts)
   }
 
-  /** One (nprobe, n_exact, n_found) one-row aggregate frame per ladder
-    * rung against `exact` — the caller unions and collects them in a
-    * single action so exchanges shared between rungs (and between the
-    * sample/eval ladders of a report) reuse instead of recomputing.
+  /** ONE-PASS ladder evaluation — every rung's (n_exact, n_found)
+    * from a single search scan (optimization guide §2.4/§1.2: remove
+    * passes, not tune them). The previous shape evaluated |ladder|
+    * independent search→rerank→report chains (unioned into one action
+    * for exchange reuse) — still |ladder| code scans and ~10 stages per
+    * rung, >100 AQE stage-jobs per autotune entry, measured as pure
+    * scheduling overhead on small corpora and |ladder| corpus passes at
+    * scale. Key fact the optimizer cannot see: the rung-np candidate
+    * set is exactly the rows of the top-rung scan whose probed list
+    * ranks ≤ np. So: probe-rank once at max(ladder) (keeping `crnk`),
+    * ADC-score once, then per rung filter `crnk ≤ rung`, top-`k·overscan`
+    * per (rung, query) in one window, exact-rerank all rungs in one
+    * candidate-sized pass, and count found∩exact per rung in one
+    * aggregate. Identical output to the per-rung chains (same probe
+    * ranking/window, same tie-breaks, same self-exclusion, same
+    * left-join count semantics — spec-pinned); the corpus-sized work —
+    * the code scan and the two rerank corpus joins — now happens once
+    * per ladder instead of once per rung.
     */
-  private def rungCountFrames(embeddings: DataFrame, pred: Column,
-                              exact: DataFrame, coarsePred: Column,
-                              cw: DataFrame, idx: DataFrame, m: Int, k: Int,
-                              ladder: Seq[Int],
-                              overscan: Int): Seq[DataFrame] =
-    ladder.map { np =>
-      val found = exactRerank(embeddings,
-        ivfpqSearchStoredLearned(idx, embeddings, pred, coarsePred,
-          cw, m, k * overscan, np), k)
-      annRecallReport(found, exact)
-        .agg(coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"),
-          coalesce(sum(col("n_found")), lit(0L)).as("n_found"))
-        .select(lit(np).as("nprobe"), col("n_exact"), col("n_found"))
-    }
+  private def ladderCounts(embeddings: DataFrame, pred: Column,
+                           exact: DataFrame, coarsePred: Column,
+                           cw: DataFrame, idx: DataFrame, m: Int, k: Int,
+                           ladder: Seq[Int],
+                           overscan: Int): Seq[(Int, Long, Long)] = {
+    val kc = k * overscan
+    val corpus = pqQuantChecked(embeddings, m)
+    val coarse = coarseBook(corpus, coarsePred)
+    val qsub = probeResiduals(corpus.filter(pred), coarse, ladder.max)
+      .select(col("vec_id").as("query_id"), col("co_id"), col("crnk"),
+        posexplode(subVectors(col("r"), m)).as(Seq("s", "rs")))
+    val dt = qsub.join(broadcast(cw), Seq("s"))
+      .select(col("query_id"), col("co_id"), col("crnk"), col("cw_id"),
+        col("s"), l2sq(col("rs"), col("cs")).as("d"))
+    val codes = idx
+      .filter(assert_true(size(col("codes")) === lit(m),
+        lit(s"ladderCounts: stored index code width != m=$m")).isNull)
+      .select(col("vec_id"), col("co_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    // every row of a (query, vec) group shares the vector's single
+    // co_id, so crnk is group-constant and min() just carries it
+    val scored = codes.join(broadcast(dt),
+        codes("co_id") === dt("co_id") && codes("s") === dt("s") &&
+          codes("code") === dt("cw_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum("d").as("adist"), min("crnk").as("cr"))
+    val rungArr = array(ladder.map(lit): _*)
+    val cand = scored
+      .select(col("query_id"), col("vec_id").as("hit_id"), col("adist"),
+        explode(filter(rungArr, r => r >= col("cr"))).as("nprobe"))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy("nprobe", "query_id")
+        .orderBy(col("adist").asc, col("hit_id"))))
+      .filter(col("rnk") <= kc)
+      .select("nprobe", "query_id", "hit_id")
+    // exact re-rank, rung-aware — candidate-sized exactly like
+    // exactRerank, with the rung in the window key
+    val hits = corpus.join(broadcast(cand), col("vec_id") === col("hit_id"))
+      .select(col("nprobe"), col("query_id"), col("hit_id"), col("q").as("hq"))
+    val queries = corpus.join(
+        broadcast(cand.select("query_id").distinct()),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("dist").asc, col("hit_id"))
+    val found = hits.join(broadcast(queries), Seq("query_id"))
+      .select(col("nprobe"), col("query_id"), col("hit_id"),
+        l2sq(col("qq"), col("hq")).as("dist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // |found ∩ exact| per rung (the left-join/count semantics of
+    // annRecallReport, aggregated); absent rungs read 0 via the map
+    val foundBy = found
+      .join(exact.select("query_id", "hit_id"), Seq("query_id", "hit_id"),
+        "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_found"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nExact = exact.count()
+    ladder.map(np => (np, nExact, foundBy.getOrElse(np, 0L)))
+  }
 
   /** The collected rung counts as a local relation with the integral
     * recall column — driver-sized, so the decision tail's joins and
@@ -863,23 +922,19 @@ object Similarity {
                                  ladder: Seq[Int], overscan: Int): DataFrame = {
     require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
       "nprobe ladder must be ascending and duplicate-free")
-    // BOTH ladders (2 query sets × |ladder| rungs) evaluate as one
-    // action so every shared exchange — stored codes, corpus prep, the
-    // two cached ground truths — reuses across all chains
+    // each query set runs ONE one-pass ladder ([[ladderCounts]]): the
+    // sample and eval ladders each cost one search scan + one rerank
+    // regardless of ladder length
     val exactS = bruteForceTopKL2(embeddings, samplePred, k).cache()
     val exactE = bruteForceTopKL2(embeddings, evalPred, k).cache()
-    val n = ladder.length
-    val all = try {
-      (rungCountFrames(embeddings, samplePred, exactS, coarsePred, cw, idx,
-          m, k, ladder, overscan) ++
-        rungCountFrames(embeddings, evalPred, exactE, coarsePred, cw, idx,
+    val (sc, ec) = try {
+      (ladderCounts(embeddings, samplePred, exactS, coarsePred, cw, idx,
+          m, k, ladder, overscan),
+        ladderCounts(embeddings, evalPred, exactE, coarsePred, cw, idx,
           m, k, ladder, overscan))
-        .reduce(_ unionAll _)
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     } finally { exactS.unpersist(); exactE.unpersist() }
-    val sample = localLadder(embeddings, all.take(n))
-    val eval = localLadder(embeddings, all.drop(n))
+    val sample = localLadder(embeddings, sc)
+    val eval = localLadder(embeddings, ec)
       .select(col("nprobe"), col("recall_bp").as("eval_recall_bp"))
     val pick = sample.agg(
         min(when(col("recall_bp") >= targetBp, col("nprobe"))).as("qual"),
@@ -917,33 +972,41 @@ object Similarity {
     require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
       "nprobe ladder must be ascending and duplicate-free")
     val (cw, idx) = learnedBuild(embeddings, coarsePred, seedPred, m)
-    val exact = bruteForceTopKL2(embeddings, samplePred, k).cache()
-    // one scalar per evaluated rung crosses the driver — bounded by the
-    // ladder length, never by the corpus
-    def recallBp(np: Int): Long = {
-      val r = annRecallReport(
-          exactRerank(embeddings,
-            ivfpqSearchStoredLearned(idx, embeddings, samplePred, coarsePred,
-              cw, m, k * overscan, np), k), exact)
-        .agg(coalesce(sum(col("n_exact")), lit(0L)),
-          coalesce(sum(col("n_found")), lit(0L))).head()
-      if (r.getLong(0) > 0) 10000L * r.getLong(1) / r.getLong(0) else 0L
-    }
-    var chosen = ladder.head
-    var achieved = 0L
-    try {
-      achieved = recallBp(chosen)
-      val it = ladder.tail.iterator
-      while (achieved < targetBp && it.hasNext) {
-        chosen = it.next(); achieved = recallBp(chosen)
-      }
-    } finally exact.unpersist()
+    val (chosen, achieved) = chooseRung(embeddings, idx, cw, samplePred,
+      coarsePred, m, k, targetBp, ladder, overscan)
     exactRerank(embeddings,
         ivfpqSearchStoredLearned(idx, embeddings, queryPred, coarsePred,
           cw, m, k * overscan, chosen), k)
       .withColumn("nprobe", lit(chosen))
       .withColumn("sample_recall_bp", lit(achieved))
       .withColumn("target_met", lit(achieved >= targetBp))
+  }
+
+  /** The ladder DECISION shared by both recall-target searches: one
+    * [[ladderCounts]] pass over the sample queries, then pick the
+    * smallest rung whose recall meets `targetBp` (top rung as the
+    * fallback). Identical choice and achieved-recall to the former
+    * early-stopping walk (the walk stopped at the first qualifying
+    * rung = the smallest one, and fell back to the top rung with its
+    * own recall), at ladder-independent cost: the walk re-ran the full
+    * search→rerank chain once per evaluated rung.
+    */
+  private def chooseRung(embeddings: DataFrame, idx: DataFrame,
+                         cw: DataFrame, samplePred: Column,
+                         coarsePred: Column, m: Int, k: Int, targetBp: Int,
+                         ladder: Seq[Int], overscan: Int): (Int, Long) = {
+    val exact = bruteForceTopKL2(embeddings, samplePred, k).cache()
+    val counts = try
+      ladderCounts(embeddings, samplePred, exact, coarsePred, cw, idx, m, k,
+        ladder, overscan)
+    finally exact.unpersist()
+    def bp(ne: Long, nf: Long): Long = if (ne > 0) 10000L * nf / ne else 0L
+    counts.collectFirst {
+      case (np, ne, nf) if bp(ne, nf) >= targetBp => (np, bp(ne, nf))
+    }.getOrElse {
+      val (np, ne, nf) = counts.last
+      (np, bp(ne, nf))
+    }
   }
 
   /** [[searchWithRecallTarget]] over PERSISTED (index, codebooks)
@@ -975,25 +1038,8 @@ object Similarity {
     require(nlist > 0, "coarsePred selects no centroid — empty coarse book")
     val ladder = ladderFracBp
       .map(f => math.max(1L, nlist * f / 10000).toInt).distinct
-    val exact = bruteForceTopKL2(embeddings, samplePred, k).cache()
-    def recallBp(np: Int): Long = {
-      val r = annRecallReport(
-          exactRerank(embeddings,
-            ivfpqSearchStoredLearned(idx, embeddings, samplePred, coarsePred,
-              cw, m, k * overscan, np), k), exact)
-        .agg(coalesce(sum(col("n_exact")), lit(0L)),
-          coalesce(sum(col("n_found")), lit(0L))).head()
-      if (r.getLong(0) > 0) 10000L * r.getLong(1) / r.getLong(0) else 0L
-    }
-    var chosen = ladder.head
-    var achieved = 0L
-    try {
-      achieved = recallBp(chosen)
-      val it = ladder.tail.iterator
-      while (achieved < targetBp && it.hasNext) {
-        chosen = it.next(); achieved = recallBp(chosen)
-      }
-    } finally exact.unpersist()
+    val (chosen, achieved) = chooseRung(embeddings, idx, cw, samplePred,
+      coarsePred, m, k, targetBp, ladder, overscan)
     exactRerank(embeddings,
         ivfpqSearchStoredLearned(idx, embeddings, queryPred, coarsePred,
           cw, m, k * overscan, chosen), k)
