@@ -261,7 +261,7 @@ object Bench {
       // cache-heavy queries. Scale-neutral: caches store advisory-sized
       // partitions instead of a fixed count at any corpus size.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
+        "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -312,15 +312,22 @@ object GraphMetrics {
     val edgesW = withWeightedDegree(symEdges(pairs.withColumn("w", lit(1L))))
     var ranks = nodes.select(col(idCol), lit(1000000L).as("r")).localCheckpoint()
     val deltas = (1 to iters).map { i =>
-      val next = prStep(edgesW, ranks, nodes, dampMilli, idCol).localCheckpoint()
-      val row = next.join(ranks.select(col(idCol), col("r").as("rp")), Seq(idCol))
-        .agg(sum(abs(col("r") - col("rp")))).head
+      // ONE materialization per iteration: the step result is joined
+      // with the previous vector BEFORE the checkpoint, so the delta
+      // aggregate afterwards is a leaf-only scan — the former shape
+      // checkpointed the bare step and then re-ran the prev-join as a
+      // second full action every iteration (~2× the per-iteration
+      // stage count for the same trace values)
+      val stepped = prStep(edgesW, ranks, nodes, dampMilli, idCol)
+        .join(ranks.select(col(idCol), col("r").as("rp")), Seq(idCol))
+        .localCheckpoint()
+      val row = stepped.agg(sum(abs(col("r") - col("rp")))).head
       // empty graph: SQL SUM over zero rows is NULL; zero movement is
       // the honest trace value (and what an engine comparing totals
       // coalesces to)
       val d = if (row.isNullAt(0)) 0L else row.getLong(0)
       releaseBlocks(ranks)
-      ranks = next
+      ranks = stepped.select(col(idCol), col("r"))
       (i, d)
     }
     releaseBlocks(ranks)
