@@ -181,6 +181,12 @@ object Bench {
         }, calibIo)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // echo the EFFECTIVE core count in the artifact (additions-only —
+    // r14 scaling probe read ≈1 everywhere and the driver could not
+    // tell an ignored $SPARK_GRAFT_CPUS from an overhead-dominated SF;
+    // the child family JVMs inherit this env, so it is what they ran)
+    val cpusEcho = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val allQ = famResults.flatMap(_._3)
     val mins: Map[String, Double] = famResults.flatMap { case (_, _, qs, ms, _) =>
       qs.map(_._1).zip(ms)
@@ -195,6 +201,7 @@ object Bench {
     val detailJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","calib":${jnum(calib)},""" +
       s""""calib_io":${jnum(calibIo)},""" +
+      s""""cpus":$cpusEcho,"master":"local[$cpusEcho]",""" +
       s""""fresh_jvm_per_family":true,"family_calib":$famCalib,""" +
       s""""family_calib_io":$famCalibIo,""" +
       s""""note":"each family measured in an isolated JVM (r10 lesson: one long same-JVM sweep inflated late queries up to 10x on GC/code-cache pressure)",""" +
@@ -214,6 +221,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","calib":${jnum(calib)},""" +
       s""""calib_io":${jnum(calibIo)},""" +
+      s""""cpus":$cpusEcho,"master":"local[$cpusEcho]",""" +
       s""""fresh_jvm_per_family":true,"n_queries":${allQ.size},"queries":$slowest,""" +
       s""""queries_elided":${math.max(0, allQ.size - 12)},"families":$famJson,""" +
       s""""detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
@@ -321,6 +329,7 @@ object Bench {
       s""""calib_runs":[${calibSamples.map(jnum).mkString(",")}],""" +
       s""""calib_io":${jnum(calibIo)},""" +
       s""""calib_io_runs":[${calibIoSamples.map(jnum).mkString(",")}],""" +
+      s""""cpus":$cpus,"master":"local[$cpus]",""" +
       s""""n_queries":${results.size},""" +
       s""""sf":"$sfDir","queries":{$detail}}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
@@ -346,6 +355,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","calib":${jnum(calib)},""" +
       s""""calib_io":${jnum(calibIo)},""" +
+      s""""cpus":$cpus,"master":"local[$cpus]",""" +
       s""""n_queries":${results.size},"queries":$slowest,"queries_elided":${math.max(0, results.size - 12)},""" +
       s""""families":$famJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
   }

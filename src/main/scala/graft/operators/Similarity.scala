@@ -341,7 +341,7 @@ object Similarity {
       .select(col("vec_id"), col("co_id"), col("r"))
 
   /** [[coarseResiduals]] keeping the probe rank `crnk` — the one-pass
-    * ladder ([[ladderCounts]]) scans at the TOP rung once and derives
+    * ladder ([[ladderCountsSides]]) scans at the TOP rung once and derives
     * every smaller rung's candidate set by filtering on this rank, so
     * the rank must survive the projection.
     */
@@ -547,7 +547,16 @@ object Similarity {
                             seedPred: Column, m: Int): DataFrame = {
     val corpus = pqQuantChecked(embeddings, m)
     val coarse = coarseBook(corpus, coarsePred)
-    val res = coarseResiduals(corpus, coarse, 1)
+    learnedCodebooksFromRes(coarseResiduals(corpus, coarse, 1), seedPred, m)
+  }
+
+  /** [[ivfpqLearnedCodebooks]] from an already-derived residual frame
+    * (vec_id, co_id, r) — lets a build share ONE coarse-assignment
+    * pass between training and encode ([[sharedResiduals]]).
+    */
+  private def learnedCodebooksFromRes(resid: DataFrame, seedPred: Column,
+                                      m: Int): DataFrame = {
+    val res = resid
       .select(col("vec_id"),
         posexplode(subVectors(col("r"), m)).as(Seq("s", "rs")))
     val cw0 = res.filter(seedPred)
@@ -578,7 +587,15 @@ object Similarity {
                         cw: DataFrame, m: Int): DataFrame = {
     val corpus = pqQuantChecked(embeddings, m)
     val coarse = coarseBook(corpus, coarsePred)
-    val sub = coarseResiduals(corpus, coarse, 1)
+    indexLearnedFromRes(coarseResiduals(corpus, coarse, 1), cw, m)
+  }
+
+  /** [[ivfpqIndexLearned]] from an already-derived residual frame —
+    * the encode half of the shared-assignment build.
+    */
+  private def indexLearnedFromRes(resid: DataFrame, cw: DataFrame,
+                                  m: Int): DataFrame = {
+    val sub = resid
       .select(col("vec_id"), col("co_id"),
         posexplode(subVectors(col("r"), m)).as(Seq("s", "rs")))
     sub.join(broadcast(cw), Seq("s"))
@@ -628,11 +645,16 @@ object Similarity {
                          coarsePred: Column, seedPred: Column, m: Int,
                          k: Int, nprobe: Int): DataFrame = {
     // codebook-sized; materialized so the index build and the search
-    // side don't each re-run the corpus-sized training pass
-    val cw = ivfpqLearnedCodebooks(embeddings, coarsePred, seedPred, m)
-      .localCheckpoint()
+    // side don't each re-run the corpus-sized training pass — and both
+    // the training and the encode read ONE checkpointed coarse
+    // assignment ([[sharedResiduals]]) instead of re-running the
+    // N·|C_coarse| argmin each
+    val corpus = pqQuantChecked(embeddings, m)
+    val coarse = coarseBook(corpus, coarsePred)
+    val resid = sharedResiduals(corpus, coarse)
+    val cw = learnedCodebooksFromRes(resid, seedPred, m).localCheckpoint()
     ivfpqSearchStoredLearned(
-      ivfpqIndexLearned(embeddings, coarsePred, cw, m),
+      indexLearnedFromRes(resid, cw, m),
       embeddings, queryPred, coarsePred, cw, m, k, nprobe)
   }
 
@@ -738,15 +760,51 @@ object Similarity {
       overscan)
   }
 
+  /** The corpus residual frame (vec_id, co_id, r) built over a
+    * CHECKPOINTED narrow assignment (r15): codebook training and index
+    * encoding both need every vector's coarse assignment + residual,
+    * and computing it per consumer repeats the N·|C_coarse| argmin —
+    * the single most expensive term of a learned build. One argmin
+    * pass materializes only (vec_id, co_id) — two longs per vector,
+    * never the D-long residual — and each consumer re-derives r with a
+    * broadcast join + subtract (linear, no argmin). Row-identical to
+    * [[coarseResiduals]](corpus, coarse, 1): both joins are 1:1 (the
+    * assignment is unique per vec_id, the coarse book unique per
+    * co_id).
+    */
+  private def sharedResiduals(corpus: DataFrame,
+                              coarse: DataFrame): DataFrame = {
+    val assign = coarseResiduals(corpus, coarse, 1)
+      .select("vec_id", "co_id").localCheckpoint()
+    assign.join(corpus, Seq("vec_id"))
+      .join(broadcast(coarse), Seq("co_id"))
+      .select(col("vec_id"), col("co_id"),
+        zip_with(col("q"), col("c"), (a, b) => a - b).as("r"))
+  }
+
   /** The shared build: learned codebooks + stored codes, checkpointed
-    * (both are codebook/code-sized artifacts referenced by every rung).
+    * (both are codebook/code-sized artifacts referenced by every rung),
+    * with training and encode fed from ONE coarse-assignment pass
+    * ([[sharedResiduals]]) instead of one each.
     */
   private def learnedBuild(embeddings: DataFrame, coarsePred: Column,
                            seedPred: Column, m: Int): (DataFrame, DataFrame) = {
-    val cw = ivfpqLearnedCodebooks(embeddings, coarsePred, seedPred, m)
-      .localCheckpoint()
-    (cw, ivfpqIndexLearned(embeddings, coarsePred, cw, m).localCheckpoint())
+    val corpus = pqQuantChecked(embeddings, m)
+    val coarse = coarseBook(corpus, coarsePred)
+    val resid = sharedResiduals(corpus, coarse)
+    val cw = learnedCodebooksFromRes(resid, seedPred, m).localCheckpoint()
+    (cw, indexLearnedFromRes(resid, cw, m).localCheckpoint())
   }
+
+  /** PUBLIC form of [[learnedBuild]] — the (codebooks, index) artifact
+    * pair a stored-index fixture persists. Bit-identical to calling
+    * [[ivfpqLearnedCodebooks]] then [[ivfpqIndexLearned]] (the same
+    * deterministic operators over the same residuals), at one coarse
+    * argmin pass instead of two.
+    */
+  def ivfpqLearnedArtifacts(embeddings: DataFrame, coarsePred: Column,
+                            seedPred: Column, m: Int): (DataFrame, DataFrame) =
+    learnedBuild(embeddings, coarsePred, seedPred, m)
 
   private def ladderRecalls(embeddings: DataFrame, pred: Column,
                             coarsePred: Column, cw: DataFrame, idx: DataFrame,
@@ -754,12 +812,33 @@ object Similarity {
                             overscan: Int): DataFrame = {
     require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
       "nprobe ladder must be ascending and duplicate-free")
-    val exact = bruteForceTopKL2(embeddings, pred, k).cache()
-    val counts = try
-      ladderCounts(embeddings, pred, exact, coarsePred, cw, idx, m, k,
-        ladder, overscan)
-    finally exact.unpersist()
+    val counts = ladderCountsSides(embeddings, Seq("q" -> pred), coarsePred,
+      cw, idx, m, k, ladder, overscan)("q")
     localLadder(embeddings, counts)
+  }
+
+  /** [[bruteForceTopKL2]] for SEVERAL query sets in one corpus scan —
+    * each set tagged with its side label, the top-k window keyed per
+    * (side, query) so every side's rows equal its own single-set brute
+    * force exactly (same join, same tie-break `(dist asc, hit_id)`,
+    * same self-exclusion). One pass over the corpus replaces one per
+    * query set. Output: (side, query_id, hit_id, dist, rnk).
+    */
+  private def bruteForceTopKL2Sides(embeddings: DataFrame,
+                                    sides: Seq[(String, Column)],
+                                    k: Int): DataFrame = {
+    val corpus = pqQuant(embeddings)
+    val queries = sides.map { case (tag, p) =>
+      pqQuant(embeddings.filter(p))
+        .select(lit(tag).as("side"), col("vec_id").as("query_id"),
+          col("q").as("qq"))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy("side", "query_id")
+      .orderBy(col("dist").asc, col("hit_id"))
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("side"), col("query_id"), col("vec_id").as("hit_id"),
+        l2sq(col("qq"), col("q")).as("dist"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** ONE-PASS ladder evaluation — every rung's (n_exact, n_found)
@@ -781,65 +860,120 @@ object Similarity {
     * the code scan and the two rerank corpus joins — now happens once
     * per ladder instead of once per rung.
     */
-  private def ladderCounts(embeddings: DataFrame, pred: Column,
-                           exact: DataFrame, coarsePred: Column,
-                           cw: DataFrame, idx: DataFrame, m: Int, k: Int,
-                           ladder: Seq[Int],
-                           overscan: Int): Seq[(Int, Long, Long)] = {
+  /** The one-pass ladder, generalized to SEVERAL query sets in one pass
+    * (r15, verdict item 8): an autotune report evaluates the same
+    * ladder over its sample AND its eval queries — two tagged query
+    * sets over the same stored artifacts. Running them as one tagged
+    * pass halves every corpus-sized term of the report: ONE ground
+    * truth corpus scan ([[bruteForceTopKL2Sides]]) instead of one per
+    * set, ONE code scan, ONE rerank corpus-join pair, and every count
+    * — per-(side, rung) found counts AND per-side exact counts — in a
+    * SINGLE collect action (the per-side exact totals ride along as
+    * null-rung marker rows). Per side the output is bit-identical to
+    * the single-set form: `side` is prepended to every window/group
+    * key, so within a side all rankings, tie-breaks (`adist asc,
+    * hit_id` / `dist asc, hit_id`), self-exclusion, and the left-semi
+    * count semantics are untouched (spec-pinned via the public
+    * autotune/search equivalences). Returns, per side, the ladder's
+    * (rung, n_exact, n_found) rows in ladder order.
+    */
+  private def ladderCountsSides(embeddings: DataFrame,
+                                sides: Seq[(String, Column)],
+                                coarsePred: Column, cw: DataFrame,
+                                idx: DataFrame, m: Int, k: Int,
+                                ladder: Seq[Int], overscan: Int)
+      : Map[String, Seq[(Int, Long, Long)]] = {
+    require(sides.map(_._1).distinct.length == sides.length,
+      "side tags must be distinct")
     val kc = k * overscan
     val corpus = pqQuantChecked(embeddings, m)
     val coarse = coarseBook(corpus, coarsePred)
-    val qsub = probeResiduals(corpus.filter(pred), coarse, ladder.max)
-      .select(col("vec_id").as("query_id"), col("co_id"), col("crnk"),
-        posexplode(subVectors(col("r"), m)).as(Seq("s", "rs")))
-    val dt = qsub.join(broadcast(cw), Seq("s"))
-      .select(col("query_id"), col("co_id"), col("crnk"), col("cw_id"),
-        col("s"), l2sq(col("rs"), col("cs")).as("d"))
-    val codes = idx
-      .filter(assert_true(size(col("codes")) === lit(m),
-        lit(s"ladderCounts: stored index code width != m=$m")).isNull)
-      .select(col("vec_id"), col("co_id"),
-        posexplode(col("codes")).as(Seq("s", "code")))
-    // every row of a (query, vec) group shares the vector's single
-    // co_id, so crnk is group-constant and min() just carries it
-    val scored = codes.join(broadcast(dt),
-        codes("co_id") === dt("co_id") && codes("s") === dt("s") &&
-          codes("code") === dt("cw_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum("d").as("adist"), min("crnk").as("cr"))
-    val rungArr = array(ladder.map(lit): _*)
-    val cand = scored
-      .select(col("query_id"), col("vec_id").as("hit_id"), col("adist"),
-        explode(filter(rungArr, r => r >= col("cr"))).as("nprobe"))
-      .withColumn("rnk", row_number().over(Window
-        .partitionBy("nprobe", "query_id")
-        .orderBy(col("adist").asc, col("hit_id"))))
-      .filter(col("rnk") <= kc)
-      .select("nprobe", "query_id", "hit_id")
-    // exact re-rank, rung-aware — candidate-sized exactly like
-    // exactRerank, with the rung in the window key
-    val hits = corpus.join(broadcast(cand), col("vec_id") === col("hit_id"))
-      .select(col("nprobe"), col("query_id"), col("hit_id"), col("q").as("hq"))
-    val queries = corpus.join(
-        broadcast(cand.select("query_id").distinct()),
-        col("vec_id") === col("query_id"))
-      .select(col("query_id"), col("q").as("qq"))
-    val w = Window.partitionBy("nprobe", "query_id")
-      .orderBy(col("dist").asc, col("hit_id"))
-    val found = hits.join(broadcast(queries), Seq("query_id"))
-      .select(col("nprobe"), col("query_id"), col("hit_id"),
-        l2sq(col("qq"), col("hq")).as("dist"))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
-    // |found ∩ exact| per rung (the left-join/count semantics of
-    // annRecallReport, aggregated); absent rungs read 0 via the map
-    val foundBy = found
-      .join(exact.select("query_id", "hit_id"), Seq("query_id", "hit_id"),
-        "left_semi")
-      .groupBy("nprobe").agg(count(lit(1)).as("n_found"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nExact = exact.count()
-    ladder.map(np => (np, nExact, foundBy.getOrElse(np, 0L)))
+    val exact = bruteForceTopKL2Sides(embeddings, sides, k)
+      .select("side", "query_id", "hit_id").cache()
+    try {
+      // probe-rank each tagged query set at the TOP rung (rank window
+      // per (side, query)), keeping `crnk` for the rung derivation
+      val wq = Window.partitionBy("side", "vec_id")
+        .orderBy(col("cd").asc, col("co_id"))
+      val tagged = sides.map { case (tag, p) =>
+        corpus.filter(p).withColumn("side", lit(tag)) }
+        .reduce(_.unionByName(_))
+      val qsub = tagged.join(broadcast(coarse), lit(true)) // × coarse book BY DESIGN
+        .withColumn("cd", l2sq(col("q"), col("c")))
+        .withColumn("crnk", row_number().over(wq))
+        .filter(col("crnk") <= ladder.max)
+        .select(col("side"), col("vec_id").as("query_id"), col("co_id"),
+          col("crnk"),
+          posexplode(subVectors(zip_with(col("q"), col("c"),
+            (a, b) => a - b), m)).as(Seq("s", "rs")))
+      val dt = qsub.join(broadcast(cw), Seq("s"))
+        .select(col("side"), col("query_id"), col("co_id"), col("crnk"),
+          col("cw_id"), col("s"), l2sq(col("rs"), col("cs")).as("d"))
+      val codes = idx
+        .filter(assert_true(size(col("codes")) === lit(m),
+          lit(s"ladderCountsSides: stored index code width != m=$m")).isNull)
+        .select(col("vec_id"), col("co_id"),
+          posexplode(col("codes")).as(Seq("s", "code")))
+      // every row of a (side, query, vec) group shares the vector's
+      // single co_id, so crnk is group-constant and min() carries it
+      val scored = codes.join(broadcast(dt),
+          codes("co_id") === dt("co_id") && codes("s") === dt("s") &&
+            codes("code") === dt("cw_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("side"), col("query_id"), col("vec_id"))
+        .agg(sum("d").as("adist"), min("crnk").as("cr"))
+      val rungArr = array(ladder.map(lit): _*)
+      val cand = scored
+        .select(col("side"), col("query_id"), col("vec_id").as("hit_id"),
+          col("adist"),
+          explode(filter(rungArr, r => r >= col("cr"))).as("nprobe"))
+        .withColumn("rnk", row_number().over(Window
+          .partitionBy("side", "nprobe", "query_id")
+          .orderBy(col("adist").asc, col("hit_id"))))
+        .filter(col("rnk") <= kc)
+        .select("side", "nprobe", "query_id", "hit_id")
+      // exact re-rank, rung-aware — candidate-sized exactly like
+      // exactRerank, with (side, rung) in the window key
+      val hits = corpus.join(broadcast(cand), col("vec_id") === col("hit_id"))
+        .select(col("side"), col("nprobe"), col("query_id"), col("hit_id"),
+          col("q").as("hq"))
+      val queries = corpus.join(
+          broadcast(cand.select("side", "query_id").distinct()),
+          col("vec_id") === col("query_id"))
+        .select(col("side"), col("query_id"), col("q").as("qq"))
+      val w = Window.partitionBy("side", "nprobe", "query_id")
+        .orderBy(col("dist").asc, col("hit_id"))
+      val found = hits.join(broadcast(queries), Seq("side", "query_id"))
+        .select(col("side"), col("nprobe"), col("query_id"), col("hit_id"),
+          l2sq(col("qq"), col("hq")).as("dist"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      // ONE action: |found ∩ exact| per (side, rung) — the left-join /
+      // count semantics of annRecallReport, aggregated — unioned with
+      // the per-side exact totals as null-rung marker rows
+      val foundCnt = found
+        .join(exact, Seq("side", "query_id", "hit_id"), "left_semi")
+        .groupBy("side", "nprobe").agg(count(lit(1)).as("n"))
+      val exactCnt = exact.groupBy("side").agg(count(lit(1)).as("n"))
+        .select(col("side"), lit(null).cast("int").as("nprobe"), col("n"))
+      val counted = foundCnt.select("side", "nprobe", "n")
+        .unionByName(exactCnt)
+      // plan evidence hook (costs nothing unless set): the ladder's
+      // whole cost is THIS one action — the final report relation is
+      // driver-local, so its explain() can't show the one-pass shape
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN_LADDER"))
+        System.err.println("[ladderCountsSides plan]\n" +
+          counted.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      val rows = counted.collect()
+      val foundBy = rows.filter(!_.isNullAt(1))
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val nExact = rows.filter(_.isNullAt(1))
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      sides.map { case (tag, _) =>
+        tag -> ladder.map(np =>
+          (np, nExact.getOrElse(tag, 0L), foundBy.getOrElse((tag, np), 0L)))
+      }.toMap
+    } finally exact.unpersist()
   }
 
   /** The collected rung counts as a local relation with the integral
@@ -922,19 +1056,15 @@ object Similarity {
                                  ladder: Seq[Int], overscan: Int): DataFrame = {
     require(ladder.nonEmpty && ladder == ladder.distinct.sorted,
       "nprobe ladder must be ascending and duplicate-free")
-    // each query set runs ONE one-pass ladder ([[ladderCounts]]): the
-    // sample and eval ladders each cost one search scan + one rerank
-    // regardless of ladder length
-    val exactS = bruteForceTopKL2(embeddings, samplePred, k).cache()
-    val exactE = bruteForceTopKL2(embeddings, evalPred, k).cache()
-    val (sc, ec) = try {
-      (ladderCounts(embeddings, samplePred, exactS, coarsePred, cw, idx,
-          m, k, ladder, overscan),
-        ladderCounts(embeddings, evalPred, exactE, coarsePred, cw, idx,
-          m, k, ladder, overscan))
-    } finally { exactS.unpersist(); exactE.unpersist() }
-    val sample = localLadder(embeddings, sc)
-    val eval = localLadder(embeddings, ec)
+    // BOTH query sets ride ONE tagged one-pass ladder
+    // ([[ladderCountsSides]], r15): one ground-truth scan, one code
+    // scan, one rerank, one collect — for the whole report, regardless
+    // of ladder length or query-set count
+    val counts = ladderCountsSides(embeddings,
+      Seq("s" -> samplePred, "e" -> evalPred), coarsePred, cw, idx,
+      m, k, ladder, overscan)
+    val sample = localLadder(embeddings, counts("s"))
+    val eval = localLadder(embeddings, counts("e"))
       .select(col("nprobe"), col("recall_bp").as("eval_recall_bp"))
     val pick = sample.agg(
         min(when(col("recall_bp") >= targetBp, col("nprobe"))).as("qual"),
@@ -983,7 +1113,7 @@ object Similarity {
   }
 
   /** The ladder DECISION shared by both recall-target searches: one
-    * [[ladderCounts]] pass over the sample queries, then pick the
+    * [[ladderCountsSides]] pass over the sample queries, then pick the
     * smallest rung whose recall meets `targetBp` (top rung as the
     * fallback). Identical choice and achieved-recall to the former
     * early-stopping walk (the walk stopped at the first qualifying
@@ -995,11 +1125,8 @@ object Similarity {
                          cw: DataFrame, samplePred: Column,
                          coarsePred: Column, m: Int, k: Int, targetBp: Int,
                          ladder: Seq[Int], overscan: Int): (Int, Long) = {
-    val exact = bruteForceTopKL2(embeddings, samplePred, k).cache()
-    val counts = try
-      ladderCounts(embeddings, samplePred, exact, coarsePred, cw, idx, m, k,
-        ladder, overscan)
-    finally exact.unpersist()
+    val counts = ladderCountsSides(embeddings, Seq("q" -> samplePred),
+      coarsePred, cw, idx, m, k, ladder, overscan)("q")
     def bp(ne: Long, nf: Long): Long = if (ne > 0) 10000L * nf / ne else 0L
     counts.collectFirst {
       case (np, ne, nf) if bp(ne, nf) >= targetBp => (np, bp(ne, nf))

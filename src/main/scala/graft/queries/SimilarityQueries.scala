@@ -115,14 +115,21 @@ object SimilarityQueries {
           col("vec_id") % 50 === 0, k = 5)
         .orderBy("query_id", "rnk")),
 
+    // centroid set PINNED to the sf0.1 id range (a no-op at sf ≤ 0.1):
+    // nlist ∝ N makes the flat nearest-centroid ASSIGNMENT N²/50 work —
+    // the exact index-BUILD superlinearity the r14 decoupled-α control
+    // cell root-caused (α 1.23 → 0.36 with the pin). nlist is an index
+    // property, not a corpus property; the oracle pins identically.
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(Tables(s, dir, "embeddings"),
-          col("vec_id") % 50 === 0, col("vec_id") % 50 === 7, k = 5, nprobe = 2)
+          col("vec_id") % 50 === 0,
+          col("vec_id") % 50 === 7 && col("vec_id") < 2000, k = 5, nprobe = 2)
         .orderBy("query_id", "rnk")),
 
     "ann_ivf_learned" -> ((s, dir) =>
       Similarity.ivfTopKLearned(Tables(s, dir, "embeddings"),
-          col("vec_id") % 50 === 0, col("vec_id") % 50 === 7, k = 5, nprobe = 2,
+          col("vec_id") % 50 === 0,
+          col("vec_id") % 50 === 7 && col("vec_id") < 2000, k = 5, nprobe = 2,
           lloydIters = 1)
         .orderBy("query_id", "rnk")),
 
@@ -229,10 +236,10 @@ object SimilarityQueries {
       // exactly what makes flat assignment superlinear (the r14 sf1
       // replay's one engine+oracle blowup before this pin)
       val coarse = col("vec_id") % 125 === 11 && col("vec_id") < 2000
-      val cw = Similarity.ivfpqLearnedCodebooks(emb, coarse,
-        col("vec_id") % 78 === 5, m = 8).localCheckpoint()
-      val idx = Similarity.ivfpqIndexLearned(emb, coarse, cw, m = 8)
-        .localCheckpoint()
+      // one shared coarse-assignment pass builds both artifacts (r15);
+      // bit-identical to the separate codebooks+index builds
+      val (cw, idx) = Similarity.ivfpqLearnedArtifacts(emb, coarse,
+        col("vec_id") % 78 === 5, m = 8)
       Similarity.autotuneReportStored(emb, idx, cw,
           samplePred = col("vec_id") % 50 === 7,
           evalPred = col("vec_id") % 50 === 19,
@@ -250,10 +257,8 @@ object SimilarityQueries {
     "ann_search_stored" -> ((s, dir) => {
       val emb = clusteredEmb(s, dir)
       val coarse = col("vec_id") % 125 === 11 && col("vec_id") < 2000
-      val cw = Similarity.ivfpqLearnedCodebooks(emb, coarse,
-        col("vec_id") % 78 === 5, m = 8).localCheckpoint()
-      val idx = Similarity.ivfpqIndexLearned(emb, coarse, cw, m = 8)
-        .localCheckpoint()
+      val (cw, idx) = Similarity.ivfpqLearnedArtifacts(emb, coarse,
+        col("vec_id") % 78 === 5, m = 8)
       Similarity.searchWithRecallTargetStored(emb, idx, cw,
           queryPred = col("vec_id") % 50 === 33,
           samplePred = col("vec_id") % 50 === 7,
@@ -405,7 +410,11 @@ object SimilarityQueries {
     // driver-side from the seed predicate (seed-sized count).
     "ann_balance" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val coPred = col("vec_id") % 125 === 11
+      // coarse book PINNED to the sf0.1 id range (a no-op at sf ≤ 0.1),
+      // like ann_autotune_stored: a stored index's nlist is an INDEX
+      // property, and nlist ∝ N makes the timed per-call build N²/125
+      // (r14 ALPHA flagged exactly this gate as build-coupled)
+      val coPred = col("vec_id") % 125 === 11 && col("vec_id") < 2000
       val idx = Similarity.ivfpqIndex(emb, coPred,
         col("vec_id") % 40 === 3 && col("vec_id") < 2560, m = 8)
       val nlist = emb.filter(coPred).count()
@@ -739,11 +748,12 @@ object SimilarityQueries {
     // count, every bp column the same integer division the engine runs
     "ann_balance" ->
       s"""WITH ${flatSql("embeddings")},
-         |$ivfpqResidualCte,
+         |${ivfpqResidualCte.replace("WHERE vec_id % 125 = 11",
+             "WHERE vec_id % 125 = 11 AND vec_id < 2000")},
          |lc AS (SELECT co_id, CAST(count(*) AS BIGINT) AS cnt
          |       FROM assigned GROUP BY 1),
          |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lists
-         |       FROM qv WHERE vec_id % 125 = 11),
+         |       FROM qv WHERE vec_id % 125 = 11 AND vec_id < 2000),
          |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_lists_used,
          |          CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_vectors,
          |          CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_list
@@ -763,16 +773,20 @@ object SimilarityQueries {
 
     "ann_ivf" ->
       s"""WITH ${flatSql("embeddings")},
-         |cents AS (SELECT vec_id AS cent_id, qv FROM qv WHERE vec_id % 50 = 7),
-         |cnorm AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 50 = 7),
+         |cents AS (SELECT vec_id AS cent_id, qv FROM qv
+         |          WHERE vec_id % 50 = 7 AND vec_id < 2000),
+         |cnorm AS (SELECT vec_id AS cent_id, nrm FROM norms
+         |          WHERE vec_id % 50 = 7 AND vec_id < 2000),
          |$ivfTailSql
          |SELECT query_id, hit_id, cosine, rnk FROM ranked WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
 
     "ann_ivf_learned" ->
       s"""WITH ${flatSql("embeddings")},
-         |cents0 AS (SELECT vec_id AS cent_id, qv FROM qv WHERE vec_id % 50 = 7),
-         |cnorm0 AS (SELECT vec_id AS cent_id, nrm FROM norms WHERE vec_id % 50 = 7),
+         |cents0 AS (SELECT vec_id AS cent_id, qv FROM qv
+         |           WHERE vec_id % 50 = 7 AND vec_id < 2000),
+         |cnorm0 AS (SELECT vec_id AS cent_id, nrm FROM norms
+         |           WHERE vec_id % 50 = 7 AND vec_id < 2000),
          |-- Lloyd iteration 1: cosine assignment to the seed codebook
          |adots0 AS (
          |  SELECT f.vec_id, c.cent_id, list_dot_product(f.qv, c.qv) AS dot
