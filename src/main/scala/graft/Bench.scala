@@ -265,11 +265,14 @@ object Bench {
       // let AQE size the partitions INSIDE cached plans too (upstream
       // default false): a cached frame otherwise materializes at the
       // static spark.sql.shuffle.partitions and every downstream read
-      // of it scans that many blocks — measured 3-4× the task count on
-      // cache-heavy queries. Scale-neutral: caches store advisory-sized
-      // partitions instead of a fixed count at any corpus size.
+      // of it scans that many blocks. r15 A/B (JobProfile, 32c, sf0.1):
+      // dedup_pagerank tasks 378 → 68 and taskSec 29.8 → 5.1 with
+      // "true"; q_stream_funnel taskSec 25.8 → 15.3. Scale-neutral:
+      // caches store advisory-sized partitions at any corpus size.
+      // MUST match Verify.scala — the correctness gate runs under the
+      // same cached-plan rule as the timed path.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "false")
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -41,9 +41,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // match the bench session (r14 optimization): the correctness
-      // gate must run under the same cached-plan partitioning rule the
-      // timed path uses
+      // match the bench session (r15: both sessions pinned to "true",
+      // justified by the JobProfile A/B recorded in Bench.scala /
+      // SCALING_r15 §4): the correctness gate must run under the same
+      // cached-plan partitioning rule the timed path uses
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.sql.session.timeZone", "UTC")
