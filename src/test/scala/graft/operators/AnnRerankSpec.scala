@@ -215,6 +215,62 @@ class AnnRerankSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("tagged two-side ladder (r15): autotuneReport's sample AND eval " +
+    "columns equal the single-side ladder run per query set") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").cache()
+    val sPred = col("vec_id") % 50 === 7
+    val ePred = col("vec_id") % 50 === 19
+    val coPred = col("vec_id") % 125 === 11
+    val seedPred = col("vec_id") % 78 === 5
+    val ladder = Seq(1, 2, 4)
+    // the report runs BOTH query sets in one tagged pass; the public
+    // single-set ladder runs each alone — per side the counts must be
+    // bit-identical (side only prepends window/group keys)
+    val rep = Similarity.autotuneReport(emb, sPred, ePred, coPred, seedPred,
+        m = 8, k = 5, targetBp = 2000, ladder = ladder)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .sortBy(_._1)
+    def solo(pred: org.apache.spark.sql.Column) =
+      Similarity.nprobeRecallLadder(emb, pred, coPred, seedPred,
+          m = 8, k = 5, ladder = ladder)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).sortBy(_._1)
+    val soloS = solo(sPred)
+    assert(rep.map(r => (r._1, r._2, r._3, Some(r._4))).toSeq ==
+      soloS.toSeq.map(r => (r._1, r._2, r._3, r._4)),
+      s"sample side drifted: rep=${rep.toSeq} solo=${soloS.toSeq}")
+    val soloE = solo(ePred).map(r => r._1 -> r._4).toMap
+    rep.foreach { r =>
+      if (r._5.isDefined) // eval recall surfaces on the chosen rung only
+        assert(r._5 == soloE(r._1),
+          s"eval side drifted at rung ${r._1}: ${r._5} != ${soloE(r._1)}")
+    }
+    emb.unpersist()
+  }
+
+  test("shared-assignment build (r15): ivfpqLearnedArtifacts == the " +
+    "separate codebooks + index builds, bit for bit") {
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").cache()
+    val coPred = col("vec_id") % 125 === 11
+    val seedPred = col("vec_id") % 78 === 5
+    val (cwS, idxS) = Similarity.ivfpqLearnedArtifacts(emb, coPred, seedPred,
+      m = 8)
+    val cw = Similarity.ivfpqLearnedCodebooks(emb, coPred, seedPred, m = 8)
+      .localCheckpoint()
+    val idx = Similarity.ivfpqIndexLearned(emb, coPred, cw, m = 8)
+    def cwRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cw_id", "s").collect().map(_.toString).toSeq
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(cwRows(cwS) == cwRows(cw), "codebooks drifted under the shared build")
+    assert(idxRows(idxS) == idxRows(idx), "index drifted under the shared build")
+    assert(cwRows(cwS).nonEmpty && idxRows(idxS).nonEmpty)
+    emb.unpersist()
+  }
+
   test("searchWithRecallTargetStored: identical to the rebuilding search " +
     "at the same artifacts and rungs; fallback flags target_met false") {
     val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
